@@ -1,0 +1,78 @@
+"""Gold layer — the reference's two marts plus the implied star join.
+
+- ``dim_locations`` — /root/reference/dbt/models/marts/dim_locations.sql:6-15
+  (surrogate key, SELECT DISTINCT atop GROUP BY, min/max/count aggregate).
+- ``fct_weather_observations`` — fct_weather_observations.sql:6-28
+  (surrogate key, Postgres hour/dow parts).
+- ``join_observations`` — the star-schema join declared by the models' docs
+  (schema.yml:32-33 "Clé substitut pour jointure avec dim_locations") and
+  the dashboard exposure (schema.yml:62-72). The dim side is tiny relative
+  to the fact, so we broadcast it — at 100 TB the fact never shuffles.
+
+Materialization parity: in the reference, marts are full-refresh CTAS tables
+(dbt_project.yml:29-32). ``write_mart`` reproduces that with dynamic
+partition overwrite on ``extraction_date`` — at scale a daily run rewrites
+only the partitions it touched, not the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from weather_api_automate_etl_spark.functions.core import pg_dow, pg_hour, surrogate_key
+
+
+def dim_locations(stg: DataFrame) -> DataFrame:
+    """dim_locations.sql:6-15 — one row per (city_clean, country_clean)."""
+    return (
+        stg.groupBy("city_clean", "country_clean")
+        .agg(
+            F.min("extracted_at").alias("first_observation"),
+            F.max("extracted_at").alias("last_observation"),
+            F.count(F.lit(1)).alias("total_observations"),
+        )
+        .select(
+            surrogate_key("city_clean", "country_clean").alias("location_key"),
+            "city_clean",
+            "country_clean",
+            "first_observation",
+            "last_observation",
+            "total_observations",
+        )
+        # SELECT DISTINCT atop GROUP BY (dim_locations.sql:6) — a no-op the
+        # optimizer eliminates; kept for declared-semantics fidelity.
+        .distinct()
+    )
+
+
+def fct_weather_observations(stg: DataFrame) -> DataFrame:
+    """fct_weather_observations.sql:6-28 — observation grain + date parts."""
+    return stg.select(
+        F.col("weather_id").alias("observation_id"),
+        surrogate_key("city_clean", "country_clean").alias("location_key"),
+        F.col("temperature"),
+        F.col("temperature_category"),
+        F.col("weather_category"),
+        F.col("humidity"),
+        F.col("wind_speed"),
+        F.col("pressure"),
+        F.col("extracted_at"),
+        F.col("extraction_date"),
+        pg_hour("extracted_at").alias("extraction_hour"),
+        pg_dow("extracted_at").alias("day_of_week"),
+    )
+
+
+def join_observations(fct: DataFrame, dim: DataFrame) -> DataFrame:
+    """The declared star join (schema.yml:32-33, 62-72), dim broadcast."""
+    return fct.join(F.broadcast(dim), "location_key", "inner")
+
+
+def write_mart(df: DataFrame, path: str, partition_by: str | None = "extraction_date") -> None:
+    """Full-refresh mart materialization (dbt_project.yml:29-32) at scale:
+    parquet, partitioned, dynamic overwrite so reruns replace only touched
+    partitions."""
+    writer = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)

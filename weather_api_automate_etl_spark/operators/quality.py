@@ -1,0 +1,70 @@
+"""Data-quality operators — dbt schema tests as reusable DataFrame fns.
+
+The reference's correctness gate is dbt tests compiled to SQL that must
+return zero rows (/root/reference/dbt/models/marts/schema.yml:9-42,
+dbt/models/staging/_staging__sources.yml:12-26; executed by the DAG at
+dags/weatherstack_full_pipeline.py:148-151, 160-163). Each operator here
+returns the *violation rows* — empty means pass — so the pipeline runner
+can fail fast exactly like ``dbt test`` does.
+
+All three are single hash-aggregate / filter plans: map-side partial
+aggregation handles the heavy lifting, so a uniqueness check over 100 TB is
+one shuffle of (key, partial_count) pairs, not a sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def unique_violations(df: DataFrame, key: str) -> DataFrame:
+    """dbt ``unique`` (schema.yml:10, _staging__sources.yml:14):
+    key values occurring more than once, with their multiplicity."""
+    return (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def not_null_violations(df: DataFrame, column: str) -> DataFrame:
+    """dbt ``not_null`` (schema.yml:11,23,31,35): rows where column IS NULL."""
+    return df.filter(F.col(column).isNull())
+
+
+def not_null_violation_counts(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Audit variant: one row per checked column with its null count —
+    computed in a single pass over the table (one aggregate, no per-column
+    scans), then unpivoted."""
+    aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in columns
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', {c}" for c in columns)
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack}) as (column_name, violations)"
+    )
+
+
+def accepted_values_violations(
+    df: DataFrame, column: str, allowed: Sequence[str]
+) -> DataFrame:
+    """dbt ``accepted_values`` (schema.yml:40-42): non-null values outside the
+    allowed set, grouped with counts (dbt's compiled form groups by value)."""
+    c = F.col(column)
+    return (
+        df.filter(c.isNotNull() & ~c.isin(list(allowed)))
+        .groupBy(c.alias("value_field"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def expect_empty(violations: DataFrame, name: str) -> None:
+    """Fail-fast assertion used by the pipeline runner (dbt test parity)."""
+    n = violations.limit(1).count()
+    if n:
+        sample = [r.asDict() for r in violations.limit(5).collect()]
+        raise AssertionError(f"data-quality test {name!r} failed; sample: {sample}")

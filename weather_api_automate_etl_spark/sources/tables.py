@@ -1,0 +1,54 @@
+"""Testdata catalog — parquet scans with type normalization.
+
+Plays the role of dbt's ``source()``/``ref()`` resolution
+(/root/reference/dbt/models/staging/_staging__sources.yml:4-9,
+stg_weather.sql:37): a name → relation mapping. Catalyst then owns predicate
+pushdown and column pruning through these scans — ``.explain`` on any query
+over these shows PushedFilters/ReadSchema reaching the parquet source.
+
+The one normalization: ``events.ts`` is stored as parquet TIMESTAMP(NANOS),
+which Spark reads as a raw ns-epoch long under
+``spark.sql.legacy.parquet.nanosAsLong``. We convert with **integer**
+division (``ts div 1000``) — ns epochs (~1.7e18) exceed double's 2^53
+mantissa, so float division would corrupt microseconds — then cast to
+timestamp_ntz to align with the other tables' naive timestamps. The DuckDB
+oracle mirrors this with ``CAST(ts AS TIMESTAMP)`` (also truncating ns→µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weather_api_automate_etl_spark.schemas import TESTDATA_TABLES
+
+
+def _ensure_engine_confs(spark: SparkSession) -> None:
+    """Self-configure sessions we didn't build (e.g. the driver's): UTC
+    timestamps (oracle hash parity) and ns-as-long parquet reads. Both are
+    runtime-settable SQLConfs."""
+    for key, val in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 — leave immutable confs alone
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing ns-timestamp columns."""
+    _ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (SQL entry point)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
