@@ -15,7 +15,9 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from weather_api_automate_etl_spark.queries import REGISTRY  # noqa: E402
+from weather_api_automate_etl_spark.queries import REGISTRY, _load_extensions  # noqa: E402
+
+_load_extensions()
 from weather_api_automate_etl_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from weather_api_automate_etl_spark.session import get_spark  # noqa: E402
 

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, each scale-shaped for Spark (extension surface mandated by
+the north star in BASELINE.json; absent from the reference, SURVEY.md §2.7):
+
+- **exact** — hash-keyed keep-first; one hash aggregate (map-side combined).
+- **MinHash + LSH** — shingle → minhash signature → banded buckets →
+  candidate pairs by bucket join. Signatures are **map-only** (higher-order
+  array functions, no explode/shuffle); the only shuffle is the final
+  self-join on (band, bucket), whose fan-out is bounded by bucket size.
+- **SimHash** — 16-bit near-dup fingerprint, also map-only per document.
+- **n-gram Jaccard** — exact set-overlap within a blocking key; the classic
+  token-inverted-index join. Blocked so pair fan-out stays bounded.
+- **embedding cosine** — near-dup by vector similarity within a block
+  (see similarity.py for the LSH-bucketed scale path).
+
+Hashes are md5-based everywhere (not Spark's ``hash()``/xxhash) so results
+are engine-portable and oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from weather_api_automate_etl_spark.functions.text import tokens, word_shingles
+from weather_api_automate_etl_spark.functions.vectors import cosine_similarity
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[Column | str], order_by: str) -> DataFrame:
+    """Keep the first row (by ``order_by``) per duplicate-key group.
+
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_by) = 1`` — one
+    shuffle on the dedup key. Deterministic, unlike ``dropDuplicates`` whose
+    survivor depends on partition order."""
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingles_with_fallback(text_col: str, k: int) -> Column:
+    """k-word shingles; documents shorter than k tokens contribute their
+    whole normalized text as a single shingle (so they can still collide
+    with exact duplicates of themselves)."""
+    sh = word_shingles(tokens(text_col), k)
+    return F.when(F.size(sh) > 0, sh).otherwise(
+        F.array(F.lower(F.trim(F.col(text_col))))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature matrix, banded for LSH: (id, band_id, bucket).
+
+    The j-th hash of a document is ``min over shingles of md5(j ':' shingle)``
+    (md5 hex min is a valid permutation-min surrogate and is reproducible in
+    any engine). A band's bucket is the md5 of its member hashes joined in
+    order. Everything up to the output is per-row array math — **zero
+    shuffles** — so signature build streams at scan speed at any scale.
+    """
+    if num_hashes % band_size:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    # NB: higher-order-function lambdas must be unary/binary exactly —
+    # pyspark treats extra (even defaulted) params as lambda variables and
+    # binds them to the element index. Hence the closure factory.
+    def salted_md5(j: int):
+        prefix = F.lit(f"{j}:")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    sh = _shingles_with_fallback(text_col, shingle_k)
+    out = df.select(F.col(id_col), sh.alias("__sh"))
+    for j in range(num_hashes):
+        out = out.withColumn(
+            f"__mh{j}", F.array_min(F.transform(F.col("__sh"), salted_md5(j)))
+        )
+    bands = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"__mh{j}") for j in range(b * band_size, (b + 1) * band_size)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(num_hashes // band_size)
+    ]
+    return out.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("__band")
+    ).select(id_col, "__band.band_id", "__band.bucket")
+
+
+def minhash_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """LSH candidate pairs: ids sharing at least one (band, bucket).
+
+    The join key is (band_id, bucket) — pair fan-out is quadratic only in
+    per-bucket occupancy, which banding keeps small; this is the standard
+    way pairwise near-dup survives 100 TB (never all-pairs)."""
+    a = signatures.select(
+        F.col(id_col).alias("id_a"), "band_id", "bucket"
+    )
+    b = signatures.select(
+        F.col(id_col).alias("id_b"), "band_id", "bucket"
+    )
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: (id, simhash) with a ``bits``-wide signature.
+
+    Each distinct token votes ±1 per bit position according to its md5-derived
+    hash; the signature takes the sign of each bit's tally. Near-duplicate
+    documents land within small Hamming distance. Map-only per document
+    (token hash via md5-hex → int, tallies via ``aggregate``)."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast("long"),
+    )
+    def bit_vote(b: int):
+        # binary lambda exactly (see salted_md5 note in minhash_signatures)
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b)) for b in range(bits)
+    ]
+    sig = None
+    for b, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within a blocking key.
+
+    Inverted-index join: explode each document's distinct shingles, self-join
+    on (block, shingle) to count intersections, then Jaccard = |∩|/(|A|+|B|−|∩|).
+    The block column bounds the candidate space (at 100 TB you block on
+    LSH buckets or metadata, never cross-join)."""
+    sh = (
+        _shingles_with_fallback(text_col, shingle_k)
+        if shingle_k > 1
+        else tokens(text_col)
+    )
+    toks = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), F.explode(F.array_distinct(sh)).alias("__t")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = toks.select(F.col(id_col).alias("id_a"), "__blk", "__t")
+    b = toks.select(F.col(id_col).alias("id_b"), "__blk", "__t")
+    inter = (
+        a.join(b, ["__blk", "__t"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within a blocking key.
+
+    Blocked self-join + JVM-side cosine (functions/vectors.py). For
+    unblocked corpora use similarity.hyperplane_lsh_buckets to derive the
+    block first — all-pairs cosine does not exist at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__vb"))
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers (extension surface per BASELINE.json; SURVEY.md §2.7 E2):
+
+- **brute-force top-k** — map-only cosine against a literal query vector,
+  then ``orderBy().limit(k)`` which Spark executes as TakeOrdered (per-
+  partition top-k + driver merge of k·P rows — never a full sort).
+- **IVF** — coarse quantizer (cluster centroids) + probe-the-nearest-lists:
+  the scan is partition-pruned to ``nprobe`` inverted lists. Centroids come
+  from an elementwise-mean aggregate (posexplode + groupBy(pos)).
+- **random-hyperplane LSH** — sign-bit bucket per row (map-only), so
+  near-dup candidate generation is a bucket equi-join, not all-pairs.
+
+The LSH hyperplanes are derived deterministically from md5 of (plane, dim)
+— no RNG state to ship, reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from weather_api_automate_etl_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+
+
+def _query_vec_lit(query_vec: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def topk_cosine(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against. One narrow pass + TakeOrdered(k)."""
+    score = cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec))
+    return (
+        df.select(F.col(id_col), F.round(score, round_digits).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def centroids_by(df: DataFrame, vec_col: str, list_col: str) -> DataFrame:
+    """Elementwise-mean centroid per inverted list: (list, centroid).
+
+    posexplode → groupBy(list, pos) avg → re-assemble ordered array. One
+    shuffle of n·d scalar rows; run once at index-build time, not per query.
+    """
+    exploded = df.select(
+        F.col(list_col).alias("list_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    means = exploded.groupBy("list_id", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("list_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select(
+            "list_id",
+            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    list_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: rank inverted lists by centroid cosine, scan the top
+    ``nprobe`` lists only, then exact top-k within the probed subset.
+
+    At scale the table is partitioned/bucketed by ``list_col``, so the
+    probe is partition pruning — the scan touches nprobe/nlists of the data.
+    """
+    cents = centroids_by(df, vec_col, list_col)
+    q = _query_vec_lit(query_vec)
+    probed = [
+        r["list_id"]
+        for r in cents.select(
+            "list_id", cosine_similarity(F.col("centroid"), q).alias("s")
+        )
+        .orderBy(F.desc("s"))
+        .limit(nprobe)
+        .collect()
+    ]
+    subset = df.filter(F.col(list_col).isin(probed))
+    return topk_cosine(subset, vec_col, query_vec, k=k, id_col=id_col)
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from md5(plane, dim).
+
+    Engine-portable (no RNG): component i = centered md5-derived uniform."""
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane{plane}:dim{i}".encode()).hexdigest()
+        comps.append(int(h[:8], 16) / float(0xFFFFFFFF) - 0.5)
+    norm = math.sqrt(sum(c * c for c in comps)) or 1.0
+    return [c / norm for c in comps]
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Random-hyperplane LSH: (id, bucket) where bucket packs the sign bits
+    of ``n_planes`` projections. Map-only; cosine-similar vectors collide
+    with probability 1 − θ/π per plane."""
+    bucket = None
+    for p in range(n_planes):
+        proj = dot_product(F.col(vec_col), _query_vec_lit(_hyperplane(p, dim)))
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))

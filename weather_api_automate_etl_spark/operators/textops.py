@@ -1,0 +1,71 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Extension surface (SURVEY.md §2.7 E3): language-ID, quality scoring, token
+counting, fingerprinting — all pure column expressions from functions/text.py,
+so each is a single narrow projection (scan-speed at any scale) unless it
+aggregates, in which case it's one map-side-combined hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from weather_api_automate_etl_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    document_fingerprint,
+    quality_score,
+    tokens,
+)
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score each language by stopword
+    occurrences; highest score wins (ties broken in en>es>fr>de order),
+    zero evidence → 'und'. A deterministic n-gram-heuristic classifier."""
+    toks = tokens(text_col)
+    scores = {lang: _stopword_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # build CASE so earlier langs win ties
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
+    )
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, BPE-ish pre-tokens,
+    character length — the token-accounting primitive of a data pipeline."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(text_col).alias("bpe_tokens"),
+        F.length(F.trim(F.col(text_col))).cast("long").alias("n_chars_trimmed"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality score plus a keep/drop verdict at 0.5."""
+    q = quality_score(text_col)
+    return df.select(
+        F.col(id_col),
+        F.round(q, 6).alias("quality"),
+        F.when(q >= 0.5, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4
+) -> DataFrame:
+    """Rolling-hash content fingerprints (min-md5 over k-word shingles)."""
+    return df.select(
+        F.col(id_col), document_fingerprint(text_col, k).alias("fingerprint")
+    )

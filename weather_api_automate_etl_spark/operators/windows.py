@@ -1,0 +1,74 @@
+"""Event-time and analytic window operators over the ``events`` stream table.
+
+Extension surface (SURVEY.md §2.7 E4/E5). The reference's "stream" is a
+daily scheduled micro-batch (dags/weatherstack_full_pipeline.py:124); these
+operators give the real event-time story: tumbling windows (batch here,
+watermarked streaming twin in streaming/events.py), ranking/lag analytics,
+and gap-based sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts_col: str = "ts", duration: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows: per (window, event_type) count + value sum.
+
+    Uses Spark's native ``window()`` operator — identical code runs under
+    Structured Streaming with a watermark (streaming/events.py)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def rank_and_lag(df: DataFrame) -> DataFrame:
+    """Per-user ordered analytics: sequence number + microsecond gap to the
+    previous event. One shuffle on user_id; ordering key (ts, event_id) is
+    deterministic under ties."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        (epoch - F.lag(epoch).over(w)).alias("gap_us"),
+    )
+
+
+def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``. Session id = running count of session
+    starts (two window passes over the same user_id partitioning — Spark
+    reuses the shuffle)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    with_sess = df.withColumn("__new", is_new).withColumn(
+        "session_seq", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )

@@ -1,0 +1,480 @@
+"""Extension queries: dedup, similarity search, text analysis, event windows,
+multimodal plumbing (SURVEY.md §2.7 E1-E5 + BASELINE.json north star).
+
+Registered into the same driver-contract registry as the core §2 queries.
+Oracle-parity notes:
+- All content hashes are md5 (portable across engines), never Spark hash().
+- Dot products fold sequentially in double on both engines (Spark
+  ``aggregate``; DuckDB ``list_sum`` over an index-ordered transform), so
+  scores are bit-identical before the defensive round(6).
+- DuckDB ``len()``/``row_number()`` return BIGINT where Spark returns int —
+  oracles cast explicitly.
+- ``events.ts`` ordering uses the µs-truncated timestamp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weather_api_automate_etl_spark.functions.text import STOPWORDS
+from weather_api_automate_etl_spark.operators import dedup, similarity, textops, windows
+from weather_api_automate_etl_spark.queries import query, t
+from weather_api_automate_etl_spark.sources import multimodal
+
+_TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# E1 — deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup, deterministic keep-lowest-id survivor."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, [F.md5("text")], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_MINHASH_SIG_SQL = """
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS txt, {toks} AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+                  ELSE [txt] END AS shingles
+      FROM base
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    mh AS (
+      SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+      FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id, CAST(j // 2 AS INTEGER) AS band_id,
+             md5(string_agg(mh, ',' ORDER BY j)) AS bucket
+      FROM mh GROUP BY doc_id, j // 2
+    )
+""".format(toks=_TOKENS_SQL)
+
+
+@query(
+    "q_minhash_signature",
+    oracle=_MINHASH_SIG_SQL + "SELECT doc_id, band_id, bucket FROM sig",
+    tags=("dedup",),
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded signatures (8 hashes, 4 bands) — the shuffle-free
+    signature build behind near-dup candidate generation."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
+
+
+@query(
+    "q_minhash_pairs",
+    oracle=_MINHASH_SIG_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup",),
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate near-dup pairs (ids sharing any band bucket)."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    return dedup.minhash_candidate_pairs(sig, "doc_id")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n        ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tok), 1, {bits // 4}) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id,
+        {votes}
+      FROM dt GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("q_simhash", oracle=_simhash_oracle(), tags=("dedup",))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup fingerprints (map-only per document)."""
+    return dedup.simhash(t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, lang, unnest(list_distinct({_TOKENS_SQL})) AS tok FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM dt a JOIN dt b
+        ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE ROUND(i / (na.n + nb.n - i), 6) >= 0.9
+    """,
+    tags=("dedup",),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by lang (inverted-
+    index join — the all-pairs-free exact complement to MinHash)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.9, shingle_k=1
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "q_neardup_cosine",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT_SQL.format(a="a.embedding", b="b.embedding")} AS dp,
+             sqrt({_DOT_SQL.format(a="a.embedding", b="a.embedding")}) AS na,
+             sqrt({_DOT_SQL.format(a="b.embedding", b="b.embedding")}) AS nb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(dp / (na * nb), 6) AS cosine
+    FROM p WHERE ROUND(dp / (na * nb), 6) >= 0.35
+    """,
+    tags=("dedup",),
+)
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (the LSH-bucketed
+    variant uses hyperplane buckets as the block instead — q_lsh_buckets)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk_similarity",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND({_DOT_SQL.format(a="e.embedding", b="q.qe")}
+                   / (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")})
+                      * sqrt({_DOT_SQL.format(a="q.qe", b="q.qe")})), 6) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "bench"),
+)
+def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query vector (vec_id 0) — the exact
+    baseline; executes as a narrow scan + TakeOrdered, no full sort."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.topk_cosine(
+        emb.filter(F.col("vec_id") != 0), "embedding", qvec, k=10
+    )
+
+
+@query("q_ann_ivf", oracle=None, tags=("similarity",))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: probe the 3 nearest label-lists by centroid,
+    exact search inside. Non-SQL-expressible (iterative probe) → rows-only
+    driver check; recall vs the exact baseline is asserted in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "label", qvec, k=10, nprobe=3
+    )
+
+
+def _lsh_oracle(n_planes: int = 8, dim: int = 64) -> str:
+    terms = []
+    for p in range(n_planes):
+        vals = ", ".join(f"{v:.17e}" for v in similarity._hyperplane(p, dim))
+        proj = (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * list_value({vals})[i]))"
+        )
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
+    return (
+        "SELECT vec_id, CAST(" + " + ".join(terms) + " AS INTEGER) AS bucket FROM embeddings"
+    )
+
+
+@query("q_lsh_buckets", oracle=_lsh_oracle(), tags=("similarity",))
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH buckets (8 deterministic md5-derived planes) —
+    the map-only blocking key for near-dup at scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_buckets(emb, "embedding", dim=64, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# E3 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "bench"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus token accounting (whitespace + BPE-ish counts)."""
+    docs = t(spark, sf_dir, "documents")
+    prof = textops.text_profile(docs).join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    return prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n             ".join(
+        "CAST(len(list_filter({toks}, tok -> tok IN ({vals}))) AS INTEGER) AS score_{lang}".format(
+            toks=_TOKENS_SQL,
+            vals=", ".join(f"'{w}'" for w in STOPWORDS[lang]),
+            lang=lang,
+        )
+        for lang in STOPWORDS
+    )
+    all_scores = ", ".join(f"score_{lang}" for lang in STOPWORDS)
+    branches = "\n             ".join(
+        f"WHEN score_{lang} > 0 AND score_{lang} >= greatest({all_scores}) THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE {branches}
+                ELSE 'und' END AS predicted_lang,
+           {all_scores}
+    FROM s
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle(), tags=("text",))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (deterministic heuristic)."""
+    return textops.lang_id(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(trim(text)) AS DOUBLE) AS L,
+             CAST(len(regexp_extract_all(trim(text), '[^A-Za-z0-9\\s]')) AS DOUBLE) AS P,
+             CAST(len(list_filter({_TOKENS_SQL}, tok -> tok IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS SW,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS NT
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+        0.4e0 * least(L / 500.0e0, 1.0e0)
+        + 0.3e0 * (1.0e0 - CASE WHEN L > 0 THEN P / L ELSE 0.0e0 END)
+        + 0.3e0 * (1.0e0 - abs((CASE WHEN NT > 0 THEN SW / NT ELSE 0.0e0 END) - 0.4e0)) AS quality
+      FROM m
+    )
+    SELECT doc_id, ROUND(quality, 6) AS quality,
+           CASE WHEN quality >= 0.5e0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM q
+    """,
+    tags=("text",),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality scoring with keep/drop verdict."""
+    return textops.quality_scores(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(length(trim(text)) AS BIGINT) AS n_chars_trimmed
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace + BPE-ish regex)."""
+    return textops.text_profile(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS txt, {_TOKENS_SQL} AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, txt,
+             CASE WHEN len(tk) >= 4
+                  THEN [array_to_string(tk[i:i+3], ' ') FOR i IN range(1, len(tk) - 2)]
+                  ELSE NULL END AS shingles
+      FROM base
+    )
+    SELECT doc_id,
+           COALESCE(list_aggregate(list_transform(shingles, s -> md5(s)), 'min'),
+                    md5(txt)) AS fingerprint
+    FROM sh
+    """,
+    tags=("text",),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (min-md5 over 4-word shingles)."""
+    return textops.fingerprints(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# E4/E5 — event-time and analytic windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_windows",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("windows", "bench"),
+)
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling event-time windows (same code streams with a
+    watermark — streaming/events.py)."""
+    return windows.tumbling_window_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS INTEGER) AS seq,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    tags=("windows",),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ranking + lag gap analytics (deterministic tie-break)."""
+    return windows.rank_and_lag(t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    s AS (
+      SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                              THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+           MAX(CAST(ts AS TIMESTAMP)) AS session_end,
+           ROUND(SUM(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+    tags=("windows",),
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute idle threshold)."""
+    return windows.sessionize(t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    )
+    SELECT asset_id, media_type, byte_len,
+           CAST(byte_len % 64 + 1 AS INTEGER) AS width,
+           CAST(byte_len % 48 + 1 AS INTEGER) AS height,
+           CAST(CASE WHEN media_type = 'video/mp4' THEN byte_len % 16 ELSE 1 END AS INTEGER) AS n_frames
+    FROM a
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset plumbing: binary payload column + typed metadata,
+    features extracted through the real Arrow/mapInPandas path (decode
+    stubbed deterministically — no media codecs in container)."""
+    assets = multimodal.documents_as_assets(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets, decode_stub=True)
