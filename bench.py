@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": <scale factor>}
+
+Each query is timed end-to-end (plan + execute) and materialized through the
+noop sink so the full computation runs without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather_api_automate_etl_spark.queries import REGISTRY, _load_extensions
+from weather_api_automate_etl_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q_pricing_summary",     # scan + filter + 8-agg hash aggregate (fact table)
+    "q_top_revenue",         # 3-way join + agg + global top-k
+    "q_join_fct_dim",        # surrogate-key star join, broadcast dim
+    "q_groupby_minmax_count",
+    "q_quality_filter",      # pushed-down predicate scan
+    "q_date_parts",          # scalar-expression projection
+    "q_topk_similarity",     # vector scan + TakeOrdered
+    "q_minhash_signature",   # map-only shingle/minhash pipeline
+    "q_dedup_exact",         # hash-partitioned window dedup
+    "q_text_tokens",         # tokenize + aggregate
+    "q_event_windows",       # event-time tumbling windows
+    "q_window_rank",         # analytic window functions
+    "q_session_windows",     # sessionization (two-pass window)
+]
+
+
+def main() -> None:
+    _load_extensions()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once on a trivial action so query timings
+    # measure the engine, not first-call initialization.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        start = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time, noop-materialized",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Dedup + similarity operator properties (planted duplicates, recall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from weather_api_automate_etl_spark.operators import dedup, similarity
+
+DOC = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different words about spark shuffles and partitions here"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=1, text=DOC), Row(doc_id=2, text=DOC),      # exact dup
+         Row(doc_id=3, text=NEAR), Row(doc_id=4, text=OTHER)]
+    )
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    kept = dedup.dedup_exact(_docs(spark), [F.md5("text")], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_exact_dups_collide_everywhere(spark):
+    sig = dedup.minhash_signatures(_docs(spark), "doc_id", "text")
+    pairs = dedup.minhash_candidate_pairs(sig, "doc_id")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got           # identical docs share all 4 band buckets
+    assert (1, 4) not in got       # unrelated docs don't collide
+
+
+def test_simhash_similar_docs_close(spark):
+    sh = {r.doc_id: r.simhash for r in
+          dedup.simhash(_docs(spark), "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[3]) <= ham(sh[1], sh[4])
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    docs = _docs(spark).withColumn("blk", F.lit(1))
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "blk", threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (3, 4) not in got and got[(1, 3)] >= 0.5
+
+
+def test_embedding_neardup_and_lsh(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.99, 0.1, 0.0, 0.0], label=0),
+        Row(vec_id=3, embedding=[-1.0, 0.05, 0.0, 0.0], label=0),
+    ]
+    emb = spark.createDataFrame(rows)
+    pairs = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", "label", 0.9)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+    buckets = {r.vec_id: r.bucket for r in
+               similarity.hyperplane_lsh_buckets(emb, "embedding", dim=4).collect()}
+    assert buckets[1] == buckets[2]   # near-identical directions collide
+    assert buckets[1] != buckets[3]   # opposite direction separates
+
+
+def test_ivf_probes_right_list(spark):
+    # two tight clusters; query near cluster A must recall A's members
+    a = [[1.0, 0.0, 0.0, 0.0], [0.98, 0.05, 0.0, 0.0], [0.97, -0.05, 0.0, 0.0]]
+    b = [[0.0, 1.0, 0.0, 0.0], [0.05, 0.99, 0.0, 0.0], [-0.05, 0.97, 0.0, 0.0]]
+    rows = [Row(vec_id=i, embedding=v, label=0) for i, v in enumerate(a)]
+    rows += [Row(vec_id=10 + i, embedding=v, label=1) for i, v in enumerate(b)]
+    emb = spark.createDataFrame(rows)
+    got = similarity.ivf_topk(emb, "embedding", "label", [1.0, 0.01, 0.0, 0.0],
+                              k=3, nprobe=1)
+    assert {r.vec_id for r in got.collect()} == {0, 1, 2}

@@ -1,0 +1,63 @@
+"""Structured Streaming twins: streaming result ≡ batch result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_api_automate_etl_spark.operators.windows import tumbling_window_agg
+from weather_api_automate_etl_spark.sources.tables import load_table
+from weather_api_automate_etl_spark.streaming import events as stream_events
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    # stage the fixture events as a file-source dir (µs timestamps)
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .repartition(3)  # 3 files → 3 micro-batches under maxFilesPerTrigger=1
+        .write.mode("overwrite").parquet(path)
+    )
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = stream_events.read_event_stream(spark, event_dir)
+    stream_events.run_to_memory_sink(
+        stream_events.windowed_counts(stream), "win_counts"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in tumbling_window_agg(load_table(spark, SF, "events")).collect()
+    }
+    # streaming aggregates over µs-cast ts; window keys align with batch NTZ
+    assert len(got) == len(batch)
+    assert sum(v[0] for v in got.values()) == sum(v[0] for v in batch.values())
+
+
+def test_running_user_totals_stateful(spark, event_dir):
+    stream = stream_events.read_event_stream(spark, event_dir)
+    q = (
+        stream_events.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("user_totals")
+    # update-mode emits one row per user per micro-batch; the max n_events
+    # per user must equal the batch count
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    batch = load_table(spark, SF, "events").groupBy("user_id").count()
+    joined = final.join(batch, "user_id")
+    assert joined.filter("n != count").count() == 0

@@ -71,33 +71,40 @@ def minhash_signatures(
     """
     if num_hashes % band_size:
         raise ValueError("num_hashes must be a multiple of band_size")
-    # NB: higher-order-function lambdas must be unary/binary exactly —
-    # pyspark treats extra (even defaulted) params as lambda variables and
-    # binds them to the element index. Hence the closure factory.
-    def salted_md5(j: int):
-        prefix = F.lit(f"{j}:")
-        return lambda s: F.md5(F.concat(prefix, s))
-
+    n_bands = num_hashes // band_size
     sh = _shingles_with_fallback(text_col, shingle_k)
-    out = df.select(F.col(id_col), sh.alias("__sh"))
-    for j in range(num_hashes):
-        out = out.withColumn(
-            f"__mh{j}", F.array_min(F.transform(F.col("__sh"), salted_md5(j)))
-        )
-    bands = [
-        F.struct(
-            F.lit(b).cast("int").alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"__mh{j}") for j in range(b * band_size, (b + 1) * band_size)]
+
+    # The whole banded signature is ONE nested higher-order expression, with
+    # the shingle array bound to a lambda variable via a single-element
+    # array wrapper. Without the binding, Catalyst's projection collapse
+    # inlines the shingle construction into every per-hash column and
+    # recomputes it num_hashes times (measured 3.5× slower at sf0.1).
+    # NB: higher-order-function lambdas must take exactly the declared
+    # arity — pyspark binds extra (even defaulted) params to the element
+    # index — hence nested closures, never `lambda s, j=j`.
+    def bucket(shv: Column, b: Column) -> Column:
+        minhashes = F.transform(
+            F.sequence(b * band_size, b * band_size + (band_size - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    shv, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s))
                 )
-            ).alias("bucket"),
+            ),
         )
-        for b in range(num_hashes // band_size)
-    ]
-    return out.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("__band")
-    ).select(id_col, "__band.band_id", "__band.bucket")
+        return F.md5(F.array_join(minhashes, ","))
+
+    banded = F.transform(
+        F.array(sh),
+        lambda shv: F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band_id"), bucket(shv, b).alias("bucket")
+            ),
+        ),
+    )[0]
+    return df.select(F.col(id_col), F.explode(banded).alias("__band")).select(
+        id_col, "__band.band_id", "__band.bucket"
+    )
 
 
 def minhash_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
@@ -133,18 +140,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast("long"),
     )
     def bit_vote(b: int):
-        # binary lambda exactly (see salted_md5 note in minhash_signatures)
+        # binary lambda exactly (see lambda-arity note in minhash_signatures)
         return lambda acc, h: acc + (
             F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
         )
 
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b)) for b in range(bits)
-    ]
-    sig = None
-    for b, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        sig = term if sig is None else sig + term
+    def signature(hs: Column) -> Column:
+        sig = None
+        for b in range(bits):
+            vote = F.aggregate(hs, F.lit(0).cast("long"), bit_vote(b))
+            term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+            sig = term if sig is None else sig + term
+        return sig
+
+    # Bind the token-hash array once (array-wrapper trick, see
+    # minhash_signatures) so md5/conv work isn't re-inlined per bit.
+    sig = F.transform(F.array(hashes), signature)[0]
     return df.select(F.col(id_col), sig.alias("simhash"))
 
 

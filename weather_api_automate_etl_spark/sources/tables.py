@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weather_api_automate_etl_spark.schemas import TESTDATA_TABLES
 
+#: Tables whose per-row expression cost dwarfs their byte size (md5-heavy
+#: shingling/minhash over text). For these, single-partition inputs serialize
+#: the CPU work, so redistribution pays for its shuffle many times over.
+#: Relational tables are deliberately excluded: measured at sf0.1, the
+#: shuffle costs more than the 1-core penalty for scan+agg/join shapes.
+_COMPUTE_BOUND_TABLES = frozenset({"documents"})
+
 
 def _ensure_engine_confs(spark: SparkSession) -> None:
     """Self-configure sessions we didn't build (e.g. the driver's): UTC
@@ -40,11 +47,22 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing ns-timestamp columns."""
     _ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    # The fixture tables ship as ONE single-row-group parquet file each —
+    # unsplittable, so downstream stages execute on one core no matter the
+    # cluster. For compute-bound tables redistribute to the session's
+    # parallelism; guarded on partition count, so on a real multi-file
+    # layout (partitions ≥ cores) this is a no-op. Catalyst still pushes
+    # filters/pruning through the repartition into the scan.
+    if name in _COMPUTE_BOUND_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
