@@ -14,6 +14,9 @@ Oracle-parity notes:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weather_api_automate_etl_spark.functions.text import STOPWORDS
@@ -448,6 +451,92 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute idle threshold)."""
     return windows.sessionize(t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query("q_streaming_event_windows", oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """, tags=("streaming",))
+def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *streaming* twin of q_event_windows, run for real: file-source
+    readStream over the events fixture → watermarked tumbling windows →
+    availableNow drain into a memory sink. Must hash-match the same batch
+    oracle — streaming and batch semantics agree on bounded input."""
+    sink = "q_streaming_event_windows_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    # The file stream source requires a directory; stage the fixture file
+    # behind a symlink dir (no data copy).
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+@query("q_approx_stats", oracle=None, tags=("approx",))
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates (HLL++ distinct count, quantile
+    sketch percentiles) — sub-linear state at any scale; approximate by
+    construction, so rows-only driver check (exactness bounds in tests)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_embedding_norm",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(sqrt({_DOT_SQL.format(a="embedding", b="embedding")}), 6) AS l2,
+           ROUND(CAST(embedding[1] AS DOUBLE)
+                 / sqrt({_DOT_SQL.format(a="embedding", b="embedding")}), 6) AS first_unit
+    FROM embeddings
+    """,
+    tags=("similarity",),
+)
+def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms + unit-normalization (the preprocessing step every cosine
+    pipeline runs once and caches, so similarity scans are dot-only)."""
+    from weather_api_automate_etl_spark.functions.vectors import l2_norm, l2_normalize
+
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(l2_normalize("embedding")[0], 6).alias("first_unit"),
+    )
 
 
 # ---------------------------------------------------------------------------
