@@ -539,6 +539,25 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ingest_smoke", oracle=None, tags=("ingest",))
+def q_ingest_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingestion dataflow (SURVEY §2 ops 1-6) through the contract:
+    distributed mapInPandas fetch (deterministic offline fetcher) → JSON
+    decode with parse/API-error routing → typed raw.weather rows with
+    lineage columns. Driver-side HTTP is inherently non-SQL → rows-only."""
+    import datetime as dt
+
+    from weather_api_automate_etl_spark.sources import json_ingest, rest
+
+    fetched = rest.fetch_locations(
+        spark, rest.DEFAULT_CITIES + ["Xanadu"], rest.fake_fetcher
+    )
+    ok, _failed = rest.split_errors(fetched)
+    decoded = json_ingest.decode_payloads(ok)
+    obs = json_ingest.extract_observations(decoded, dt.datetime(2026, 1, 1))
+    return obs.drop("extracted_at", "raw_json")  # non-deterministic / bulky cols
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
