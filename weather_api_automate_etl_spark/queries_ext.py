@@ -271,10 +271,23 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "bench"),
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language corpus token accounting (whitespace + BPE-ish counts)."""
+    """Per-language corpus token accounting (whitespace + BPE-ish counts).
+
+    Single pass: the token measures are computed in the same projection as
+    the grouping key — no self-join, one map-side-combined aggregate."""
+    from weather_api_automate_etl_spark.functions.text import (
+        bpe_ish_token_count,
+        tokens,
+    )
+
     docs = t(spark, sf_dir, "documents")
-    prof = textops.text_profile(docs).join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
-    return prof.groupBy("lang").agg(
+    measured = docs.select(
+        "lang",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+    return measured.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
@@ -537,6 +550,102 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm("embedding"), 6).alias("l2"),
         F.round(l2_normalize("embedding")[0], 6).alias("first_unit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Operator-category backfills (SURVEY §2.7 lists these as absent from the
+# reference; a complete analytics engine needs them)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping-sets family): per
+    (flag, status), per flag, and grand total in ONE aggregate pass —
+    Spark expands the grouping sets map-side, no extra scans."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+    INTERSECT
+    SELECT n_nationkey FROM nation
+    WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    EXCEPT
+    SELECT n_nationkey FROM nation WHERE n_name = 'NATION_0'
+    """,
+    tags=("relational",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): nations having both customers
+    and suppliers, minus an excluded nation. Spark plans these as
+    left-semi/anti joins under the hood."""
+    nation = t(spark, sf_dir, "nation")
+    cust_nations = (
+        nation.join(
+            t(spark, sf_dir, "customer"),
+            nation.n_nationkey == F.col("c_nationkey"),
+            "left_semi",
+        ).select(F.col("n_nationkey").alias("nationkey"))
+    )
+    supp_nations = (
+        nation.join(
+            t(spark, sf_dir, "supplier"),
+            nation.n_nationkey == F.col("s_nationkey"),
+            "left_semi",
+        ).select(F.col("n_nationkey").alias("nationkey"))
+    )
+    excluded = nation.filter(F.col("n_name") == "NATION_0").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    return cust_nations.intersect(supp_nations).exceptAll(excluded).distinct()
+
+
+@query(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    """,
+    tags=("relational",),
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders before 1996 (NOT EXISTS). The
+    probe side streams; the filtered orders build side broadcasts — no
+    fact-side shuffle."""
+    cust = t(spark, sf_dir, "customer")
+    early = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return cust.join(
+        F.broadcast(early), cust.c_custkey == early.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
 
 
 @query("q_ingest_smoke", oracle=None, tags=("ingest",))
