@@ -1,0 +1,78 @@
+"""Plan-shape assertions: the physical plans SCALING.md promises.
+
+These tests inspect `.explain` output — they pin the *plan*, not just the
+result, so a regression that silently reintroduces a shuffle or breaks
+pushdown fails CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_api_automate_etl_spark.operators.marts import write_bucketed
+from weather_api_automate_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_filter_pushes_to_scan(spark):
+    ev = load_table(spark, SF, "events")
+    df = ev.filter(F.col("value").between(-50, 60)).select("event_id", "value")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(value,-50" in plan.replace(".0", "")
+    # column pruning: the scan reads only the two needed columns
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+
+
+def test_star_join_broadcasts_dim(spark):
+    from weather_api_automate_etl_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q_join_fct_dim"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning_on_mart(spark, tmp_path):
+    from weather_api_automate_etl_spark.operators.marts import write_mart
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id int, d string"
+    ).withColumn("extraction_date", F.to_date("d")).drop("d")
+    write_mart(df, str(tmp_path / "mart"))
+    pruned = (
+        spark.read.parquet(str(tmp_path / "mart"))
+        .filter(F.col("extraction_date") == "2024-01-02")
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters: [isnotnull(extraction_date" in plan
+    # only one of the two date partitions is read
+    assert pruned.count() == 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = load_table(spark, SF, "orders").limit(500)
+    li = load_table(spark, SF, "lineitem").limit(500)
+    write_bucketed(orders, "b_orders", "o_orderkey", 4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffled-join path (tiny test tables would broadcast,
+        # which hides the bucket co-location this test pins down)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # co-located buckets: no Exchange feeds the join
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -375,6 +375,36 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_char_ngrams",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct([substring(lower(trim(text)), i, 3)
+                                   FOR i IN range(1, length(trim(text)) - 1)]))
+                AS INTEGER) AS distinct_trigrams,
+           CAST(length(trim(text)) - 2 AS INTEGER) AS total_trigrams
+    FROM documents
+    WHERE length(trim(text)) >= 3
+    """,
+    tags=("text",),
+)
+def q_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profile per document — the unit underlying
+    n-gram language models and char-level similarity. Map-only."""
+    from weather_api_automate_etl_spark.functions.text import char_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    grams = char_ngrams("text", 3)
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(grams)).alias("distinct_trigrams"),
+            F.size(grams).alias("total_trigrams"),
+        )
+    )
+
+
+@query(
     "q_fingerprint",
     oracle=f"""
     WITH base AS (
