@@ -42,6 +42,15 @@ def test_real_decode_path_is_stubbed(spark, assets):
 def test_frame_sample_videos_only(spark, assets):
     sampled = multimodal.frame_sample(assets, every_nth=4)
     rows = sampled.collect()
-    video_ids = {r.asset_id for r in assets.filter("media_type = 'video/mp4'").collect()}
-    assert {r.asset_id for r in rows} <= video_ids
+    feats = {
+        r.asset_id: r.n_frames
+        for r in multimodal.extract_features(assets)
+        .filter("media_type = 'video/mp4'")
+        .collect()
+    }
+    assert {r.asset_id for r in rows} <= set(feats)
     assert all(r.frame_idx % 4 == 0 for r in rows)
+    # index stays inside the frame space; zero-frame videos emit nothing
+    assert all(0 <= r.frame_idx < feats[r.asset_id] for r in rows)
+    zero_frame = {k for k, v in feats.items() if v == 0}
+    assert zero_frame.isdisjoint({r.asset_id for r in rows})

@@ -193,9 +193,11 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    # sizes is one row per document — never broadcast it (at corpus scale it
+    # is as big as the corpus); shuffle-join and let AQE pick the strategy.
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -15,6 +15,7 @@ Oracle-parity notes:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -541,7 +542,10 @@ def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        q.awaitTermination(120)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.table(sink)
 
 

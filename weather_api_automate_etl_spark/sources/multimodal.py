@@ -101,10 +101,12 @@ def frame_sample(assets: DataFrame, every_nth: int = 4) -> DataFrame:
     sampling, with the codec stubbed."""
     feats = extract_features(assets)
     return (
-        feats.filter(F.col("media_type") == "video/mp4")
+        # n_frames == 0 must yield no rows — and Spark's sequence(0, -1)
+        # would COUNT DOWN to [0, -1], so guard before building the range.
+        feats.filter((F.col("media_type") == "video/mp4") & (F.col("n_frames") > 0))
         .select(
             "asset_id",
-            F.explode(F.sequence(F.lit(0), F.col("n_frames"))).alias("frame_idx"),
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
         )
         .filter(F.col("frame_idx") % every_nth == 0)
     )
