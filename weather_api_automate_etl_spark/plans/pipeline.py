@@ -92,6 +92,9 @@ class WeatherPipeline:
     fetcher: Callable[[str], str] = rest.fake_fetcher
     source_retries: int = 2
     retry_delay_s: float = 0.0
+    #: pin extracted_at to the batch interval (reproducible reruns /
+    #: deterministic partition routing) instead of the write-time clock
+    pin_extracted_at: bool = False
 
     def run(self, data_interval_start: dt.datetime) -> list[StageResult]:
         ctx: dict[str, DataFrame] = {}
@@ -100,7 +103,11 @@ class WeatherPipeline:
             fetched = rest.fetch_locations(self.spark, self.cities, self.fetcher)
             ok, failed = rest.split_errors(fetched)
             decoded = json_ingest.decode_payloads(ok)
-            obs = json_ingest.extract_observations(decoded, data_interval_start)
+            obs = json_ingest.extract_observations(
+                decoded,
+                data_interval_start,
+                extracted_at=data_interval_start if self.pin_extracted_at else None,
+            )
             json_ingest.append_raw(obs, self.raw_path)
             n_err = failed.count() + json_ingest.error_records(decoded).count()
             if n_err:

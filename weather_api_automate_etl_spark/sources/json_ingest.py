@@ -36,14 +36,25 @@ def decode_payloads(fetched: DataFrame) -> DataFrame:
     ).withColumn("api_error", F.col("payload.error").isNotNull())
 
 
-def extract_observations(decoded: DataFrame, batch_start: dt.datetime) -> DataFrame:
+def extract_observations(
+    decoded: DataFrame,
+    batch_start: dt.datetime,
+    extracted_at: dt.datetime | None = None,
+) -> DataFrame:
     """Good payloads → typed raw.weather rows (schema §1.2, minus id).
 
     Mirrors the field mapping of dag :96-107 exactly, including the
-    queried-city fallback for location.name."""
+    queried-city fallback for location.name. ``extracted_at`` defaults to
+    the write-time clock (the reference's column DEFAULT, dag :39); pass a
+    value to pin it to the batch interval for reproducible reruns."""
     good = decoded.filter(~F.col("parse_error") & ~F.col("api_error"))
     cur = F.col("payload.current")
     loc = F.col("payload.location")
+    extracted_col = (
+        F.lit(extracted_at).cast("timestamp_ntz")
+        if extracted_at is not None
+        else F.current_timestamp().cast("timestamp_ntz")
+    )
     return good.select(
         F.coalesce(loc.getField("name"), F.col("city")).alias("city"),
         loc.getField("country").alias("country"),
@@ -58,7 +69,7 @@ def extract_observations(decoded: DataFrame, batch_start: dt.datetime) -> DataFr
         cur.getField("visibility").alias("visibility"),
         cur.getField("uv_index").alias("uv_index"),
         cur.getField("observation_time").alias("observation_time"),
-        F.current_timestamp().cast("timestamp_ntz").alias("extracted_at"),
+        extracted_col.alias("extracted_at"),
         F.lit(batch_start).cast("timestamp_ntz").alias("data_interval_start"),
         F.col("raw_json"),
     )
