@@ -53,6 +53,20 @@ def test_partition_pruning_on_mart(spark, tmp_path):
     assert pruned.count() == 1
 
 
+def test_no_registry_query_regresses_to_slow_paths(spark):
+    """Every registry query stays off the two scale killers: cartesian
+    products and row-at-a-time Python UDFs (Arrow paths are fine)."""
+    from weather_api_automate_etl_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    for name, spec in REGISTRY.items():
+        if name == "q_streaming_event_windows":  # no batch plan to inspect
+            continue
+        plan = _plan(spec.fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
 @pytest.mark.usefixtures("spark")
 def test_bucketed_join_has_no_shuffle(spark):
     orders = load_table(spark, SF, "orders").limit(500)
