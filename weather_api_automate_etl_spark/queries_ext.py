@@ -254,6 +254,39 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_buckets(emb, "embedding", dim=64, n_planes=8)
 
 
+def _neardup_lsh_oracle(threshold: float = 0.3) -> str:
+    bucket_sql = _lsh_oracle()  # SELECT vec_id, bucket FROM embeddings
+    return f"""
+    WITH b AS ({bucket_sql}),
+    joined AS (
+      SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+             {_DOT_SQL.format(a="ea.embedding", b="eb.embedding")} AS dp,
+             sqrt({_DOT_SQL.format(a="ea.embedding", b="ea.embedding")}) AS na,
+             sqrt({_DOT_SQL.format(a="eb.embedding", b="eb.embedding")}) AS nb
+      FROM b ba JOIN b bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+      JOIN embeddings ea ON ea.vec_id = ba.vec_id
+      JOIN embeddings eb ON eb.vec_id = bb.vec_id
+    )
+    SELECT id_a, id_b, ROUND(dp / (na * nb), 6) AS cosine
+    FROM joined WHERE ROUND(dp / (na * nb), 6) >= {threshold}
+    """
+
+
+@query("q_neardup_lsh", oracle=_neardup_lsh_oracle(), tags=("dedup", "similarity"))
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free near-dup at scale: hyperplane-LSH buckets as the blocking
+    key, exact cosine verification inside each bucket. The candidate space
+    is bucket-quadratic, never corpus-quadratic — this composition
+    (map-only bucketing → bucket join → verify) replaces all-pairs cosine
+    on a real corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    buckets = similarity.hyperplane_lsh_buckets(emb, "embedding", dim=64, n_planes=8)
+    blocked = emb.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
+    return dedup.embedding_neardup_pairs(
+        blocked, "vec_id", "embedding", block_col="bucket", threshold=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # E3 — text analysis
 # ---------------------------------------------------------------------------
