@@ -32,9 +32,10 @@ def test_no_catchup_after_downtime(tmp_path):
     # a week of downtime: catchup=False → only the latest interval runs
     s.tick(dt.datetime(2026, 8, 8, 6))
     assert ran == [dt.datetime(2026, 7, 31), dt.datetime(2026, 8, 7)]
-    # explicit backfill fills the gap on request
+    # explicit backfill fills the gap — but never re-runs the completed
+    # 8/7 interval (append-style sinks must not double up)
     filled = s.backfill(dt.datetime(2026, 8, 1), dt.datetime(2026, 8, 8, 6))
-    assert len(filled) == 7
+    assert filled == [dt.datetime(2026, 8, d) for d in range(1, 7)]
 
 
 def test_incremental_refresh_touches_only_recent_partitions(spark, tmp_path):

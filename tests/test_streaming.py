@@ -38,9 +38,8 @@ def test_windowed_counts_match_batch(spark, event_dir):
         (r.window_start, r.event_type): (r.n, r.total_value)
         for r in tumbling_window_agg(load_table(spark, SF, "events")).collect()
     }
-    # streaming aggregates over µs-cast ts; window keys align with batch NTZ
-    assert len(got) == len(batch)
-    assert sum(v[0] for v in got.values()) == sum(v[0] for v in batch.values())
+    # exact parity: same window keys, same counts, same sums
+    assert got == batch
 
 
 def test_running_user_totals_stateful(spark, event_dir):

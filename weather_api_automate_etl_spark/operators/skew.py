@@ -84,7 +84,18 @@ def salted_join(
     replicate the small side across all salts, join on (key, salt).
 
     Use when the small side is too large to broadcast AND the big side has
-    hot join keys; otherwise prefer ``broadcast()`` (no shuffle at all)."""
+    hot join keys; otherwise prefer ``broadcast()`` (no shuffle at all).
+
+    Only join types that preserve the BIG side's row semantics are valid:
+    the small side is replicated n_salts×, so right/full outer joins would
+    emit up to n_salts−1 spurious null-extended rows per unmatched replica.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; {how!r} would "
+            "produce spurious rows from the replicated small side"
+        )
     b = big.withColumn("__salt", _salt_col(salt_from, n_salts))
     s = replicate_small(small, n_salts)
     return b.join(s, [on, "__salt"], how).drop("__salt")

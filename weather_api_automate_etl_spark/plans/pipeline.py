@@ -100,24 +100,35 @@ class WeatherPipeline:
         ctx: dict[str, DataFrame] = {}
 
         def extract_and_load() -> None:
-            fetched = rest.fetch_locations(self.spark, self.cities, self.fetcher)
-            ok, failed = rest.split_errors(fetched)
-            decoded = json_ingest.decode_payloads(ok)
-            obs = json_ingest.extract_observations(
-                decoded,
-                data_interval_start,
-                extracted_at=data_interval_start if self.pin_extracted_at else None,
-            )
-            json_ingest.append_raw(obs, self.raw_path)
-            n_err = failed.count() + json_ingest.error_records(decoded).count()
-            if n_err:
-                log.warning("%d error records routed to side channel", n_err)
+            # Cache the fetch result: three actions consume it (write +
+            # two error counts) and mapInPandas would otherwise re-execute
+            # every HTTP call per action — 3× quota and non-deterministic
+            # disagreement between what was written and what was counted.
+            fetched = rest.fetch_locations(self.spark, self.cities, self.fetcher).cache()
+            try:
+                ok, failed = rest.split_errors(fetched)
+                decoded = json_ingest.decode_payloads(ok)
+                obs = json_ingest.extract_observations(
+                    decoded,
+                    data_interval_start,
+                    extracted_at=data_interval_start if self.pin_extracted_at else None,
+                )
+                json_ingest.append_raw(obs, self.raw_path)
+                n_err = failed.count() + json_ingest.error_records(decoded).count()
+                if n_err:
+                    log.warning("%d error records routed to side channel", n_err)
+            finally:
+                fetched.unpersist()
 
         def build_staging() -> None:
             # SERIAL id surrogate (dag :27): Spark has no autoincrement; the
-            # tested property is uniqueness, which this satisfies.
+            # tested properties are uniqueness and stability. A deterministic
+            # content hash gives both AND (unlike monotonically_increasing_id,
+            # which is nondeterministic and blocks predicate pushdown through
+            # the projection) lets Catalyst push staging's filters into the
+            # scan. One row per (city, interval) by ingest construction.
             raw = self.spark.read.parquet(self.raw_path).withColumn(
-                "id", F.monotonically_increasing_id()
+                "id", F.xxhash64("city", "country", "data_interval_start")
             )
             ctx["stg"] = staging.stg_weather(raw)
             ctx["stg"].createOrReplaceTempView("stg_weather")

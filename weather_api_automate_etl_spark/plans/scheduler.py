@@ -10,8 +10,10 @@ Reimplements the scheduling contract of the reference DAG
   interval start and stamps it into every ingested row (lineage op 6).
 
 The runner is clock-injectable so tests (and a cron/driver harness) control
-time; state is one watermark file recording the last completed interval —
-the minimal durable state a restartable scheduler needs.
+time; state is a JSON file recording the set of completed intervals — a
+plain high-water mark cannot distinguish "ran" from "skipped under
+catchup=False", which is exactly what backfill needs to know (one entry per
+day is negligible state; compact if an interval ever gets that fine).
 """
 
 from __future__ import annotations
@@ -45,36 +47,45 @@ class DailyScheduler:
     job: Callable[[dt.datetime], object]
     interval: dt.timedelta = DAY
 
-    def _read_watermark(self) -> dt.datetime | None:
+    def _read_completed(self) -> set[dt.datetime]:
         p = pathlib.Path(self.state_path)
         if not p.exists():
-            return None
-        return dt.datetime.fromisoformat(json.loads(p.read_text())["last_interval"])
+            return set()
+        return {
+            dt.datetime.fromisoformat(s)
+            for s in json.loads(p.read_text())["completed"]
+        }
 
-    def _write_watermark(self, start: dt.datetime) -> None:
+    def _mark_completed(self, start: dt.datetime) -> None:
+        done = self._read_completed()
+        done.add(start)
         p = pathlib.Path(self.state_path)
         p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(json.dumps({"last_interval": start.isoformat()}))
+        p.write_text(json.dumps({"completed": sorted(s.isoformat() for s in done)}))
 
     def tick(self, now: dt.datetime) -> dt.datetime | None:
         """Run the latest complete interval if it hasn't run yet; returns
-        the interval start that ran, or None if up to date."""
+        the interval start that ran, or None if up to date. Intervals
+        skipped while down are NOT run (catchup=False) — use backfill."""
         latest = interval_start(now, self.interval)
-        done = self._read_watermark()
-        if done is not None and done >= latest:
+        if latest in self._read_completed():
             return None
         self.job(latest)
-        self._write_watermark(latest)
+        self._mark_completed(latest)
         return latest
 
     def backfill(self, start: dt.datetime, now: dt.datetime) -> list[dt.datetime]:
-        """Explicit backfill: run every missing interval in [start, latest]."""
+        """Explicit backfill: run every interval in [start, latest] that has
+        not already completed. Completed intervals are never re-run, so an
+        append-style sink can't double up."""
         latest = interval_start(now, self.interval)
+        done = self._read_completed()
         ran = []
         t = start
         while t <= latest:
-            self.job(t)
-            self._write_watermark(t)
-            ran.append(t)
+            if t not in done:
+                self.job(t)
+                self._mark_completed(t)
+                ran.append(t)
             t += self.interval
         return ran

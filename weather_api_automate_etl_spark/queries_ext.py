@@ -548,6 +548,11 @@ def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behind a symlink dir (no data copy).
     stage_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    # fixture-specific source: ns-epoch longs → µs timestamps; the window
+    # aggregation itself is the LIBRARY operator (windowed_counts), so the
+    # oracle check exercises the same code the streaming module ships.
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
@@ -557,26 +562,10 @@ def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination(120)
+        stream_events.run_to_memory_sink(
+            stream_events.windowed_counts(stream), sink, timeout_s=120
+        )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.table(sink)

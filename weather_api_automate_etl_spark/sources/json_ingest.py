@@ -89,9 +89,18 @@ def error_records(decoded: DataFrame) -> DataFrame:
 
 
 def append_raw(observations: DataFrame, path: str) -> None:
-    """Row-append sink (dag :84-112) as one distributed write — the
-    reference's per-row INSERT boundary collapses into a single
-    ``mode("append")`` parquet write partitioned by ingest date."""
-    observations.withColumn(
-        "ingest_date", F.to_date("data_interval_start")
-    ).write.mode("append").partitionBy("ingest_date").parquet(path)
+    """Row-append sink (dag :84-112) as one distributed write.
+
+    The reference INSERTs row-at-a-time with no dedup; here each batch
+    lands as a dynamic overwrite of the ingest-date partitions it touches.
+    Across intervals that is append-only (new partition per day), but a
+    retried or re-run batch replaces its own partition instead of
+    duplicating it — the retry policy (pipeline ops 26-28) requires the
+    sink to be idempotent per interval."""
+    (
+        observations.withColumn("ingest_date", F.to_date("data_interval_start"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_date")
+        .parquet(path)
+    )

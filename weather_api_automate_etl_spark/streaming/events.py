@@ -53,7 +53,15 @@ def windowed_counts(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .select(
+            # same ntz cast as the batch twin (operators/windows.py) —
+            # without it, non-UTC drivers see window keys shifted by the
+            # session offset and batch/stream results stop aligning
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
 
 
@@ -103,14 +111,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, query_name: str, timeout_s: float = 120.0
+    stream_df: DataFrame, query_name: str, timeout_s: float = 120.0,
+    output_mode: str = "complete",
 ) -> None:
-    """Drain a stream with availableNow into a memory sink (test harness)."""
+    """Drain a stream with availableNow into a memory sink; raises on
+    timeout instead of silently returning a partially-drained table."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within {timeout_s}s"
+        )
