@@ -704,6 +704,60 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+@query(
+    "q_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_extendedprice), 2) AS var_price,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS cov_price_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational",),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moment aggregates (stddev/variance/correlation/covariance)
+    — single-pass streaming computation, map-side combined."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_price_qty"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+    tags=("relational",),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): daily event counts by type. The value set is
+    declared explicitly, so the pivot is one aggregate pass — no extra
+    distinct-values job, which is the scale-safe way to pivot."""
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out.select("day", *[F.col(c).alias(c) for c in types])
+
+
 @query("q_ingest_smoke", oracle=None, tags=("ingest",))
 def q_ingest_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ingestion dataflow (SURVEY §2 ops 1-6) through the contract:
