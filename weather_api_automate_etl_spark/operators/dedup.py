@@ -219,9 +219,25 @@ def embedding_neardup_pairs(
     Blocked self-join + JVM-side cosine (functions/vectors.py). For
     unblocked corpora use similarity.hyperplane_lsh_buckets to derive the
     block first — all-pairs cosine does not exist at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__vb"))
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    # Precompute each row's norm BEFORE the self-join: a pair then costs one
+    # dot-product fold instead of three (dot + two norms) — 3× less vector
+    # math on the quadratic side. Values are bit-identical (same fold).
+    from weather_api_automate_etl_spark.functions.vectors import dot_product, l2_norm
+
+    with_norm = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"), "__blk",
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"), "__blk",
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom > 0, dot_product(F.col("__va"), F.col("__vb")) / denom)
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -13,6 +13,12 @@ Three tiers (extension surface per BASELINE.json; SURVEY.md §2.7 E2):
 
 The LSH hyperplanes are derived deterministically from md5 of (plane, dim)
 — no RNG state to ship, reproducible across engines and runs.
+
+Background (PAPERS.md corpus): the prune-by-coarse-structure-then-verify
+shape follows the distributed top-k similarity-search literature (e.g.
+REPOSE, ICDE 2021 — partition-local reference structures + global top-k
+merge; incremental top-k for interactive sessions, EDBT 2020). The IVF and
+LSH tiers here are the DataFrame-native instances of that pattern.
 """
 
 from __future__ import annotations
