@@ -39,7 +39,15 @@ def l2_normalize(a: Column | str) -> Column:
     return F.when(n > 0, F.transform(c, lambda x: x.cast("double") / n))
 
 
+def cosine_from_norms(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a precomputed dot product and per-side norms (the
+    self-join path precomputes norms per row so each candidate pair costs
+    one fold); null on zero-norm inputs — the single definition of the
+    zero-norm guard."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot / denom)
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (‖a‖·‖b‖), null on zero-norm inputs."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot_product(a, b) / denom)
+    return cosine_from_norms(dot_product(a, b), l2_norm(a), l2_norm(b))

@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from weather_api_automate_etl_spark.functions.text import tokens, word_shingles
-from weather_api_automate_etl_spark.functions.vectors import cosine_similarity
+from weather_api_automate_etl_spark.functions.vectors import (
+    cosine_from_norms,
+    dot_product,
+    l2_norm,
+)
 
 
 def dedup_exact(df: DataFrame, keys: Sequence[Column | str], order_by: str) -> DataFrame:
@@ -222,8 +226,6 @@ def embedding_neardup_pairs(
     # Precompute each row's norm BEFORE the self-join: a pair then costs one
     # dot-product fold instead of three (dot + two norms) — 3× less vector
     # math on the quadratic side. Values are bit-identical (same fold).
-    from weather_api_automate_etl_spark.functions.vectors import dot_product, l2_norm
-
     with_norm = df.select(
         F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v"),
         l2_norm(vec_col).alias("__n"),
@@ -236,8 +238,9 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"), "__blk",
         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
-    denom = F.col("__na") * F.col("__nb")
-    cos = F.when(denom > 0, dot_product(F.col("__va"), F.col("__vb")) / denom)
+    cos = cosine_from_norms(
+        dot_product(F.col("__va"), F.col("__vb")), F.col("__na"), F.col("__nb")
+    )
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -749,13 +749,12 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-values job, which is the scale-safe way to pivot."""
     ev = t(spark, sf_dir, "events")
     types = ["click", "view", "purchase", "signup", "error"]
-    out = (
+    return (
         ev.groupBy(F.to_date("ts").alias("day"))
         .pivot("event_type", types)
         .count()
         .na.fill(0, types)
     )
-    return out.select("day", *[F.col(c).alias(c) for c in types])
 
 
 @query("q_ingest_smoke", oracle=None, tags=("ingest",))
