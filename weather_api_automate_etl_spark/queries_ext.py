@@ -705,6 +705,57 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+           ROUND(first_value(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id), 2) AS first_val
+    FROM events
+    """,
+    tags=("windows",),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frames: 4-row moving average + first_value per user —
+    the ROWS-frame analytic the tumbling/rank operators don't cover."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("mov_avg"),
+        F.round(F.first("value").over(w), 2).alias("first_val"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational",),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the non-sketch counterpart
+    of q_approx_stats — a sort-based aggregate, for when exactness beats
+    sub-linear state)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@query(
     "q_stats_moments",
     oracle="""
     SELECT l_returnflag,
