@@ -20,6 +20,20 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def round_half_up_via_double(col: Column, scale: int) -> Column:
+    """Round a NON-NEGATIVE double the way C-library engines do:
+    ``floor(x·10ˢ + 0.5) / 10ˢ`` on the double product.
+
+    Spark's ``round`` expands the double to an exact BigDecimal before
+    HALF_UP; DuckDB (and most C engines) multiply in floating point first.
+    The two disagree by one ulp when x·10ˢ lands on a .5 tie that the exact
+    expansion misses — observed on composite scores at sf0.1. Use this for
+    oracle-compared derived doubles; plain ``F.round`` is fine for sums and
+    averages whose scale makes ties vanishingly unlikely."""
+    factor = F.lit(float(10**scale))
+    return F.floor(col * factor + F.lit(0.5)) / factor
+
+
 def surrogate_key(*cols: Column | str) -> Column:
     """dbt_utils ``generate_surrogate_key`` byte-for-byte.
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from weather_api_automate_etl_spark.functions.core import round_half_up_via_double
 from weather_api_automate_etl_spark.functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
@@ -57,7 +58,8 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     q = quality_score(text_col)
     return df.select(
         F.col(id_col),
-        F.round(q, 6).alias("quality"),
+        # C-style rounding so the score ties agree with the DuckDB oracle
+        round_half_up_via_double(q, 6).alias("quality"),
         F.when(q >= 0.5, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
     )
 
