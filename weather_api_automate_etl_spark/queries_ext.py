@@ -103,6 +103,62 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(sig, "doc_id")
 
 
+_MINHASH_SLOTS_SQL = """
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS txt, {toks} AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+                  ELSE [txt] END AS shingles
+      FROM base
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    mh AS (
+      SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+      FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j) js
+      GROUP BY doc_id, j
+    )
+""".format(toks=_TOKENS_SQL)
+
+
+@query(
+    "q_minhash_jaccard_estimate",
+    oracle=_MINHASH_SLOTS_SQL
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 8.0e0, 6) AS est_jaccard
+    FROM mh a JOIN mh b ON a.j = b.j AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) >= 2
+    """,
+    tags=("dedup",),
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash estimator itself: estimated Jaccard = fraction of the 8
+    hash slots two documents agree on, reported for pairs agreeing on ≥2
+    slots. Completes the dedup story (signatures → candidates → estimate)
+    without ever computing exact set overlap."""
+    docs = t(spark, sf_dir, "documents")
+    # raw (doc, j, minhash) rows: reuse the banded signature builder with
+    # band_size=1 so each band IS one hash slot
+    slots = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, band_size=1
+    ).withColumnRenamed("band_id", "j")
+    a = slots.select(F.col("doc_id").alias("id_a"), "j", F.col("bucket").alias("ha"))
+    b = slots.select(F.col("doc_id").alias("id_b"), "j", F.col("bucket").alias("hb"))
+    agree = F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+    return (
+        a.join(b, "j")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(agree / F.lit(8.0), 6).alias("est_jaccard"), agree.alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .drop("__n")
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     votes = ",\n        ".join(
         f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
