@@ -1,0 +1,113 @@
+"""As-of join, broadcast range join, and deterministic sampling operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from weather_api_automate_etl_spark.operators import joins, sampling
+
+TS = dt.datetime
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", TS(2024, 1, 1, 10, 0, 0)),
+            (2, "A", TS(2024, 1, 1, 10, 5, 0)),
+            (3, "B", TS(2024, 1, 1, 9, 0, 0)),
+            (4, "C", TS(2024, 1, 1, 12, 0, 0)),
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", TS(2024, 1, 1, 9, 59, 0), 10.0),
+            ("A", TS(2024, 1, 1, 10, 5, 0), 11.0),
+            ("A", TS(2024, 1, 1, 10, 6, 0), 12.0),
+            ("B", TS(2024, 1, 1, 9, 30, 0), 20.0),
+        ],
+        "sym string, qts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_backward_inclusive(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = joins.asof_join(
+        trades, quotes, key="sym", left_ts="ts", right_ts="qts",
+        payload_cols=["qts", "px"],
+    )
+    rows = {r.trade_id: (r.qts, r.px) for r in out.collect()}
+    assert rows[1] == (TS(2024, 1, 1, 9, 59, 0), 10.0)
+    # equal timestamps match when inclusive
+    assert rows[2] == (TS(2024, 1, 1, 10, 5, 0), 11.0)
+    # quote is after the trade -> left-join null
+    assert rows[3] == (None, None)
+    # symbol never quoted -> null
+    assert rows[4] == (None, None)
+    assert out.count() == 4
+
+
+def test_asof_join_exclusive_skips_equal_ts(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = joins.asof_join(
+        trades, quotes, key="sym", left_ts="ts", right_ts="qts",
+        payload_cols=["px"], inclusive=False,
+    )
+    rows = {r.trade_id: r.px for r in out.collect()}
+    assert rows[2] == 10.0  # 10:05 quote excluded, falls back to 09:59
+
+
+def test_asof_join_single_shuffle(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = joins.asof_join(
+        trades, quotes, key="sym", left_ts="ts", right_ts="qts",
+        payload_cols=["px"],
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # union-merge strategy: exactly one Exchange (on the key), no join node
+    assert plan.count(") Exchange") == 1 and "hashpartitioning(__k" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_small_broadcasts(spark):
+    facts = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    ranges = spark.createDataFrame(
+        [("lo", 0.0, 50.0), ("hi", 50.0, 100.0)], "tier string, lo double, hi double"
+    )
+    out = joins.range_join_small(facts, ranges, "v")
+    assert "BroadcastNestedLoopJoin" in out._jdf.queryExecution().executedPlan().toString()
+    tiers = {r.tier: 1 for r in out.collect()}
+    assert out.count() == 100 and set(tiers) == {"lo", "hi"}
+
+
+def test_deterministic_sample_stable_across_partitioning(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in sampling.deterministic_sample(df, "k", 0.3).collect())
+    b = sorted(
+        r.k
+        for r in sampling.deterministic_sample(df.repartition(7), "k", 0.3).collect()
+    )
+    assert a == b and 200 < len(a) < 400
+
+
+def test_stratified_sample_rates_and_unlisted_strata_dropped(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b")
+         .otherwise("c").alias("g"),
+    )
+    out = sampling.stratified_sample(df, "g", {"a": 1.0, "b": 0.2}, "k")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 667          # rate 1.0 keeps every row
+    assert 70 < counts["b"] < 200      # ~133 expected
+    assert "c" not in counts           # unlisted stratum dropped
+    # pure filter: no shuffle at all
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

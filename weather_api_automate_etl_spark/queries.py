@@ -525,7 +525,7 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _load_extensions() -> None:
     """Extension queries register themselves on import (kept in a separate
     module so the core §2 inventory stays readable)."""
-    from weather_api_automate_etl_spark import queries_ext  # noqa: F401
+    from weather_api_automate_etl_spark import queries_analytics, queries_ext  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

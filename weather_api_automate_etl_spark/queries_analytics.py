@@ -1,0 +1,198 @@
+"""Analytics extension queries: temporal joins, non-equi joins, deterministic
+sampling, cube/grouping sets, conditional aggregation.
+
+These extend the reference surface (whose only join is the implied star
+equi-join — SURVEY.md §2.4) with the operators a time-series / training-data
+engine needs at scale. Same driver-contract registry and oracle-parity
+conventions as queries.py / queries_ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weather_api_automate_etl_spark.operators import joins, sampling
+from weather_api_automate_etl_spark.queries import query, t
+
+
+# ---------------------------------------------------------------------------
+# As-of join (union-merge, one shuffle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts, c.user_id,
+           p.purchase_ts, p.purchase_value
+    FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+             MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ) p ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) >= p.purchase_ts
+    """,
+    tags=("joins",),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach each click to the user's latest prior-or-simultaneous purchase.
+
+    Spark has no ASOF JOIN; operators/joins.py::asof_join implements the
+    union-merge strategy (one shuffle on user_id, no range cartesian). The
+    DuckDB oracle uses its native ASOF LEFT JOIN — an independent engine's
+    implementation of the same semantics."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return joins.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        payload_cols=["purchase_ts", "purchase_value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join against a broadcast tier table
+# ---------------------------------------------------------------------------
+
+_TIERS = [
+    ("micro", 0.0, 25_000.0),
+    ("small", 25_000.0, 100_000.0),
+    ("medium", 100_000.0, 200_000.0),
+    ("large", 200_000.0, 350_000.0),
+    ("jumbo", 350_000.0, 1_000_000.0),
+]
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT tier, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS tier_revenue
+    FROM orders
+    JOIN (
+      VALUES ('micro',  0.0e0,      25000.0e0),
+             ('small',  25000.0e0,  100000.0e0),
+             ('medium', 100000.0e0, 200000.0e0),
+             ('large',  200000.0e0, 350000.0e0),
+             ('jumbo',  350000.0e0, 1000000.0e0)
+    ) tiers(tier, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """,
+    tags=("joins",),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join: price tiers via a broadcast range table.
+
+    The 5-row tier dim is broadcast (BroadcastNestedLoopJoin) so the orders
+    side never shuffles for the join; only the tiny post-join agg does."""
+    orders = t(spark, sf_dir, "orders")
+    ranges = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    return (
+        joins.range_join_small(orders, ranges, "o_totalprice")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 1.0, "zh": 0.1}
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          / 4294967296.0e0
+          < CASE lang WHEN 'en' THEN 0.25e0 WHEN 'de' THEN 0.5e0
+                      WHEN 'es' THEN 0.5e0 WHEN 'fr' THEN 1.0e0
+                      WHEN 'zh' THEN 0.1e0 END
+    """,
+    tags=("sampling",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample (content-hash threshold).
+
+    Replayable across reruns/partitionings — the keep set is a pure function
+    of doc_id, unlike seed-based df.sample(). Pure filter, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "lang", _SAMPLE_RATES, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube + grouping_id
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus) with grouping_id — all four
+    grouping sets in one pass (Spark expands to a single Expand + hash agg,
+    first grouping column is the grouping_id MSB on both engines)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (FILTER-clause semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 200000.0e0), 2)
+             AS high_value_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (SQL FILTER clause) in one grouped pass —
+    no self-joins, no multiple scans."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+        F.round(
+            F.sum(F.when(F.col("o_totalprice") > 200000.0, F.col("o_totalprice"))), 2
+        ).alias("high_value_revenue"),
+    )
