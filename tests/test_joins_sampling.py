@@ -111,3 +111,32 @@ def test_stratified_sample_rates_and_unlisted_strata_dropped(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_interval_join_binned_matches_naive(spark):
+    # intervals spanning multiple hourly bins, points on boundaries
+    intervals = spark.createDataFrame(
+        [
+            (1, 10, TS(2024, 1, 1, 9, 0, 0), TS(2024, 1, 1, 12, 30, 0)),
+            (1, 11, TS(2024, 1, 1, 14, 0, 0), TS(2024, 1, 1, 14, 10, 0)),
+            (2, 20, TS(2024, 1, 1, 9, 0, 0), TS(2024, 1, 1, 23, 0, 0)),
+        ],
+        "user_id long, iv_id long, lo timestamp, hi timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (100, 1, TS(2024, 1, 1, 9, 0, 0)),     # lo boundary inclusive
+            (101, 1, TS(2024, 1, 1, 12, 30, 0)),   # hi boundary inclusive
+            (102, 1, TS(2024, 1, 1, 13, 0, 0)),    # in no interval
+            (103, 2, TS(2024, 1, 1, 14, 5, 0)),    # other user's interval only
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = joins.interval_join_binned(
+        points, intervals, key="user_id", ts_col="ts", lo_col="lo", hi_col="hi"
+    )
+    got = sorted((r.event_id, r.iv_id) for r in out.collect())
+    assert got == [(100, 10), (101, 10), (103, 20)]
+    # strategy check: an equi-join (bin keys), never a nested-loop/cartesian
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in physical and "Cartesian" not in physical

@@ -60,3 +60,30 @@ def test_running_user_totals_stateful(spark, event_dir):
     batch = load_table(spark, SF, "events").groupBy("user_id").count()
     joined = final.join(batch, "user_id")
     assert joined.filter("n != count").count() == 0
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    # replay the same batch twice: an at-least-once source. One file per
+    # pass — a replay is a re-delivered micro-batch, not a shuffled tail
+    # (rows older than the watermark in later batches are dropped as late,
+    # which is exactly the bounded-state contract).
+    import shutil, glob
+    staged = tmp_path / "staged"
+    (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(str(staged))
+    )
+    src = glob.glob(f"{staged}/*.parquet")[0]
+    replay = tmp_path / "replayed"
+    replay.mkdir()
+    shutil.copy(src, replay / "a0.parquet")
+    shutil.copy(src, replay / "b0.parquet")
+    stream = stream_events.read_event_stream(spark, str(replay))
+    deduped = stream_events.dedup_within_watermark(stream)
+    stream_events.run_to_memory_sink(deduped, "dedup_sink", output_mode="append")
+    got = spark.table("dedup_sink")
+    n_unique = load_table(spark, SF, "events").count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique

@@ -82,6 +82,56 @@ def asof_join(
     )
 
 
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Big-big point-in-interval join without a cartesian blowup.
+
+    Joining N points to M intervals on ``lo <= ts <= hi`` naively forces a
+    per-key nested loop (O(N·M) within each key). Instead, both sides are
+    bucketized to coarse time bins: each interval explodes to the bins it
+    covers (``sequence()`` — cheap, intervals are the small cardinality
+    side), each point maps to exactly one bin, and the join becomes an
+    EQUI-join on (key, bin) + a residual filter. Catalyst runs it as a
+    sort-merge/shuffled-hash join — shuffle is linear in the data, and a
+    point matches in exactly one bin so no dedup pass is needed. This is
+    the standard binned-range-join strategy (Databricks range-join hints,
+    GeoSpark/Sedona grid joins use the same shape).
+
+    ``bin_seconds`` trades explode factor (long intervals → more bin rows)
+    against residual-filter selectivity; pick ~the median interval length.
+    """
+    bin_of = lambda c: (F.unix_timestamp(c.cast("timestamp")) / bin_seconds).cast("long")  # noqa: E731
+    # explicit aliases: both sides often derive from the same scan (e.g.
+    # events ⋈ sessionize(events)) and unqualified keys would be ambiguous
+    binned_points = points.withColumn("__bin", bin_of(F.col(ts_col))).alias("__pts")
+    binned_intervals = (
+        intervals.withColumn(
+            "__bin",
+            F.explode(F.sequence(bin_of(F.col(lo_col)), bin_of(F.col(hi_col)))),
+        )
+        .withColumnRenamed(key, "__iv_key")
+        .alias("__iv")
+    )
+    cond = (
+        (F.col(f"__pts.{key}") == F.col("__iv.__iv_key"))
+        & (F.col("__pts.__bin") == F.col("__iv.__bin"))
+        & (F.col(f"__pts.{ts_col}") >= F.col(f"__iv.{lo_col}"))
+        & (F.col(f"__pts.{ts_col}") <= F.col(f"__iv.{hi_col}"))
+    )
+    return (
+        binned_points.join(binned_intervals, cond, "inner")
+        .drop("__iv_key")
+        .drop("__bin")
+    )
+
+
 def range_join_small(
     facts: DataFrame,
     ranges: DataFrame,

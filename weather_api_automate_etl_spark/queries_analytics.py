@@ -10,8 +10,9 @@ conventions as queries.py / queries_ext.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
-from weather_api_automate_etl_spark.operators import joins, sampling
+from weather_api_automate_etl_spark.operators import joins, sampling, windows
 from weather_api_automate_etl_spark.queries import query, t
 
 
@@ -105,6 +106,104 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Big-big interval join (binned equi-join strategy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    s AS (
+      SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                              THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+             MAX(CAST(ts AS TIMESTAMP)) AS session_end
+      FROM s GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, sess.session_seq
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'error') e
+    JOIN sess ON e.user_id = sess.user_id
+             AND e.ts BETWEEN sess.session_start AND sess.session_end
+    """,
+    tags=("joins",),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every error event to its containing user session — a big-big
+    point-in-interval join.
+
+    Both sides scale with the data, so broadcasting is off the table; the
+    operator bucketizes to hourly bins and equi-joins on (user_id, bin) +
+    residual BETWEEN (operators/joins.py::interval_join_binned). The DuckDB
+    oracle runs the naive inequality join — same rows, different strategy."""
+    ev = t(spark, sf_dir, "events")
+    sessions = windows.sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return joins.interval_join_binned(
+        errors,
+        sessions,
+        key="user_id",
+        ts_col="ts",
+        lo_col="session_start",
+        hi_col="session_end",
+    ).select("event_id", "user_id", "session_seq")
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topn_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+             AS rk
+    FROM orders
+    QUALIFY rk <= 3
+    """,
+    tags=("windows",),
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class. row_number (not
+    rank) + a deterministic tie-break; Catalyst pushes the rk<=3 filter
+    into the Window via WindowGroupLimit, so each partition keeps only a
+    3-row heap instead of fully sorting."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
     )
 
 

@@ -110,6 +110,19 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with BOUNDED state.
+
+    Plain ``dropDuplicates`` on a stream keeps every key forever (state grows
+    without bound — fatal at 100 TB/day); ``dropDuplicatesWithinWatermark``
+    evicts keys once the watermark passes, so state ∝ (arrival rate ×
+    watermark), matching the at-least-once-source dedup window a real
+    ingest pipeline needs."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, timeout_s: float = 120.0,
     output_mode: str = "complete",
