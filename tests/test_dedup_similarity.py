@@ -72,3 +72,19 @@ def test_ivf_probes_right_list(spark):
     got = similarity.ivf_topk(emb, "embedding", "label", [1.0, 0.01, 0.0, 0.0],
                               k=3, nprobe=1)
     assert {r.vec_id for r in got.collect()} == {0, 1, 2}
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (diameter > 1 round), island {10, 11}, node 20 untouched
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_labels_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 4), (4, 6)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 2}

@@ -247,3 +247,69 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label the connected components of a pair graph: (id, comp) where
+    ``comp`` is the smallest id reachable from ``id``.
+
+    The step real dedup pipelines run after LSH candidate generation —
+    near-dup pairs are transitive in practice, so survivors must be chosen
+    per CLUSTER, not per pair (RefinedWeb/SlimPajama both do MinHash → CC).
+
+    Pregel-style min-label propagation: each round every node takes the min
+    label among itself and its neighbors (one join + one min-aggregate,
+    both on the node id — fully distributed, no driver-side graph).
+    Converges in O(component diameter) rounds; near-dup clusters are
+    near-cliques so 2-3 rounds is typical. ``localCheckpoint`` truncates
+    the growing lineage each round; the convergence probe is ``limit(1)``
+    so it short-circuits.
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        msgs = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-corpus duplicate-cluster map: every document labeled with its
+    cluster id (= min doc id in its near-dup component; singletons label
+    themselves). Survivor selection is then ``cluster_id = doc_id``."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        )
+    )

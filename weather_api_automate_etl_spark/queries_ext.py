@@ -159,6 +159,44 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_clusters",
+    oracle=_MINHASH_SIG_SQL.replace("WITH base", "WITH RECURSIVE base")
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS comp FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    tags=("dedup",),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
+    distributed connected components (Pregel-style min-label propagation,
+    operators/dedup.py::connected_components) → full-corpus cluster map.
+    The DuckDB oracle computes the same components via a recursive-CTE
+    transitive closure — an independent algorithm on an independent engine."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    pairs = dedup.minhash_candidate_pairs(sig, "doc_id")
+    return dedup.dedup_clusters(docs, pairs, "doc_id")
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     votes = ",\n        ".join(
         f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
