@@ -88,3 +88,30 @@ def test_dedup_clusters_labels_singletons(spark):
     pairs = spark.createDataFrame([(2, 4), (4, 6)], "id_a long, id_b long")
     got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 2}
+
+
+def test_simhash_pairs_complete_vs_brute_force(spark):
+    # hand signatures: pairs at hamming 0..5; blocking must find ALL <= 3
+    sigs = spark.createDataFrame(
+        [
+            (1, 0b1010101010101010),
+            (2, 0b1010101010101010),  # d(1,2)=0
+            (3, 0b1010101010101011),  # d(1,3)=1
+            (4, 0b1010101010101000),  # d(3,4)=2... various
+            (5, 0b0101010101010101),  # far from all
+            (6, 0b1010101011111010),  # mid
+        ],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(sigs, max_hamming=3).collect()
+    }
+    rows = {r.doc_id: r.simhash for r in sigs.collect()}
+    want = {
+        (a, b): bin(rows[a] ^ rows[b]).count("1")
+        for a in rows
+        for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    assert got == want

@@ -313,3 +313,50 @@ def dedup_clusters(
             F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 16,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, without an all-pairs scan.
+
+    Pigeonhole blocking: split the ``bits``-wide signature into ``chunks``
+    equal slices — two signatures within Hamming distance < ``chunks`` must
+    agree EXACTLY on at least one slice, so an equi-join on (slice_id,
+    slice_value) finds every such pair (complete, no recall loss), and the
+    residual ``bit_count(xor) <= max_hamming`` filter removes false
+    candidates. Same shape Google's original SimHash dedup used at crawl
+    scale; the only shuffle is the slice equi-join.
+
+    Requires ``max_hamming < chunks`` for completeness.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole completeness needs max_hamming < chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col(sig_col), c * width).bitwiseAND(F.lit(mask))
+            for c in range(chunks)
+        ]
+    )
+    ch = sigs.select(F.col(id_col), F.col(sig_col), F.posexplode(slices))
+    a = ch.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sig_a"), "pos", "col"
+    )
+    b = ch.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sig_b"), "pos", "col"
+    )
+    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    return (
+        a.join(b, ["pos", "col"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -223,6 +223,28 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH s AS ({_simhash_oracle()}),
+    ch AS (SELECT doc_id, simhash, CAST(unnest(range(4)) AS INTEGER) AS c FROM s)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM ch a JOIN ch b
+      ON a.c = b.c
+     AND ((a.simhash >> (a.c * 4)) & 15) = ((b.simhash >> (b.c * 4)) & 15)
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup",),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole slice blocking —
+    complete for distance < 4 with an equi-join instead of all-pairs."""
+    sigs = dedup.simhash(t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+    return dedup.simhash_pairs(sigs, "doc_id", "simhash", bits=16, chunks=4, max_hamming=3)
+
+
+@query(
     "q_ngram_jaccard",
     oracle=f"""
     WITH dt AS (
