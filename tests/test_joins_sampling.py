@@ -140,3 +140,59 @@ def test_interval_join_binned_matches_naive(spark):
     # strategy check: an equi-join (bin keys), never a nested-loop/cartesian
     physical = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in physical and "Cartesian" not in physical
+
+
+def test_asof_join_differential_vs_naive(spark):
+    # seeded random data; naive = non-equi join + argmax, independent plan
+    import random
+    rng = random.Random(42)
+    lefts = [(i, rng.randrange(5), TS(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(1000)))
+             for i in range(200)]
+    right_keys = {(rng.randrange(5), TS(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(1000)))
+                  for _ in range(80)}
+    rights = [(k, ts, float(i)) for i, (k, ts) in enumerate(sorted(right_keys))]
+    left = spark.createDataFrame(lefts, "pk long, k long, ts timestamp")
+    right = spark.createDataFrame(rights, "k long, rts timestamp, payload double")
+    got = {
+        r.pk: r.payload
+        for r in joins.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts", payload_cols=["payload"]
+        ).collect()
+    }
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("pk").orderBy(F.desc("rts"))
+    naive = (
+        left.join(right, (left.k == right.k) & (right.rts <= left.ts), "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    want = {r.pk: r.payload for r in naive.collect()}
+    assert got == want and len(got) == 200
+
+
+def test_interval_join_differential_vs_naive(spark):
+    import random
+    rng = random.Random(7)
+    base = TS(2024, 1, 1)
+    points = [(i, rng.randrange(4), base + dt.timedelta(minutes=rng.randrange(3000)))
+              for i in range(300)]
+    ivs = []
+    for j in range(40):
+        lo = base + dt.timedelta(minutes=rng.randrange(2800))
+        ivs.append((j, rng.randrange(4), lo, lo + dt.timedelta(minutes=rng.randrange(1, 400))))
+    p = spark.createDataFrame(points, "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(ivs, "iv long, k long, lo timestamp, hi timestamp")
+    got = sorted(
+        (r.pid, r.iv)
+        for r in joins.interval_join_binned(
+            p, iv, key="k", ts_col="ts", lo_col="lo", hi_col="hi", bin_seconds=3600
+        ).collect()
+    )
+    want = sorted(
+        (r.pid, r.iv)
+        for r in p.join(
+            iv.withColumnRenamed("k", "k2"),
+            (p.k == F.col("k2")) & (p.ts >= F.col("lo")) & (p.ts <= F.col("hi")),
+        ).collect()
+    )
+    assert got == want and len(want) > 100
