@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from weather_api_automate_etl_spark.operators import joins, sampling, windows
+from weather_api_automate_etl_spark.operators import joins, sampling, skew, windows
 from weather_api_automate_etl_spark.queries import query, t
 
 
@@ -295,3 +295,45 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_totalprice") > 200000.0, F.col("o_totalprice"))), 2
         ).alias("high_value_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation (salting is semantics-transparent: plain GROUP BY oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(l_quantity) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a 3-value (maximally hot) grouping
+    key. Results are identical to a plain GROUP BY — the oracle proves the
+    salting transform is semantics-transparent — while each reduce task
+    handles at most 1/16 of a hot key's rows.
+
+    Rounding: SUM merges exact per-salt partial sums, so the phase-2 sum
+    is a reordering of the same doubles; round(2) absorbs the last-ulp
+    difference exactly as for every other double aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    out = skew.salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": ("l_quantity", "count"),
+            "total_price": ("l_extendedprice", "sum"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salt_from="l_orderkey",
+        n_salts=16,
+    )
+    return out.withColumn("total_price", F.round("total_price", 2))
