@@ -337,3 +337,104 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.withColumn("total_price", F.round("total_price", 2))
+
+
+# ---------------------------------------------------------------------------
+# Analytic distribution functions (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("windows",),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per priority class: quartile assignment,
+    percentile rank, cumulative distribution. One shuffle on the partition
+    key serves all three (same window spec, deterministic tie-break)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+             AS days_since_epoch_97,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: offsets, month boundaries, day diffs,
+    quarter and ISO week — all JVM-side expressions in one projection."""
+    d = F.to_date("o_orderdate")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(d, F.lit("1997-01-01").cast("date")).alias("days_since_epoch_97"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation / nested types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_array_agg",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
+           CAST(list_max(list(l_linenumber)) AS INTEGER) AS max_line,
+           list_sort(list_distinct(list(l_returnflag))) AS flags
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("agg", "nested"),
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: per-order sorted line-number arrays plus
+    array length/max/distinct — collect_list with explicit sort_array
+    (collect order is partition-dependent; sorting restores determinism)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count("l_linenumber").cast("int").alias("n_lines"),
+            F.max("l_linenumber").alias("max_line"),
+            F.array_distinct(F.sort_array(F.collect_list("l_returnflag"))).alias("flags"),
+        )
+    )
