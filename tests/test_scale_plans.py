@@ -90,3 +90,37 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_wordcount_partial_aggregation(spark):
+    """The tokenize-explode agg must combine map-side: two HashAggregate
+    levels around one Exchange, so the shuffle carries vocabulary, not
+    token count."""
+    from weather_api_automate_etl_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = _plan(REGISTRY["q_wordcount"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(word" in plan
+
+
+def test_scalar_subquery_broadcasts_threshold(spark):
+    """The 1-row global-average side must broadcast; the orders side must
+    not shuffle for the comparison."""
+    from weather_api_automate_etl_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = _plan(REGISTRY["q_scalar_subquery"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_gap_fill_joins_post_aggregate_minis(spark):
+    """The calendar-grid join happens after aggregation — both join inputs
+    are day-level minis, so the raw events scan feeds only the first agg."""
+    from weather_api_automate_etl_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    plan = _plan(REGISTRY["q_gap_fill"].fn(spark, SF))
+    # grid explode sits above an aggregate, not above the scan
+    assert "Generate explode" in plan
+    assert "HashAggregate" in plan

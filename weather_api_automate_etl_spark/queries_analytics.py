@@ -438,3 +438,338 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.sort_array(F.collect_list("l_returnflag"))).alias("flags"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill / resample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM c GROUP BY 1
+    ), g AS (
+      SELECT b.event_type,
+             CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM b
+    )
+    SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n_events
+    FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.day = c.day
+    """,
+    tags=("timeseries",),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense daily grid per event_type, zero-filling
+    days with no traffic (the classic time-series gap-fill the reference's
+    daily scheduler assumes away — SURVEY.md §2.6 runs once per day and
+    skips nothing).
+
+    Scale shape: one shuffle to the (type, day) pre-aggregate — tiny output
+    (days x types, independent of row count) — then the calendar grid is
+    built by sequence()+explode over per-type bounds and LEFT-joined back.
+    Both join sides are post-aggregation minis, so AQE broadcasts; the raw
+    events table is never touched again."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    return grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (last observation carried forward)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS last_purchase_value
+    FROM events
+    """,
+    tags=("timeseries", "windows"),
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill: carry each user's most recent purchase value onto every
+    subsequent event (LOCF — the standard panel-data imputation). One shuffle
+    on user_id; the running state is a single value per partition, so the
+    window frame is streaming-friendly (no buffering of the full frame)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.last(purchase_value, ignorenulls=True).over(w), 6
+        ).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax / argmin (max_by, min_by)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS top_orderkey,
+           MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_orderkey,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+               AS rn_max,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS rn_min
+      FROM orders
+    ) GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per group via max_by/min_by keyed on a (price, key)
+    struct — the struct tie-break makes the pick deterministic, which bare
+    max_by is not. Single aggregate pass, no window shuffle; the oracle
+    proves equivalence against the row_number() formulation."""
+    key_struct = F.struct("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", key_struct).alias("top_orderkey"),
+            F.min_by("o_orderkey", key_struct).alias("cheapest_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-total / running share (window over aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ratio_to_total",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (), 6) AS share,
+           ROUND(SUM(rev) OVER (ORDER BY rev DESC, o_orderpriority
+                                ROWS UNBOUNDED PRECEDING)
+                 / SUM(rev) OVER (), 6) AS cum_share
+    FROM r
+    """,
+    tags=("windows", "agg"),
+)
+def q_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total and running (Pareto) share per priority class —
+    ratio_to_report re-expressed as a window-over-aggregate. The windows run
+    over the tiny post-aggregate (one row per priority), so the single-
+    partition global frame is harmless at any scale."""
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_all = Window.partitionBy()
+    w_run = (
+        Window.partitionBy()
+        .orderBy(F.desc("rev"), "o_orderpriority")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "o_orderpriority",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_all), 6).alias("share"),
+        F.round(
+            F.sum("rev").over(w_run) / F.sum("rev").over(w_all), 6
+        ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram bucketing (fixed-width, width_bucket semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 30000e0), 19) AS INTEGER)
+             AS bucket,
+           ROUND(least(floor(o_totalprice / 30000e0), 19) * 30000e0, 2)
+             AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("agg",),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: 20 x 30k buckets with an
+    overflow top bucket (width_bucket semantics spelled out as floor math so
+    both engines compute bit-identical bucket ids). Map-side combinable —
+    the shuffle carries at most 20 rows per task."""
+    bucket = F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19)).cast(
+        "int"
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            bucket.alias("bucket"),
+            F.round(bucket * 30000.0, 2).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word count (tokenize-explode-aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+      FROM documents
+    ) WHERE word <> '' GROUP BY 1 HAVING COUNT(*) >= 5
+    """,
+    tags=("text",),
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies (the canonical tokenize-explode-aggregate):
+    lowercase, split on non-letters, count, keep words seen >= 5 times.
+    Partial aggregation combines per-task before the shuffle, so the
+    exchange carries vocabulary size, not token count — the property that
+    makes this viable on a 100 TB corpus."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery (filter against a computed global)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_above,
+           ROUND(MIN(o_totalprice), 2) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) FROM orders)
+    GROUP BY 1
+    """,
+    tags=("relational",),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above the global average — a scalar subquery expressed
+    DataFrame-side as a 1-row aggregate broadcast into the filter (Spark
+    plans the cross join as BroadcastNestedLoopJoin over a single row). The
+    threshold is rounded to cents on both engines so the comparison edge is
+    engine-independent."""
+    orders = t(spark, sf_dir, "orders")
+    avg_price = orders.agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.min("o_totalprice"), 2).alias("min_above"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (irregular subtotal lattice)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+    tags=("relational", "agg"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular subtotal lattice via GROUPING SETS — the general form of
+    rollup/cube (q_rollup/q_cube cover the regular cases). One aggregate
+    pass; Spark expands the sets map-side exactly like ROLLUP. grouping()
+    flags disambiguate real NULL keys from subtotal rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
