@@ -773,3 +773,181 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hopping_windows",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             unnest([make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                                    - epoch_us(CAST(ts AS TIMESTAMP)) % 300000000),
+                     make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                                    - epoch_us(CAST(ts AS TIMESTAMP)) % 300000000)
+                       - INTERVAL 5 MINUTE]) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM e GROUP BY 1, 2
+    """,
+    tags=("timeseries", "windows"),
+)
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation: 10-minute windows sliding every 5 minutes
+    (each event lands in exactly two overlapping windows). Spark's window()
+    generator expands the hops map-side before a single combinable agg —
+    the streaming-ready form of overlapping-window rollups. The oracle
+    expands the same two hops arithmetically."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "avg_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation between sparse observations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_linear_interpolate",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ts AS TIMESTAMP) END
+                        IGNORE NULLS) OVER wp AS prev_ts,
+             first_value(CASE WHEN event_type = 'purchase' THEN value END
+                         IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN CAST(ts AS TIMESTAMP) END
+                         IGNORE NULLS) OVER wf AS next_ts
+      FROM events
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(CASE
+             WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL
+                  AND next_ts > prev_ts
+             THEN prev_v + (next_v - prev_v)
+                  * (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                     / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+             ELSE coalesce(prev_v, next_v)
+           END, 6) AS interp_value
+    FROM f
+    """,
+    tags=("timeseries", "windows"),
+)
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the sparse purchase-value signal onto every
+    event: bracket each row with the nearest purchase before and after
+    (last/first over IGNORE NULLS frames), then lerp by the time fraction.
+    Same single user_id shuffle serves both frames; the time ratio is
+    integer-µs arithmetic in double, bit-identical across engines."""
+    on_purchase = lambda c: F.when(F.col("event_type") == "purchase", c)  # noqa: E731
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(on_purchase(F.col("value")), ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(on_purchase(F.col("ts")), ignorenulls=True).over(wp).alias("prev_ts"),
+        F.first(on_purchase(F.col("value")), ignorenulls=True).over(wf).alias("next_v"),
+        F.first(on_purchase(F.col("ts")), ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    # session TZ is UTC (sources/tables.py), so ntz -> instant cast is exact
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    frac = (us("ts") - us("prev_ts")).cast("double") / (
+        us("next_ts") - us("prev_ts")
+    ).cast("double")
+    interp = F.when(
+        F.col("prev_ts").isNotNull()
+        & F.col("next_ts").isNotNull()
+        & (F.col("next_ts") > F.col("prev_ts")),
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+    ).otherwise(F.coalesce("prev_v", "next_v"))
+    return ev.select(
+        "event_id", "user_id", "ts", F.round(interp, 6).alias("interp_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             CAST(lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                  - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS dur_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twa_value,
+           CAST(COUNT(dur_us) AS BIGINT) AS n_intervals
+    FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY 1
+    """,
+    tags=("timeseries", "agg"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the value signal per user: each observation
+    is weighted by how long it was the current reading (duration to the next
+    event). The irregular-sampling-correct mean — a plain AVG over-weights
+    bursts. One window shuffle on user_id feeding a map-side-combinable
+    aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "value",
+            (
+                F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            .cast("double")
+            .alias("dur_us"),
+        )
+        .filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    )
+    return d.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+        ).alias("twa_value"),
+        F.count("dur_us").alias("n_intervals"),
+    )
