@@ -87,3 +87,28 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     n_unique = load_table(spark, SF, "events").count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_join_matches_batch(spark, event_dir):
+    # big watermark: the 3 unordered micro-batches must not evict state
+    # mid-run, or stream != batch on this bounded input
+    stream = stream_events.read_event_stream(spark, event_dir)
+    stream_events.run_to_memory_sink(
+        stream_events.clicks_with_recent_purchase(
+            stream, lookback_hours=1, watermark="365 days"
+        ),
+        "ss_join_sink",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.click_id, r.purchase_ts, r.purchase_value)
+        for r in spark.table("ss_join_sink").collect()
+    )
+    batch = spark.read.parquet(event_dir)
+    want = sorted(
+        (r.click_id, r.purchase_ts, r.purchase_value)
+        for r in stream_events.clicks_with_recent_purchase(
+            batch, lookback_hours=1
+        ).collect()
+    )
+    assert got == want and len(want) > 0

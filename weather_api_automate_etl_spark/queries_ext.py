@@ -971,3 +971,53 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stubbed deterministically — no media codecs in container)."""
     assets = multimodal.documents_as_assets(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(assets, decode_stub=True)
+
+
+@query("q_streaming_join", oracle="""
+    SELECT c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           c.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP)
+         BETWEEN CAST(c.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             AND CAST(c.ts AS TIMESTAMP)
+    """, tags=("streaming", "joins"))
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run for real (streaming/events.py::
+    clicks_with_recent_purchase): clicks x purchases within a 1-hour
+    lookback, both sides watermarked, drained availableNow into a memory
+    sink. Hash-matches the batch inequality join the DuckDB oracle runs —
+    on bounded input, stream-stream and batch join semantics agree."""
+    sink = "q_streaming_join_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    stage_dir = tempfile.mkdtemp(prefix="events_ssjoin_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    try:
+        stream_events.run_to_memory_sink(
+            # one staged file -> one micro-batch, but keep the watermark
+            # wide anyway: state eviction must never race the bounded drain
+            stream_events.clicks_with_recent_purchase(
+                stream, lookback_hours=1, watermark="365 days"
+            ),
+            sink,
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.table(sink)

@@ -141,3 +141,44 @@ def run_to_memory_sink(
         raise TimeoutError(
             f"stream {query_name!r} did not drain within {timeout_s}s"
         )
+
+
+def clicks_with_recent_purchase(
+    events: DataFrame, lookback_hours: int = 1, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each click paired with the same user's
+    purchases in the preceding ``lookback_hours``.
+
+    Both sides are watermarked, and the join condition bounds event-time
+    distance, so Spark can evict buffered rows once the watermark passes
+    ``click_ts - lookback`` — state ∝ (arrival rate × (watermark + lookback)),
+    never total history. Inner-join matches emit immediately (no watermark
+    latency); the watermark exists purely to bound state. On a batch
+    DataFrame ``withWatermark`` is a no-op and the same code is the exact
+    batch twin — the equivalence the tests and the driver oracle pin."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        "user_id = p_user_id "
+        f"AND purchase_ts >= click_ts - INTERVAL {int(lookback_hours)} HOUR "
+        "AND purchase_ts <= click_ts"
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id", "click_ts", "user_id", "purchase_ts", "purchase_value"
+    )
