@@ -951,3 +951,171 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         F.count("dur_us").alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionized conversion funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts_c,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    s AS (
+      SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                              THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_c, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    ),
+    w2 AS (
+      SELECT user_id, session_seq, event_type, ts_c,
+             MIN(CASE WHEN event_type = 'click' THEN ts_c END)
+               OVER (PARTITION BY user_id, session_seq) AS first_click
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MAX(first_click) AS first_click,
+             MAX(CASE WHEN event_type = 'purchase' AND ts_c >= first_click
+                      THEN 1 ELSE 0 END) AS converted
+      FROM w2 GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_click,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) * 1.0e0 / COUNT(*), 6) AS conv_rate
+    FROM sess
+    """,
+    tags=("timeseries", "windows"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized click->purchase conversion funnel: within each 30-minute
+    gap session, did a purchase follow the session's first click? Three
+    stacked windows share ONE user_id shuffle (the per-session frames are
+    sub-partitions of it); the final rollup is a single-row global
+    aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess_w = Window.partitionBy("user_id", "session_seq")
+    per_event = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("__new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).over(sess_w),
+        )
+    )
+    sessions = per_event.groupBy("user_id", "session_seq").agg(
+        F.max("first_click").alias("first_click"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_click"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.active_day) AS INTEGER)
+             AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "agg"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day, counted
+    on each subsequent active day offset. Both inputs are user_id
+    aggregates of the same scan, so the equi-join reuses one shuffle
+    partitioning; the output is cohort x offset — calendar-bounded, tiny at
+    any data scale."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct().withColumnRenamed("day", "active_day")
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution union (UNION ALL BY NAME)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'archive' AS src
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL BY NAME
+    SELECT 'live' AS src, o_orderkey
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    tags=("relational",),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two generations of the same feed with
+    different column order and a column added later, merged by NAME with
+    nulls for the missing column (unionByName allowMissingColumns — the
+    batch form of a reader-schema merge). Zero shuffle: union is a plan
+    concatenation."""
+    orders = t(spark, sf_dir, "orders")
+    archive = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("archive").alias("src")
+    )
+    live = orders.filter(F.col("o_orderstatus") != "F").select(
+        F.lit("live").alias("src"), "o_orderkey"
+    )
+    return archive.unionByName(live, allowMissingColumns=True)
