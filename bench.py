@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "q_event_windows",       # event-time tumbling windows
     "q_window_rank",         # analytic window functions
     "q_session_windows",     # sessionization (two-pass window)
+    "q_asof_join",           # union-merge as-of join (one shuffle)
+    "q_funnel",              # sessionized funnel (stacked windows + rollup)
+    "q_hopping_windows",     # sliding-window expand + combinable agg
 ]
 
 
