@@ -39,3 +39,22 @@ def test_expect_empty_raises(df):
     quality.expect_empty(quality.unique_violations(df, "v"), "v unique")  # passes
     with pytest.raises(AssertionError, match="k unique"):
         quality.expect_empty(quality.unique_violations(df, "k"), "k unique")
+
+
+def test_relationships_violations_detect_orphans(spark):
+    child = spark.createDataFrame([(1, "a"), (2, "b"), (None, "c"), (9, "d")],
+                                  "fk long, payload string")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    from weather_api_automate_etl_spark.operators.quality import (
+        relationship_violation_counts,
+        relationships_violations,
+    )
+    bad = relationships_violations(child, "fk", parent, "pk").collect()
+    # NULL fk passes (dbt semantics); only the unmatched non-null key fails
+    assert [(r.fk, r.payload) for r in bad] == [(9, "d")]
+    counts = relationship_violation_counts(
+        [("child.fk -> parent.pk", child, "fk", parent, "pk")]
+    ).collect()
+    assert [(r.relationship, r.violations) for r in counts] == [
+        ("child.fk -> parent.pk", 1)
+    ]

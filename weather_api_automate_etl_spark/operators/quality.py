@@ -68,3 +68,37 @@ def expect_empty(violations: DataFrame, name: str) -> None:
     if n:
         sample = [r.asDict() for r in violations.limit(5).collect()]
         raise AssertionError(f"data-quality test {name!r} failed; sample: {sample}")
+
+
+def relationships_violations(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """dbt ``relationships`` test (referential integrity): child rows whose
+    key has no matching parent. NULL child keys pass, matching dbt
+    semantics. LEFT ANTI join — one shuffle on the key, or zero when the
+    parent is a broadcastable dim."""
+    return child.filter(F.col(child_key).isNotNull()).join(
+        parent.select(F.col(parent_key).alias(child_key)),
+        child_key,
+        "left_anti",
+    )
+
+
+def relationship_violation_counts(
+    relationships: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Audit form of the relationships test: one (relationship, violations)
+    row per declared FK, zero meaning intact — the always-row-producing
+    shape dashboards and the driver oracle want."""
+    parts = []
+    for name, child, child_key, parent, parent_key in relationships:
+        parts.append(
+            relationships_violations(child, child_key, parent, parent_key).agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

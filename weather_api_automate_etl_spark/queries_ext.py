@@ -21,7 +21,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weather_api_automate_etl_spark.functions.text import STOPWORDS
-from weather_api_automate_etl_spark.operators import dedup, similarity, textops, windows
+from weather_api_automate_etl_spark.operators import (
+    dedup,
+    quality,
+    similarity,
+    textops,
+    windows,
+)
 from weather_api_automate_etl_spark.queries import query, t
 from weather_api_automate_etl_spark.sources import multimodal
 
@@ -1021,3 +1027,56 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.table(sink)
+
+
+@query(
+    "q_test_relationships",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer.c_custkey' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part.p_partkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey IS NULL AND l.l_partkey IS NOT NULL
+    """,
+    tags=("quality",),
+)
+def q_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt `relationships` (FK integrity) audit — the fourth member of the
+    schema-test family (unique/not_null/accepted_values are ops 23-25; the
+    reference never declares relationships, a gap this engine fills). LEFT
+    ANTI against each parent, counts rolled into one frame; parent dims
+    broadcast."""
+    return quality.relationship_violation_counts(
+        [
+            (
+                "orders.o_custkey -> customer.c_custkey",
+                t(spark, sf_dir, "orders"),
+                "o_custkey",
+                t(spark, sf_dir, "customer"),
+                "c_custkey",
+            ),
+            (
+                "lineitem.l_orderkey -> orders.o_orderkey",
+                t(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                t(spark, sf_dir, "orders"),
+                "o_orderkey",
+            ),
+            (
+                "lineitem.l_partkey -> part.p_partkey",
+                t(spark, sf_dir, "lineitem"),
+                "l_partkey",
+                t(spark, sf_dir, "part"),
+                "p_partkey",
+            ),
+        ]
+    )
