@@ -1070,23 +1070,29 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users bucketed by first-seen day, counted
-    on each subsequent active day offset. Both inputs are user_id
-    aggregates of the same scan, so the equi-join reuses one shuffle
-    partitioning; the output is cohort x offset — calendar-bounded, tiny at
-    any data scale."""
+    on each subsequent active day offset.
+
+    Single user_id shuffle: per-user active-day sets via collect_set
+    (bounded by the calendar, map-side combined), cohort = array_min of the
+    set — no cohort/active self-join at all. The exploded frame feeds the
+    final cohort x offset rollup, whose output is calendar-bounded and tiny
+    at any data scale. The naive two-aggregate + join formulation costs 4
+    exchanges; this costs 2 (PLANS.md)."""
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
-    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    active = ev.distinct().withColumnRenamed("day", "active_day")
-    return (
-        active.join(cohort, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff("active_day", "cohort_day").alias("day_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_users"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("day").alias("days")
     )
+    exploded = per_user.select(
+        "user_id",
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("active_day"),
+    )
+    return exploded.groupBy(
+        "cohort_day",
+        F.datediff("active_day", "cohort_day").alias("day_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
 
 
 # ---------------------------------------------------------------------------
@@ -1119,3 +1125,127 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("live").alias("src"), "o_orderkey"
     )
     return archive.unionByName(live, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT event_type, metric, ROUND(val, 4) AS val
+    FROM (
+      SELECT event_type,
+             ROUND(AVG(value), 4) AS avg_value,
+             ROUND(MIN(value), 4) AS min_value,
+             ROUND(MAX(value), 4) AS max_value
+      FROM events GROUP BY 1
+    ) UNPIVOT (val FOR metric IN (avg_value, min_value, max_value))
+    """,
+    tags=("relational",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): per-type summary stats rotated into
+    (metric, value) rows — the inverse of q_pivot. Spark's native unpivot
+    is an Expand node: map-side row generation, zero extra shuffle beyond
+    the feeding aggregate."""
+    wide = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["avg_value", "min_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("val", F.round("val", 4))
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period change
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_period_over_period",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS month,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, ROUND(rev, 2) AS revenue,
+           ROUND(rev - lag(rev) OVER (ORDER BY month), 2) AS mom_change,
+           ROUND((rev - lag(rev) OVER (ORDER BY month))
+                 / lag(rev) OVER (ORDER BY month), 6) AS mom_pct
+    FROM m
+    """,
+    tags=("timeseries", "windows"),
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: lag over the monthly aggregate.
+    The window runs on the post-aggregate (one row per month — calendar-
+    bounded), so the single-partition global frame is harmless at any
+    scale; the heavy lifting is the map-side-combined monthly rollup."""
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy().orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") - prev, 2).alias("mom_change"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-latest dedup (CDC-style compaction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id,
+           CAST(ts AS TIMESTAMP) AS latest_ts, event_type AS latest_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                            event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: keep each key's most recent record (the upsert
+    materialization every incremental ingest needs). row_number DESC with a
+    deterministic event_id tie-break; Catalyst turns the rn=1 filter into
+    WindowGroupLimit, so each partition keeps a 1-row heap instead of fully
+    sorting its group."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
