@@ -54,3 +54,36 @@ def test_frame_sample_videos_only(spark, assets):
     assert all(0 <= r.frame_idx < feats[r.asset_id] for r in rows)
     zero_frame = {k for k, v in feats.items() if v == 0}
     assert zero_frame.isdisjoint({r.asset_id for r in rows})
+
+
+def test_resize_stub_shapes_and_bytes(spark):
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        documents_as_assets,
+        resize,
+    )
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    assets = documents_as_assets(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    out = resize(assets, target_w=8, target_h=4).collect()
+    assert len(out) == assets.count()
+    for r in out:
+        assert (r.width, r.height) == (8, 4)
+        assert r.byte_len == 32 and len(r.content) == 32
+
+
+def test_resize_without_stub_raises(spark):
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        documents_as_assets,
+        resize,
+    )
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    assets = documents_as_assets(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize(assets, decode_stub=False).collect()

@@ -1249,3 +1249,104 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("latest_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-based RANGE frame (trailing window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_trailing_window",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day, ROUND(rev, 2) AS revenue,
+           ROUND(SUM(rev) OVER (ORDER BY day
+                                RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                          AND CURRENT ROW), 2)
+             AS trailing_7d,
+           CAST(COUNT(*) OVER (ORDER BY day
+                               RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+             AS days_in_window
+    FROM d
+    """,
+    tags=("timeseries", "windows"),
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue via a time-based RANGE frame — the frame is
+    bounded by event-time distance, not row count, so sparse days widen
+    correctly (a 6-row ROWS frame would be wrong across gaps). Spark range
+    frames need a numeric sort key: days-since-epoch via datediff; the
+    window runs over the daily post-aggregate (calendar-bounded)."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .withColumn(
+            "day_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w = Window.partitionBy().orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("trailing_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition (Markov) counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH n AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0e0
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+             AS transition_prob
+    FROM n WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "windows"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    (type -> next type) counts and row-normalized probabilities. One
+    user_id shuffle for the lead(), then a combinable pair-count; the
+    normalizing window runs over the type x type matrix (bounded by the
+    event-type vocabulary, not the data)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_norm = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias(
+            "transition_prob"
+        ),
+    )

@@ -1080,3 +1080,30 @@ def q_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image/png'
+             WHEN 1 THEN 'audio/wav'
+             ELSE 'video/mp4'
+           END AS media_type,
+           CAST(8 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(32 AS BIGINT) AS byte_len
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the opaque-binary asset table (stubbed codec —
+    sources/multimodal.py::resize): the oracle pins the metadata contract
+    (every asset resized to the target dims with exact byte accounting);
+    the Arrow batch shape is what a real PIL/ffmpeg decode would ride."""
+    assets = multimodal.documents_as_assets(t(spark, sf_dir, "documents"))
+    return multimodal.resize(assets, target_w=8, target_h=4).select(
+        "asset_id", "media_type", "width", "height", "byte_len"
+    )

@@ -110,3 +110,55 @@ def frame_sample(assets: DataFrame, every_nth: int = 4) -> DataFrame:
         )
         .filter(F.col("frame_idx") % every_nth == 0)
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("byte_len", T.LongType()),
+    ]
+)
+
+
+def resize(
+    assets: DataFrame,
+    target_w: int = 32,
+    target_h: int = 24,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing via Arrow-batched ``mapInPandas``: decode → scale →
+    re-encode per batch. The codec is stubbed (container has no PIL/ffmpeg):
+    the fake 'resized' payload is a deterministic truncation/pad of the
+    source bytes to target_w*target_h, so batch shape, schema, and byte
+    accounting are real and testable; swap ``_fake_resize`` for the real
+    transform when a codec is available."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        n = target_w * target_h
+        return bytes(payload[:n]).ljust(n, b"\0")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires PIL/ffmpeg — not in container"
+                )
+            out = [_fake_resize(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "content": out,
+                    "byte_len": [len(b) for b in out],
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZE_SCHEMA)
