@@ -115,3 +115,20 @@ def test_hopping_windows_double_count_invariant(spark):
     rows = REGISTRY["q_hopping_windows"].fn(spark, SF).collect()
     raw = len(_events_pdf())
     assert sum(r.n for r in rows) == 2 * raw
+
+
+def test_trailing_window_matches_pandas_rolling(spark):
+    rows = REGISTRY["q_trailing_window"].fn(spark, SF).collect()
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    daily = (
+        pdf.assign(day=pdf["o_orderdate"].dt.floor("us").dt.normalize())
+        .groupby("day")["o_totalprice"].sum().sort_index()
+    )
+    want_sum = daily.rolling("7D").sum()
+    want_cnt = daily.rolling("7D").count()
+    got = {r.day: (r.trailing_7d, r.days_in_window) for r in rows}
+    assert len(got) == len(daily)
+    for day, s in want_sum.items():
+        g_sum, g_cnt = got[day.date()]
+        assert math.isclose(g_sum, round(s, 2), rel_tol=1e-9, abs_tol=1e-6)
+        assert g_cnt == int(want_cnt[day])

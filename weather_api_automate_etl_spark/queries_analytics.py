@@ -1350,3 +1350,35 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transition_prob"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-SQL interface parity (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+
+_NATION_RANK_SQL = """
+    WITH r AS (
+      SELECT n.n_name, SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, ROUND(rev, 2) AS revenue,
+           CAST(rank() OVER (ORDER BY rev DESC, n_name) AS INTEGER) AS rk
+    FROM r
+"""
+
+
+@query("q_sql_interface", oracle=_NATION_RANK_SQL, tags=("relational",))
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL migration path: the reference's users write dbt SQL, so
+    the engine must take ANSI SQL strings directly. register_testdata
+    exposes every table as a view and the SAME text runs on spark.sql and
+    on the DuckDB oracle — dialect-free by construction. Catalyst still
+    plans it (broadcast dims, partial aggs); SQL-vs-DataFrame is purely a
+    frontend choice."""
+    from weather_api_automate_etl_spark.sources.tables import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(_NATION_RANK_SQL)
