@@ -112,3 +112,27 @@ def test_stream_stream_join_matches_batch(spark, event_dir):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_hopping_windowed_counts_match_batch(spark, event_dir):
+    stream = stream_events.read_event_stream(spark, event_dir)
+    stream_events.run_to_memory_sink(
+        stream_events.windowed_counts(
+            stream, duration="10 minutes", watermark="365 days", slide="5 minutes"
+        ),
+        "hop_sink",
+    )
+    got = sorted(
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in spark.table("hop_sink").collect()
+    )
+    batch = spark.read.parquet(event_dir)
+    want = sorted(
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in stream_events.windowed_counts(
+            batch, duration="10 minutes", slide="5 minutes"
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    # hop invariant: each event lands in exactly duration/slide = 2 windows
+    assert sum(n for _, _, n, _ in want) == 2 * batch.count()

@@ -1382,3 +1382,42 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_testdata(spark, sf_dir)
     return spark.sql(_NATION_RANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Salted join (skew-safe shuffled equi-join) as an oracle-checked contract
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+           ROUND(l.l_extendedprice, 2) AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("joins", "skew"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe shuffled join, result-identical to the plain equi-join the
+    oracle runs: the big (lineitem) side is salted 8 ways, the orders side
+    replicated across salts, joined on (key, salt) — hot orderkeys spread
+    over 8 reducers instead of one. The contract pins that salting is
+    semantics-preserving; operators/skew.py guards the join types where
+    that holds."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return skew.salted_join(
+        li,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        salt_from="l_linenumber",
+        n_salts=8,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.round("l_extendedprice", 2).alias("price"),
+    )

@@ -44,14 +44,21 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def windowed_counts(
-    events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregate — the streaming twin of
+    """Watermarked windowed aggregate — the streaming twin of
     operators/windows.py::tumbling_window_agg (late rows beyond the
-    watermark are dropped; state is evictable)."""
+    watermark are dropped; state is evictable). Pass ``slide`` shorter
+    than ``duration`` for hopping windows: the window() generator expands
+    each row into its hops before the same combinable agg, so state is
+    (duration/slide)x, still watermark-bounded — the streaming twin of
+    q_hopping_windows."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .groupBy(F.window("ts", duration, slide or duration).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             # same ntz cast as the batch twin (operators/windows.py) —
