@@ -196,3 +196,22 @@ def test_interval_join_differential_vs_naive(spark):
         ).collect()
     )
     assert got == want and len(want) > 100
+
+
+def test_snapshot_diff_classification(spark):
+    from weather_api_automate_etl_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "CHANGED", 3.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: r.change_type
+        for r in cdc.snapshot_diff(old, new, "k", ["s", "v"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 5: "added"}

@@ -1421,3 +1421,60 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round("l_extendedprice", 2).alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC classification between two table versions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN ROUND(o_totalprice + 10, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus <> n.o_orderstatus
+                     OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           n.o_orderstatus, n.o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+    tags=("cdc", "joins"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-snapshot-style CDC diff between two deterministic versions of
+    orders (old drops every 7th key; new drops every 5th and bumps every
+    3rd price): added / removed / changed / unchanged per key via one
+    full-outer join on md5 row-hashes computed map-side
+    (operators/cdc.py::snapshot_diff). The oracle classifies by direct
+    column comparison — hash-vs-compare equivalence is the point."""
+    from weather_api_automate_etl_spark.operators import cdc
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") + 10, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return cdc.snapshot_diff(
+        old, new, key="o_orderkey", compare_cols=["o_orderstatus", "o_totalprice"]
+    )
