@@ -1478,3 +1478,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.snapshot_diff(
         old, new, key="o_orderkey", compare_cols=["o_orderstatus", "o_totalprice"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise standardization (z-score feature normalization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER w)
+                 / NULLIF(STDDEV_SAMP(value) OVER w, 0), 6) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    tags=("windows", "agg"),
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: z = (v - mean)/stddev within each
+    event_type — the normalization step every training pipeline runs before
+    modeling. One shuffle on the group key; mean and stddev share the same
+    unordered window frame, so Spark computes both in a single pass. The
+    NULLIF guard makes constant groups yield NULL, matching the oracle."""
+    w = Window.partitionBy("event_type")
+    std = F.stddev_samp("value").over(w)
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w))
+            / F.when(std != 0, std),
+            6,
+        ).alias("z"),
+    )
