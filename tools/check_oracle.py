@@ -65,6 +65,21 @@ def main() -> int:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        # The external harness canonicalizes through a pandas sort, which
+        # cannot hash list/dict-valued cells: any complex-typed output column
+        # on an oracle-backed query would pass here but fail there (round-1
+        # q_array_agg). Fail locally instead.
+        if spec.oracle is not None:
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                msg = f"complex-typed output columns break driver canon: {complex_cols}"
+                failures.append((name, msg))
+                print(f"FAIL  {name}: {msg}")
+                continue
         if spec.oracle is None:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows, no oracle)")
             continue

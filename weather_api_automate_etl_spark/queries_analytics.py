@@ -416,10 +416,12 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT l_orderkey,
-           list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+             AS line_numbers,
            CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
            CAST(list_max(list(l_linenumber)) AS INTEGER) AS max_line,
-           list_sort(list_distinct(list(l_returnflag))) AS flags
+           array_to_string(list_sort(list_distinct(list(l_returnflag))), ',')
+             AS flags
     FROM lineitem GROUP BY l_orderkey
     """,
     tags=("agg", "nested"),
@@ -427,15 +429,24 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type aggregation: per-order sorted line-number arrays plus
     array length/max/distinct — collect_list with explicit sort_array
-    (collect order is partition-dependent; sorting restores determinism)."""
+    (collect order is partition-dependent; sorting restores determinism).
+
+    Array outputs are serialized to comma-joined strings in BOTH twins:
+    the external harness canonicalizes results through a pandas sort, which
+    cannot hash list-valued cells (round-1 red row)."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"),
+                ",",
+            ).alias("line_numbers"),
             F.count("l_linenumber").cast("int").alias("n_lines"),
             F.max("l_linenumber").alias("max_line"),
-            F.array_distinct(F.sort_array(F.collect_list("l_returnflag"))).alias("flags"),
+            F.array_join(
+                F.array_distinct(F.sort_array(F.collect_list("l_returnflag"))), ","
+            ).alias("flags"),
         )
     )
 
