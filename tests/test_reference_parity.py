@@ -22,10 +22,13 @@ TS = dt.datetime(2024, 1, 7, 13, 0)  # Sunday 13:00
 # buckets with inclusive BETWEEN, DATE(), aberrant-row filter).
 STG_SQL = """
 SELECT
-  id AS weather_id,
+  id,
   trim(upper(city)) AS city_clean,
   trim(upper(country)) AS country_clean,
   temperature,
+  wind_direction,
+  visibility,
+  uv_index,
   CASE WHEN weather_description ILIKE '%sunny%' THEN 'Clear'
        WHEN weather_description ILIKE '%rain%'  THEN 'Rain'
        WHEN weather_description ILIKE '%cloud%' THEN 'Cloudy'
@@ -88,13 +91,15 @@ def test_stg_weather_matches_declared_sql(spark, raw_rows, tmp_path):
     }
 
     got = {
-        r.weather_id: (
+        r.id: (
             r.city_clean, r.country_clean, r.temperature,
+            r.wind_direction, r.visibility, r.uv_index,
             r.weather_category, r.temperature_category, r.extraction_date,
         )
         for r in stg_weather(df)
         .select(
-            "weather_id", "city_clean", "country_clean", "temperature",
+            "id", "city_clean", "country_clean", "temperature",
+            "wind_direction", "visibility", "uv_index",
             "weather_category", "temperature_category", "extraction_date",
         )
         .collect()

@@ -51,7 +51,7 @@ def test_quality_filter_drops_aberrant_rows(spark):
         {"city": None},                  # dropped
     ])
     stg = stg_weather(raw)
-    got = {r.weather_id: r.temperature_category for r in stg.collect()}
+    got = {r.id: r.temperature_category for r in stg.collect()}
     assert got == {2: "Freezing", 3: "Hot"}
 
 
@@ -68,7 +68,7 @@ def test_dim_groups_and_counts(spark):
         {"city": "paris "}, {"city": " PARIS"}, {"city": "london"},
     ])
     dim = dim_locations(stg_weather(raw))
-    rows = {r.city_clean: r.total_observations for r in dim.collect()}
+    rows = {r.city: r.total_observations for r in dim.collect()}
     assert rows == {"PARIS": 2, "LONDON": 1}
 
 

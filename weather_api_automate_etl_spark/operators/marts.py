@@ -23,20 +23,24 @@ from weather_api_automate_etl_spark.functions.core import pg_dow, pg_hour, surro
 
 
 def dim_locations(stg: DataFrame) -> DataFrame:
-    """dim_locations.sql:6-15 — one row per (city_clean, country_clean)."""
+    """dim_locations.sql:6-15 — one row per (city_clean, country_clean).
+
+    Output names match the reference exactly: city/country (renamed from
+    the _clean staging names, dim_locations.sql:8-9) and
+    first/last_observation_date (:10-11)."""
     return (
         stg.groupBy("city_clean", "country_clean")
         .agg(
-            F.min("extracted_at").alias("first_observation"),
-            F.max("extracted_at").alias("last_observation"),
+            F.min("extracted_at").alias("first_observation_date"),
+            F.max("extracted_at").alias("last_observation_date"),
             F.count(F.lit(1)).alias("total_observations"),
         )
         .select(
             surrogate_key("city_clean", "country_clean").alias("location_key"),
-            "city_clean",
-            "country_clean",
-            "first_observation",
-            "last_observation",
+            F.col("city_clean").alias("city"),
+            F.col("country_clean").alias("country"),
+            "first_observation_date",
+            "last_observation_date",
             "total_observations",
         )
         # SELECT DISTINCT atop GROUP BY (dim_locations.sql:6) — a no-op the
@@ -48,7 +52,7 @@ def dim_locations(stg: DataFrame) -> DataFrame:
 def fct_weather_observations(stg: DataFrame) -> DataFrame:
     """fct_weather_observations.sql:6-28 — observation grain + date parts."""
     return stg.select(
-        F.col("weather_id").alias("observation_id"),
+        F.col("id").alias("observation_id"),
         surrogate_key("city_clean", "country_clean").alias("location_key"),
         F.col("temperature"),
         F.col("temperature_category"),
@@ -56,10 +60,11 @@ def fct_weather_observations(stg: DataFrame) -> DataFrame:
         F.col("humidity"),
         F.col("wind_speed"),
         F.col("pressure"),
-        F.col("extracted_at"),
         F.col("extraction_date"),
         pg_hour("extracted_at").alias("extraction_hour"),
         pg_dow("extracted_at").alias("day_of_week"),
+        F.col("extracted_at"),
+        F.col("data_interval_start"),
     )
 
 

@@ -32,15 +32,20 @@ def stg_weather(raw: DataFrame) -> DataFrame:
             & F.col("city").isNotNull()
         )
         .select(
-            F.col("id").alias("weather_id"),
+            # exact reference column set and names (stg_weather.sql:7-26):
+            # `id` is NOT renamed, the raw description is NOT kept, and the
+            # wind_direction / visibility / uv_index passthroughs survive.
+            F.col("id"),
             F.trim(F.upper(F.col("city"))).alias("city_clean"),
             F.trim(F.upper(F.col("country"))).alias("country_clean"),
             F.col("temperature"),
             weather_category(F.col("weather_description")).alias("weather_category"),
-            F.col("weather_description"),
             F.col("humidity"),
             F.col("wind_speed"),
+            F.col("wind_direction"),
             F.col("pressure"),
+            F.col("visibility"),
+            F.col("uv_index"),
             F.col("observation_time"),
             F.col("extracted_at"),
             F.col("data_interval_start"),

@@ -36,7 +36,7 @@ FETCH_RESULT_SCHEMA = T.StructType(
 )
 
 #: The reference's static city list (dags/weatherstack_full_pipeline.py:61).
-DEFAULT_CITIES = ["Paris", "London", "New York", "Tokyo", "Sydney", "Cairo", "Toronto"]
+DEFAULT_CITIES = ["Paris", "London", "New York", "Tokyo", "Sydney", "Berlin", "Madrid"]
 
 
 def http_fetcher(api_url: str, access_key: str) -> Callable[[str], str]:
