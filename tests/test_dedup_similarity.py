@@ -115,3 +115,29 @@ def test_simhash_pairs_complete_vs_brute_force(spark):
         if a < b and bin(rows[a] ^ rows[b]).count("1") <= 3
     }
     assert got == want
+
+
+def test_knn_join_per_probe_topk_and_plan(spark):
+    from weather_api_automate_etl_spark.operators import similarity
+    from weather_api_automate_etl_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    res = similarity.knn_join(corpus, probes, "embedding", dim=64, k=5, n_planes=6)
+    rows = res.collect()
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rs in per_probe.items():
+        assert len(rs) <= 5
+        ranked = sorted(rs, key=lambda r: r.rk)
+        scores = [r.score for r in ranked]
+        assert scores == sorted(scores, reverse=True), f"probe {pid} not ranked"
+        assert [r.rk for r in ranked] == list(range(1, len(rs) + 1))
+    # scale shape: bucket equi-join, never a cartesian; per-probe top-k is
+    # pushed down map-side (WindowGroupLimit)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan

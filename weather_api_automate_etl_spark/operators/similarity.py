@@ -123,6 +123,58 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return [c / norm for c in comps]
 
 
+def knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Blocked k-NN join: for every probe vector, the top-``k`` most
+    cosine-similar corpus vectors that share its LSH bucket.
+
+    Shape (the 100 TB-safe many-query ANN): both sides get a map-only
+    hyperplane-LSH bucket; the candidate space is a bucket **equi-join**
+    (probe side broadcast — it is the small side by construction), then
+    exact cosine verification and a per-probe window top-k. The corpus is
+    never all-pairs'd and never fully sorted; the only shuffle is the
+    per-probe window partitioned on (probe, bucket-match) rows, whose size
+    is bucket-occupancy-bounded.
+
+    Fewer planes ⇒ bigger buckets ⇒ higher recall and higher cost; 2^n_planes
+    should be sized so the expected bucket occupancy × |probes| fits a
+    shuffle partition. Deterministic (md5-derived planes) and fully
+    SQL-expressible, unlike the iterative IVF probe.
+    """
+    from pyspark.sql.window import Window
+
+    c_b = hyperplane_lsh_buckets(corpus, vec_col, dim, n_planes, id_col=id_col)
+    p_b = hyperplane_lsh_buckets(probes, vec_col, dim, n_planes, id_col=probe_id_col)
+    c = corpus.join(c_b, id_col).select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"), "bucket"
+    )
+    p = probes.join(p_b, probe_id_col).select(
+        F.col(probe_id_col), F.col(vec_col).alias("_pvec"), "bucket"
+    )
+    scored = c.join(F.broadcast(p), "bucket").select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col("_pvec"), F.col("_cvec")), round_digits
+        ).alias("score"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(probe_id_col, id_col, "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -376,6 +376,50 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_buckets(emb, "embedding", dim=64, n_planes=8)
 
 
+def _knn_join_oracle(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    bucket_sql = _lsh_oracle(n_planes=n_planes, dim=dim)
+    dot = _DOT_SQL.format(a="c.embedding", b="p.pe")
+    nc = _DOT_SQL.format(a="c.embedding", b="c.embedding")
+    np_ = _DOT_SQL.format(a="p.pe", b="p.pe")
+    return f"""
+    WITH b AS ({bucket_sql}),
+    c AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id >= 5
+    ),
+    p AS (
+      SELECT e.vec_id AS probe_id, e.embedding AS pe, b.bucket
+      FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, c.vec_id,
+             ROUND({dot} / (sqrt({np_}) * sqrt({nc})), 6) AS score
+      FROM c JOIN p ON c.bucket = p.bucket
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY probe_id ORDER BY score DESC, vec_id
+             ) AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT probe_id, vec_id, score, rk FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("q_knn_join", oracle=_knn_join_oracle(), tags=("similarity",))
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN **join** (many probes at once, vs q_topk_similarity's
+    single query vector): probes = vec_id 0-4, corpus = the rest; LSH-bucket
+    equi-join (probe side broadcast) → exact cosine → per-probe window
+    top-5. SQL-expressible end-to-end, unlike the iterative IVF probe, so
+    it carries an exact oracle; the plan has no cartesian and no full sort."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.knn_join(corpus, probes, "embedding", dim=64, k=5, n_planes=6)
+
+
 def _neardup_lsh_oracle(threshold: float = 0.3) -> str:
     bucket_sql = _lsh_oracle()  # SELECT vec_id, bucket FROM embeddings
     return f"""
