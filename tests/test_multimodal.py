@@ -87,3 +87,99 @@ def test_resize_without_stub_raises(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|resize"):
         resize(assets, decode_stub=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# pure-NumPy codec (sources/codecs.py) — the non-stub decode tier
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+    px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 3
+    px[:, :, 2] = 200
+    return px
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = _gradient(5, 7)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+    # tolerant header parse: comments + arbitrary whitespace (PPM spec)
+    hdr = b"P6 # comment\n# another\n  7\t5\n255\n"
+    assert np.array_equal(codecs.decode_ppm(hdr + px.tobytes()), px)
+
+
+def test_bmp_roundtrip_including_row_padding():
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    # widths 2..6 cover all stride paddings (w*3 % 4 = 2,1,0,3,2)
+    for w in range(2, 7):
+        px = _gradient(4, w)
+        payload = codecs.encode_bmp(px)
+        assert payload[:2] == b"BM"
+        assert np.array_equal(codecs.decode_bmp(payload), px), f"w={w}"
+
+
+def test_decode_image_sniffs_magic_and_rejects_unknown():
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = _gradient(3, 3)
+    assert np.array_equal(codecs.decode_image(codecs.encode_ppm(px)), px)
+    assert np.array_equal(codecs.decode_image(codecs.encode_bmp(px)), px)
+    with _pytest.raises(NotImplementedError, match="magic"):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_nearest_exact_mapping():
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = np.array([[[0, 0, 0], [10, 10, 10]], [[20, 20, 20], [30, 30, 30]]], dtype=np.uint8)
+    up = codecs.resize_nearest(px, 4, 4)
+    # index map: target i -> source (i * 2) // 4 = [0, 0, 1, 1]
+    want = px[[0, 0, 1, 1]][:, [0, 0, 1, 1]]
+    assert np.array_equal(up, want)
+    down = codecs.resize_nearest(up, 2, 2)
+    assert np.array_equal(down, px)
+
+
+def test_real_decode_and_resize_through_spark(spark):
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        documents_as_image_assets,
+        extract_features,
+        image_stats,
+        resize,
+    )
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    assets = documents_as_image_assets(docs)
+    # features through the REAL (non-stub) path: dims match the generator
+    feats = {r.asset_id: (r.width, r.height) for r in
+             extract_features(assets, decode_stub=False).collect()}
+    for aid, (w, h) in feats.items():
+        assert (w, h) == (aid % 13 + 2, aid % 7 + 2)
+    # real resize: decode -> nearest-neighbor -> PPM re-encode
+    out = resize(assets, target_w=8, target_h=6, decode_stub=False).collect()
+    assert len(out) == len(feats)
+    for r in out:
+        assert (r.width, r.height) == (8, 6)
+        assert bytes(r.content)[:2] == b"P6"
+        assert r.byte_len == len(b"P6\n8 6\n255\n") + 8 * 6 * 3
+    # the inverted (0,0) pixel survives nearest-neighbor resize at (0,0)
+    stats = {r.asset_id: r for r in image_stats(assets).collect()}
+    for aid, s in stats.items():
+        assert s.first_px_r == 255 - aid % 256

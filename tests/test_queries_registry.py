@@ -75,6 +75,6 @@ def test_priority_prefix_covers_every_family():
     allowed_overflow = {
         "q_approx_stats", "q_rollup", "q_set_ops", "q_semi_anti_join",
         "q_moving_avg", "q_percentiles", "q_stats_moments", "q_pivot",
-        "q_test_relationships",
+        "q_test_relationships", "q_multimodal_resize",
     }
     assert outside <= allowed_overflow, f"north-star ext queries outside window: {outside - allowed_overflow}"

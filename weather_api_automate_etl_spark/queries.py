@@ -586,7 +586,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_streaming_join",
     # -- multimodal --------------------------------------------------------
     "q_multimodal_meta",
-    "q_multimodal_resize",
+    "q_multimodal_decode",  # the NON-stub codec path (q_multimodal_resize
+    # exercises the same plumbing with the stub codec; it overflows)
     # -- one representative per remaining family (fills the 50-row prefix) -
     "q_array_agg",       # non-scalar output canonicalization
     "q_snapshot_diff",   # CDC

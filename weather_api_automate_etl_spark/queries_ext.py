@@ -1151,3 +1151,33 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize(assets, target_w=8, target_h=4).select(
         "asset_id", "media_type", "width", "height", "byte_len"
     )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'image/x-portable-pixmap' END AS media_type,
+           CAST(doc_id % 13 + 2 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 2 AS INTEGER) AS height,
+           ROUND(CAST((doc_id % 256) * ((doc_id % 13 + 2) * (doc_id % 7 + 2) - 1)
+                      + 255 - (doc_id % 256) AS DOUBLE)
+                 / ((doc_id % 13 + 2) * (doc_id % 7 + 2)), 6) AS mean_r,
+           CAST(255 - doc_id % 256 AS INTEGER) AS first_px_r,
+           CAST(255 - n_chars % 256 AS INTEGER) AS first_px_g,
+           CAST(255 - doc_id * 7 % 256 AS INTEGER) AS first_px_b
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-stub decode end-to-end: deterministic real PPM/BMP payloads are
+    synthesized from document columns (multimodal.documents_as_image_assets),
+    then decoded by the pure-NumPy codec (sources/codecs.py) — header parse,
+    BMP stride padding, bottom-up row order, BGR→RGB — and reduced to
+    location- and value-sensitive stats. The oracle predicts every stat
+    from the generation parameters, so any decode defect (flip, channel
+    swap, stride error) breaks the hash match."""
+    assets = multimodal.documents_as_image_assets(t(spark, sf_dir, "documents"))
+    return multimodal.image_stats(assets)

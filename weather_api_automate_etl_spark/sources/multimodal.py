@@ -3,10 +3,15 @@
 Extension surface per BASELINE.json: image/audio/video are ``binary``
 columns with a metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched Pandas functions over ``mapInPandas`` —
-the batch shape, schema, and partitioning are the real article, while the
-codec step itself is stubbed (no image/audio libraries in this container):
-``decode_stub=True`` produces a deterministic fake feature row, and the
-real path raises ``NotImplementedError`` until a decoder is plugged in.
+the batch shape, schema, and partitioning are the real article.
+
+The codec step has two tiers:
+
+- ``decode_stub=True`` — deterministic fake feature row (any media type);
+- ``decode_stub=False`` — a REAL pure-NumPy decode for binary PPM and
+  24-bpp BMP payloads (sources/codecs.py); formats that need a real codec
+  library (PNG/JPEG/WAV/MP4) still raise ``NotImplementedError`` — that is
+  the documented PIL/ffmpeg plug point.
 
 Scale shape: payload bytes never leave the executor, batches stream through
 Arrow, and per-batch decode cost amortizes Python overhead — the standard
@@ -56,6 +61,93 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_image_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL image payloads (binary PPM / 24-bpp BMP, alternating
+    by doc_id parity) deterministically from document columns, so the
+    non-stub decode path has genuine bytes to parse and every decoded
+    property is predictable from (doc_id, n_chars) — i.e. SQL-oracle-able.
+
+    Per doc: width = doc_id%13+2, height = doc_id%7+2 (odd widths exercise
+    BMP row padding), fill color (doc_id%256, n_chars%256, doc_id*7%256),
+    and pixel (0,0) inverted — a flipped/offset decode moves that pixel and
+    is caught by the first-pixel check."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads, fmts = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = int(doc_id) % 13 + 2, int(doc_id) % 7 + 2
+                r, g, b = int(doc_id) % 256, int(n_chars) % 256, int(doc_id) * 7 % 256
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :] = (r, g, b)
+                px[0, 0] = (255 - r, 255 - g, 255 - b)
+                if int(doc_id) % 2 == 0:
+                    payloads.append(codecs.encode_bmp(px))
+                    fmts.append("image/bmp")
+                else:
+                    payloads.append(codecs.encode_ppm(px))
+                    fmts.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": fmts,
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("first_px_r", T.IntegerType()),
+        T.StructField("first_px_g", T.IntegerType()),
+        T.StructField("first_px_b", T.IntegerType()),
+    ]
+)
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """REAL decode → per-image stats, via Arrow-batched ``mapInPandas``.
+
+    Exercises the full pure-NumPy codec path: header parse, BMP stride
+    padding + bottom-up row order + BGR swap, raster reshape. Stats are
+    location-sensitive (first pixel) and value-sensitive (channel mean),
+    so a decode bug cannot cancel out."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in IMAGE_STATS_SCHEMA.fieldNames()}
+            for aid, mt, content in zip(pdf["asset_id"], pdf["media_type"], pdf["content"]):
+                arr = codecs.decode_image(bytes(content))
+                out["asset_id"].append(aid)
+                out["media_type"].append(mt)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["mean_r"].append(round(float(arr[:, :, 0].mean()), 6))
+                out["first_px_r"].append(int(arr[0, 0, 0]))
+                out["first_px_g"].append(int(arr[0, 0, 1]))
+                out["first_px_b"].append(int(arr[0, 0, 2]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
 def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: dimensions derived from payload
     length. Mirrorable in SQL, so the Spark plumbing is oracle-checkable."""
@@ -66,21 +158,27 @@ def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
 def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
-    With ``decode_stub=False`` this is where a real decoder (PIL/ffmpeg/…)
-    would run per batch; absent those libraries it raises —
-    deliberately, per the container constraints."""
+    ``decode_stub=False`` runs the real pure-NumPy decoder for PPM/BMP
+    payloads (codecs.py); other media still raise ``NotImplementedError``
+    (the PIL/ffmpeg plug point, absent in this container)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/ffmpeg — not in container"
-                )
-            dims = [
-                _fake_decode(m, bytes(c)) for m, c in zip(pdf["media_type"], pdf["content"])
-            ]
+                from weather_api_automate_etl_spark.sources import codecs
+
+                def real(payload: bytes) -> tuple[int, int, int]:
+                    arr = codecs.decode_image(payload)
+                    return (arr.shape[1], arr.shape[0], 1)
+
+                dims = [real(bytes(c)) for c in pdf["content"]]
+            else:
+                dims = [
+                    _fake_decode(m, bytes(c))
+                    for m, c in zip(pdf["media_type"], pdf["content"])
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -131,11 +229,13 @@ def resize(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Resize plumbing via Arrow-batched ``mapInPandas``: decode → scale →
-    re-encode per batch. The codec is stubbed (container has no PIL/ffmpeg):
-    the fake 'resized' payload is a deterministic truncation/pad of the
-    source bytes to target_w*target_h, so batch shape, schema, and byte
-    accounting are real and testable; swap ``_fake_resize`` for the real
-    transform when a codec is available."""
+    re-encode per batch.
+
+    ``decode_stub=True``: the fake 'resized' payload is a deterministic
+    truncation/pad of the source bytes to target_w*target_h, so batch
+    shape, schema, and byte accounting are real and testable.
+    ``decode_stub=False``: REAL decode (PPM/BMP, codecs.py) →
+    nearest-neighbor resample → re-encode as binary PPM."""
 
     def _fake_resize(payload: bytes) -> bytes:
         n = target_w * target_h
@@ -146,10 +246,18 @@ def resize(
 
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media resize requires PIL/ffmpeg — not in container"
-                )
-            out = [_fake_resize(bytes(c)) for c in pdf["content"]]
+                from weather_api_automate_etl_spark.sources import codecs
+
+                out = [
+                    codecs.encode_ppm(
+                        codecs.resize_nearest(
+                            codecs.decode_image(bytes(c)), target_w, target_h
+                        )
+                    )
+                    for c in pdf["content"]
+                ]
+            else:
+                out = [_fake_resize(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
