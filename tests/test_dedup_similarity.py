@@ -141,3 +141,19 @@ def test_knn_join_per_probe_topk_and_plan(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    # a 6-node chain has diameter 5: min-label needs ~5 rounds; 2 is not enough
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iterations=2)
+    # and with budget it converges to the chain's min label
+    comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert set(comp.values()) == {1}

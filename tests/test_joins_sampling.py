@@ -215,3 +215,35 @@ def test_snapshot_diff_classification(spark):
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed",
                    4: "unchanged", 5: "added"}
+
+
+def test_snapshot_diff_hash_is_boundary_and_null_safe(spark):
+    """Per-column hashing kills two classes of false 'unchanged': values
+    containing the old separator/sentinel control chars, and NULL→value
+    transitions (NULL is distinct from every value, incl. the literal
+    sentinel string)."""
+    from weather_api_automate_etl_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [
+            (1, "a\x1fb", "c"),        # boundary shift: ("a\x1fb","c") vs ("a","b\x1fc")
+            (2, None, "x"),            # NULL -> value
+            (3, "\x00", "x"),          # literal old null-sentinel vs NULL
+            (4, "same", "same"),
+        ],
+        "k long, s string, v string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "b\x1fc"),
+            (2, "was-null", "x"),
+            (3, None, "x"),
+            (4, "same", "same"),
+        ],
+        "k long, s string, v string",
+    )
+    got = {
+        r.k: r.change_type
+        for r in cdc.snapshot_diff(old, new, "k", ["s", "v"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 3: "changed", 4: "unchanged"}

@@ -20,12 +20,17 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _row_hash(cols: Sequence[str]):
-    # md5 over null-sentineled values — engine-portable (never Spark hash())
-    return F.md5(
-        F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
-        )
-    )
+    """md5 of per-column md5 digests — engine-portable (never Spark hash())
+    and free of separator/sentinel ambiguity: hashing each column FIRST
+    means no value can fabricate a column boundary (a raw concat_ws with a
+    separator char misclassifies values containing that char), and the NULL
+    sentinel lives in digest space ('NULL' is not hex, so it cannot collide
+    with any real digest). NULL therefore compares distinct from every
+    value, matching IS DISTINCT FROM semantics."""
+    digests = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols
+    ]
+    return F.md5(F.concat_ws("|", *digests))
 
 
 def snapshot_diff(

@@ -277,6 +277,7 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     labels = labels.localCheckpoint(eager=True)
+    changed = 1
     for _ in range(max_iterations):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "comp"
@@ -295,6 +296,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Returning silently here would hand out WRONG labels (long-chain
+        # components with diameter > max_iterations are still merging).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (component diameter exceeds the round budget); "
+            "raise max_iterations"
+        )
     return labels
 
 

@@ -1456,8 +1456,9 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
            CASE WHEN o.o_orderkey IS NULL THEN 'added'
                 WHEN n.o_orderkey IS NULL THEN 'removed'
-                WHEN o.o_orderstatus <> n.o_orderstatus
-                     OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                     OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'changed'
                 ELSE 'unchanged' END AS change_type,
            n.o_orderstatus, n.o_totalprice
     FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
