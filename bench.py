@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "q_asof_join",           # union-merge as-of join (one shuffle)
     "q_funnel",              # sessionized funnel (stacked windows + rollup)
     "q_hopping_windows",     # sliding-window expand + combinable agg
+    # shuffling heavyweights — the dedup family's real cost lives here,
+    # not in the map-only signature stage
+    "q_minhash_pairs",       # LSH band/bucket equi-join candidate pairs
+    "q_dedup_clusters",      # iterative min-label connected components
+    "q_snapshot_diff",       # full-outer hash-compare CDC
+    "q_knn_join",            # bucket-blocked many-probe ANN + window top-k
 ]
 
 
@@ -56,15 +62,20 @@ def main() -> None:
     # is what a resident service (or the 1000-executor run this code
     # targets) actually pays per query.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         best = float("inf")
         # 3 runs: measured host-load variance between whole-bench invocations
-        # is ~±40%; the extra warm run tightens the recorded best materially
-        for _ in range(3):
+        # is ~±40%; the extra warm run tightens the recorded best materially.
+        # Run 1 (recorded separately as cold) pays one-time planning/codegen.
+        for i in range(3):
             start = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - start)
+            elapsed = time.monotonic() - start
+            if i == 0:
+                cold[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
 
     print(
@@ -74,6 +85,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )
