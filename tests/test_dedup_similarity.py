@@ -157,3 +157,19 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with budget it converges to the chain's min label
     comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
     assert set(comp.values()) == {1}
+
+
+def test_duplicated_shingle_fraction_hand_case(spark):
+    from weather_api_automate_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d"
+            (2, "a b c x"),        # shingles: "a b c", "b c x"
+            (3, "p q r s"),        # unique shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_shingles, r.dup_frac) for r in
+           dedup.duplicated_shingle_fraction(docs, k=3).collect()}
+    assert got == {1: (2, 0.5), 2: (2, 0.5), 3: (2, 0.0)}

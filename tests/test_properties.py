@@ -64,3 +64,47 @@ def test_shingles_match_python_reference(spark, text, k):
     if len(toks) < k:
         ref = []
     assert got == ref
+
+
+def test_repetition_profile_hand_case(spark):
+    from weather_api_automate_etl_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),    # top word a: 3/4; bigrams: "a a" x2, "a b" -> 2/3
+            (2, "x y z w"),    # all unique: 1/4, 1/3
+            (3, "solo"),       # one word: 1/1, no bigrams -> null
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.top_word_frac, r.top_bigram_frac)
+           for r in textops.repetition_profile(docs).collect()}
+    assert got[1] == (4, 0.75, 0.666667)
+    assert got[2] == (4, 0.25, 0.333333)
+    assert got[3] == (1, 1.0, None)
+
+
+def test_source_mix_and_pack_estimate_hand_case(spark):
+    import pyspark.sql.functions as F
+
+    from weather_api_automate_etl_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "en", "s1", 100, 40), (2, "en", "s1", 100, 40),
+         (3, "en", "s2", 200, 10), (4, "de", "s1", 100, 30)],
+        "doc_id long, lang string, source string, n_chars long, toks long",
+    )
+    mix = {(r.lang, r.source): (r.n_docs, r.weight, r.doc_share, r.weight_share)
+           for r in corpus.source_mix(docs).collect()}
+    assert mix[("en", "s1")] == (2, 200, 0.5, 0.4)
+    assert mix[("en", "s2")] == (1, 200, 0.25, 0.4)
+    assert mix[("de", "s1")] == (1, 100, 0.25, 0.2)
+
+    pack = {r.source: (r.n_docs, r.total_tokens, r.packed_seqs,
+                       r.padded_efficiency, r.n_overflow_docs)
+            for r in corpus.pack_estimate(docs, "toks", ("source",), ctx_len=32).collect()}
+    # s1: toks 40,40,30 -> total 110, packed ceil(110/32)=4,
+    #     padded seqs 2+2+1=5 -> eff 110/160=0.6875, overflow 2
+    assert pack["s1"] == (3, 110, 4, 0.6875, 2)
+    # s2: 10 tokens -> 1 seq, eff 10/32
+    assert pack["s2"] == (1, 10, 1, 0.3125, 0)

@@ -249,6 +249,47 @@ def embedding_neardup_pairs(
     )
 
 
+def duplicated_shingle_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document fraction of its distinct word-``k``-shingles that also
+    occur in at least one OTHER document — the corpus-contamination
+    diagnostic behind C4/Gopher-style partial-duplication filters (a doc
+    can be 80% boilerplate shared with thousands of docs without being a
+    near-dup of any single one; MinHash misses that, this catches it).
+
+    Shape: explode distinct shingles per doc → shingle-frequency aggregate
+    (shuffle on shingle) → join back (co-partitioned on shingle) → per-doc
+    aggregate (shuffle on doc). Shingle strings can be md5'd before the
+    shuffle to bound row width at scale; kept raw here for oracle parity.
+    """
+    from weather_api_automate_etl_spark.functions.text import tokens, word_shingles
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), k))).alias(
+            "shingle"
+        ),
+    )
+    # one row per (doc, shingle) ⇒ COUNT(*) per shingle == distinct-doc count
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",

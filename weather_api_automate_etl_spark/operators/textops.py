@@ -64,6 +64,51 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document: the fraction of tokens
+    claimed by the most frequent word and by the most frequent word-bigram
+    (boilerplate / degenerate-generation filters in every LLM data
+    pipeline; cf. Rae et al. 2021 §A1.1's repetition thresholds).
+
+    Pure higher-order-function arithmetic — mode-of-array via
+    distinct→count-occurrences — so the whole profile is ONE map-only
+    projection: zero shuffle at any corpus size. O(u·n) per doc in the
+    distinct-token count u; for book-length docs switch to the
+    explode+groupBy formulation instead.
+    """
+    from weather_api_automate_etl_spark.functions.text import word_shingles
+
+    def profile(t):
+        n = F.size(t)
+        wcounts = F.transform(
+            F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d))
+        )
+        bi = word_shingles(t, 2)
+        nb = F.size(bi)
+        bcounts = F.transform(
+            F.array_distinct(bi), lambda d: F.size(F.filter(bi, lambda x: x == d))
+        )
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            F.when(
+                n > 0, F.round(F.array_max(wcounts).cast("double") / n, 6)
+            ).alias("top_word_frac"),
+            F.when(
+                nb > 0, F.round(F.array_max(bcounts).cast("double") / nb, 6)
+            ).alias("top_bigram_frac"),
+        )
+
+    # The single-element-array wrapper binds the token array once (the
+    # projection-collapse recompute trap), and inline() expands the struct
+    # to columns as ONE expression — getField per column would re-evaluate
+    # the whole profile per field.
+    return df.select(
+        F.col(id_col), F.inline(F.transform(F.array(tokens(text_col)), profile))
+    )
+
+
 def fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4
 ) -> DataFrame:

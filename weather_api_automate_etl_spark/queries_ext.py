@@ -1181,3 +1181,132 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap, stride error) breaks the hash match."""
     assets = multimodal.documents_as_image_assets(t(spark, sf_dir, "documents"))
     return multimodal.image_stats(assets)
+
+
+# ---------------------------------------------------------------------------
+# LLM corpus bookkeeping: repetition filters, partial-duplication diagnosis,
+# mixture tables, packing planning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_repetition",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    bi AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                  ELSE CAST([] AS VARCHAR[]) END AS b
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CASE WHEN len(w) > 0 THEN ROUND(
+             CAST(list_max(list_transform(list_distinct(w),
+                  d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 6)
+           END AS top_word_frac,
+           CASE WHEN len(b) > 0 THEN ROUND(
+             CAST(list_max(list_transform(list_distinct(b),
+                  d -> len(list_filter(b, x -> x = d)))) AS DOUBLE) / len(b), 6)
+           END AS top_bigram_frac
+    FROM bi
+    """,
+    tags=("text",),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top-word / top-bigram token share) —
+    zero-shuffle map-only HOF arithmetic (operators/textops.py::
+    repetition_profile)."""
+    return textops.repetition_profile(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dup_shingles",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+                  ELSE CAST([] AS VARCHAR[]) END AS shingles
+      FROM base
+    ),
+    ex AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ),
+    fr AS (SELECT s, COUNT(*) AS n_docs FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           ROUND(CAST(SUM(CASE WHEN fr.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM ex JOIN fr USING (s) GROUP BY ex.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def q_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplication diagnostic: per doc, the fraction of its distinct
+    3-word shingles that occur in any OTHER document (catches shared
+    boilerplate that whole-doc near-dup misses)."""
+    return dedup.duplicated_shingle_fraction(t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "q_source_mix",
+    oracle="""
+    WITH agg AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS weight
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, weight,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share,
+           ROUND(CAST(weight AS DOUBLE) / SUM(weight) OVER (), 6) AS weight_share
+    FROM agg
+    """,
+    tags=("text", "agg"),
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture table: per (lang, source) doc counts, char mass and
+    corpus shares — shares via window sums over the strata-sized aggregate
+    (operators/corpus.py::source_mix)."""
+    from weather_api_automate_etl_spark.operators import corpus
+
+    return corpus.source_mix(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_pack_estimate",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(ceil(CAST(SUM(t) AS DOUBLE) / 32) AS BIGINT) AS packed_seqs,
+           ROUND(CAST(SUM(t) AS DOUBLE)
+                 / (SUM(CAST(ceil(CAST(t AS DOUBLE) / 32) AS BIGINT))
+                    * CAST(32 AS DOUBLE)), 6) AS padded_efficiency,
+           CAST(SUM(CASE WHEN t > 32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_docs
+    FROM d GROUP BY source
+    """,
+    tags=("text", "agg"),
+)
+def q_pack_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan per source at ctx=32 BPE-ish tokens:
+    concat-and-chunk lower bound, pad-per-doc efficiency, overflow count
+    (operators/corpus.py::pack_estimate). One map-side-combined aggregate."""
+    from weather_api_automate_etl_spark.functions.text import bpe_ish_token_count
+    from weather_api_automate_etl_spark.operators import corpus
+
+    return corpus.pack_estimate(
+        t(spark, sf_dir, "documents"),
+        bpe_ish_token_count("text"),
+        strata=("source",),
+        ctx_len=32,
+    )
