@@ -136,3 +136,25 @@ def test_hopping_windowed_counts_match_batch(spark, event_dir):
     assert got == want and len(want) > 0
     # hop invariant: each event lands in exactly duration/slide = 2 windows
     assert sum(n for _, _, n, _ in want) == 2 * batch.count()
+
+
+def test_session_counts_multibatch_matches_batch(spark, event_dir):
+    # 3 unordered micro-batches; fixture-huge watermark so no mid-drain
+    # eviction — streaming session merge must still equal the batch result
+    stream = stream_events.read_event_stream(spark, event_dir)
+    stream_events.run_to_memory_sink(
+        stream_events.session_counts(stream, watermark="365 days"),
+        "session_counts_t",
+    )
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.table("session_counts_t").collect()
+    }
+    batch_src = (
+        load_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in stream_events.session_counts(batch_src).collect()
+    }
+    assert got == batch and len(got) > 0

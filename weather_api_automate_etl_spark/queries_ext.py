@@ -737,6 +737,65 @@ def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@query("q_streaming_sessions", oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """, tags=("streaming", "windows"))
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful sessionization run as a REAL stream: readStream over
+    the events fixture → watermarked session_window aggregation
+    (streaming/events.py::session_counts) → availableNow drain. The DuckDB
+    oracle computes the identical sessions via gaps-and-islands — an
+    independent algorithm for the same semantics. Watermark is bounded-
+    fixture-huge so no state is evicted mid-drain."""
+    sink = "q_streaming_sessions_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    stage_dir = tempfile.mkdtemp(prefix="events_sessions_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    try:
+        stream_events.run_to_memory_sink(
+            stream_events.session_counts(stream, watermark="365 days"),
+            sink,
+            timeout_s=120,
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.table(sink)
+
+
 @query("q_approx_stats", oracle=None, tags=("approx",))
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (HLL++ distinct count, quantile

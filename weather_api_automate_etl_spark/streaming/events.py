@@ -72,6 +72,38 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via ``session_window``: events of a user
+    whose gap-extended windows overlap merge into one session
+    [min ts, max ts + gap). The NATIVE stateful-session operator — unlike
+    the batch lag/cumsum formulation (operators/windows.py::sessionize),
+    Spark maintains open sessions as mergeable state and finalizes each
+    one once the watermark passes its close, so state ∝ concurrently-open
+    sessions, never history. On a batch DataFrame the same code is the
+    exact batch twin (withWatermark is a no-op there).
+
+    Split semantics: a new session starts when ts_next − ts_prev ≥ gap
+    (the previous window is half-open). The DuckDB oracle reproduces this
+    as a gaps-and-islands cumulative sum."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
