@@ -308,8 +308,9 @@ def connected_components(
     both on the node id — fully distributed, no driver-side graph).
     Converges in O(component diameter) rounds; near-dup clusters are
     near-cliques so 2-3 rounds is typical. ``localCheckpoint`` truncates
-    the growing lineage each round; the convergence probe is ``limit(1)``
-    so it short-circuits.
+    the growing lineage each round; convergence is detected from the label
+    SUM (monotonically decreasing under min-propagation), costing one
+    aggregate per round rather than a self-join.
     """
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -318,6 +319,7 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     labels = labels.localCheckpoint(eager=True)
+    label_sum = labels.agg(F.sum("comp")).collect()[0][0]
     changed = 1
     for _ in range(max_iterations):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
@@ -327,13 +329,14 @@ def connected_components(
             labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # Convergence probe without a join: labels only ever DECREASE under
+        # min-propagation, so the label sum strictly decreases iff any label
+        # changed — one agg over the checkpointed (small) label table per
+        # round instead of a self-join. (Id sums fit long up to ~3e9 rows of
+        # ~3e9-sized ids; cast comp to decimal here if ids outgrow that.)
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        changed = 0 if new_sum == label_sum else 1
+        label_sum = new_sum
         labels = new_labels
         if changed == 0:
             break

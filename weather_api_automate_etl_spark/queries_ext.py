@@ -796,6 +796,53 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@query("q_streaming_stateful", oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """, tags=("streaming",))
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState running
+    per-user totals) driven as a real stream and reduced to its FINAL
+    state: the update-mode sink holds one row per (user, micro-batch);
+    n_events grows monotonically, so max_by(total_value, n_events) +
+    max(n_events) recovers the last update per user — which must equal
+    the plain batch aggregate the oracle computes."""
+    sink = "q_streaming_stateful_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    stage_dir = tempfile.mkdtemp(prefix="events_stateful_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    try:
+        stream_events.run_to_memory_sink(
+            stream_events.running_user_totals(stream), sink, output_mode="update",
+            timeout_s=120,
+        )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+
+
 @query("q_approx_stats", oracle=None, tags=("approx",))
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (HLL++ distinct count, quantile
