@@ -247,3 +247,43 @@ def test_snapshot_diff_hash_is_boundary_and_null_safe(spark):
         for r in cdc.snapshot_diff(old, new, "k", ["s", "v"]).collect()
     }
     assert got == {1: "changed", 2: "changed", 3: "changed", 4: "unchanged"}
+
+
+def test_scd2_apply_two_batches(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from weather_api_automate_etl_spark.operators import cdc
+
+    def ntz(s):
+        return dt.datetime.fromisoformat(s)
+
+    dim0 = spark.createDataFrame(
+        [(1, "a", ntz("2024-01-01"), None), (2, "b", ntz("2024-01-01"), None)],
+        "k long, v string, valid_from timestamp_ntz, valid_to timestamp_ntz",
+    )
+    # batch 1: k=1 changes, k=2 vanishes, k=3 appears
+    up1 = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string")
+    dim1 = cdc.scd2_apply(dim0, up1, "k", ["v"], "2024-02-01")
+    rows1 = {(r.k, r.v): (r.valid_from, r.valid_to) for r in dim1.collect()}
+    assert rows1 == {
+        (1, "a"): (ntz("2024-01-01"), ntz("2024-02-01")),
+        (1, "a2"): (ntz("2024-02-01"), None),
+        (2, "b"): (ntz("2024-01-01"), ntz("2024-02-01")),
+        (3, "c"): (ntz("2024-02-01"), None),
+    }
+    # batch 2: k=2 re-appears, k=1/k=3 unchanged — history rows untouched
+    up2 = spark.createDataFrame([(1, "a2"), (2, "b2"), (3, "c")], "k long, v string")
+    dim2 = cdc.scd2_apply(dim1, up2, "k", ["v"], "2024-03-01")
+    rows2 = {(r.k, r.v): (r.valid_from, r.valid_to) for r in dim2.collect()}
+    assert rows2 == {
+        (1, "a"): (ntz("2024-01-01"), ntz("2024-02-01")),
+        (1, "a2"): (ntz("2024-02-01"), None),
+        (2, "b"): (ntz("2024-01-01"), ntz("2024-02-01")),
+        (2, "b2"): (ntz("2024-03-01"), None),
+        (3, "c"): (ntz("2024-02-01"), None),
+    }
+    # exactly one current row per live key
+    n_cur = dim2.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in n_cur)

@@ -61,3 +61,73 @@ def snapshot_diff(
         change.alias("change_type"),
         *compare_cols,
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+    batch_ts,
+) -> DataFrame:
+    """Type-2 SCD merge (the dbt snapshot `timestamp`/`check` strategy): fold
+    one batch of updates into a slowly-changing dimension.
+
+    ``dim`` carries (key, compare_cols, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking current rows; ``updates`` carries
+    (key, compare_cols). Per key:
+
+    - changed current row  → closed (valid_to = batch_ts) + new current row
+    - vanished current row → closed (a hard delete in the source)
+    - new / re-appearing key → new current row (valid_from = batch_ts)
+    - unchanged current row and all history rows → pass through untouched
+
+    One full-outer hash-compare join between the CURRENT slice and the
+    updates (history never joins — it is union'd back untouched), i.e. the
+    same single-shuffle shape as snapshot_diff; at scale both sides bucket
+    on the key. NULL-safe via the per-column digest hash above.
+    """
+    ts = F.lit(batch_ts).cast("timestamp_ntz")
+    history = dim.filter(F.col("valid_to").isNotNull())
+    current = dim.filter(F.col("valid_to").isNull())
+
+    c = current.select(
+        F.col(key).alias("__k"),
+        *[F.col(col).alias(f"__c_{col}") for col in compare_cols],
+        F.col("valid_from").alias("__c_from"),
+        _row_hash(compare_cols).alias("__c_h"),
+    )
+    u = updates.select(
+        F.col(key), *compare_cols, _row_hash(compare_cols).alias("__u_h")
+    )
+    j = c.join(u, c["__k"] == u[key], "full_outer")
+
+    keep_current = j.filter(
+        F.col("__u_h").isNotNull() & (F.col("__c_h") == F.col("__u_h"))
+    ).select(
+        F.col(key),
+        *compare_cols,
+        F.col("__c_from").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    closed = j.filter(
+        F.col("__c_h").isNotNull()
+        & (F.col("__u_h").isNull() | (F.col("__c_h") != F.col("__u_h")))
+    ).select(
+        F.col("__k").alias(key),
+        *[F.col(f"__c_{col}").alias(col) for col in compare_cols],
+        F.col("__c_from").alias("valid_from"),
+        ts.alias("valid_to"),
+    )
+    opened = j.filter(
+        F.col("__u_h").isNotNull()
+        & (F.col("__c_h").isNull() | (F.col("__c_h") != F.col("__u_h")))
+    ).select(
+        F.col(key),
+        *compare_cols,
+        ts.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    return history.select(
+        key, *compare_cols, "valid_from", "valid_to"
+    ).unionByName(keep_current).unionByName(closed).unionByName(opened)

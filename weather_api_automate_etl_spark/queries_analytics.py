@@ -1525,3 +1525,87 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-2 SCD (dbt snapshot semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH oldv AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    newv AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN ROUND(o_totalprice + 10, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+      SELECT o.o_orderkey AS ck, o.o_orderstatus AS cs, o.o_totalprice AS cp,
+             n.o_orderkey AS uk, n.o_orderstatus AS us, n.o_totalprice AS up
+      FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           TIMESTAMP '2023-01-01' AS valid_from,
+           TIMESTAMP '2024-01-01' AS valid_to
+    FROM oldv WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT ck, cs, cp, TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP)
+    FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL
+      AND NOT (cs IS DISTINCT FROM us OR cp IS DISTINCT FROM up)
+    UNION ALL
+    SELECT ck, cs, cp, TIMESTAMP '2024-01-01', TIMESTAMP '2024-06-01'
+    FROM j WHERE ck IS NOT NULL
+      AND (uk IS NULL OR cs IS DISTINCT FROM us OR cp IS DISTINCT FROM up)
+    UNION ALL
+    SELECT uk, us, up, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
+    FROM j WHERE uk IS NOT NULL
+      AND (ck IS NULL OR cs IS DISTINCT FROM us OR cp IS DISTINCT FROM up)
+    """,
+    tags=("cdc", "joins"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (dbt snapshot semantics, operators/cdc.py::
+    scd2_apply): a seeded dimension (current slice = the q_snapshot_diff
+    'old' version, plus closed history rows for every 11th key) folds in
+    one update batch — changed keys close + reopen, vanished keys close,
+    new keys open, history passes through untouched. The oracle derives
+    the same four row classes with IS DISTINCT FROM comparisons."""
+    from weather_api_automate_etl_spark.operators import cdc
+
+    orders = t(spark, sf_dir, "orders")
+    oldv = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    newv = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") + 10, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    hist = oldv.filter(F.col("o_orderkey") % 11 == 0).select(
+        "*",
+        F.lit("2023-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("2024-01-01").cast("timestamp_ntz").alias("valid_to"),
+    )
+    cur = oldv.select(
+        "*",
+        F.lit("2024-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    return cdc.scd2_apply(
+        hist.unionByName(cur),
+        newv,
+        key="o_orderkey",
+        compare_cols=["o_orderstatus", "o_totalprice"],
+        batch_ts="2024-06-01",
+    )
