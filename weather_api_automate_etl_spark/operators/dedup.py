@@ -315,6 +315,12 @@ def connected_components(
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    # Materialize the edge set ONCE: it joins into every round, and leaving
+    # it lazy re-executes the whole upstream candidate-generation pipeline
+    # (shingle → minhash → LSH self-join) per iteration — measured 10× on
+    # the 20× corpus stress. Edges are fan-out-bounded by construction, so
+    # the checkpoint is small relative to the corpus.
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
