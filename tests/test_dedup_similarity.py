@@ -173,3 +173,15 @@ def test_duplicated_shingle_fraction_hand_case(spark):
     got = {r.doc_id: (r.n_shingles, r.dup_frac) for r in
            dedup.duplicated_shingle_fraction(docs, k=3).collect()}
     assert got == {1: (2, 0.5), 2: (2, 0.5), 3: (2, 0.0)}
+
+
+def test_connected_components_string_ids(spark):
+    # the label-sum fast probe is numeric-only; string ids must take the
+    # type-agnostic join probe and still converge correctly
+    from weather_api_automate_etl_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

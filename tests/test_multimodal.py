@@ -183,3 +183,14 @@ def test_real_decode_and_resize_through_spark(spark):
     stats = {r.asset_id: r for r in image_stats(assets).collect()}
     for aid, s in stats.items():
         assert s.first_px_r == 255 - aid % 256
+
+
+def test_ppm_comment_terminates_token():
+    # the PPM spec lets a comment butt directly against a header token
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = _gradient(2, 2)
+    payload = b"P6\n2 2 255# trailing comment\n" + px.tobytes()
+    assert np.array_equal(codecs.decode_ppm(payload), px)

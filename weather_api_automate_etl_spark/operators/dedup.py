@@ -325,7 +325,16 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     labels = labels.localCheckpoint(eager=True)
-    label_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # The cheap convergence probe (label-sum delta, below) is only sound for
+    # numeric ids: non-numeric comp would make sum() NULL (or raise under
+    # ANSI), and NULL == NULL would declare false convergence — silent wrong
+    # labels. String/other id types fall back to the type-agnostic join probe.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["comp"].dataType, NumericType)
+    # seed None: round 1 always relabels any graph with an edge, so paying a
+    # pre-loop aggregate job just to compare against it buys nothing
+    label_sum = None
     changed = 1
     for _ in range(max_iterations):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
@@ -335,14 +344,26 @@ def connected_components(
             labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        # Convergence probe without a join: labels only ever DECREASE under
-        # min-propagation, so the label sum strictly decreases iff any label
-        # changed — one agg over the checkpointed (small) label table per
-        # round instead of a self-join. (Id sums fit long up to ~3e9 rows of
-        # ~3e9-sized ids; cast comp to decimal here if ids outgrow that.)
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        changed = 0 if new_sum == label_sum else 1
-        label_sum = new_sum
+        if numeric_ids:
+            # Convergence probe without a join: labels only ever DECREASE
+            # under min-propagation, so the label sum strictly decreases iff
+            # any label changed — one agg over the checkpointed (small)
+            # label table per round instead of a self-join. Summed in
+            # decimal(38,0) so huge-id corpora cannot overflow-wrap a long
+            # into a false "unchanged".
+            new_sum = new_labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            changed = 0 if (label_sum is not None and new_sum == label_sum) else 1
+            label_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break

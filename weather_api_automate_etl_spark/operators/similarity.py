@@ -152,13 +152,15 @@ def knn_join(
     """
     from pyspark.sql.window import Window
 
-    c_b = hyperplane_lsh_buckets(corpus, vec_col, dim, n_planes, id_col=id_col)
-    p_b = hyperplane_lsh_buckets(probes, vec_col, dim, n_planes, id_col=probe_id_col)
-    c = corpus.join(c_b, id_col).select(
-        F.col(id_col), F.col(vec_col).alias("_cvec"), "bucket"
+    # bucket as an inline expression on each side — joining back to a
+    # (id, bucket) projection would be a corpus-wide self-join on the id,
+    # which stops being broadcastable the moment the corpus is big
+    bucket = lsh_bucket_expr(vec_col, dim, n_planes)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cvec"), bucket.alias("bucket")
     )
-    p = probes.join(p_b, probe_id_col).select(
-        F.col(probe_id_col), F.col(vec_col).alias("_pvec"), "bucket"
+    p = probes.select(
+        F.col(probe_id_col), F.col(vec_col).alias("_pvec"), bucket.alias("bucket")
     )
     scored = c.join(F.broadcast(p), "bucket").select(
         F.col(probe_id_col),
@@ -175,15 +177,24 @@ def knn_join(
     )
 
 
+def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8):
+    """The hyperplane-LSH bucket as a plain Column expression (sign bits of
+    ``n_planes`` deterministic projections, packed into an int) — composable
+    into any projection without a join."""
+    bucket = None
+    for p in range(n_planes):
+        proj = dot_product(F.col(vec_col), _query_vec_lit(_hyperplane(p, dim)))
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, id_col: str = "vec_id"
 ) -> DataFrame:
     """Random-hyperplane LSH: (id, bucket) where bucket packs the sign bits
     of ``n_planes`` projections. Map-only; cosine-similar vectors collide
     with probability 1 − θ/π per plane."""
-    bucket = None
-    for p in range(n_planes):
-        proj = dot_product(F.col(vec_col), _query_vec_lit(_hyperplane(p, dim)))
-        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    return df.select(
+        F.col(id_col), lsh_bucket_expr(vec_col, dim, n_planes).alias("bucket")
+    )

@@ -33,6 +33,40 @@ from weather_api_automate_etl_spark.sources import multimodal
 
 _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+#: declared schema of the staged events stream (ts is the raw ns-epoch long)
+_EVENT_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _drain_event_stream(
+    spark: SparkSession, sf_dir: str, sink: str, build, **drain_kwargs
+) -> DataFrame:
+    """Shared recipe for every q_streaming_* query: stage the events fixture
+    behind a symlink dir (file stream sources need a directory; no data
+    copy), convert the ns-epoch longs to µs timestamps (integer div — the
+    ns-parquet trap), apply ``build(stream)``, drain availableNow into a
+    fresh memory sink, clean up, return the sink table. One definition so
+    the staging/conversion traps live in exactly one place."""
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    stage_dir = tempfile.mkdtemp(prefix=f"{sink}_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    stream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .parquet(stage_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    try:
+        stream_events.run_to_memory_sink(build(stream), sink, **drain_kwargs)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.table(sink)
+
 
 # ---------------------------------------------------------------------------
 # E1 — deduplication
@@ -706,35 +740,12 @@ def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream over the events fixture → watermarked tumbling windows →
     availableNow drain into a memory sink. Must hash-match the same batch
     oracle — streaming and batch semantics agree on bounded input."""
-    sink = "q_streaming_event_windows_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    # The file stream source requires a directory; stage the fixture file
-    # behind a symlink dir (no data copy).
-    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
     from weather_api_automate_etl_spark.streaming import events as stream_events
 
-    # fixture-specific source: ns-epoch longs → µs timestamps; the window
-    # aggregation itself is the LIBRARY operator (windowed_counts), so the
-    # oracle check exercises the same code the streaming module ships.
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
+    return _drain_event_stream(
+        spark, sf_dir, "q_streaming_event_windows_sink",
+        stream_events.windowed_counts, timeout_s=120,
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    try:
-        stream_events.run_to_memory_sink(
-            stream_events.windowed_counts(stream), sink, timeout_s=120
-        )
-    finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
-    return spark.table(sink)
 
 
 @query("q_streaming_sessions", oracle="""
@@ -768,32 +779,13 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the identical sessions via gaps-and-islands — an
     independent algorithm for the same semantics. Watermark is bounded-
     fixture-huge so no state is evicted mid-drain."""
-    sink = "q_streaming_sessions_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    stage_dir = tempfile.mkdtemp(prefix="events_sessions_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
     from weather_api_automate_etl_spark.streaming import events as stream_events
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
+    return _drain_event_stream(
+        spark, sf_dir, "q_streaming_sessions_sink",
+        lambda st: stream_events.session_counts(st, watermark="365 days"),
+        timeout_s=120,
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    try:
-        stream_events.run_to_memory_sink(
-            stream_events.session_counts(stream, watermark="365 days"),
-            sink,
-            timeout_s=120,
-        )
-    finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
-    return spark.table(sink)
 
 
 @query("q_streaming_stateful", oracle="""
@@ -809,32 +801,14 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events grows monotonically, so max_by(total_value, n_events) +
     max(n_events) recovers the last update per user — which must equal
     the plain batch aggregate the oracle computes."""
-    sink = "q_streaming_stateful_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    stage_dir = tempfile.mkdtemp(prefix="events_stateful_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
     from weather_api_automate_etl_spark.streaming import events as stream_events
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    try:
-        stream_events.run_to_memory_sink(
-            stream_events.running_user_totals(stream), sink, output_mode="update",
-            timeout_s=120,
-        )
-    finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
     return (
-        spark.table(sink)
+        _drain_event_stream(
+            spark, sf_dir, "q_streaming_stateful_sink",
+            stream_events.running_user_totals,
+            output_mode="update", timeout_s=120,
+        )
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -1147,36 +1121,17 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookback, both sides watermarked, drained availableNow into a memory
     sink. Hash-matches the batch inequality join the DuckDB oracle runs —
     on bounded input, stream-stream and batch join semantics agree."""
-    sink = "q_streaming_join_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    stage_dir = tempfile.mkdtemp(prefix="events_ssjoin_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
     from weather_api_automate_etl_spark.streaming import events as stream_events
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
+    # one staged file -> one micro-batch, but keep the watermark wide
+    # anyway: state eviction must never race the bounded drain
+    return _drain_event_stream(
+        spark, sf_dir, "q_streaming_join_sink",
+        lambda st: stream_events.clicks_with_recent_purchase(
+            st, lookback_hours=1, watermark="365 days"
+        ),
+        output_mode="append",
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    try:
-        stream_events.run_to_memory_sink(
-            # one staged file -> one micro-batch, but keep the watermark
-            # wide anyway: state eviction must never race the bounded drain
-            stream_events.clicks_with_recent_purchase(
-                stream, lookback_hours=1, watermark="365 days"
-            ),
-            sink,
-            output_mode="append",
-        )
-    finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
-    return spark.table(sink)
 
 
 @query(

@@ -47,6 +47,11 @@ def _ppm_header_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
             raise ValueError("truncated PPM header")
         c = payload[i : i + 1]
         if c == b"#":
+            # a comment terminates the current token (the spec lets comments
+            # butt directly against tokens: "255# comment")
+            if cur:
+                toks.append(int(cur))
+                cur = b""
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
         elif c.isspace():
