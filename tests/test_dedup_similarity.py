@@ -185,3 +185,20 @@ def test_connected_components_string_ids(spark):
     )
     comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_pagerank_hand_case(spark):
+    # star graph 1-{2,3,4} + isolated 5: center accumulates; leaves equal;
+    # isolated node keeps teleport-only rank; total mass conserved
+    from weather_api_automate_etl_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    r = {x.doc_id: x.rank for x in graph.pagerank(nodes, edges, iterations=10).collect()}
+    assert r[2] == r[3] == r[4]
+    assert r[1] > r[2] > r[5]
+    # isolated node: teleport + its share of redistributed dangling mass,
+    # strictly more than teleport alone but less than any linked node
+    assert r[5] > 0.15 / 5
+    # dangling mass redistributed => total rank mass conserved at 1
+    assert abs(sum(r.values()) - 1.0) < 1e-9

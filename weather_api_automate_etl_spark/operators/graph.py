@@ -1,0 +1,85 @@
+"""Iterative graph dataflow: PageRank over a pair graph.
+
+Companion to operators/dedup.py::connected_components — where CC labels
+near-dup clusters, PageRank ranks nodes by link mass (canonical-document
+selection inside big dup clusters, influence scoring over interaction
+graphs). Same distributed loop discipline: the loop-INVARIANT edge+degree
+table is materialized once (localCheckpoint), each round is one join + one
+map-side-combined aggregate keyed by node, and rank lineage is truncated
+per round. No driver-side graph, no cartesian; per-round cost is one
+shuffle of (dst, contribution) partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_id: str = "doc_id",
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on the UNDIRECTED graph induced by ``edges``, over the full
+    ``nodes`` universe (isolated nodes keep teleport-only rank).
+
+    Symmetric-graph formulation: every edge contributes both ways, so any
+    node WITH an edge has out-degree ≥ 1 — but isolated nodes are still
+    dangling, and their mass is redistributed uniformly (without this,
+    total rank leaks by d·Σ_isolated rank per round — caught by the
+    conservation test). rank⁰ = 1/N;
+    rankⁱ⁺¹ = (1−d)/N + d·(Σ_in rankⁱ/degree + dangling_mass/N).
+
+    ``N`` comes from one count() — a metadata-scale driver scalar, same
+    class as the IVF probe. Deterministic given deterministic input; the
+    float sums are order-sensitive in the last ulp, so compare externally
+    after round(). Returns (node_id, rank).
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    # loop-invariant: edge list + per-source degree, materialized ONCE
+    # (leaving it lazy re-executes upstream candidate generation per round —
+    # the lesson measured on connected_components, SCALING.md)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    sym = sym.join(deg, "src").localCheckpoint(eager=True)
+    deg = sym.select("src", "degree").distinct()
+
+    n = nodes.count()
+    base = float(1.0 - damping) / n
+    ranks = nodes.select(F.col(node_id).alias("src")).withColumn(
+        "rank", F.lit(1.0 / n)
+    )
+    for _ in range(iterations):
+        # dangling (isolated-node) mass — a 1-row aggregate, broadcast back
+        dm = ranks.join(deg, "src", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            sym.join(ranks, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("degree")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.select(F.col(node_id).alias("dst"))
+            .join(contrib, "dst", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("src").alias(node_id), "rank")

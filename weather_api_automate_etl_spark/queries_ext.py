@@ -1371,3 +1371,79 @@ def q_pack_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata=("source",),
         ctx_len=32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph dataflow — PageRank over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pagerank",
+    oracle=_MINHASH_SIG_SQL
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    r0 AS (SELECT doc_id AS src, 1.0e0 / (SELECT n FROM nn) AS rank FROM documents),
+    d1 AS (
+      SELECT COALESCE(SUM(rank), 0.0e0) AS dm FROM r0
+      WHERE src NOT IN (SELECT src FROM deg)
+    ),
+    c1 AS (
+      SELECT e.dst, SUM(r.rank / d.degree) AS mass
+      FROM edges e JOIN deg d USING (src) JOIN r0 r ON r.src = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT doc_id AS src,
+             (1.0e0 - 0.85e0) / (SELECT n FROM nn)
+               + 0.85e0 * (COALESCE(c1.mass, 0.0e0)
+                           + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank
+      FROM documents LEFT JOIN c1 ON c1.dst = documents.doc_id
+    ),
+    d2 AS (
+      SELECT COALESCE(SUM(rank), 0.0e0) AS dm FROM r1
+      WHERE src NOT IN (SELECT src FROM deg)
+    ),
+    c2 AS (
+      SELECT e.dst, SUM(r.rank / d.degree) AS mass
+      FROM edges e JOIN deg d USING (src) JOIN r1 r ON r.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT doc_id AS src,
+             (1.0e0 - 0.85e0) / (SELECT n FROM nn)
+               + 0.85e0 * (COALESCE(c2.mass, 0.0e0)
+                           + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
+      FROM documents LEFT JOIN c2 ON c2.dst = documents.doc_id
+    )
+    SELECT src AS doc_id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_n FROM r2
+    """,
+    tags=("dedup", "graph"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 rounds, d=0.85) over the MinHash+LSH near-dup pair graph
+    (operators/graph.py::pagerank) — canonical-document scoring inside dup
+    clusters. The oracle unrolls the same two power-iteration rounds as
+    CTEs; ranks are N-normalized and rounded. Exercises the second
+    iterative-dataflow shape (CC being the first): loop-invariant edges
+    checkpointed once, one shuffle of (dst, mass) partials per round."""
+    from weather_api_automate_etl_spark.operators import graph
+
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    pairs = dedup.minhash_candidate_pairs(sig, "doc_id")
+    n = docs.count()
+    ranks = graph.pagerank(docs, pairs, node_id="doc_id", iterations=2)
+    return ranks.select(
+        "doc_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_n")
+    )
