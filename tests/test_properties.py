@@ -108,3 +108,20 @@ def test_source_mix_and_pack_estimate_hand_case(spark):
     assert pack["s1"] == (3, 110, 4, 0.6875, 2)
     # s2: 10 tokens -> 1 seq, eff 10/32
     assert pack["s2"] == (1, 10, 1, 0.3125, 0)
+
+
+def test_bm25_hand_case(spark):
+    import math
+
+    from weather_api_automate_etl_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog dog dog"), (3, "bird bird")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in textops.bm25_scores(docs, ["cat"]).collect()}
+    # only doc 1 contains 'cat'; formula by hand: N=3, df=1, tf=2, dl=3, avgdl=3
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    want = idf * 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+    assert set(got) == {1}
+    assert abs(got[1] - round(want, 6)) < 1e-9

@@ -109,6 +109,70 @@ def repetition_profile(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms — the
+    lexical-retrieval complement to the embedding similarity family.
+
+    score(D) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1−b+b·|D|/avgdl))
+    with idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1) (the standard
+    non-negative variant).
+
+    Shape: per-doc term frequencies are map-only HOF counts (no explode of
+    the corpus); df comes from one aggregate over those counts; the
+    (term, df) and (N, avgdl) tables are tiny and broadcast. One shuffle
+    total (the df aggregate) — the corpus is scanned twice (df pass, score
+    pass), never joined to itself. Returns (id, score) for docs with
+    score > 0.
+    """
+    toks = tokens(text_col)
+
+    def _eq(term: str):
+        # closure factory, NOT a defaulted lambda param: a 2-arg lambda makes
+        # F.filter bind the second param to the element INDEX (silent
+        # corruption / cast errors)
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(term))).alias(f"__tf_{i}")
+        for i, term in enumerate(terms)
+    ]
+    base = df.select(F.col(id_col), F.size(toks).alias("__dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum(F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0)).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+            + 1.0
+        )
+        part = (
+            idf
+            * tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+
+
 def fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4
 ) -> DataFrame:

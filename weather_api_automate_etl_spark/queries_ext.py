@@ -1447,3 +1447,52 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "doc_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval — BM25
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    t AS (
+      SELECT doc_id, len(w) AS dl,
+             CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(w, x -> x = 'table')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(w, x -> x = 'join'))  AS DOUBLE) AS tf2
+      FROM base
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM t
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id,
+             ROUND(
+                 ln((n - df0 + 0.5e0) / (df0 + 0.5e0) + 1.0e0) * tf0 * (1.2e0 + 1.0e0)
+                   / (tf0 + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+               + ln((n - df1 + 0.5e0) / (df1 + 0.5e0) + 1.0e0) * tf1 * (1.2e0 + 1.0e0)
+                   / (tf1 + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+               + ln((n - df2 + 0.5e0) / (df2 + 0.5e0) + 1.0e0) * tf2 * (1.2e0 + 1.0e0)
+                   / (tf2 + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+             , 6) AS score
+      FROM t, s
+    ) WHERE score > 0
+    """,
+    tags=("text",),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for the query bag
+    {spark, table, join} — operators/textops.py::bm25_scores. Per-doc term
+    frequencies are map-only HOF counts; corpus stats (N, avgdl, df) are a
+    1-row broadcast; one shuffle total. The oracle evaluates the identical
+    formula with the identical left-to-right term order."""
+    return textops.bm25_scores(
+        t(spark, sf_dir, "documents"), terms=["spark", "table", "join"]
+    )
