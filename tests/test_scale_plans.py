@@ -124,3 +124,36 @@ def test_gap_fill_joins_post_aggregate_minis(spark):
     # grid explode sits above an aggregate, not above the scan
     assert "Generate explode" in plan
     assert "HashAggregate" in plan
+
+
+def test_knn_join_single_bucket_join(spark):
+    # exactly ONE join (the bucket equi-join) — the bucket must be computed
+    # inline, never joined back from a (id, bucket) projection
+    from weather_api_automate_etl_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q_knn_join"].fn(spark, SF))
+    n_joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
+    assert n_joins == 1, f"expected exactly 1 join, plan has {n_joins}"
+    assert "WindowGroupLimit" in plan and "CartesianProduct" not in plan
+
+
+def test_repetition_profile_zero_exchange(spark):
+    # the whole profile is one map-only projection (load_table's deliberate
+    # round-robin input repartition would show up as an Exchange, so read
+    # the raw parquet directly here)
+    from weather_api_automate_etl_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.repetition_profile(docs))
+    assert "Exchange" not in plan
+
+
+def test_bm25_no_self_join(spark):
+    # corpus stats arrive via a 1-row broadcast: no sort-merge self-join,
+    # and the only nested-loop is that single-row cross join
+    from weather_api_automate_etl_spark.operators import textops
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(textops.bm25_scores(docs, ["spark", "join"]))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
