@@ -202,3 +202,21 @@ def test_pagerank_hand_case(spark):
     assert r[5] > 0.15 / 5
     # dangling mass redistributed => total rank mass conserved at 1
     assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_nearest_centroid_recovers_separated_labels(spark):
+    # two well-separated clusters: every vector assigns to its own label's
+    # centroid, scores in (0, 1]
+    from weather_api_automate_etl_spark.operators import similarity
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3), 0.0, 1.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3), 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = similarity.centroids_by(emb, "embedding", "label")
+    got = {r.vec_id: r.list_id for r in similarity.nearest_centroid(emb, cents).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[100 + i] == 1 for i in range(10))

@@ -177,6 +177,41 @@ def knn_join(
     )
 
 
+def nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Vector-quantization assignment: each vector mapped to its most
+    cosine-similar centroid — the assign step of IVF index build / one
+    Lloyd iteration of k-means.
+
+    The centroid table is nlists-sized (index metadata), so the scan is a
+    broadcast nested-loop over a handful of rows per vector followed by a
+    per-vector WindowGroupLimit top-1: corpus-linear, no shuffle of the
+    corpus beyond the per-vector window partials. Ties break on the lower
+    centroid id. Returns (id, list_id, score)."""
+    from pyspark.sql.window import Window
+
+    scored = df.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
+        F.broadcast(centroids.select("list_id", "centroid"))
+    ).select(
+        F.col(id_col),
+        F.col("list_id"),
+        F.round(
+            cosine_similarity(F.col("_v"), F.col("centroid")), round_digits
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("list_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8):
     """The hyperplane-LSH bucket as a plain Column expression (sign bits of
     ``n_planes`` deterministic projections, packed into an int) — composable

@@ -1496,3 +1496,48 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bm25_scores(
         t(spark, sf_dir, "documents"), terms=["spark", "table", "join"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector quantization — centroid assignment (IVF build / k-means assign step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_centroid_assign",
+    oracle=f"""
+    WITH pos AS (
+      SELECT label AS list_id, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cents AS (
+      SELECT list_id, list(m ORDER BY i) AS centroid FROM pos GROUP BY list_id
+    ),
+    scored AS (
+      SELECT e.vec_id, c.list_id,
+             ROUND({_DOT_SQL.format(a="e.embedding", b="c.centroid")}
+                   / (sqrt({_DOT_SQL.format(a="e.embedding", b="e.embedding")})
+                      * sqrt({_DOT_SQL.format(a="c.centroid", b="c.centroid")})),
+                   6) AS score
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, list_id, score FROM (
+      SELECT vec_id, list_id, score,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY score DESC, list_id
+             ) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+    tags=("similarity",),
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quantization assignment (operators/similarity.py::
+    nearest_centroid): per-label elementwise-mean centroids (the IVF coarse
+    quantizer, centroids_by) then each vector mapped to its most
+    cosine-similar centroid — broadcast nlists-sized centroid table +
+    per-vector top-1 WindowGroupLimit; the corpus never self-joins."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.centroids_by(emb, "embedding", "label")
+    return similarity.nearest_centroid(emb, cents)
