@@ -220,3 +220,17 @@ def test_nearest_centroid_recovers_separated_labels(spark):
     got = {r.vec_id: r.list_id for r in similarity.nearest_centroid(emb, cents).collect()}
     assert all(got[i] == 0 for i in range(10))
     assert all(got[100 + i] == 1 for i in range(10))
+
+
+def test_cluster_survivors_keep_longest(spark):
+    from weather_api_automate_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {(r.cluster_id, r.survivor_id, r.n_docs)
+           for r in dedup.cluster_survivors(docs, pairs).collect()}
+    # cluster {1,2,3}: longest is tie 2/3 -> lowest id 2; singletons survive
+    assert got == {(1, 2, 3), (4, 4, 1), (5, 5, 1)}

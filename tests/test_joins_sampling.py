@@ -287,3 +287,23 @@ def test_scd2_apply_two_batches(spark):
     # exactly one current row per live key
     n_cur = dim2.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in n_cur)
+
+
+def test_weighted_reservoir_biases_toward_weight(spark):
+    # weight 1000 vs 1: heavy rows should dominate the k=50 sample; the
+    # sample must also be identical across repartitionings (determinism)
+    from weather_api_automate_etl_spark.operators import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.lit("s").alias("g"),
+        F.when(F.col("id") < 100, 1000.0).otherwise(1.0).alias("w"),
+    )
+    got = sorted(r.k for r in sampling.weighted_reservoir(df, "g", "w", "k", 50).collect())
+    again = sorted(
+        r.k
+        for r in sampling.weighted_reservoir(df.repartition(13), "g", "w", "k", 50).collect()
+    )
+    assert got == again and len(got) == 50
+    heavy = sum(1 for k in got if k < 100)
+    assert heavy > 40  # 100 heavy rows at 1000x weight dominate

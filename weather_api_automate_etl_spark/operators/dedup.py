@@ -395,6 +395,40 @@ def dedup_clusters(
     )
 
 
+def cluster_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """End-to-end dedup survivorship: cluster the pair graph, then keep ONE
+    document per cluster by policy (longest content, ties to the lowest id
+    — the keep-longest rule common in LLM corpus dedup, vs the min-id rule
+    dedup_exact uses). Returns (cluster_id, survivor_id, n_docs).
+
+    One window over the cluster id after the CC label map — survivors are
+    chosen per CLUSTER, not per pair, which is the whole point of running
+    connected components after LSH (transitive near-dups)."""
+    from pyspark.sql.window import Window
+
+    labeled = docs.join(dedup_clusters(docs, pairs, id_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(length_col), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("survivor_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def simhash_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",

@@ -37,6 +37,39 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.filter(hash_fraction(F.col(key_col)) < rate)
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis–Spirakis A-ES):
+    per stratum, the ``k`` rows with the largest ln(u)/w, where u is the
+    content-hash uniform of ``key_col`` — inclusion probability ∝ weight,
+    and the sample is a pure function of the data (replayable across
+    partitionings/engines, unlike seed-based sampling).
+
+    u is shifted to (0, 1] ((bucket+1)/2³²) so ln() never sees 0 — Spark
+    returns NULL for log(0) while other engines return -inf, which would
+    silently diverge. One window shuffle on the stratum; top-k executes as
+    WindowGroupLimit (map-side prune to k per stratum)."""
+    from pyspark.sql.window import Window
+
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (bucket + F.lit(1)) / F.lit(_HASH_SPACE)
+    wkey = F.log(u) / F.col(weight_col)
+    win = Window.partitionBy(strata_col).orderBy(F.desc("__wkey"), F.asc(key_col))
+    return (
+        df.withColumn("__wkey", wkey)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__wkey", "__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, rates: Mapping[str, float], key_col: str
 ) -> DataFrame:

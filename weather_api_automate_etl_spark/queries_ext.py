@@ -1541,3 +1541,84 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     cents = similarity.centroids_by(emb, "embedding", "label")
     return similarity.nearest_centroid(emb, cents)
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling + dedup survivorship
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS UBIGINT) + 1) / 4294967296.0e0) / n_chars DESC,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("sampling",),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir (A-ES), 5 docs per language with
+    inclusion probability ∝ n_chars — operators/sampling.py::
+    weighted_reservoir. The oracle evaluates the identical ln(u)/w key
+    from the identical md5-derived uniform."""
+    from weather_api_automate_etl_spark.operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    return sampling.weighted_reservoir(
+        docs, strata_col="lang", weight_col="n_chars", key_col="doc_id", k=5
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_cluster_survivors",
+    oracle=_MINHASH_SIG_SQL.replace("WITH base", "WITH RECURSIVE base")
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS comp FROM reach GROUP BY src
+    ),
+    cl AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS survivor_id, n_docs FROM (
+      SELECT cluster_id, doc_id,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+      FROM cl
+    ) WHERE rk = 1
+    """,
+    tags=("dedup",),
+)
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of the dedup pipeline: LSH pairs → connected
+    components → ONE survivor per cluster by keep-longest policy
+    (operators/dedup.py::cluster_survivors). The oracle recomputes the
+    clusters via recursive-CTE closure and applies the same argmax."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    pairs = dedup.minhash_candidate_pairs(sig, "doc_id")
+    return dedup.cluster_survivors(docs, pairs)
