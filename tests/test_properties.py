@@ -125,3 +125,25 @@ def test_bm25_hand_case(spark):
     want = idf * 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
     assert set(got) == {1}
     assert abs(got[1] - round(want, 6)) < 1e-9
+
+
+def test_chunk_text_windows_cover_and_overlap(spark):
+    from weather_api_automate_etl_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))),   # 20 toks -> starts 0, 8
+         (2, "a b c"),                                 # short -> 1 chunk
+         (3, " ".join(f"x{i}" for i in range(16)))],   # exactly chunk -> 1
+        "doc_id long, text string",
+    )
+    rows = textops.chunk_text(docs, chunk_tokens=16, stride=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1]
+    assert c1[0].chunk_text.split() == [f"w{i}" for i in range(16)]
+    assert c1[1].chunk_text.split() == [f"w{i}" for i in range(8, 20)]
+    assert (c1[0].n_tokens, c1[1].n_tokens) == (16, 12)
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 16

@@ -109,6 +109,59 @@ def repetition_profile(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: overlapping ``chunk_tokens``-token windows
+    every ``stride`` tokens — the standard preprocessing for embedding /
+    context-window pipelines. The final partial window is kept iff it adds
+    tokens beyond the previous full window (so short docs yield exactly one
+    chunk and nothing is silently dropped).
+
+    Map-only: chunk starts come from a sequence() over the token count,
+    chunk text from array slices — explode multiplies rows but no shuffle
+    is introduced; downstream repartition is the consumer's choice.
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+
+    def build(t):
+        n = F.size(t)
+        # chunk-start count: ceil((n − chunk)/stride) extra windows past the
+        # first, clamped at 0 — the last window is partial but never fully
+        # contained in the previous one
+        last = (
+            F.when(
+                n > chunk_tokens,
+                F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        starts = F.sequence(F.lit(0), last)
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(t, i * stride + 1, chunk_tokens)
+                ).alias("chunk_text"),
+                F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    chunks = F.transform(F.array(tokens(text_col)), build)[0]
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],

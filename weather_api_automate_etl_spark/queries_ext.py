@@ -1622,3 +1622,37 @@ def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
     pairs = dedup.minhash_candidate_pairs(sig, "doc_id")
     return dedup.cluster_survivors(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window text chunking (embedding / RAG preprocessing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_chunks",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    st AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) > 16
+                  THEN CAST(ceil((len(w) - 16) / 8.0e0) AS INTEGER)
+                  ELSE 0 END AS last
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(w[i * 8 + 1 : i * 8 + 16], ' ') AS chunk_text,
+           CAST(least(n - i * 8, 16) AS INTEGER) AS n_tokens
+    FROM st, UNNEST(range(0, last + 1)) AS t(i)
+    """,
+    tags=("text",),
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (16-token windows, stride 8) — the
+    embedding/RAG preprocessing primitive (operators/textops.py::
+    chunk_text). Map-only sequence+slice+explode; the oracle slices the
+    same windows with DuckDB's inclusive list ranges."""
+    return textops.chunk_text(
+        t(spark, sf_dir, "documents"), chunk_tokens=16, stride=8
+    )
