@@ -23,6 +23,7 @@ def pagerank(
     node_id: str = "doc_id",
     iterations: int = 2,
     damping: float = 0.85,
+    n: int | None = None,
 ) -> DataFrame:
     """PageRank on the UNDIRECTED graph induced by ``edges``, over the full
     ``nodes`` universe (isolated nodes keep teleport-only rank).
@@ -34,10 +35,11 @@ def pagerank(
     conservation test). rank⁰ = 1/N;
     rankⁱ⁺¹ = (1−d)/N + d·(Σ_in rankⁱ/degree + dangling_mass/N).
 
-    ``N`` comes from one count() — a metadata-scale driver scalar, same
-    class as the IVF probe. Deterministic given deterministic input; the
-    float sums are order-sensitive in the last ulp, so compare externally
-    after round(). Returns (node_id, rank).
+    ``N`` comes from one count() (pass ``n`` if the caller already knows it
+    — avoids a duplicate job) — a metadata-scale driver scalar, same class
+    as the IVF probe. Deterministic given deterministic input; the float
+    sums are order-sensitive in the last ulp, so compare externally after
+    round(). Returns (node_id, rank).
     """
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -47,16 +49,23 @@ def pagerank(
     # the lesson measured on connected_components, SCALING.md)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     sym = sym.join(deg, "src").localCheckpoint(eager=True)
-    deg = sym.select("src", "degree").distinct()
+    # the isolated-node set is loop-invariant too — materialize it once
+    # instead of re-deriving (distinct + anti-join over the edges) per round
+    isolated = (
+        nodes.select(F.col(node_id).alias("src"))
+        .join(sym.select("src").distinct(), "src", "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
-    n = nodes.count()
+    if n is None:
+        n = nodes.count()
     base = float(1.0 - damping) / n
     ranks = nodes.select(F.col(node_id).alias("src")).withColumn(
         "rank", F.lit(1.0 / n)
     )
     for _ in range(iterations):
         # dangling (isolated-node) mass — a 1-row aggregate, broadcast back
-        dm = ranks.join(deg, "src", "left_anti").agg(
+        dm = ranks.join(isolated, "src", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (

@@ -21,6 +21,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 _HASH_SPACE = float(2**32)
 
 
+def _hash_bucket(key: Column) -> Column:
+    """First 8 md5 hex chars of the key's string form as a long in
+    [0, 2³²) — the ONE definition of the engine-parity-critical hash
+    derivation (DuckDB twin: ``CAST(concat('0x', substr(md5(x),1,8)) AS
+    UBIGINT)``)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+
 def hash_fraction(key: Column) -> Column:
     """Uniform [0,1) double derived from md5 of the key's string form.
 
@@ -28,8 +36,7 @@ def hash_fraction(key: Column) -> Column:
     UBIGINT) / 2^32`` produces the identical value, so sampled sets match
     bit-for-bit across Spark and the oracle.
     """
-    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
-    return bucket / F.lit(_HASH_SPACE)
+    return _hash_bucket(key) / F.lit(_HASH_SPACE)
 
 
 def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
@@ -56,10 +63,7 @@ def weighted_reservoir(
     WindowGroupLimit (map-side prune to k per stratum)."""
     from pyspark.sql.window import Window
 
-    bucket = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    u = (bucket + F.lit(1)) / F.lit(_HASH_SPACE)
+    u = (_hash_bucket(F.col(key_col)) + F.lit(1)) / F.lit(_HASH_SPACE)
     wkey = F.log(u) / F.col(weight_col)
     win = Window.partitionBy(strata_col).orderBy(F.desc("__wkey"), F.asc(key_col))
     return (

@@ -184,6 +184,8 @@ def bm25_scores(
     pass), never joined to itself. Returns (id, score) for docs with
     score > 0.
     """
+    if not terms:
+        raise ValueError("bm25_scores requires at least one query term")
     toks = tokens(text_col)
 
     def _eq(term: str):
@@ -221,7 +223,12 @@ def bm25_scores(
         )
         score = part if score is None else score + part
     return (
-        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+        # composite non-negative score vs a C-engine oracle: use the
+        # double-product rounding (F.round's exact-BigDecimal HALF_UP
+        # disagrees on 1e-6 ties — functions/core.py:23)
+        scored.select(
+            F.col(id_col), round_half_up_via_double(score, 6).alias("score")
+        )
         .filter(F.col("score") > 0)
     )
 

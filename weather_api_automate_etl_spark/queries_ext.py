@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from weather_api_automate_etl_spark.functions import core
 from weather_api_automate_etl_spark.functions.text import STOPWORDS
 from weather_api_automate_etl_spark.operators import (
     dedup,
@@ -1443,9 +1444,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
     pairs = dedup.minhash_candidate_pairs(sig, "doc_id")
     n = docs.count()
-    ranks = graph.pagerank(docs, pairs, node_id="doc_id", iterations=2)
+    ranks = graph.pagerank(docs, pairs, node_id="doc_id", iterations=2, n=n)
     return ranks.select(
-        "doc_id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_n")
+        "doc_id",
+        # composite non-negative score: double-product rounding to match the
+        # C-engine oracle on 1e-6 ties (functions/core.py:23)
+        core.round_half_up_via_double(
+            F.col("rank") * F.lit(float(n)), 6
+        ).alias("rank_n"),
     )
 
 
