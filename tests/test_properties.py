@@ -147,3 +147,74 @@ def test_chunk_text_windows_cover_and_overlap(spark):
     assert (c1[0].n_tokens, c1[1].n_tokens) == (16, 12)
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
     assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 16
+
+
+# ---------------------------------------------------------------------------
+# round-2 property tests: codec round-trips, chunk coverage, CDC hash
+# ---------------------------------------------------------------------------
+
+_img_st = st.tuples(
+    st.integers(min_value=1, max_value=9),   # h
+    st.integers(min_value=1, max_value=9),   # w
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+
+
+@given(hwseed=_img_st)
+@settings(max_examples=30, deadline=None)
+def test_codec_roundtrip_property(hwseed):
+    # pure-Python property (no Spark job): BOTH codecs invert exactly for
+    # arbitrary dims (incl. every BMP stride padding) and arbitrary pixels
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    h, w, seed = hwseed
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=20),
+)
+@SETTINGS
+def test_chunk_text_coverage_property(spark, n_tokens, chunk):
+    # every token lands in >=1 chunk; consecutive chunks overlap by
+    # chunk - stride tokens; chunk_idx is dense from 0
+    from weather_api_automate_etl_spark.operators import textops
+
+    stride = max(1, chunk // 2)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        textops.chunk_text(df, chunk_tokens=chunk, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    covered = []
+    for r in rows:
+        toks = r.chunk_text.split() if r.chunk_text else []
+        assert r.n_tokens == len(toks) or (n_tokens == 0 and r.n_tokens == 1)
+        covered.extend(toks)
+    if n_tokens > 0:
+        assert set(covered) == {f"t{i}" for i in range(n_tokens)}
+
+
+@given(
+    a=st.tuples(st.one_of(st.none(), st.text(max_size=6)),
+                st.one_of(st.none(), st.text(max_size=6))),
+    b=st.tuples(st.one_of(st.none(), st.text(max_size=6)),
+                st.one_of(st.none(), st.text(max_size=6))),
+)
+@SETTINGS
+def test_cdc_row_hash_injective_on_tuples(spark, a, b):
+    # distinct (s, v) tuples never hash equal; equal tuples always do —
+    # incl. None vs "" vs control chars
+    from weather_api_automate_etl_spark.operators.cdc import _row_hash
+
+    df = spark.createDataFrame([a, b], "s string, v string")
+    h = [r.h for r in df.select(_row_hash(["s", "v"]).alias("h")).collect()]
+    assert (h[0] == h[1]) == (a == b)
