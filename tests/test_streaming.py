@@ -158,3 +158,47 @@ def test_session_counts_multibatch_matches_batch(spark, event_dir):
         for r in stream_events.session_counts(batch_src).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_to_table_idempotent_append(spark, event_dir, tmp_path):
+    # dedup'd event stream -> per-batch-partition parquet; draining the SAME
+    # checkpoint twice must not duplicate anything (batch replay overwrites)
+    from weather_api_automate_etl_spark.streaming import sinks
+
+    out = str(tmp_path / "events_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = stream_events.read_event_stream(spark, event_dir)
+        sinks.stream_to_table(
+            stream_events.dedup_within_watermark(stream, watermark="365 days"),
+            out, ckpt, "events_to_table",
+        )
+
+    drain()
+    first = spark.read.parquet(out)
+    n_events = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert first.select("event_id").distinct().count() == n_events
+    assert first.count() == n_events
+    drain()  # no new input, same checkpoint: nothing changes
+    assert spark.read.parquet(out).count() == n_events
+
+
+def test_stream_to_table_complete_overwrites(spark, event_dir, tmp_path):
+    from weather_api_automate_etl_spark.streaming import sinks
+
+    out = str(tmp_path / "win_table")
+    stream = stream_events.read_event_stream(spark, event_dir)
+    sinks.stream_to_table(
+        stream_events.windowed_counts(stream),
+        out, str(tmp_path / "ckpt2"), "win_to_table", output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in tumbling_window_agg(load_table(spark, SF, "events")).collect()
+    }
+    assert got == batch
