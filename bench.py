@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "q_dedup_clusters",      # iterative min-label connected components
     "q_snapshot_diff",       # full-outer hash-compare CDC
     "q_knn_join",            # bucket-blocked many-probe ANN + window top-k
+    "q_scd2",                # type-2 SCD merge (current-slice full outer)
+    "q_bm25",                # lexical retrieval (map-only tf + broadcast stats)
+    "q_pagerank",            # iterative graph dataflow (2 rounds)
 ]
 
 

@@ -72,11 +72,22 @@ def doc_ops() -> dict:
         sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
         return dedup.dedup_clusters(docs, dedup.minhash_candidate_pairs(sig, "doc_id"))
 
+    def pr(docs):
+        from weather_api_automate_etl_spark.operators import graph
+
+        sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
+        return graph.pagerank(
+            docs, dedup.minhash_candidate_pairs(sig, "doc_id"),
+            node_id="doc_id", iterations=2,
+        )
+
     return {
         "minhash_pairs": pairs,
         "dedup_clusters": clusters,
         "dup_shingle_fraction": lambda d: dedup.duplicated_shingle_fraction(d, k=3),
         "repetition_profile": lambda d: textops.repetition_profile(d),
+        "pagerank_2iter": pr,
+        "bm25": lambda d: textops.bm25_scores(d, ["spark", "table", "join"]),
     }
 
 
