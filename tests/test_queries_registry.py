@@ -80,6 +80,6 @@ def test_priority_prefix_covers_every_family():
         "q_repetition", "q_dup_shingles", "q_source_mix", "q_pack_estimate",
         "q_streaming_sessions", "q_streaming_stateful", "q_pagerank", "q_bm25",
         "q_centroid_assign", "q_weighted_sample", "q_cluster_survivors",
-        "q_text_chunks",
+        "q_text_chunks", "q_multimodal_resize_real",
     }
     assert outside <= allowed_overflow, f"north-star ext queries outside window: {outside - allowed_overflow}"

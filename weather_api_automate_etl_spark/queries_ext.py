@@ -1662,3 +1662,45 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.chunk_text(
         t(spark, sf_dir, "documents"), chunk_tokens=16, stride=8
     )
+
+
+@query(
+    "q_multimodal_resize_real",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h,
+             doc_id % 256 AS r, n_chars % 256 AS gg, doc_id * 7 % 256 AS b
+      FROM documents
+    ),
+    rep AS (
+      -- nearest-neighbor: target column j maps to source floor(j*w/8); the
+      -- inverted (0,0) source pixel is replicated into the first
+      -- floor(7/w)+1 columns x floor(5/h)+1 rows of the 8x6 target
+      SELECT doc_id, r, gg, b,
+             (7 // w + 1) * (5 // h + 1) AS n_inv
+      FROM g
+    )
+    SELECT doc_id AS asset_id,
+           'image/x-portable-pixmap' AS media_type,
+           CAST(8 AS INTEGER) AS width,
+           CAST(6 AS INTEGER) AS height,
+           ROUND(CAST((48 - n_inv) * r + n_inv * (255 - r) AS DOUBLE) / 48, 6)
+             AS mean_r,
+           CAST(255 - r AS INTEGER) AS first_px_r,
+           CAST(255 - gg AS INTEGER) AS first_px_g,
+           CAST(255 - b AS INTEGER) AS first_px_b
+    FROM rep
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL non-stub multimodal round trip: synthesize real PPM/BMP →
+    decode → nearest-neighbor resample to 8×6 → re-encode as PPM → decode
+    AGAIN → stats. The oracle predicts the resampled channel mean from the
+    nearest-neighbor index map (the inverted corner pixel replicates into
+    ⌊7/w⌋+1 × ⌊5/h⌋+1 target pixels), so a resampling off-by-one or a
+    re-encode defect breaks the hash."""
+    assets = multimodal.documents_as_image_assets(t(spark, sf_dir, "documents"))
+    resized = multimodal.resize(assets, target_w=8, target_h=6, decode_stub=False)
+    return multimodal.image_stats(resized)

@@ -256,12 +256,16 @@ def resize(
                     )
                     for c in pdf["content"]
                 ]
+                # the real path re-encodes as PPM: report the OUTPUT format,
+                # not the source's (metadata must describe the bytes)
+                mts = ["image/x-portable-pixmap"] * len(out)
             else:
                 out = [_fake_resize(bytes(c)) for c in pdf["content"]]
+                mts = pdf["media_type"]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
+                    "media_type": mts,
                     "width": target_w,
                     "height": target_h,
                     "content": out,
