@@ -2,7 +2,12 @@
 
 Runs every registry query on Spark AND its DuckDB oracle at the given sf,
 then compares row count, sorted column names, and order-insensitive values.
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` swaps the engine's session factory for a deliberately
+adversarial one (non-UTC timezone, no nanosAsLong conf, odd shuffle
+partitioning) — the driver builds its OWN session, so every query must
+self-heal its required confs, not just the ones the smoke drive touches.
 """
 
 from __future__ import annotations
@@ -44,10 +49,25 @@ def frame_rows(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def _hostile_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "13")
+        .config("spark.ui.showConsoleProgress", "false")
+        .appName("oracle-check-hostile")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check", shuffle_partitions=8)
+    args = [a for a in sys.argv[1:] if a != "--hostile"]
+    hostile = "--hostile" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    spark = _hostile_spark() if hostile else get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for name in TESTDATA_TABLES:
         con.execute(
@@ -58,7 +78,7 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = spec.fn(get_spark(), sf_dir)
+            sdf = spec.fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
