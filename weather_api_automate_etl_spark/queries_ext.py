@@ -377,11 +377,44 @@ def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf", oracle=None, tags=("similarity",))
+def _ann_ivf_oracle() -> str:
+    cos_cq = _DOT_SQL.format(a="c.c", b="q.qe")
+    ncc = _DOT_SQL.format(a="c.c", b="c.c")
+    cos_eq = _DOT_SQL.format(a="s.embedding", b="q.qe")
+    nee = _DOT_SQL.format(a="s.embedding", b="s.embedding")
+    nq = _DOT_SQL.format(a="q.qe", b="q.qe")
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    corp AS (SELECT * FROM embeddings WHERE vec_id <> 0),
+    pos AS (
+      SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM corp, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cents AS (SELECT label, list(m ORDER BY i) AS c FROM pos GROUP BY label),
+    probed AS (
+      SELECT c.label
+      FROM cents c, q
+      ORDER BY {cos_cq} / (sqrt({ncc}) * sqrt({nq})) DESC
+      LIMIT 3
+    ),
+    scored AS (
+      SELECT s.vec_id,
+             ROUND({cos_eq} / (sqrt({nee}) * sqrt({nq})), 6) AS score
+      FROM corp s JOIN probed USING (label), q
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+
+@query("q_ann_ivf", oracle=_ann_ivf_oracle(), tags=("similarity",))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: probe the 3 nearest label-lists by centroid,
-    exact search inside. Non-SQL-expressible (iterative probe) → rows-only
-    driver check; recall vs the exact baseline is asserted in tests."""
+    exact search inside. The probe is iterative on the Spark side (bounded
+    centroid collect) but fully DETERMINISTIC, so the oracle re-derives the
+    same 3 lists and the same in-list top-10 declaratively — upgraded from
+    the rows-only check; recall vs the exact baseline stays asserted in
+    tests."""
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.ivf_topk(
@@ -1055,12 +1088,38 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ingest_smoke", oracle=None, tags=("ingest",))
+@query("q_ingest_smoke", oracle="""
+    SELECT city, country,
+           CAST(temperature AS INTEGER) AS temperature,
+           weather_description,
+           CAST(humidity AS INTEGER) AS humidity,
+           CAST(wind_speed AS INTEGER) AS wind_speed,
+           wind_direction,
+           CAST(pressure AS INTEGER) AS pressure,
+           CAST(visibility AS INTEGER) AS visibility,
+           CAST(uv_index AS INTEGER) AS uv_index,
+           observation_time,
+           TIMESTAMP '2026-01-01' AS data_interval_start
+    FROM (VALUES
+      ('Paris',    'Country0', 13, 'Light rain',    11, 31, 'NW', 1011, 1, 5,  '12:00 PM'),
+      ('London',   'Country2', -2, 'Sunny',         18, 18, 'NW',  998, 8, 2,  '12:00 PM'),
+      ('New York', 'Country2',  9, 'Light rain',    51, 31, 'NW', 1011, 1, 3,  '12:00 PM'),
+      ('Tokyo',    'Country2', 36, 'Sunny',         34, 14, 'NW', 1034, 4, 6,  '12:00 PM'),
+      ('Sydney',   'Country6', 16, 'Sunny',         36, 36, 'NW', 1016, 6, 9,  '12:00 PM'),
+      ('Berlin',   'Country2', 45, 'Light rain',     4,  4, 'NW',  984, 4, 10, '12:00 PM'),
+      ('Madrid',   'Country5', 34, 'Partly cloudy', 93, 33, 'NW', 1033, 3, 10, '12:00 PM')
+    ) AS t(city, country, temperature, weather_description, humidity,
+           wind_speed, wind_direction, pressure, visibility, uv_index,
+           observation_time)
+    """, tags=("ingest",))
 def q_ingest_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ingestion dataflow (SURVEY §2 ops 1-6) through the contract:
     distributed mapInPandas fetch (deterministic offline fetcher) → JSON
-    decode with parse/API-error routing → typed raw.weather rows with
-    lineage columns. Driver-side HTTP is inherently non-SQL → rows-only."""
+    decode with parse/API-error routing (the injected 'Xanadu' error row
+    must be dropped) → typed raw.weather rows with lineage columns. The
+    fetcher is a pure function of the city name, so the expected rows are
+    enumerable — the oracle pins them literally (an independent derivation
+    of the same payload arithmetic)."""
     import datetime as dt
 
     from weather_api_automate_etl_spark.sources import json_ingest, rest
