@@ -182,6 +182,22 @@ def test_stream_to_table_idempotent_append(spark, event_dir, tmp_path):
     assert first.count() == n_events
     drain()  # no new input, same checkpoint: nothing changes
     assert spark.read.parquet(out).count() == n_events
+    # replay contract, tested directly on the installed writer (Spark 4's
+    # checkpoint tamper-detection forbids forcing a replay by doctoring the
+    # commit log): re-writing an already-written batch_id must REPLACE that
+    # batch's partition, not append to it
+    writer = sinks.batch_writer(out)
+    some_batch = spark.read.parquet(out).select("batch_id").head().batch_id
+    src = (
+        spark.read.parquet(out)
+        .filter(F.col("batch_id") == some_batch)
+        .drop("batch_id")
+    )
+    # materialize before writing: the replay source must not lazily read the
+    # files the overwrite is about to replace
+    replayed = spark.createDataFrame(src.collect(), src.schema)
+    writer(replayed, int(some_batch))
+    assert spark.read.parquet(out).count() == n_events
 
 
 def test_stream_to_table_complete_overwrites(spark, event_dir, tmp_path):

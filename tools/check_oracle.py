@@ -77,6 +77,15 @@ def main() -> int:
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        if hostile:
+            # the engine's conf self-healing (load_table) PERSISTS on the
+            # shared session, so without re-poisoning per query only the
+            # FIRST query actually faces the hostile confs
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            try:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            except Exception:  # noqa: BLE001 — not set yet on the first query
+                pass
         try:
             sdf = spec.fn(spark, sf_dir)
             s_cols = sdf.columns

@@ -96,12 +96,17 @@ def ivf_topk(
     """
     cents = centroids_by(df, vec_col, list_col)
     q = _query_vec_lit(query_vec)
+    # probe ranking is ROUNDED + list-id-tie-broken: centroid means are
+    # aggregation-order-sensitive in the last ulp (unlike the sequential
+    # dot-product folds), so raw-double ordering is not reproducible across
+    # engines/runs; rounding absorbs the ulp noise and the id breaks ties
     probed = [
         r["list_id"]
         for r in cents.select(
-            "list_id", cosine_similarity(F.col("centroid"), q).alias("s")
+            "list_id",
+            F.round(cosine_similarity(F.col("centroid"), q), 6).alias("s"),
         )
-        .orderBy(F.desc("s"))
+        .orderBy(F.desc("s"), F.asc("list_id"))
         .limit(nprobe)
         .collect()
     ]

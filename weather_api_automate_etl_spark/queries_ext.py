@@ -393,9 +393,11 @@ def _ann_ivf_oracle() -> str:
     ),
     cents AS (SELECT label, list(m ORDER BY i) AS c FROM pos GROUP BY label),
     probed AS (
+      -- rounded + id-tie-broken, matching ivf_topk: centroid AVG()s are
+      -- aggregation-order-sensitive in the last ulp across engines
       SELECT c.label
       FROM cents c, q
-      ORDER BY {cos_cq} / (sqrt({ncc}) * sqrt({nq})) DESC
+      ORDER BY ROUND({cos_cq} / (sqrt({ncc}) * sqrt({nq})), 6) DESC, c.label
       LIMIT 3
     ),
     scored AS (

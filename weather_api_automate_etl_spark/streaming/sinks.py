@@ -17,7 +17,25 @@ Same discipline as the batch side's per-interval dynamic overwrite
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
+
+
+def batch_writer(path: str, output_mode: str = "append"):
+    """The per-micro-batch writer ``stream_to_table`` installs — exposed so
+    the replay contract (same batch_id written twice ⇒ identical table, no
+    duplicates) is directly testable; Spark 4's checkpoint tamper-detection
+    makes forcing a real replay from a doctored commit log impossible."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if output_mode == "complete":
+            batch_df.write.mode("overwrite").parquet(path)
+        else:
+            # one subdir per micro-batch: replay overwrites, never duplicates
+            batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return write_batch
 
 
 def stream_to_table(
@@ -30,15 +48,30 @@ def stream_to_table(
 ) -> None:
     """Drain ``stream_df`` into a parquet table at ``path`` with
     availableNow, via an idempotent per-batch ``foreachBatch`` writer.
-    Raises on timeout rather than silently returning a partial table."""
+    Raises on timeout rather than silently returning a partial table.
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if output_mode == "complete":
-            batch_df.write.mode("overwrite").parquet(path)
-        else:
-            # one subdir per micro-batch: replay overwrites, never duplicates
-            batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+    Only ``append`` and ``complete`` are supported: ``update`` emits
+    changed-rows-per-key deltas, which the per-batch-partition scheme would
+    land as stale duplicates across batches — rejected loudly instead."""
+    if output_mode not in ("append", "complete"):
+        raise ValueError(
+            f"stream_to_table supports append/complete, not {output_mode!r} "
+            "(update-mode deltas would duplicate keys across batch partitions)"
+        )
+    write_batch = batch_writer(path, output_mode)
 
+    spark = stream_df.sparkSession
+    # a previous drain of the same name/checkpoint deregisters ASYNC after
+    # awaitTermination returns — stop leftovers and wait them out, or the
+    # new start trips Spark's concurrent-checkpoint-usage guard
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        same = [a for a in spark.streams.active if a.name == query_name]
+        if not same:
+            break
+        for a in same:
+            a.stop()
+        time.sleep(0.2)
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
         .queryName(query_name)
