@@ -50,6 +50,12 @@ def _drain_event_stream(
     ns-parquet trap), apply ``build(stream)``, drain availableNow into a
     fresh memory sink, clean up, return the sink table. One definition so
     the staging/conversion traps live in exactly one place."""
+    # batch queries self-heal via load_table; the streaming stager builds
+    # its own source, so heal here too — otherwise a non-UTC driver session
+    # shifts every instant→ntz window/session boundary by the tz offset
+    from weather_api_automate_etl_spark.sources.tables import _ensure_engine_confs
+
+    _ensure_engine_confs(spark)
     for active in spark.streams.active:
         if active.name == sink:
             active.stop()

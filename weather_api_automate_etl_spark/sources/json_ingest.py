@@ -51,7 +51,10 @@ def extract_observations(
     cur = F.col("payload.current")
     loc = F.col("payload.location")
     extracted_col = (
-        F.lit(extracted_at).cast("timestamp_ntz")
+        # isoformat string → ntz is a pure wall-clock parse; lit(datetime)
+        # routes through the session timezone and shifts under non-UTC
+        # driver sessions
+        F.lit(extracted_at.isoformat()).cast("timestamp_ntz")
         if extracted_at is not None
         else F.current_timestamp().cast("timestamp_ntz")
     )
@@ -70,7 +73,9 @@ def extract_observations(
         cur.getField("uv_index").alias("uv_index"),
         cur.getField("observation_time").alias("observation_time"),
         extracted_col.alias("extracted_at"),
-        F.lit(batch_start).cast("timestamp_ntz").alias("data_interval_start"),
+        F.lit(batch_start.isoformat()).cast("timestamp_ntz").alias(
+            "data_interval_start"
+        ),
         F.col("raw_json"),
     )
 
