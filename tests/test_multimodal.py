@@ -138,8 +138,10 @@ def test_decode_image_sniffs_magic_and_rejects_unknown():
     px = _gradient(3, 3)
     assert np.array_equal(codecs.decode_image(codecs.encode_ppm(px)), px)
     assert np.array_equal(codecs.decode_image(codecs.encode_bmp(px)), px)
+    assert np.array_equal(codecs.decode_image(codecs.encode_png(px)), px)
+    # JPEG has no pure-NumPy decoder: still the documented plug point
     with _pytest.raises(NotImplementedError, match="magic"):
-        codecs.decode_image(b"\x89PNG\r\n\x1a\n....")
+        codecs.decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def test_resize_nearest_exact_mapping():
@@ -183,6 +185,69 @@ def test_real_decode_and_resize_through_spark(spark):
     stats = {r.asset_id: r for r in image_stats(assets).collect()}
     for aid, s in stats.items():
         assert s.first_px_r == 255 - aid % 256
+
+
+def test_png_roundtrip_all_filters_both_color_types():
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    rng = np.random.default_rng(42)
+    for bpp in (3, 4):
+        for f in range(5):
+            # (1,1) exercises the no-left/no-up edge; odd widths exercise
+            # lane alignment in the per-lane prefix-sum Sub path
+            for h, w in [(1, 1), (3, 5), (6, 4)]:
+                px = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+                got = codecs.decode_png(codecs.encode_png(px, filter_type=f))
+                assert np.array_equal(got, px), f"bpp={bpp} filter={f} {h}x{w}"
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = _gradient(3, 4)
+    payload = bytearray(codecs.encode_png(px))
+    # flip a raster byte inside IDAT: CRC must catch it
+    payload[len(payload) - 20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(payload))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"nope")
+    # 16-bit depth is out of scope and must say so, not mis-decode
+    good = codecs.encode_png(px)
+    ihdr_off = 8 + 8  # sig + len/type
+    bad_depth = bytearray(good)
+    bad_depth[ihdr_off + 8] = 16
+    import struct as _struct
+    import zlib as _zlib
+
+    body = bytes(bad_depth[ihdr_off - 4 : ihdr_off + 13])
+    bad_depth[ihdr_off + 13 : ihdr_off + 17] = _struct.pack(
+        ">I", _zlib.crc32(body)
+    )
+    with _pytest.raises(ValueError, match="8-bit"):
+        codecs.decode_png(bytes(bad_depth))
+
+
+def test_png_spark_pipeline_stats(spark):
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        documents_as_png_assets,
+        png_stats,
+    )
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    stats = {r.asset_id: r for r in png_stats(documents_as_png_assets(docs)).collect()}
+    assert len(stats) == 40
+    for aid, s in stats.items():
+        assert (s.width, s.height) == (aid % 11 + 2, aid % 5 + 2)
+        assert s.n_channels == (3 if aid % 2 == 0 else 4)
+        assert s.first_px_r == 255 - aid % 256
+        assert s.first_px_a == (255 if aid % 2 == 0 else aid * 11 % 256)
 
 
 def test_ppm_comment_terminates_token():

@@ -174,6 +174,13 @@ def test_codec_roundtrip_property(hwseed):
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
     assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+    # PNG: filter choice and alpha channel derived from the seed so the
+    # property sweeps all five unfilter paths and both color types
+    bpp = 3 if seed % 2 == 0 else 4
+    pxa = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_png(codecs.encode_png(pxa, filter_type=seed % 5)), pxa
+    )
 
 
 @given(

@@ -34,9 +34,12 @@ from weather_api_automate_etl_spark.sources import multimodal
 
 _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
-#: declared schema of the staged events stream (ts is the raw ns-epoch long)
-_EVENT_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+#: declared schema of the staged events stream, modulo the ts type — the
+#: fixture has shipped ts as TIMESTAMP(NANOS) (a raw ns-epoch long under
+#: nanosAsLong) in some generations and TIMESTAMP(MICROS) in others, so the
+#: stager probes the file instead of hard-coding either precision.
+_EVENT_STREAM_SCHEMA_FMT = (
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -46,10 +49,10 @@ def _drain_event_stream(
 ) -> DataFrame:
     """Shared recipe for every q_streaming_* query: stage the events fixture
     behind a symlink dir (file stream sources need a directory; no data
-    copy), convert the ns-epoch longs to µs timestamps (integer div — the
-    ns-parquet trap), apply ``build(stream)``, drain availableNow into a
-    fresh memory sink, clean up, return the sink table. One definition so
-    the staging/conversion traps live in exactly one place."""
+    copy), normalize ``ts`` to a µs timestamp, apply ``build(stream)``,
+    drain availableNow into a fresh memory sink, clean up, return the sink
+    table. One definition so the staging/conversion traps live in exactly
+    one place."""
     # batch queries self-heal via load_table; the streaming stager builds
     # its own source, so heal here too — otherwise a non-UTC driver session
     # shifts every instant→ntz window/session boundary by the tz offset
@@ -63,11 +66,27 @@ def _drain_event_stream(
     os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
     from weather_api_automate_etl_spark.streaming import events as stream_events
 
-    stream = (
-        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
-        .parquet(stage_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # File streams need a user-declared schema, and declaring the wrong ts
+    # precision silently corrupts every event time (a µs long divided as ns
+    # lands in 1970). Probe the file's batch schema — a driver-side footer
+    # read — and stage accordingly: ns generations arrive as bigint and take
+    # the integer-div path (ns epochs exceed double's mantissa, so never
+    # float-divide); µs generations arrive as a native timestamp type.
+    batch_ts = dict(spark.read.parquet(f"{stage_dir}/events.parquet").dtypes)["ts"]
+    if batch_ts == "bigint":
+        stream = (
+            spark.readStream.schema(_EVENT_STREAM_SCHEMA_FMT.format(ts_type="long"))
+            .parquet(stage_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    else:
+        stream = (
+            spark.readStream.schema(
+                _EVENT_STREAM_SCHEMA_FMT.format(ts_type=batch_ts)
+            )
+            .parquet(stage_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
     try:
         stream_events.run_to_memory_sink(build(stream), sink, **drain_kwargs)
     finally:
@@ -863,11 +882,17 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (HLL++ distinct count, quantile
     sketch percentiles) — sub-linear state at any scale; approximate by
-    construction, so rows-only driver check (exactness bounds in tests)."""
+    construction, so rows-only driver check (exactness bounds in tests).
+
+    Percentiles come back as scalar columns (one sketch, two extractions)
+    rather than one array column: the rows-only check canonicalizes by
+    sorting column values, which needs every column hashable/orderable."""
     ev = t(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        pcts[0].alias("value_p50"),
+        pcts[1].alias("value_p95"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1310,6 +1335,39 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap, stride error) breaks the hash match."""
     assets = multimodal.documents_as_image_assets(t(spark, sf_dir, "documents"))
     return multimodal.image_stats(assets)
+
+
+@query(
+    "q_multimodal_decode_png",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(doc_id % 11 + 2 AS INTEGER) AS width,
+           CAST(doc_id % 5 + 2 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER) AS n_channels,
+           ROUND(CAST((doc_id % 256) * ((doc_id % 11 + 2) * (doc_id % 5 + 2) - 1)
+                      + 255 - (doc_id % 256) AS DOUBLE)
+                 / ((doc_id % 11 + 2) * (doc_id % 5 + 2)), 6) AS mean_r,
+           CAST(255 - doc_id % 256 AS INTEGER) AS first_px_r,
+           CAST(255 - n_chars % 256 AS INTEGER) AS first_px_g,
+           CAST(255 - doc_id * 7 % 256 AS INTEGER) AS first_px_b,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 255
+                     ELSE doc_id * 11 % 256 END AS INTEGER) AS first_px_a
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-stub PNG decode end-to-end: deterministic real PNG payloads
+    (multimodal.documents_as_png_assets — RGB/RGBA alternating by parity,
+    scanline filter doc_id%5 so all five unfilter paths run in-pipeline)
+    are decoded by the pure-stdlib zlib + NumPy codec
+    (sources/codecs.py::decode_png) — chunk/CRC parse, inflate, per-filter
+    reconstruction — and reduced to location- and value-sensitive stats.
+    The oracle predicts every stat from the generation parameters, so any
+    decode defect (filter math, row order, channel order, alpha) breaks
+    the hash match."""
+    assets = multimodal.documents_as_png_assets(t(spark, sf_dir, "documents"))
+    return multimodal.png_stats(assets)
 
 
 # ---------------------------------------------------------------------------

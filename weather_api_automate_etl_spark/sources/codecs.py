@@ -1,11 +1,11 @@
-"""Pure-NumPy image codecs: binary PPM (P6) and 24-bpp BMP.
+"""Pure-NumPy image codecs: binary PPM (P6), 24-bpp BMP, and 8-bit PNG.
 
-The container ships no PIL/ffmpeg, but these two formats are simple enough
-to decode with ``struct`` + NumPy alone — which gives the multimodal
-pipeline (sources/multimodal.py) one REAL end-to-end decode path next to
-the documented stub seam. Everything here is deterministic and
-byte-exact, so decode results are oracle-checkable when the payloads are
-generated from known parameters.
+The container ships no PIL/ffmpeg, but these formats are decodable with
+``struct`` + stdlib ``zlib`` + NumPy alone — which gives the multimodal
+pipeline (sources/multimodal.py) REAL end-to-end decode paths next to the
+documented stub seam. Everything here is deterministic and byte-exact, so
+decode results are oracle-checkable when the payloads are generated from
+known parameters.
 
 Formats (public specs):
 - PPM P6: ASCII header ``P6 <w> <h> <maxval>`` with ``#`` comments and
@@ -13,11 +13,18 @@ Formats (public specs):
 - BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes),
   24 bpp, uncompressed (BI_RGB), rows stored bottom-up and padded to a
   4-byte boundary, pixels in BGR order.
+- PNG (RFC 2083 / W3C spec): 8-byte signature, length-type-data-CRC
+  chunks, IHDR + IDAT (zlib-compressed filtered scanlines) + IEND.
+  Supported subset: bit depth 8, color type 2 (RGB) / 6 (RGBA),
+  non-interlaced — the dominant shape of real-corpus PNGs. All five
+  scanline filters (None/Sub/Up/Average/Paeth) are implemented on both
+  the encode and decode side, so each unfilter path is round-trippable.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -133,11 +140,150 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit RGB/RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    body = ctype + data
+    return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, elementwise over int16 arrays (spec §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3|4) uint8 array → PNG bytes, applying ``filter_type``
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) uniformly to every scanline.
+
+    The filter choice changes the bytes but never the decoded image, which
+    is exactly what makes generated PNGs oracle-checkable while still
+    exercising every unfilter path in :func:`decode_png`."""
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4) array, got {pixels.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter type {filter_type}")
+    h, w, bpp = pixels.shape
+    color_type = 2 if bpp == 3 else 6
+    raw = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(h, w * bpp)
+    cur = raw.astype(np.int16)
+    left = np.zeros_like(cur)
+    left[:, bpp:] = cur[:, :-bpp]
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    ul = np.zeros_like(cur)
+    ul[1:, bpp:] = cur[:-1, :-bpp]
+    if filter_type == 0:
+        filt = cur
+    elif filter_type == 1:
+        filt = cur - left
+    elif filter_type == 2:
+        filt = cur - up
+    elif filter_type == 3:
+        filt = cur - (left + up) // 2
+    else:
+        filt = cur - _paeth(left, up, ul)
+    scanlines = np.empty((h, 1 + w * bpp), dtype=np.uint8)
+    scanlines[:, 0] = filter_type
+    scanlines[:, 1:] = (filt % 256).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3|4) uint8 array.
+
+    Supports the 8-bit RGB/RGBA non-interlaced subset; grayscale, palette,
+    16-bit, and Adam7 raise ValueError (they need wider raster plumbing —
+    extend here, not in callers). Unfiltering is NumPy-wide per scanline:
+    Up is a whole-row add, Sub is a per-lane prefix sum, Average/Paeth
+    walk pixels left-to-right but stay vectorized across channel lanes."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError(f"only 8-bit RGB/RGBA supported (depth={depth}, color={color_type})")
+    if comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError("only deflate/adaptive-filter/non-interlaced PNG supported")
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    raster = zlib.decompress(b"".join(idat))
+    if len(raster) != h * (1 + stride):
+        raise ValueError(f"raster size mismatch: want {h * (1 + stride)}, got {len(raster)}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f, line = int(filters[y]), data[y].astype(np.int16)
+        if f == 0:
+            recon = line
+        elif f == 1:
+            # Sub: recon(x) = filt(x) + recon(x-bpp) → per-lane prefix sum
+            recon = np.cumsum(line.reshape(w, bpp).astype(np.int64), axis=0).reshape(stride)
+        elif f == 2:
+            recon = line + prev
+        elif f == 3:
+            recon = line.copy()
+            recon[:bpp] = (line[:bpp] + prev[:bpp] // 2) % 256
+            for x in range(bpp, stride, bpp):
+                recon[x : x + bpp] = (
+                    line[x : x + bpp]
+                    + (recon[x - bpp : x] + prev[x : x + bpp]) // 2
+                ) % 256
+        elif f == 4:
+            recon = line.copy()
+            zero = np.zeros(bpp, dtype=np.int16)
+            recon[:bpp] = (line[:bpp] + _paeth(zero, prev[:bpp], zero)) % 256
+            for x in range(bpp, stride, bpp):
+                recon[x : x + bpp] = (
+                    line[x : x + bpp]
+                    + _paeth(recon[x - bpp : x], prev[x : x + bpp], prev[x - bpp : x])
+                ) % 256
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        prev = (recon % 256).astype(np.int16)
+        out[y] = prev.astype(np.uint8)
+    return out.reshape(h, w, bpp)
+
+
+# ---------------------------------------------------------------------------
 # Shared ops
 # ---------------------------------------------------------------------------
 
 #: magic-byte sniffing → decoder
-DECODERS = {b"P6": decode_ppm, b"BM": decode_bmp}
+DECODERS = {b"P6": decode_ppm, b"BM": decode_bmp, PNG_SIG[:2]: decode_png}
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -104,6 +104,97 @@ def documents_as_image_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
 
 
+def documents_as_png_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL PNG payloads deterministically from document columns
+    (mirror of documents_as_image_assets for the PNG path).
+
+    Per doc: width = doc_id%11+2, height = doc_id%5+2, RGB for even doc_id
+    and RGBA for odd (both supported color types), scanline filter
+    doc_id%5 (all five filter paths decode in-pipeline), fill color
+    (doc_id%256, n_chars%256, doc_id*7%256) with pixel (0,0) RGB-inverted,
+    constant alpha doc_id*11%256. Every decoded property is predictable
+    from (doc_id, n_chars) — i.e. SQL-oracle-able — while the bytes still
+    take the full chunk-parse → zlib → unfilter path."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = doc_id % 11 + 2, doc_id % 5 + 2
+                r, g, b = doc_id % 256, n_chars % 256, doc_id * 7 % 256
+                bpp = 3 if doc_id % 2 == 0 else 4
+                px = np.empty((h, w, bpp), dtype=np.uint8)
+                px[:, :, :3] = (r, g, b)
+                if bpp == 4:
+                    px[:, :, 3] = doc_id * 11 % 256
+                px[0, 0, :3] = (255 - r, 255 - g, 255 - b)
+                payloads.append(codecs.encode_png(px, filter_type=doc_id % 5))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["image/png"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("first_px_r", T.IntegerType()),
+        T.StructField("first_px_g", T.IntegerType()),
+        T.StructField("first_px_b", T.IntegerType()),
+        T.StructField("first_px_a", T.IntegerType()),
+    ]
+)
+
+
+def png_stats(assets: DataFrame) -> DataFrame:
+    """REAL PNG decode → per-image stats via Arrow-batched ``mapInPandas``.
+
+    Location-sensitive (first pixel) and value-sensitive (channel mean)
+    stats, plus channel count, so a decode defect — wrong filter
+    reconstruction, row order, channel order, or alpha handling — cannot
+    cancel out. RGB images report alpha 255 (opaque)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in PNG_STATS_SCHEMA.fieldNames()}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                arr = codecs.decode_png(bytes(content))
+                out["asset_id"].append(aid)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["n_channels"].append(arr.shape[2])
+                out["mean_r"].append(round(float(arr[:, :, 0].mean()), 6))
+                out["first_px_r"].append(int(arr[0, 0, 0]))
+                out["first_px_g"].append(int(arr[0, 0, 1]))
+                out["first_px_b"].append(int(arr[0, 0, 2]))
+                out["first_px_a"].append(
+                    int(arr[0, 0, 3]) if arr.shape[2] == 4 else 255
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, PNG_STATS_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
