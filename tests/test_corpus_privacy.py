@@ -1,0 +1,96 @@
+"""Round-4 corpus-prep operators: PII redaction, benchmark
+decontamination, mixture rebalancing, length histogram."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from weather_api_automate_etl_spark.operators.privacy import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org call +1-555-123-4567 done"),
+            (2, "ip 192.168.0.1 card 4111 1111 1111 1234 x"),
+            (3, "two mails a@b.io c@d.io"),
+            (4, "nothing sensitive here"),
+        ],
+        "id long, raw string",
+    )
+    got = {r.id: r for r in redact_pii(df, "raw").collect()}
+    assert got[1].redacted == "mail <EMAIL> call <PHONE> done"
+    assert (got[1].n_email, got[1].n_phone) == (1, 1)
+    assert got[2].redacted == "ip <IP> card <CARD> x"
+    assert (got[2].n_ip, got[2].n_card) == (1, 1)
+    assert got[3].n_email == 2 and got[3].redacted == "two mails <EMAIL> <EMAIL>"
+    assert got[4].redacted == "nothing sensitive here"
+    assert not got[4].has_pii and got[1].has_pii
+    # schema: input id survives, text column replaced by `redacted`
+    assert set(redact_pii(df, "raw").columns) == {
+        "id", "redacted", "n_email", "n_card", "n_phone", "n_ip", "has_pii"
+    }
+
+
+def test_decontaminate_flags_shared_grams_only(spark):
+    from weather_api_automate_etl_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x y alpha beta gamma z"),        # shares the 3-gram
+            (2, "alpha gamma beta delta"),        # same words, no shared 3-gram
+            (3, "alpha beta gamma delta q"),      # shares two 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(train, bench, k=3).collect()}
+    assert set(got) == {1, 3}
+    assert got[1].n_grams_hit == 1
+    assert got[3].n_grams_hit == 2
+    assert got[1].first_bench_id == 900
+
+
+def test_rebalance_to_mixture_rates(spark):
+    from weather_api_automate_etl_spark.operators.sampling import (
+        hash_fraction,
+        rebalance_to_mixture,
+    )
+
+    # 80 'a' rows, 20 'b' rows; target 50/50 → a samples at 100*0.5/80=0.625,
+    # b keeps everything (rate clamps at 1)
+    rows = [(i, "a") for i in range(80)] + [(i + 100, "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = rebalance_to_mixture(df, "src", {"a": 0.5, "b": 0.5}, "doc_id")
+    got = {(r.doc_id, r.src) for r in out.collect()}
+    assert {(i + 100, "b") for i in range(20)} <= got
+    # the kept 'a' set is exactly the hash-threshold filter (replayable)
+    expected_a = {
+        (r.doc_id, "a")
+        for r in df.filter(
+            (F.col("src") == "a") & (hash_fraction(F.col("doc_id")) < 0.625)
+        ).collect()
+    }
+    assert {g for g in got if g[1] == "a"} == expected_a
+    # strata absent from the target are dropped entirely
+    assert rebalance_to_mixture(df, "src", {"b": 1.0}, "doc_id").filter(
+        F.col("src") == "a"
+    ).count() == 0
+
+
+def test_length_histogram_bins_and_clamp(spark):
+    from weather_api_automate_etl_spark.operators.corpus import length_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (49,), (50,), (99,), (100,), (10_000,)], "n_chars long"
+    )
+    rows = {r.bin_lo: r for r in length_histogram(df, "n_chars", 50, 3).collect()}
+    assert rows[0].n_docs == 2 and rows[0].bin_hi == 50
+    assert rows[50].n_docs == 2 and rows[50].bin_hi == 100
+    # top bucket clamps the outlier and is open-ended
+    assert rows[100].n_docs == 2 and rows[100].bin_hi is None
+    # shares are rounded to 6 decimals, so the sum carries that rounding
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 5e-6

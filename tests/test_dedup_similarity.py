@@ -204,6 +204,35 @@ def test_pagerank_hand_case(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_convergence_mode(spark):
+    from weather_api_automate_etl_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    tol = 1e-9
+    conv = {
+        x.doc_id: x.rank
+        for x in graph.pagerank(
+            nodes, edges, tolerance=tol, max_iterations=200
+        ).collect()
+    }
+    # mass conserved at the fixed point too
+    assert abs(sum(conv.values()) - 1.0) < 1e-9
+    # converged ranks agree with a long fixed-iteration power run to within
+    # the tolerance (both approximate the same stationary distribution)
+    fixed = {
+        x.doc_id: x.rank
+        for x in graph.pagerank(nodes, edges, iterations=120).collect()
+    }
+    for k in conv:
+        assert abs(conv[k] - fixed[k]) < 1e-6, k
+    # the probe is honest: an unreachable tolerance within 1 round raises
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not reach"):
+        graph.pagerank(nodes, edges, tolerance=1e-15, max_iterations=1)
+
+
 def test_nearest_centroid_recovers_separated_labels(spark):
     # two well-separated clusters: every vector assigns to its own label's
     # centroid, scores in (0, 1]

@@ -1,11 +1,13 @@
-"""Corpus-composition operators: mixture tables and packing planning.
+"""Corpus-composition operators: mixture tables, packing planning,
+benchmark decontamination, and length profiling.
 
 The bookkeeping layer of a training-data pipeline: what is the corpus made
 of (per-language/per-source shares — the table a data-mixing config is
-written against), and how many packed context windows does each slice
-yield. Both are plain aggregates — one shuffle of map-side-combined
-partials regardless of corpus size; the output tables are
-strata-cardinality-small.
+written against), how many packed context windows each slice yields,
+which training documents leak benchmark n-grams, and how document lengths
+distribute. All are plain aggregates/joins — one shuffle of map-side-
+combined partials regardless of corpus size; the output tables are
+strata- or benchmark-cardinality-small.
 """
 
 from __future__ import annotations
@@ -13,6 +15,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from weather_api_automate_etl_spark.functions.text import tokens, word_shingles
 
 
 def source_mix(
@@ -83,4 +87,78 @@ def pack_estimate(
             ).alias("padded_efficiency"),
             "n_overflow_docs",
         )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination report: training documents that share at
+    least one k-word shingle with any benchmark document (the standard
+    n-gram test-set-leakage check; real pipelines use k≈13).
+
+    Shape: both sides explode to DISTINCT (id, gram) pairs — map-side
+    array math + one distinct — then the benchmark grams collapse to a
+    (gram → first benchmark doc) table and equi-join against the training
+    grams. The benchmark suite is tiny next to a training corpus, so its
+    gram table is broadcast by default (``broadcast_bench=False`` for a
+    benchmark too big to broadcast — the join then buckets on gram).
+    Returns one row per CONTAMINATED training doc: (id, n_grams_hit,
+    first_bench_id); clean docs are absent (anti-join against this table
+    to get the decontaminated corpus).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        g = word_shingles(tokens(text_col), k)
+        return (
+            df.select(F.col(id_col), F.explode(F.array_distinct(g)).alias("gram"))
+            .distinct()
+        )
+
+    bench_grams = grams(bench).groupBy("gram").agg(
+        F.min(id_col).alias("first_bench_id")
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        grams(train)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams_hit"),
+            F.min("first_bench_id").alias("first_bench_id"),
+        )
+    )
+
+
+def length_histogram(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    bin_width: int = 50,
+    n_bins: int = 12,
+) -> DataFrame:
+    """Fixed-width histogram of a length-ish column with a clamped top
+    bucket (everything ≥ (n_bins-1)·width lands in the last bin, so the
+    output is always exactly ≤ n_bins rows no matter the outliers).
+
+    One map-side-combined aggregate over n_bins groups; the share column
+    comes from a window sum over the n_bins-row aggregate, not the corpus.
+    """
+    bucket = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+    ).cast("int")
+    agg = docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        (F.col("bucket") * bin_width).alias("bin_lo"),
+        F.when(F.col("bucket") < n_bins - 1, (F.col("bucket") + 1) * bin_width)
+        .alias("bin_hi"),
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
     )

@@ -24,6 +24,8 @@ def pagerank(
     iterations: int = 2,
     damping: float = 0.85,
     n: int | None = None,
+    tolerance: float | None = None,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """PageRank on the UNDIRECTED graph induced by ``edges``, over the full
     ``nodes`` universe (isolated nodes keep teleport-only rank).
@@ -34,6 +36,18 @@ def pagerank(
     total rank leaks by d·Σ_isolated rank per round — caught by the
     conservation test). rank⁰ = 1/N;
     rankⁱ⁺¹ = (1−d)/N + d·(Σ_in rankⁱ/degree + dangling_mass/N).
+
+    Two stopping modes:
+
+    - ``tolerance=None`` (default): exactly ``iterations`` rounds — the
+      deterministic, SQL-oracle-able shape (the oracle unrolls the rounds
+      as CTEs).
+    - ``tolerance=ε``: iterate until the L1 rank movement Σ|Δrank| < ε,
+      raising RuntimeError past ``max_iterations`` — the production shape.
+      The probe follows connected_components' discipline: the step
+      already carries each node's previous rank (contributions join onto
+      the ranks frame itself), so convergence costs ONE 1-row aggregate
+      over the just-checkpointed frame per round — no extra join.
 
     ``N`` comes from one count() (pass ``n`` if the caller already knows it
     — avoids a duplicate job) — a metadata-scale driver scalar, same class
@@ -63,7 +77,9 @@ def pagerank(
     ranks = nodes.select(F.col(node_id).alias("src")).withColumn(
         "rank", F.lit(1.0 / n)
     )
-    for _ in range(iterations):
+    rounds = max_iterations if tolerance is not None else iterations
+    converged = tolerance is None
+    for _ in range(rounds):
         # dangling (isolated-node) mass — a 1-row aggregate, broadcast back
         dm = ranks.join(isolated, "src", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
@@ -73,22 +89,35 @@ def pagerank(
             .select(F.col("dst"), (F.col("rank") / F.col("degree")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
+            .withColumnRenamed("dst", "src")
         )
-        ranks = (
-            nodes.select(F.col(node_id).alias("dst"))
-            .join(contrib, "dst", "left")
+        new_rank = F.lit(base) + F.lit(damping) * (
+            F.coalesce(F.col("mass"), F.lit(0.0)) + F.col("dm") / F.lit(float(n))
+        )
+        # join contributions onto the ranks frame (same node universe as
+        # `nodes`, invariantly): the step keeps the previous rank in reach,
+        # so the convergence delta is a per-row expression, not a join
+        stepped = (
+            ranks.join(contrib, "src", "left")
             .crossJoin(F.broadcast(dm))
             .select(
-                F.col("dst").alias("src"),
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("mass"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
+                "src",
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("rank")).alias("delta"),
             )
             .localCheckpoint(eager=True)
+        )
+        ranks = stepped.select("src", "rank")
+        if tolerance is not None:
+            # 1-row aggregate over the already-materialized step — the
+            # same probe discipline as connected_components' label checksum
+            moved = stepped.agg(F.sum("delta")).first()[0]
+            if moved is not None and moved < tolerance:
+                converged = True
+                break
+    if not converged:
+        raise RuntimeError(
+            f"pagerank did not reach tolerance {tolerance} within "
+            f"{max_iterations} iterations"
         )
     return ranks.select(F.col("src").alias(node_id), "rank")

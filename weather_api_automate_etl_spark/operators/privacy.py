@@ -1,0 +1,55 @@
+"""PII detection and redaction for training-corpus preparation.
+
+Before text reaches a training corpus, contact strings (emails, phone
+numbers, IP addresses, card-shaped numbers) must be found and masked.
+This is pure per-row regex work — JVM-side ``regexp_replace`` /
+``regexp_count`` expressions inside whole-stage codegen, zero shuffles,
+embarrassingly parallel at any corpus size — exactly the shape that stays
+cheap at 100 TB.
+
+The patterns deliberately stick to the regex subset with identical
+semantics in Java regex (Spark) and RE2 (DuckDB, used by the oracle):
+character classes, bounded repetition, ``\\b`` word boundaries,
+non-capturing groups; no backreferences or lookaround. Rule ORDER is
+load-bearing: card-shaped 16-digit runs must be masked before the phone
+rule can eat a 7-digit suffix of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: (kind, pattern, replacement) — applied in order.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CARD>"),
+    ("phone", r"\+?\d{1,2}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str, keep: list[str] | None = None) -> DataFrame:
+    """Mask every PII match in ``text_col`` and count matches per kind.
+
+    Returns ``keep`` columns (default: all input columns except the text)
+    plus ``redacted`` and one ``n_<kind>`` count per rule, and ``has_pii``.
+    Counts are taken BEFORE masking (on the raw text) so an earlier rule's
+    replacement token can never hide a later rule's match count; masking
+    itself applies the rules in ``PII_RULES`` order.
+    """
+    kept = keep if keep is not None else [c for c in df.columns if c != text_col]
+    raw: Column = F.col(text_col)
+    masked = raw
+    counts: list[Column] = []
+    total: Column = F.lit(0)
+    for kind, pattern, repl in PII_RULES:
+        n = F.regexp_count(raw, F.lit(pattern)).cast("long")
+        counts.append(n.alias(f"n_{kind}"))
+        total = total + n
+        masked = F.regexp_replace(masked, pattern, repl)
+    return df.select(
+        *kept,
+        masked.alias("redacted"),
+        *counts,
+        (total > 0).alias("has_pii"),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # First 8 md5 hex chars as an integer, uniform on [0, 2^32).
 _HASH_SPACE = float(2**32)
@@ -71,6 +71,46 @@ def weighted_reservoir(
         .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") <= k)
         .drop("__wkey", "__rn")
+    )
+
+
+def rebalance_to_mixture(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: Mapping[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Downsample strata toward a TARGET mixture (the data-mixing step of a
+    training pipeline: "make src A 10% of the corpus, src B 5%, ...").
+
+    Per-stratum keep rate = min(1, target_share · N_total / n_stratum) —
+    i.e. keep everything in under-represented strata and hash-sample the
+    over-represented ones down toward the target. Strata absent from
+    ``target_shares`` are dropped (share 0).
+
+    Scale shape: one aggregate produces the strata-cardinality count table;
+    the global total is a window sum OVER that tiny table; the rate table
+    broadcasts back onto the corpus (strata cardinality ≪ corpus), and the
+    keep decision is the same zero-shuffle content-hash filter as
+    :func:`deterministic_sample` — replayable across engines and reruns.
+    """
+    share = F.when(F.lit(False), F.lit(0.0))
+    for stratum, s in sorted(target_shares.items()):
+        share = share.when(F.col(strata_col) == stratum, F.lit(float(s)))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.coalesce(share, F.lit(0.0))
+            * F.sum("__n").over(Window.partitionBy())
+            / F.col("__n"),
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_fraction(F.col(key_col)) < F.col("__rate"))
+        .drop("__rate")
     )
 
 

@@ -529,50 +529,34 @@ def _load_extensions() -> None:
 
 
 # Priority order for the registry as exposed to the driver. External
-# verification may only sample a prefix of the registry (rounds 1 and 2
+# verification may only sample a prefix of the registry (rounds 1-3 each
 # recorded exactly the first 50 entries), so window placement is evidence
 # strategy: the union of per-round CORRECTNESS files should converge on the
-# whole registry. Rounds 1+2 drove 79 distinct queries green; round 3's
-# window leads with the 24 queries those windows never reached (iterative
-# graph, BM25, SCD2, native streaming sessions/stateful, corpus
-# bookkeeping, the analytics long tail), then round-3 additions, then
-# backfills with the §2 core and one representative per family so any
-# window still samples every capability. Anything registered but unlisted
-# is appended in registration order (new queries are never silently
-# dropped).
+# whole registry. Rounds 1-3 drove 102 of 103 distinct queries green; the
+# round-4 window opens with the one remaining gap (q_approx_stats, whose
+# array-typed percentile column crashed the r3 canonicalizer and is now
+# split into scalar columns) plus every round-4 addition, then backfills
+# with the §2 core and one representative per family so any window still
+# samples every capability. Anything registered but unlisted is appended in
+# registration order (new queries are never silently dropped);
+# test_queries_registry asserts every listed name is actually registered.
 
-#: the 24 queries with no CORRECTNESS_r01/r02 row — round 3's window
-#: must open with exactly these (pinned by test_queries_registry).
-NEVER_DRIVER_VERIFIED_R12: tuple[str, ...] = (
-    "q_pagerank",
-    "q_bm25",
-    "q_scd2",
-    "q_streaming_sessions",
-    "q_streaming_stateful",
-    "q_repetition",
-    "q_dup_shingles",
-    "q_source_mix",
-    "q_pack_estimate",
-    "q_centroid_assign",
-    "q_weighted_sample",
-    "q_cluster_survivors",
-    "q_text_chunks",
-    "q_multimodal_resize_real",
-    "q_multimodal_resize",
-    "q_test_relationships",
-    "q_approx_stats",
-    "q_moving_avg",
-    "q_percentiles",
-    "q_pivot",
-    "q_rollup",
-    "q_semi_anti_join",
-    "q_set_ops",
-    "q_stats_moments",
+#: queries with no green CORRECTNESS_r01/r02/r03 row plus round-4
+#: additions — round 4's window must open with these (pinned by
+#: test_queries_registry, which derives the unverified set from the
+#: CORRECTNESS files themselves).
+ROUND4_WINDOW_HEAD: tuple[str, ...] = (
+    "q_approx_stats",          # r3 red row: array column, now scalarized
+    # -- round-4 additions (no driver row yet by construction) -------------
+    "q_multimodal_decode_png",
+    "q_pii_redact",
+    "q_decontaminate",
+    "q_mixture_sample",
+    "q_length_hist",
+    "q_pagerank_converged",
 )
 
-PRIORITY_ORDER: tuple[str, ...] = NEVER_DRIVER_VERIFIED_R12 + (
-    # -- round-3 additions (also never driver-verified) --------------------
-    "q_multimodal_decode_png",
+PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (
     # -- §2 core sentinels (driver-green r1+r2; regression canaries) -------
     "q_string_normalize",
     "q_case_ilike",

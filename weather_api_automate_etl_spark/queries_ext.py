@@ -1500,6 +1500,204 @@ def q_pack_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus preparation round 4: PII redaction, benchmark decontamination,
+# mixture rebalancing, length profiling
+# ---------------------------------------------------------------------------
+
+#: the synthetic-PII augmentation (the fixture text carries no real PII, so
+#: the redaction path is exercised on deterministically generated contact
+#: strings appended to each doc — same derivation in Spark and the oracle)
+_PII_AUG_SQL = """
+    substr(text, 1, 40)
+    || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+    || '.example.com call +1-555-'
+    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+    || '-' || lpad(CAST(doc_id * 3 % 10000 AS VARCHAR), 4, '0')
+    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+    || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+    || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+    || ' card 4111-1111-1111-'
+    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+"""
+
+
+def _pii_aug_col() -> "Column":  # noqa: F821
+    d = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com call +1-555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d * 3 % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (d % 256).cast("string"),
+        F.lit("."), (d * 3 % 256).cast("string"),
+        F.lit("."), (d * 7 % 256).cast("string"),
+        F.lit(" card 4111-1111-1111-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+def _pii_rules_sql() -> tuple[str, str]:
+    """(redacted_expr, count_cols) SQL mirroring operators/privacy.py —
+    built from the SAME PII_RULES tuple so the twins cannot drift."""
+    from weather_api_automate_etl_spark.operators.privacy import PII_RULES
+
+    redacted = "raw"
+    counts = []
+    for kind, pattern, repl in PII_RULES:
+        lit = pattern.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{lit}', '{repl}', 'g')"
+        counts.append(
+            f"CAST(len(regexp_extract_all(raw, '{lit}')) AS BIGINT) AS n_{kind}"
+        )
+    total = " + ".join(
+        f"len(regexp_extract_all(raw, '{p.replace(chr(39), chr(39) * 2)}'))"
+        for _, p, _ in PII_RULES
+    )
+    return redacted, ",\n           ".join(counts) + f",\n           ({total}) > 0 AS has_pii"
+
+
+_PII_REDACTED_SQL, _PII_COUNTS_SQL = _pii_rules_sql()
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           {_PII_REDACTED_SQL} AS redacted,
+           {_PII_COUNTS_SQL}
+    FROM aug
+    """,
+    tags=("text", "privacy"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking (operators/privacy.py): emails, card-shaped
+    numbers, phone numbers, IPv4 addresses — JVM regexp expressions in one
+    codegen stage, zero shuffles. The fixture text has no PII, so each doc
+    is augmented with deterministically generated contact strings (same
+    derivation in the oracle); the match counts and the masked text must
+    agree byte-for-byte between Java regex and RE2 on the shared pattern
+    subset."""
+    from weather_api_automate_etl_spark.operators import privacy
+
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _pii_aug_col().alias("raw"))
+    return privacy.redact_pii(aug, "raw")
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 5
+                  THEN [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]
+                  ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM base
+    ),
+    ex AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(g) AS s FROM sh)
+    ),
+    bench AS (
+      SELECT s, MIN(doc_id) AS first_bench_id FROM ex WHERE doc_id < 25 GROUP BY s
+    )
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams_hit,
+           MIN(first_bench_id) AS first_bench_id
+    FROM ex JOIN bench USING (s)
+    WHERE ex.doc_id >= 25
+    GROUP BY ex.doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus.py::decontaminate):
+    training docs (doc_id ≥ 25) sharing any 5-word shingle with the
+    benchmark slice (doc_id < 25; real pipelines use k≈13 — the fixture's
+    tiny vocabulary needs k=5 for a non-degenerate report). The benchmark
+    gram table is broadcast; the corpus side is map-side array math + one
+    distinct + one equi-join."""
+    from weather_api_automate_etl_spark.operators import corpus
+
+    docs = t(spark, sf_dir, "documents")
+    return corpus.decontaminate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        k=5,
+    )
+
+
+@query(
+    "q_mixture_sample",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    rates AS (
+      SELECT source,
+             least(1.0e0,
+                   (CAST(substr(source, 4, 10) AS INTEGER) + 1) / 210.0e0
+                   * (SELECT t FROM tot) / n) AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN rates USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          / 4294967296.0e0 < rate
+    """,
+    tags=("sampling",),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a target source mixture
+    (operators/sampling.py::rebalance_to_mixture): target share of srcK ∝
+    K+1, so low-numbered sources downsample hard and high-numbered ones
+    keep everything. Keep decisions are content-hash thresholds —
+    replayable, engine-portable — and the rate table is a broadcast join
+    of a strata-cardinality aggregate."""
+    from weather_api_automate_etl_spark.operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    shares = {f"src{k}": (k + 1) / 210.0 for k in range(20)}
+    return sampling.rebalance_to_mixture(docs, "source", shares, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q_length_hist",
+    oracle="""
+    WITH b AS (
+      SELECT least(CAST(floor(n_chars / 50) AS INTEGER), 11) AS bucket,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(bucket * 50 AS INTEGER) AS bin_lo,
+           CASE WHEN bucket < 11 THEN CAST((bucket + 1) * 50 AS INTEGER) END AS bin_hi,
+           CAST(n AS BIGINT) AS n_docs,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+    FROM b
+    """,
+    tags=("text", "agg"),
+)
+def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram with a clamped top bucket
+    (operators/corpus.py::length_histogram): fixed 50-char bins, open-ended
+    last bin (bin_hi NULL) — the length-distribution profile a filtering
+    config is tuned against. One aggregate; shares windowed over the
+    12-row result."""
+    from weather_api_automate_etl_spark.operators import corpus
+
+    return corpus.length_histogram(
+        t(spark, sf_dir, "documents"), "n_chars", bin_width=50, n_bins=12
+    )
+
+
+# ---------------------------------------------------------------------------
 # Iterative graph dataflow — PageRank over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
@@ -1574,6 +1772,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # composite non-negative score: double-product rounding to match the
         # C-engine oracle on 1e-6 ties (functions/core.py:23)
+        core.round_half_up_via_double(
+            F.col("rank") * F.lit(float(n)), 6
+        ).alias("rank_n"),
+    )
+
+
+@query("q_pagerank_converged", oracle=None, tags=("dedup", "graph"))
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped PageRank: iterate until Σ|Δrank| < 1e-6 instead of
+    a fixed round count (operators/graph.py::pagerank tolerance mode, CC's
+    probe discipline — one 1-row aggregate per round, no extra join). The
+    round count is data-dependent, so there is no fixed-CTE SQL twin:
+    rows-only driver check, with the quantitative gates (mass conservation,
+    probe monotone to ε, agreement with a long fixed run) in
+    tests/test_dedup_similarity.py."""
+    from weather_api_automate_etl_spark.operators import graph
+
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    pairs = dedup.minhash_candidate_pairs(sig, "doc_id")
+    n = docs.count()
+    ranks = graph.pagerank(
+        docs, pairs, node_id="doc_id", tolerance=1e-6, max_iterations=60, n=n
+    )
+    return ranks.select(
+        "doc_id",
         core.round_half_up_via_double(
             F.col("rank") * F.lit(float(n)), 6
         ).alias("rank_n"),
