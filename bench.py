@@ -46,6 +46,14 @@ BENCH_QUERIES = [
     "q_scd2",                # type-2 SCD merge (current-slice full outer)
     "q_bm25",                # lexical retrieval (map-only tf + broadcast stats)
     "q_pagerank",            # iterative graph dataflow (2 rounds)
+    # round-4 additions: every remaining shuffle-heavy family tracked
+    "q_ngram_jaccard",       # inverted-index gram join (size table NOT broadcast)
+    "q_simhash_pairs",       # pigeonhole slice equi-join (37k output rows at sf0.1)
+    "q_salted_agg",          # skew-salted two-phase aggregate
+    "q_centroid_assign",     # broadcast centroids + WindowGroupLimit top-1
+    "q_streaming_stateful",  # applyInPandasWithState drain (real stream run)
+    "q_pii_redact",          # 4-pattern regex scan (codegen regexp throughput)
+    "q_decontaminate",       # gram explode + distinct + broadcast bench join
 ]
 
 

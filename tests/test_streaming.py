@@ -218,3 +218,42 @@ def test_stream_to_table_complete_overwrites(spark, event_dir, tmp_path):
         for r in tumbling_window_agg(load_table(spark, SF, "events")).collect()
     }
     assert got == batch
+
+
+def test_stream_to_table_complete_replay_is_identical(spark, event_dir, tmp_path):
+    # complete-mode replay contract (mirror of the append-mode test): each
+    # batch holds the FULL aggregate, so re-writing any batch must leave
+    # the table content-identical — no duplication, no partial state
+    from weather_api_automate_etl_spark.streaming import sinks
+
+    out = str(tmp_path / "win_table")
+    stream = stream_events.read_event_stream(spark, event_dir)
+    sinks.stream_to_table(
+        stream_events.windowed_counts(stream),
+        out, str(tmp_path / "ckpt"), "win_replay", output_mode="complete",
+    )
+    first = sorted(
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first
+    # replay the final batch through the installed writer (Spark 4's
+    # checkpoint tamper-detection forbids forcing a real replay): the
+    # overwrite must reproduce the identical table
+    replayed = spark.createDataFrame(
+        spark.read.parquet(out).collect(), spark.read.parquet(out).schema
+    )
+    sinks.batch_writer(out, "complete")(replayed, 0)
+    again = sorted(
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
+    # update mode stays loudly rejected — the mode guard, not a silent fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="update"):
+        sinks.stream_to_table(
+            stream_events.windowed_counts(stream),
+            out, str(tmp_path / "ckpt3"), "win_update", output_mode="update",
+        )
