@@ -33,6 +33,31 @@ def test_hll_distinct_within_relative_error(spark):
         assert rel < 0.15, f"{et}: approx={r.approx} exact={r.exact} rel={rel:.3f}"
 
 
+def test_sharded_sketch_union_equals_single_pass(spark):
+    # HLL union over shard sketches is exact in register space: merging
+    # 8 per-shard sketches must give the SAME estimate as sketching the
+    # whole column in one pass — the property that makes stored partial
+    # sketches re-aggregatable at 100 TB
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    merged = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type", (F.col("user_id") % 8).alias("sh"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    single = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == single and len(merged) > 0
+
+
 def test_percentile_sketch_within_rank_error(spark):
     from weather_api_automate_etl_spark.sources.tables import load_table
 

@@ -81,6 +81,31 @@ def test_rebalance_to_mixture_rates(spark):
     ).count() == 0
 
 
+def test_pack_assign_layout_invariants(spark):
+    from weather_api_automate_etl_spark.operators.corpus import pack_assign
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 25), (3, "a", 4), (4, "b", 40)],
+        "doc_id long, src string, tok long",
+    )
+    got = {r.doc_id: r for r in pack_assign(
+        df, "tok", strata=("src",), ctx_len=16
+    ).collect()}
+    # stratum a: starts at 0, 10, 35 → seqs 0, 0, 2; offsets 0, 10, 3
+    assert (got[1].seq_id, got[1].seq_offset) == (0, 0)
+    assert (got[2].seq_id, got[2].seq_offset) == (0, 10)
+    assert (got[3].seq_id, got[3].seq_offset) == (2, 3)
+    # strata pack independently
+    assert (got[4].seq_id, got[4].seq_offset) == (0, 0)
+    # global invariant: offset < ctx and start position reconstructs
+    for r in got.values():
+        assert 0 <= r.seq_offset < 16
+        assert r.seq_id * 16 + r.seq_offset == sum(
+            g.n_tokens for g in got.values()
+            if g.src == r.src and g.doc_id < r.doc_id
+        )
+
+
 def test_length_histogram_bins_and_clamp(spark):
     from weather_api_automate_etl_spark.operators.corpus import length_histogram
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import types as T
+from pyspark.sql import functions as F, types as T
 
 from weather_api_automate_etl_spark.sources import formats
 
@@ -41,6 +41,27 @@ def test_read_jsonl_routes_bad_rows(spark, tmp_path):
     good, bad = formats.read_jsonl(spark, str(p), SCHEMA)
     assert sorted(r.id for r in good.collect()) == [1, 3]
     assert bad.count() == 1
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from weather_api_automate_etl_spark.sources import formats
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    formats.write_orc(docs, path)
+    back = formats.read_orc(spark, path, docs.schema)
+    assert back.count() == docs.count()
+    assert sorted(r.doc_id for r in back.collect()) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    # filters/pruning reach the ORC scan like they do for parquet
+    plan = (
+        back.filter(F.col("doc_id") > 100).select("doc_id", "lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
 
 
 def test_compact_small_files(spark, tmp_path):

@@ -90,6 +90,40 @@ def pack_estimate(
     )
 
 
+def pack_assign(
+    docs: DataFrame,
+    tokens_col,
+    strata: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    ctx_len: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence ASSIGNMENT (the step after
+    :func:`pack_estimate` counts): within each stratum, documents are laid
+    head-to-tail in ``id_col`` order and cut into ``ctx_len``-token
+    sequences; each doc gets the sequence id and offset where it STARTS
+    (a doc may straddle into the next sequence — that is the
+    concat-and-chunk contract; the trainer's loader handles the split).
+
+    Deterministic (pure function of the data + ordering) and
+    SQL-expressible: one cumulative-sum window per stratum — a single
+    shuffle on the strata key at any corpus size, no iterative passes.
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(t).over(w) - t  # tokens laid down before this doc
+    return docs.select(
+        id_col,
+        *strata,
+        t.alias("n_tokens"),
+        F.floor(start / F.lit(ctx_len)).cast("long").alias("seq_id"),
+        (start % F.lit(ctx_len)).cast("long").alias("seq_offset"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

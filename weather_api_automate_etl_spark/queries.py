@@ -554,6 +554,8 @@ ROUND4_WINDOW_HEAD: tuple[str, ...] = (
     "q_mixture_sample",
     "q_length_hist",
     "q_pagerank_converged",
+    "q_pack_assign",
+    "q_sketch_union",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (

@@ -1499,6 +1499,70 @@ def q_pack_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_assign",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, t,
+             SUM(t) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - t AS s
+      FROM d
+    )
+    SELECT doc_id, source,
+           CAST(t AS BIGINT) AS n_tokens,
+           CAST(floor(s / 32.0) AS BIGINT) AS seq_id,
+           CAST(s % 32 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    tags=("text", "windows"),
+)
+def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence assignment at ctx=32
+    (operators/corpus.py::pack_assign): per source, docs laid head-to-tail
+    in id order and cut into context windows; each doc's (seq_id, offset)
+    is a pure window cumsum — one shuffle on the stratum key, the actual
+    packing step a training-data loader consumes."""
+    from weather_api_automate_etl_spark.functions.text import bpe_ish_token_count
+    from weather_api_automate_etl_spark.operators import corpus
+
+    return corpus.pack_assign(
+        t(spark, sf_dir, "documents"),
+        bpe_ish_token_count("text"),
+        strata=("source",),
+        ctx_len=32,
+    )
+
+
+@query("q_sketch_union", oracle=None, tags=("approx", "agg"))
+def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB pattern for distinct counting:
+    build per-shard HLL sketches (here: 8 hash shards per event_type, in a
+    real deployment one sketch per partition/day stored alongside the
+    data), then answer the query by UNIONING sketches instead of re-reading
+    raw data. HLL union is exact over sketch registers, so the merged
+    estimate equals the single-pass sketch estimate (pinned in
+    tests/test_approx_bounds.py); the estimate itself is approximate, so
+    the driver check is rows-only."""
+    ev = t(spark, sf_dir, "events")
+    parts = ev.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        parts.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_shards"),
+        )
+        .select("event_type", F.col("est_users").cast("long").alias("est_users"),
+                "n_shards")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus preparation round 4: PII redaction, benchmark decontamination,
 # mixture rebalancing, length profiling

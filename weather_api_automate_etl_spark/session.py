@@ -8,10 +8,11 @@ Design decisions (all scale-oriented, see SURVEY.md §4/§7):
   DuckDB oracle and to the reference's TIMESTAMP-without-TZ columns.
 - AQE on (coalesce partitions + skew join) — runtime re-planning replaces the
   Postgres planner's role and keeps plans healthy at 100 TB.
-- ``parquet.nanosAsLong`` — the testdata ``events`` table stores
-  TIMESTAMP(NANOS) which Spark refuses natively; we read ns-as-long and
-  convert with integer division (see sources/tables.py — float division
-  would lose precision above 2^53).
+- ``parquet.nanosAsLong`` — fixture generations that store ``events.ts``
+  as TIMESTAMP(NANOS) read as ns-long and convert with integer division
+  (float division would lose precision above 2^53); µs-typed generations
+  read natively and the conf is a harmless no-op. sources/tables.py
+  guards on the observed dtype either way.
 - Arrow enabled — every Pandas-UDF path (similarity, multimodal) is
   Arrow-batched, never row-at-a-time.
 """

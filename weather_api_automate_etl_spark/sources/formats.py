@@ -1,4 +1,4 @@
-"""File-format sources and sinks beyond parquet: CSV / JSON-lines.
+"""File-format sources and sinks beyond parquet: CSV / JSON-lines / ORC.
 
 The reference's only inputs are a REST API and Postgres tables; a complete
 engine also ingests flat files. Both readers here follow the same
@@ -70,6 +70,23 @@ def read_jsonl(
         F.col(CORRUPT_COL).alias("raw_record")
     )
     return good, bad
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib-compressed, Spark's built-in columnar alternative to
+    parquet — common as the interchange format of Hive-era warehouses)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC source with an EXPLICIT schema (same no-inference contract as
+    the CSV/JSONL readers; ORC is self-describing, but pinning the schema
+    catches producer drift at read time instead of ten queries later).
+    ORC has no malformed-row concept — the file is either valid columnar
+    data or fails the footer check — so there is no bad-row channel here.
+    Predicate pushdown and column pruning work through this scan exactly
+    as for parquet (Catalyst's OrcScan supports both)."""
+    return spark.read.schema(schema).orc(path)
 
 
 def compact_small_files(

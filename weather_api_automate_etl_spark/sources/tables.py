@@ -6,13 +6,16 @@ stg_weather.sql:37): a name → relation mapping. Catalyst then owns predicate
 pushdown and column pruning through these scans — ``.explain`` on any query
 over these shows PushedFilters/ReadSchema reaching the parquet source.
 
-The one normalization: ``events.ts`` is stored as parquet TIMESTAMP(NANOS),
-which Spark reads as a raw ns-epoch long under
-``spark.sql.legacy.parquet.nanosAsLong``. We convert with **integer**
-division (``ts div 1000``) — ns epochs (~1.7e18) exceed double's 2^53
-mantissa, so float division would corrupt microseconds — then cast to
-timestamp_ntz to align with the other tables' naive timestamps. The DuckDB
-oracle mirrors this with ``CAST(ts AS TIMESTAMP)`` (also truncating ns→µs).
+The one normalization: ``events.ts`` has shipped as parquet
+TIMESTAMP(NANOS) in some fixture generations (read as a raw ns-epoch long
+under ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS) in
+others (read natively as timestamp_ntz). ``load_table`` guards on the
+observed dtype: bigint takes **integer** division (``ts div 1000`` — ns
+epochs ~1.7e18 exceed double's 2^53 mantissa, so float division would
+corrupt microseconds) then casts to timestamp_ntz; native timestamps pass
+through. The DuckDB oracle mirrors both with ``CAST(ts AS TIMESTAMP)``.
+The streaming stager (queries_ext.py::_drain_event_stream) probes the
+file's batch schema the same way before declaring its stream schema.
 """
 
 from __future__ import annotations
