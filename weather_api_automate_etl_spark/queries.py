@@ -556,6 +556,8 @@ ROUND4_WINDOW_HEAD: tuple[str, ...] = (
     "q_pagerank_converged",
     "q_pack_assign",
     "q_sketch_union",
+    "q_winsorize",
+    "q_group_centroids",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (

@@ -1609,3 +1609,98 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_cols=["o_orderstatus", "o_totalprice"],
         batch_ts="2024-06-01",
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust-stats outlier handling + per-group embedding centroids (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (WHERE value < lo) AS BIGINT) AS n_clamped_lo,
+           CAST(COUNT(*) FILTER (WHERE value > hi) AS BIGINT) AS n_clamped_hi,
+           ROUND(AVG(value), 6) AS mean_raw,
+           ROUND(AVG(CASE WHEN value < lo THEN lo
+                          WHEN value > hi THEN hi
+                          ELSE value END), 6) AS mean_winsor
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("agg",),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust aggregation: clamp each group's values to its own
+    exact [p05, p95] before averaging — the outlier-taming step quality
+    filters apply before thresholding on corpus statistics. Two aggregate
+    passes over the data (quantiles, then clamped stats) joined through a
+    broadcast group-cardinality quantile table; Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share linear-interpolation
+    semantics, so the twins agree to the rounded digit."""
+    ev = t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clamped_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clamped_hi"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clamped), 6).alias("mean_winsor"),
+        )
+    )
+
+
+@query(
+    "q_group_centroids",
+    oracle="""
+    SELECT label,
+           pos - 1 AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid_val
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    WHERE pos <= 8
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "agg"),
+)
+def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py::centroids_by
+    — the k-means/IVF build step), exposed as scalar (label, dim, value)
+    rows over the first 8 dimensions so the driver canonicalization stays
+    array-free. One shuffle of (label, pos) partials; the assign step is
+    driver-verified separately (q_centroid_assign)."""
+    from weather_api_automate_etl_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.centroids_by(emb, "embedding", "label")
+    return (
+        cents.select(
+            F.col("list_id").alias("label"),
+            F.posexplode("centroid").alias("dim", "v"),
+        )
+        .filter(F.col("dim") < 8)
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("v", 6).alias("centroid_val"),
+        )
+    )
