@@ -250,6 +250,56 @@ def test_png_spark_pipeline_stats(spark):
         assert s.first_px_a == (255 if aid % 2 == 0 else aid * 11 % 256)
 
 
+def test_wav_roundtrip_mono_stereo_and_chunk_walk():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    rng = np.random.default_rng(3)
+    for n_ch in (1, 2):
+        for n_frames in (1, 7, 40):
+            s = rng.integers(-32768, 32768, size=(n_frames, n_ch)).astype(np.int16)
+            back, rate = codecs.decode_wav(codecs.encode_wav(s, 16000))
+            assert rate == 16000
+            assert np.array_equal(back, s), (n_ch, n_frames)
+    # chunk walk tolerates extra (odd-length, word-padded) chunks before data
+    s = rng.integers(-32768, 32768, size=(5, 1)).astype(np.int16)
+    payload = codecs.encode_wav(s, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + _struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+    doctored = payload[:fmt_end] + extra + payload[fmt_end:]
+    doctored = doctored[:4] + _struct.pack("<I", len(doctored) - 8) + doctored[8:]
+    back, rate = codecs.decode_wav(doctored)
+    assert rate == 8000 and np.array_equal(back, s)
+    # compressed formats stay a loud plug point
+    bad = bytearray(payload)
+    bad[20] = 85  # fmt tag 0x0055 = MP3
+    with _pytest.raises(ValueError, match="PCM-16"):
+        codecs.decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="RIFF"):
+        codecs.decode_wav(b"nope")
+
+
+def test_wav_spark_pipeline_stats(spark):
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        documents_as_wav_assets,
+        wav_stats,
+    )
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    stats = {r.asset_id: r for r in wav_stats(documents_as_wav_assets(docs)).collect()}
+    assert len(stats) == 30
+    for aid, s in stats.items():
+        assert s.n_channels == 1 + aid % 2
+        assert s.n_frames == aid % 50 + 10
+        assert s.sample_rate == 8000 + (aid % 3) * 4000
+        assert s.first_sample == (aid * 31) % 65536 - 32768
+
+
 def test_ppm_comment_terminates_token():
     # the PPM spec lets a comment butt directly against a header token
     import numpy as np

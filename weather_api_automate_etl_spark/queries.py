@@ -558,6 +558,7 @@ ROUND4_WINDOW_HEAD: tuple[str, ...] = (
     "q_sketch_union",
     "q_winsorize",
     "q_group_centroids",
+    "q_multimodal_decode_wav",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (

@@ -1370,6 +1370,46 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_stats(assets)
 
 
+@query(
+    "q_multimodal_decode_wav",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS n_ch,
+             doc_id % 50 + 10 AS n_frames,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_ch, n_frames, rate,
+             [CAST((doc_id * 31 + k * 7) % 65536 - 32768 AS DOUBLE)
+              FOR k IN range(0, n_frames * n_ch)] AS samples
+      FROM p
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_ch AS INTEGER) AS n_channels,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(samples[1] AS INTEGER) AS first_sample,
+           ROUND(list_avg(samples), 6) AS mean_sample,
+           CAST(list_max(samples) AS INTEGER) AS max_sample
+    FROM s
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-stub AUDIO decode end-to-end: deterministic RIFF/PCM-16 WAV
+    payloads (multimodal.documents_as_wav_assets — mono/stereo alternating,
+    3 sample rates, integer-deterministic samples) parsed by the pure
+    struct+NumPy codec (sources/codecs.py::decode_wav — RIFF chunk walk,
+    PCM frame reshape) and reduced to location- and value-sensitive
+    amplitude stats the oracle predicts from the generation parameters.
+    Compressed audio (MP3/AAC) stays the documented codec-library plug
+    point."""
+    assets = multimodal.documents_as_wav_assets(t(spark, sf_dir, "documents"))
+    return multimodal.wav_stats(assets)
+
+
 # ---------------------------------------------------------------------------
 # LLM corpus bookkeeping: repetition filters, partial-duplication diagnosis,
 # mixture tables, packing planning

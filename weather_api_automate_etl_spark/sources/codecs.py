@@ -279,6 +279,58 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int16 array → RIFF/WAVE PCM-16 bytes."""
+    if samples.ndim != 2:
+        raise ValueError(f"expected (frames, channels) array, got {samples.shape}")
+    n_ch = samples.shape[1]
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate,
+                      sample_rate * n_ch * 2, n_ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 bytes → ((n_frames, n_channels) int16 array, rate).
+
+    Walks the chunk list (tolerating extra chunks like LIST/INFO); only
+    uncompressed 16-bit PCM is supported — compressed codecs (MP3, AAC,
+    ADPCM) need a real audio library and raise ValueError here."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            fmt = chunk
+        elif ctype == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})")
+    frames = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        frames = frames.reshape(-1, n_ch)
+    else:
+        frames = frames.reshape(-1, 1)
+    return frames, rate
+
+
+# ---------------------------------------------------------------------------
 # Shared ops
 # ---------------------------------------------------------------------------
 

@@ -8,10 +8,11 @@ the batch shape, schema, and partitioning are the real article.
 The codec step has two tiers:
 
 - ``decode_stub=True`` — deterministic fake feature row (any media type);
-- ``decode_stub=False`` — a REAL pure-NumPy decode for binary PPM and
-  24-bpp BMP payloads (sources/codecs.py); formats that need a real codec
-  library (PNG/JPEG/WAV/MP4) still raise ``NotImplementedError`` — that is
-  the documented PIL/ffmpeg plug point.
+- ``decode_stub=False`` — a REAL pure-stdlib+NumPy decode for binary PPM,
+  24-bpp BMP, 8-bit PNG (all five scanline filters, RGB/RGBA) and
+  RIFF/PCM-16 WAV payloads (sources/codecs.py); formats that genuinely
+  need a codec library (JPEG, compressed audio, video containers) still
+  raise — that is the documented PIL/ffmpeg plug point.
 
 Scale shape: payload bytes never leave the executor, batches stream through
 Arrow, and per-batch decode cost amortizes Python overhead — the standard
@@ -193,6 +194,88 @@ def png_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, PNG_STATS_SCHEMA)
+
+
+def documents_as_wav_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL RIFF/PCM-16 WAV payloads deterministically from
+    document columns (the audio twin of documents_as_png_assets).
+
+    Per doc: channels = 1 + doc_id%2 (mono/stereo alternating),
+    n_frames = doc_id%50 + 10, sample_rate = 8000 + (doc_id%3)*4000,
+    interleaved sample k = (doc_id*31 + k*7) % 65536 - 32768. Every
+    decoded property is an integer function of doc_id — SQL-oracle-able —
+    while the bytes take the full RIFF chunk-walk + PCM parse."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_ch = 1 + doc_id % 2
+                n_frames = doc_id % 50 + 10
+                rate = 8000 + (doc_id % 3) * 4000
+                k = np.arange(n_frames * n_ch, dtype=np.int64)
+                flat = (doc_id * 31 + k * 7) % 65536 - 32768
+                payloads.append(
+                    codecs.encode_wav(
+                        flat.astype(np.int16).reshape(n_frames, n_ch), rate
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["audio/wav"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("first_sample", T.IntegerType()),
+        T.StructField("mean_sample", T.DoubleType()),
+        T.StructField("max_sample", T.IntegerType()),
+    ]
+)
+
+
+def wav_stats(assets: DataFrame) -> DataFrame:
+    """REAL WAV decode → per-clip stats via Arrow-batched ``mapInPandas``:
+    frame/channel/rate metadata plus location-sensitive (first interleaved
+    sample) and value-sensitive (mean, max) amplitude stats, so a header
+    mis-parse or sample-order defect cannot cancel out."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in WAV_STATS_SCHEMA.fieldNames()}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                frames, rate = codecs.decode_wav(bytes(content))
+                out["asset_id"].append(aid)
+                out["n_frames"].append(frames.shape[0])
+                out["n_channels"].append(frames.shape[1])
+                out["sample_rate"].append(rate)
+                out["first_sample"].append(int(frames[0, 0]))
+                out["mean_sample"].append(round(float(frames.mean()), 6))
+                out["max_sample"].append(int(frames.max()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, WAV_STATS_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = T.StructType(
