@@ -54,6 +54,57 @@ def test_decontaminate_flags_shared_grams_only(spark):
     assert got[1].first_bench_id == 900
 
 
+def test_dedup_incremental_hand_case(spark):
+    from weather_api_automate_etl_spark.operators.dedup import dedup_incremental
+
+    known = spark.createDataFrame([("h-aaa",)], "content_hash string")
+    # real hashes: known table built from actual md5s of corpus texts
+    corpus = spark.createDataFrame([(0, "seen before")], "doc_id long, text string")
+    known = corpus.select(F.md5("text").alias("content_hash"))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),    # dup vs corpus → dropped
+            (11, "fresh one"),      # novel
+            (12, "fresh two"),      # novel
+            (13, "fresh one"),      # in-batch dup → lower id survives
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in dedup_incremental(batch, known, "doc_id").collect())
+    assert got == [11, 12]
+
+
+def test_quality_gate_rule_order_and_attribution(spark):
+    from weather_api_automate_etl_spark.operators.textops import quality_gate
+
+    # 10 distinct words (4 stopwords → ratio 0.4) repeated 5x: >200 chars,
+    # top-word share 0.1 < 0.12, composite quality ~0.84
+    long_pad = "the quick brown fox and lazy dog of summer in " * 5
+    # mid-length + punctuation-heavy: length score ~0.22, punct ratio ~0.26,
+    # zero stopwords → composite ~0.62, under the 0.7 floor — while staying
+    # over the length floor and under the repetition ceiling
+    noisy = (
+        "alpha beta gamma delta epsilon zeta eta theta " * 4
+        + "!!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) " * 2
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "short"),                        # fails length first
+            (2, ("spam " * 60).strip()),         # long enough, but repetitive
+            (3, noisy),
+            (4, long_pad.strip()),               # passes everything
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in quality_gate(df).collect()}
+    assert got[1].violation == "too_short" and not got[1].keep
+    # rule ORDER: doc 2 is also arguably low quality, but repetition is
+    # checked first and owns the attribution
+    assert got[2].violation == "repetitive"
+    assert got[3].violation == "low_quality"
+    assert got[4].violation is None and got[4].keep
+
+
 def test_rebalance_to_mixture_rates(spark):
     from weather_api_automate_etl_spark.operators.sampling import (
         hash_fraction,

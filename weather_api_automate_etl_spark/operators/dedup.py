@@ -47,6 +47,37 @@ def dedup_exact(df: DataFrame, keys: Sequence[Column | str], order_by: str) -> D
     )
 
 
+def dedup_incremental(
+    batch: DataFrame,
+    known_hashes: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental exact dedup — the shape a CONTINUOUS ingestion pipeline
+    runs: keep only batch rows whose content hash is (a) absent from the
+    already-ingested corpus (``known_hashes``: one ``hash_col`` column)
+    and (b) the first occurrence within the batch itself (deterministic
+    lowest-``id_col`` survivor).
+
+    Scale shape: one anti-join + one window, both keyed on the content
+    hash. The known-hash table is corpus-sized, so it is deliberately NOT
+    broadcast; at 100 TB both sides bucket-write on the hash and the
+    anti-join (and the batch's survivor window) run shuffle-free. The
+    caller appends ``md5(text)`` of the survivors back to the hash table
+    afterward — the pipeline's state update."""
+    h = F.md5(F.col(text_col))
+    novel = batch.withColumn("__h", h).join(
+        known_hashes.select(F.col(hash_col).alias("__h")), "__h", "left_anti"
+    )
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        novel.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )
+
+
 def _shingles_with_fallback(text_col: str, k: int) -> Column:
     """k-word shingles; documents shorter than k tokens contribute their
     whole normalized text as a single shingle (so they can still collide

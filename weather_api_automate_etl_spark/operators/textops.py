@@ -64,6 +64,49 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 200,
+    max_top_word_frac: float = 0.12,
+    min_quality: float = 0.7,
+) -> DataFrame:
+    """The composed C4/Gopher-style filter chain as ONE verdict operator:
+    rules evaluate in a fixed order and the FIRST failing rule names the
+    violation (length floor → repetition ceiling → composite-quality
+    floor), so downstream loss accounting can attribute every dropped doc
+    to exactly one cause. Returns (id, violation, keep); violation is NULL
+    for keepers.
+
+    Everything is per-row JVM expression work (length, HOF mode-of-array,
+    the quality_score arithmetic) in one codegen stage — zero shuffles at
+    any corpus size, and Catalyst dedups the shared token-array
+    subexpressions across rules."""
+    from weather_api_automate_etl_spark.functions.text import quality_score, tokens
+
+    t = F.col(text_col)
+    n_chars = F.length(F.trim(t))
+    toks = tokens(text_col)
+    n = F.size(toks)
+    wcounts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda x: x == d))
+    )
+    top_frac = F.when(
+        n > 0, F.array_max(wcounts).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    violation = (
+        F.when(n_chars < min_chars, F.lit("too_short"))
+        .when(top_frac > max_top_word_frac, F.lit("repetitive"))
+        .when(quality_score(text_col) < min_quality, F.lit("low_quality"))
+    )
+    return df.select(
+        F.col(id_col),
+        violation.alias("violation"),
+        violation.isNull().alias("keep"),
+    )
+
+
 def repetition_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

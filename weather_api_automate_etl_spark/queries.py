@@ -559,6 +559,8 @@ ROUND4_WINDOW_HEAD: tuple[str, ...] = (
     "q_winsorize",
     "q_group_centroids",
     "q_multimodal_decode_wav",
+    "q_dedup_incremental",
+    "q_quality_gate",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (

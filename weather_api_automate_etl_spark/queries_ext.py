@@ -1371,6 +1371,95 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH known AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+    b AS (
+      SELECT doc_id, lang, source, n_chars, md5(text) AS h
+      FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 10000, lang, source, n_chars, md5(text)
+      FROM documents WHERE doc_id BETWEEN 100 AND 119
+      UNION ALL
+      SELECT doc_id + 20000, lang, source, n_chars, md5(text)
+      FROM documents WHERE doc_id BETWEEN 300 AND 309
+    )
+    SELECT doc_id, lang, source, n_chars FROM b
+    WHERE NOT EXISTS (SELECT 1 FROM known WHERE known.h = b.h)
+    QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py::dedup_incremental):
+    a new ingestion batch (docs ≥ 250, plus deterministic re-ingested
+    copies of corpus docs 100-119 and in-batch copies of docs 300-309)
+    deduped against the already-ingested corpus's content-hash table
+    (docs < 250) AND within itself — the per-batch shape of a continuous
+    pipeline. Copies vanish, originals survive by lowest id."""
+    docs = t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+    batch = (
+        docs.filter(F.col("doc_id") >= 250).select(cols)
+        .unionByName(
+            docs.filter(F.col("doc_id").between(100, 119))
+            .select((F.col("doc_id") + 10000).alias("doc_id"), *cols[1:])
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id").between(300, 309))
+            .select((F.col("doc_id") + 20000).alias("doc_id"), *cols[1:])
+        )
+    )
+    known = docs.filter(F.col("doc_id") < 250).select(
+        F.md5("text").alias("content_hash")
+    )
+    return dedup.dedup_incremental(batch, known, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q_quality_gate",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, trim(text) AS tt, {_TOKENS_SQL} AS w FROM documents),
+    x AS (
+      SELECT doc_id,
+             CAST(length(tt) AS BIGINT) AS L,
+             CAST(len(regexp_extract_all(tt, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS P,
+             CAST(len(list_filter(w, tok -> tok IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS SW,
+             CAST(len(w) AS DOUBLE) AS NT,
+             CASE WHEN len(w) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(w),
+                       d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w)
+                  ELSE 0.0e0 END AS TF
+      FROM m
+    ),
+    v AS (
+      SELECT doc_id,
+        CASE WHEN L < 200 THEN 'too_short'
+             WHEN TF > 0.12e0 THEN 'repetitive'
+             WHEN 0.4e0 * least(L / 500.0e0, 1.0e0)
+                  + 0.3e0 * (1.0e0 - CASE WHEN L > 0 THEN P / L ELSE 0.0e0 END)
+                  + 0.3e0 * (1.0e0 - abs((CASE WHEN NT > 0 THEN SW / NT ELSE 0.0e0 END) - 0.4e0))
+                  < 0.7e0 THEN 'low_quality'
+        END AS violation
+      FROM x
+    )
+    SELECT doc_id, violation, violation IS NULL AS keep FROM v
+    """,
+    tags=("text",),
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality filter chain (operators/textops.py::
+    quality_gate): length floor → repetition ceiling → composite-quality
+    floor, first failing rule attributed per doc. One zero-shuffle codegen
+    projection; at sf0.01 every rule class is non-empty (148 too_short /
+    17 repetitive / ~30 low_quality / rest keep), so the oracle pins the
+    full decision lattice, not just the happy path."""
+    return textops.quality_gate(t(spark, sf_dir, "documents"))
+
+
+@query(
     "q_multimodal_decode_wav",
     oracle="""
     WITH p AS (
