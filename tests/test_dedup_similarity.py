@@ -233,6 +233,32 @@ def test_pagerank_convergence_mode(spark):
         graph.pagerank(nodes, edges, tolerance=1e-15, max_iterations=1)
 
 
+def test_kmeans_fit_recovers_blobs_and_converges(spark):
+    from weather_api_automate_etl_spark.operators import similarity
+
+    rows = []
+    for i in range(12):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 0.0, 1.0]))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3) * 0.1, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, rounds, converged = similarity.kmeans_fit(
+        emb, k=2, max_iter=10, tol=1e-6
+    )
+    assert converged and 1 <= rounds <= 10
+    assert cents.count() == 2
+    got = {
+        r.vec_id: r.list_id
+        for r in similarity.nearest_centroid(emb, cents).collect()
+    }
+    # the two well-separated blobs land in two pure clusters
+    a = {got[i] for i in range(12)}
+    b = {got[100 + i] for i in range(12)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    # not-converged is reported, not raised: one round cannot reach 1e-12
+    _, _, flag = similarity.kmeans_fit(emb, k=2, max_iter=1, tol=1e-12)
+    assert flag is False
+
+
 def test_nearest_centroid_recovers_separated_labels(spark):
     # two well-separated clusters: every vector assigns to its own label's
     # centroid, scores in (0, 1]

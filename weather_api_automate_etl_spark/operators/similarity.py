@@ -79,6 +79,70 @@ def centroids_by(df: DataFrame, vec_col: str, list_col: str) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+) -> tuple[DataFrame, int, bool]:
+    """Lloyd's k-means as a distributed loop — the IVF index BUILD step
+    (``centroids_by`` + ``nearest_centroid`` are its two halves; this
+    iterates them to a fixed point). Returns (centroids, rounds, converged).
+
+    Same iterative discipline as connected_components / pagerank:
+
+    - deterministic init (the k lowest-``id_col`` vectors — no RNG state),
+    - per round: assign = broadcast k-sized centroid table + per-vector
+      top-1 (corpus-linear, no corpus shuffle beyond the window partials),
+      update = one (list, pos) mean aggregate,
+    - each new centroid table is localCheckpoint'ed (k·d rows — tiny) and
+      the movement probe is a k·d-row join-on-(list,pos) aggregate over
+      METADATA-sized frames, never the corpus,
+    - stops when total centroid L1 movement < ``tol`` (converged=True) or
+      after ``max_iter`` rounds (converged=False — returned, not raised:
+      a partially-converged codebook is still a usable IVF quantizer,
+      unlike a non-converged connected-components labeling).
+    """
+    from pyspark.sql.window import Window
+
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("centroid"))
+        .withColumn("list_id", F.row_number().over(Window.orderBy("__id")) - 1)
+        .select("list_id", "centroid")
+    )
+    # k rows: checkpoint so each round starts from materialized centroids
+    cents = init.localCheckpoint(eager=True)
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        assigned = nearest_centroid(df, cents, vec_col=vec_col, id_col=id_col)
+        new_cents = centroids_by(
+            df.join(assigned.select(id_col, "list_id"), id_col), vec_col, "list_id"
+        ).localCheckpoint(eager=True)
+        # movement probe: explode both k·d-sized tables and L1-compare —
+        # metadata-scale work (k·d rows), not corpus-scale
+        old_e = cents.select(
+            "list_id", F.posexplode("centroid").alias("pos", "old_v")
+        )
+        new_e = new_cents.select(
+            "list_id", F.posexplode("centroid").alias("pos", "new_v")
+        )
+        moved = (
+            old_e.join(new_e, ["list_id", "pos"])
+            .agg(F.sum(F.abs(F.col("new_v") - F.col("old_v"))).alias("m"))
+            .first()[0]
+        )
+        cents = new_cents
+        if moved is not None and moved < tol:
+            converged = True
+            break
+    return cents, rounds, converged
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

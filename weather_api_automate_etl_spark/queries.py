@@ -561,6 +561,7 @@ ROUND4_WINDOW_HEAD: tuple[str, ...] = (
     "q_multimodal_decode_wav",
     "q_dedup_incremental",
     "q_quality_gate",
+    "q_kmeans",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (

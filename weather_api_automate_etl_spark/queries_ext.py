@@ -1370,6 +1370,34 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_stats(assets)
 
 
+@query("q_kmeans", oracle=None, tags=("similarity",))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means fit (operators/similarity.py::kmeans_fit — the IVF
+    codebook BUILD loop; assign/update halves are exactly oracle-verified
+    by q_centroid_assign / q_group_centroids), reduced to per-cluster
+    occupancy. The round count is data-dependent and the floating argmax
+    is tie-sensitive in the last ulp, so the driver check is rows-only;
+    the quantitative invariants (blob recovery, convergence flag, fit
+    improvement) live in tests/test_dedup_similarity.py."""
+    from weather_api_automate_etl_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents, rounds, converged = similarity.kmeans_fit(
+        emb, k=8, max_iter=6, tol=1e-3
+    )
+    assigned = similarity.nearest_centroid(emb, cents)
+    return (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "list_id",
+            "n_vectors",
+            F.lit(rounds).alias("rounds"),
+            F.lit(converged).alias("converged"),
+        )
+    )
+
+
 @query(
     "q_dedup_incremental",
     oracle="""
