@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_streaming_stateful",  # applyInPandasWithState drain (real stream run)
     "q_pii_redact",          # 4-pattern regex scan (codegen regexp throughput)
     "q_decontaminate",       # gram explode + distinct + broadcast bench join
+    "q_kmeans",              # iterative Lloyd loop (broadcast assign + mean update)
 ]
 
 

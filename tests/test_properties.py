@@ -56,13 +56,19 @@ def test_bucket_totality_and_order(spark, t):
 def test_shingles_match_python_reference(spark, text, k):
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(word_shingles(tokens("text"), k).alias("s")).head().s
-    toks = text.strip().lower().split()
-    # Spark's split on \s+ yields [''] for empty input, like Python here:
-    if not toks:
-        toks = [""] if text.strip() == text and text else toks
-    ref = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if len(toks) < k:
-        ref = []
+    # The reference must model JAVA semantics, not Python's: Java regex
+    # \s is ASCII-only (U+2000-style Zs separators do NOT split — the
+    # falsifying example hypothesis found), and Java trim() strips only
+    # chars <= U+0020 (ASCII space, for this alphabet).
+    import re
+
+    s = text.strip(" ").lower()
+    toks = re.split(r"[ \t\n\x0b\f\r]+", s)
+    ref = (
+        [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else []
+    )
     assert got == ref
 
 
@@ -181,6 +187,53 @@ def test_codec_roundtrip_property(hwseed):
     assert np.array_equal(
         codecs.decode_png(codecs.encode_png(pxa, filter_type=seed % 5)), pxa
     )
+    # WAV: channel count from the seed
+    frames = rng.integers(-32768, 32768, size=(h * w, 1 + seed % 2)).astype(
+        np.int16
+    )
+    back, rate = codecs.decode_wav(codecs.encode_wav(frames, 8000 + seed % 3))
+    assert rate == 8000 + seed % 3 and np.array_equal(back, frames)
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=400),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_decoders_fail_loudly_on_garbage(payload, seed):
+    # Malformed bytes — pure garbage AND doctored valid payloads — must
+    # raise ValueError/NotImplementedError from every decoder, never hang,
+    # crash the interpreter, or silently return wrong pixels/samples.
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    for dec in (codecs.decode_png, codecs.decode_wav, codecs.decode_image):
+        try:
+            dec(payload)
+        except (ValueError, NotImplementedError):
+            pass
+        # decode_image on a valid-by-luck payload returning an array is fine
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    for enc in (
+        lambda p: codecs.encode_png(p, filter_type=seed % 5),
+        codecs.encode_ppm,
+        codecs.encode_bmp,
+    ):
+        good = bytearray(enc(px))
+        if not good:
+            continue
+        pos = seed % len(good)
+        good[pos] = (good[pos] + 1 + seed // 7 % 255) % 256
+        try:
+            out = codecs.decode_image(bytes(good))
+            # a surviving single-byte flip may only change pixel VALUES,
+            # never the shape contract
+            assert out.ndim == 3 and out.shape[2] in (3, 4)
+        except (ValueError, NotImplementedError):
+            pass
 
 
 @given(

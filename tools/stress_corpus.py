@@ -100,7 +100,16 @@ def emb_ops() -> dict:
         corpus = emb.filter(F.col("vec_id") % 10_000_000 >= 5)
         return similarity.knn_join(corpus, probes, "embedding", dim=64, k=5, n_planes=6)
 
-    return {"knn_join (5/copy probes)": knn}
+    def kmeans(emb):
+        from weather_api_automate_etl_spark.operators.similarity import (
+            kmeans_fit,
+            nearest_centroid,
+        )
+
+        cents, _, _ = kmeans_fit(emb, k=8, max_iter=4, tol=0.0)
+        return nearest_centroid(emb, cents)
+
+    return {"knn_join (5/copy probes)": knn, "kmeans_fit (k=8, 4 rounds)": kmeans}
 
 
 def main() -> None:

@@ -238,7 +238,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("only deflate/adaptive-filter/non-interlaced PNG supported")
     bpp = 3 if color_type == 2 else 4
     stride = w * bpp
-    raster = zlib.decompress(b"".join(idat))
+    try:
+        raster = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # CRC-valid chunk with corrupt deflate stream
+        raise ValueError(f"bad IDAT deflate stream: {e}") from e
     if len(raster) != h * (1 + stride):
         raise ValueError(f"raster size mismatch: want {h * (1 + stride)}, got {len(raster)}")
     rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, 1 + stride)
