@@ -19,6 +19,14 @@ def test_redact_pii_masks_and_counts(spark):
         "id long, raw string",
     )
     got = {r.id: r for r in redact_pii(df, "raw").collect()}
+    # domestic formats (no country code) must be caught too — the common
+    # case (review finding)
+    dom = spark.createDataFrame(
+        [(1, "call 555-123-4567 or (555) 123-4567 or 555.123.4567 ok")],
+        "id long, raw string",
+    )
+    d = redact_pii(dom, "raw").first()
+    assert d.n_phone == 3 and d.redacted == "call <PHONE> or <PHONE> or <PHONE> ok"
     assert got[1].redacted == "mail <EMAIL> call <PHONE> done"
     assert (got[1].n_email, got[1].n_phone) == (1, 1)
     assert got[2].redacted == "ip <IP> card <CARD> x"
@@ -170,3 +178,12 @@ def test_length_histogram_bins_and_clamp(spark):
     assert rows[100].n_docs == 2 and rows[100].bin_hi is None
     # shares are rounded to 6 decimals, so the sum carries that rounding
     assert abs(sum(r.share for r in rows.values()) - 1.0) < 5e-6
+    # out-of-domain values can't break the row contract: negatives clamp
+    # into bin 0, NULLs are excluded (review finding)
+    dirty = spark.createDataFrame(
+        [(-120,), (None,), (10,), (75,)], "n_chars long"
+    )
+    rows2 = {r.bin_lo: r for r in length_histogram(dirty, "n_chars", 50, 3).collect()}
+    assert set(rows2) == {0, 50}
+    assert rows2[0].n_docs == 2  # -120 clamped in with 10
+    assert abs(sum(r.share for r in rows2.values()) - 1.0) < 5e-6

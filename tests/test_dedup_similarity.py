@@ -259,6 +259,25 @@ def test_kmeans_fit_recovers_blobs_and_converges(spark):
     assert flag is False
 
 
+def test_kmeans_fit_duplicate_rows_and_empty_clusters_keep_k(spark):
+    # review finding: duplicate vectors among the lowest ids must not
+    # seed identical centroids, and an emptied cluster keeps its previous
+    # centroid — the codebook never silently shrinks below k
+    from weather_api_automate_etl_spark.operators import similarity
+
+    rows = [(0, [5.0, 0.0]), (1, [5.0, 0.0]), (2, [5.0, 0.0]),
+            (3, [0.0, 7.0]), (4, [0.0, 7.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, _, converged = similarity.kmeans_fit(emb, k=2, max_iter=5, tol=1e-9)
+    assert cents.count() == 2
+    got = {
+        r.vec_id: r.list_id
+        for r in similarity.nearest_centroid(emb, cents).collect()
+    }
+    assert len({got[0], got[3]}) == 2  # the two point groups separate
+    assert converged
+
+
 def test_nearest_centroid_recovers_separated_labels(spark):
     # two well-separated clusters: every vector assigns to its own label's
     # centroid, scores in (0, 1]

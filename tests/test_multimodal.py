@@ -283,6 +283,38 @@ def test_wav_roundtrip_mono_stereo_and_chunk_walk():
         codecs.decode_wav(b"nope")
 
 
+def test_codec_truncation_raises_never_shrinks():
+    # review finding: a truncated payload must ERROR, not silently decode
+    # to fewer frames/rows (the fail-loudly decoder contract)
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    s = np.arange(10, dtype=np.int16).reshape(5, 2)
+    wav = codecs.encode_wav(s, 8000)
+    with _pytest.raises(ValueError, match="truncated"):
+        codecs.decode_wav(wav[:-4])
+    # fmt chunk shorter than 16 bytes: ValueError, not struct.error
+    short_fmt = (
+        b"RIFF" + _struct.pack("<I", 14) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + _struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError, match="fmt"):
+        codecs.decode_wav(short_fmt)
+    # zero-channel fmt must reject, not reshape as mono
+    bad_ch = bytearray(wav)
+    bad_ch[22:24] = b"\x00\x00"
+    with _pytest.raises(ValueError, match="channel"):
+        codecs.decode_wav(bytes(bad_ch))
+    png = codecs.encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="truncated"):
+        codecs.decode_png(png[:-4])
+
+
 def test_wav_spark_pipeline_stats(spark):
     from weather_api_automate_etl_spark.sources.multimodal import (
         documents_as_wav_assets,

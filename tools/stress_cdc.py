@@ -59,9 +59,10 @@ def build_dim(cust: DataFrame) -> DataFrame:
 def build_updates(cust: DataFrame) -> DataFrame:
     """Skewed change density: slice s = key%10 updates with probability
     (s+0.5)/10 (5%..95%); 10% of keys vanish (hard delete); 10% new keys."""
+    from weather_api_automate_etl_spark.operators.sampling import hash_fraction
+
     slice_p = ((F.col("c_custkey") % 10) + F.lit(0.5)) / F.lit(10.0)
-    u = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
-    u = u.cast("long") / F.lit(float(2**32))
+    u = hash_fraction(F.col("c_custkey"))
     surviving = cust.filter(F.col("c_custkey") % 10 != 3)  # ~10% deleted
     changed = F.when(
         u < slice_p, F.round(F.col("c_acctbal") + 17.5, 2)

@@ -181,12 +181,18 @@ def length_histogram(
 
     One map-side-combined aggregate over n_bins groups; the share column
     comes from a window sum over the n_bins-row aggregate, not the corpus.
+    Out-of-domain values cannot break the row-count contract: negatives
+    clamp into bin 0 (like the outlier clamp at the top) and NULLs are
+    excluded (no length → no histogram mass).
     """
-    bucket = F.least(
-        F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+    bucket = F.greatest(
+        F.least(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)),
+        F.lit(0),
     ).cast("int")
-    agg = docs.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    agg = (
+        docs.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     w = Window.partitionBy()
     return agg.select(

@@ -93,10 +93,15 @@ def kmeans_fit(
 
     Same iterative discipline as connected_components / pagerank:
 
-    - deterministic init (the k lowest-``id_col`` vectors — no RNG state),
+    - deterministic init (the k DISTINCT vectors with the lowest
+      ``id_col`` — distinct so duplicate rows, which dedup-shaped corpora
+      are full of, cannot seed two identical centroids; no RNG state),
     - per round: assign = broadcast k-sized centroid table + per-vector
       top-1 (corpus-linear, no corpus shuffle beyond the window partials),
-      update = one (list, pos) mean aggregate,
+      update = one (list, pos) mean aggregate; a cluster that receives no
+      members keeps its previous centroid (carried forward, so the
+      codebook ALWAYS has k entries and an emptied-then-repopulated list
+      stays addressable),
     - each new centroid table is localCheckpoint'ed (k·d rows — tiny) and
       the movement probe is a k·d-row join-on-(list,pos) aggregate over
       METADATA-sized frames, never the corpus,
@@ -108,9 +113,14 @@ def kmeans_fit(
     from pyspark.sql.window import Window
 
     init = (
-        df.orderBy(id_col)
+        # deterministic distinct: one representative (lowest id) per
+        # distinct vector, then the k lowest representatives; cast to
+        # double so round-N centroids (means — always double) coalesce
+        # type-correctly with carried-forward init centroids
+        df.groupBy(F.col(vec_col).cast("array<double>").alias("centroid"))
+        .agg(F.min(id_col).alias("__id"))
+        .orderBy("__id")
         .limit(k)
-        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("centroid"))
         .withColumn("list_id", F.row_number().over(Window.orderBy("__id")) - 1)
         .select("list_id", "centroid")
     )
@@ -120,9 +130,21 @@ def kmeans_fit(
     rounds = 0
     for rounds in range(1, max_iter + 1):
         assigned = nearest_centroid(df, cents, vec_col=vec_col, id_col=id_col)
-        new_cents = centroids_by(
+        updated = centroids_by(
             df.join(assigned.select(id_col, "list_id"), id_col), vec_col, "list_id"
-        ).localCheckpoint(eager=True)
+        )
+        # carry an emptied cluster's previous centroid forward: the left
+        # join keeps all k list ids, so the movement probe sees every
+        # cluster (a vanished one contributes 0 — genuinely unmoved)
+        new_cents = (
+            cents.select("list_id", F.col("centroid").alias("__old"))
+            .join(updated, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce(F.col("centroid"), F.col("__old")).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
         # movement probe: explode both k·d-sized tables and L1-compare —
         # metadata-scale work (k·d rows), not corpus-scale
         old_e = cents.select(

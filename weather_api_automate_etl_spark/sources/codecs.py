@@ -214,9 +214,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, []
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if pos + 12 + length > len(payload):  # data + CRC must both fit
             raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(ctype + data):
             raise ValueError(f"bad CRC in {ctype!r} chunk")
@@ -229,6 +229,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError(f"malformed IHDR chunk ({len(ihdr)} bytes, want 13)")
     w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -315,6 +317,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         ctype = payload[pos : pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
         chunk = payload[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:  # truncated file must error, not shrink
+            raise ValueError(f"truncated WAV chunk {ctype!r}")
         if ctype == b"fmt ":
             fmt = chunk
         elif ctype == b"data":
@@ -322,9 +326,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"malformed fmt chunk ({len(fmt)} bytes, want >= 16)")
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})")
+    if n_ch < 1:
+        raise ValueError(f"invalid channel count {n_ch}")
     frames = np.frombuffer(data, dtype="<i2")
     if n_ch > 1:
         frames = frames.reshape(-1, n_ch)
