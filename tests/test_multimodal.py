@@ -332,6 +332,55 @@ def test_wav_spark_pipeline_stats(spark):
         assert s.first_sample == (aid * 31) % 65536 - 32768
 
 
+def test_avi_roundtrip_and_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    rng = np.random.default_rng(9)
+    # odd widths exercise DIB row padding; several frame counts
+    for n, h, w in [(1, 2, 3), (5, 4, 5), (3, 2, 2)]:
+        fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        dec, fps = codecs.decode_avi(codecs.encode_avi(fr, fps=15))
+        assert fps == 15 and np.array_equal(dec, fr), (n, h, w)
+    good = codecs.encode_avi(rng.integers(0, 256, size=(2, 3, 3, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="truncated"):
+        codecs.decode_avi(good[:-5])
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        codecs.decode_avi(b"RIFF....WAVE")
+    # compressed streams (e.g. MJPG fourcc in strf.biCompression) reject
+    import struct as _struct
+
+    strf_off = good.find(b"strf") + 8
+    bad = bytearray(good)
+    bad[strf_off + 16 : strf_off + 20] = b"MJPG"
+    with _pytest.raises(ValueError, match="uncompressed"):
+        codecs.decode_avi(bytes(bad))
+
+
+def test_video_frame_stats_through_spark(spark):
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        documents_as_avi_assets,
+        video_frame_stats,
+    )
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    rows = video_frame_stats(documents_as_avi_assets(docs), every_nth=2).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert len(by_asset) == 20
+    for aid, frs in by_asset.items():
+        nf = aid % 6 + 2
+        assert sorted(r.frame_idx for r in frs) == list(range(0, nf, 2))
+        for r in frs:
+            assert (r.width, r.height) == (aid % 7 + 2, aid % 4 + 2)
+            assert r.fps == 5 + (aid % 3) * 5
+            assert r.first_px_r == 255 - (aid + r.frame_idx * 11) % 256
+
+
 def test_ppm_comment_terminates_token():
     # the PPM spec lets a comment butt directly against a header token
     import numpy as np

@@ -562,6 +562,7 @@ ROUND4_WINDOW_HEAD: tuple[str, ...] = (
     "q_dedup_incremental",
     "q_quality_gate",
     "q_kmeans",
+    "q_multimodal_video_frames",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (

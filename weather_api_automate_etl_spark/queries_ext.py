@@ -1370,6 +1370,49 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_stats(assets)
 
 
+@query(
+    "q_multimodal_video_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 6 + 2 AS nf,
+             doc_id % 7 + 2 AS w,
+             doc_id % 4 + 2 AS h,
+             5 + (doc_id % 3) * 5 AS fps
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, nf, w, h, fps, unnest(range(0, nf, 2)) AS fi FROM p
+    )
+    SELECT doc_id AS asset_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(fps AS INTEGER) AS fps,
+           ROUND(CAST(((doc_id + fi * 11) % 256) * (w * h - 1)
+                      + 255 - (doc_id + fi * 11) % 256 AS DOUBLE)
+                 / (w * h), 6) AS mean_r,
+           CAST(255 - (doc_id + fi * 11) % 256 AS INTEGER) AS first_px_r,
+           CAST(255 - (doc_id * 3 + fi * 17) % 256 AS INTEGER) AS first_px_g,
+           CAST(255 - (doc_id * 7 + fi * 23) % 256 AS INTEGER) AS first_px_b
+    FROM f
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-stub VIDEO decode + frame sampling end-to-end: deterministic
+    uncompressed-DIB AVI payloads (multimodal.documents_as_avi_assets)
+    parsed by the pure struct+NumPy container codec
+    (sources/codecs.py::decode_avi — RIFF list walk, strf format check,
+    per-frame bottom-up BGR DIB rasters), every 2nd frame sampled, each
+    sampled frame reduced to location- and value-sensitive stats the
+    oracle predicts from the generation parameters. Completes the real
+    decode triple (image/audio/video); compressed codecs stay the
+    documented ffmpeg plug point."""
+    assets = multimodal.documents_as_avi_assets(t(spark, sf_dir, "documents"))
+    return multimodal.video_frame_stats(assets, every_nth=2)
+
+
 @query("q_kmeans", oracle=None, tags=("similarity",))
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means fit (operators/similarity.py::kmeans_fit — the IVF

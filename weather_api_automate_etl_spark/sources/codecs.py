@@ -342,6 +342,113 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 24-bpp DIB frames)
+# ---------------------------------------------------------------------------
+
+
+def _dib_encode(frame: np.ndarray) -> bytes:
+    """(h, w, 3) RGB → bottom-up BGR raster with 4-byte row padding (the
+    BMP/DIB raster layout, sans file headers)."""
+    h, w, _ = frame.shape
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    bgr = np.ascontiguousarray(frame[:, :, ::-1], dtype=np.uint8)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return rows[::-1].tobytes()
+
+
+def _dib_decode(raster: bytes, w: int, h: int) -> np.ndarray:
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    if len(raster) != stride * h:
+        raise ValueError(f"bad DIB frame size: want {stride * h}, got {len(raster)}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
+    return rows[::-1].reshape(h, w, 3)[:, :, ::-1]
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 array → uncompressed-DIB AVI bytes (RIFF 'AVI '
+    with hdrl/movi lists, one '00db' chunk per frame)."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) array, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    frame_bytes = ((w * 3 + 3) & ~3) * h
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return ctype + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # µs/frame, rate, pad, HASINDEX-less flags
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", _dib_encode(f)) for f in frames))
+    return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) + b"AVI " + hdrl + movi
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed-DIB AVI bytes → ((n, h, w, 3) uint8 array, fps).
+
+    Walks the RIFF list tree for the stream format (dimensions, 24-bpp
+    uncompressed check) and the movi frame chunks; compressed codecs
+    (MJPEG, H.264, …) raise ValueError — the ffmpeg plug point."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    strf = None
+    fps = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal strf, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            ctype = buf[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            data = buf[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                raise ValueError(f"truncated AVI chunk {ctype!r}")
+            if ctype == b"LIST":
+                walk(data[4:])  # skip the list-type fourcc
+            elif ctype == b"strf":
+                strf = data
+            elif ctype == b"avih":
+                if len(data) < 4:
+                    raise ValueError("malformed avih chunk")
+                (us_per_frame,) = struct.unpack_from("<I", data, 0)
+                fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+            elif ctype in (b"00db", b"00dc"):
+                frames_raw.append(data)
+            pos += 8 + length + (length & 1)
+
+    walk(payload[12:])
+    if strf is None or not frames_raw:
+        raise ValueError("missing strf/movi frames")
+    if len(strf) < 40:
+        raise ValueError(f"malformed strf chunk ({len(strf)} bytes)")
+    _, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bpp DIB frames supported (bpp={bpp}, comp={compression})"
+        )
+    decoded = np.stack([_dib_decode(f, w, abs(h)) for f in frames_raw])
+    return decoded, fps or 0
+
+
+# ---------------------------------------------------------------------------
 # Shared ops
 # ---------------------------------------------------------------------------
 

@@ -278,6 +278,95 @@ def wav_stats(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, WAV_STATS_SCHEMA)
 
 
+def documents_as_avi_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL uncompressed-DIB AVI payloads deterministically from
+    document columns (the video member of the PNG/WAV generator family).
+
+    Per doc: n_frames = doc_id%6+2, width = doc_id%7+2 (odd widths
+    exercise DIB row padding), height = doc_id%4+2, fps = 5+(doc_id%3)*5;
+    frame f fills (doc_id+f*11, doc_id*3+f*17, doc_id*7+f*23) % 256 with
+    pixel (0,0) RGB-inverted — per-frame location- and value-sensitive,
+    and every decoded property an integer function of (doc_id, f)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf, w, h = doc_id % 6 + 2, doc_id % 7 + 2, doc_id % 4 + 2
+                fps = 5 + (doc_id % 3) * 5
+                frames = np.empty((nf, h, w, 3), dtype=np.uint8)
+                for f in range(nf):
+                    r = (doc_id + f * 11) % 256
+                    g = (doc_id * 3 + f * 17) % 256
+                    b = (doc_id * 7 + f * 23) % 256
+                    frames[f, :, :] = (r, g, b)
+                    frames[f, 0, 0] = (255 - r, 255 - g, 255 - b)
+                payloads.append(codecs.encode_avi(frames, fps=fps))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["video/x-msvideo"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("first_px_r", T.IntegerType()),
+        T.StructField("first_px_g", T.IntegerType()),
+        T.StructField("first_px_b", T.IntegerType()),
+    ]
+)
+
+
+def video_frame_stats(assets: DataFrame, every_nth: int = 2) -> DataFrame:
+    """REAL video decode + frame sampling via Arrow ``mapInPandas``: decode
+    the AVI, keep every n-th frame, emit per-frame location/value stats —
+    the real-codec version of :func:`frame_sample`'s stubbed plumbing.
+    One output row per sampled frame; payload bytes never leave the
+    executor."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in VIDEO_FRAME_STATS_SCHEMA.fieldNames()}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                frames, fps = codecs.decode_avi(bytes(content))
+                for idx in range(0, frames.shape[0], every_nth):
+                    fr = frames[idx]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(fr.shape[1])
+                    out["height"].append(fr.shape[0])
+                    out["fps"].append(fps)
+                    out["mean_r"].append(round(float(fr[:, :, 0].mean()), 6))
+                    out["first_px_r"].append(int(fr[0, 0, 0]))
+                    out["first_px_g"].append(int(fr[0, 0, 1]))
+                    out["first_px_b"].append(int(fr[0, 0, 2]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
