@@ -27,6 +27,15 @@ def test_redact_pii_masks_and_counts(spark):
     )
     d = redact_pii(dom, "raw").first()
     assert d.n_phone == 3 and d.redacted == "call <PHONE> or <PHONE> or <PHONE> ok"
+    # boundary discipline: digit substrings of LONGER separated numbers
+    # are not phones (second review finding)
+    ids = spark.createDataFrame(
+        [(1, "serial 9555-123-4567 ref 555-123-45678 end")],
+        "id long, raw string",
+    )
+    i = redact_pii(ids, "raw").first()
+    assert i.n_phone == 0 and not i.has_pii
+    assert i.redacted == "serial 9555-123-4567 ref 555-123-45678 end"
     assert got[1].redacted == "mail <EMAIL> call <PHONE> done"
     assert (got[1].n_email, got[1].n_phone) == (1, 1)
     assert got[2].redacted == "ip <IP> card <CARD> x"

@@ -357,6 +357,18 @@ def test_avi_roundtrip_and_rejections():
     bad[strf_off + 16 : strf_off + 20] = b"MJPG"
     with _pytest.raises(ValueError, match="uncompressed"):
         codecs.decode_avi(bytes(bad))
+    with _pytest.raises(ValueError, match="fps"):
+        codecs.encode_avi(rng.integers(0, 256, size=(1, 2, 2, 3), dtype=np.uint8), fps=0)
+    # top-down DIB (negative biHeight): rows must NOT be flipped
+    fr = rng.integers(0, 256, size=(1, 4, 3, 3), dtype=np.uint8)
+    td = bytearray(codecs.encode_avi(fr, fps=10))
+    h_off = td.find(b"strf") + 8 + 8  # strf data + biWidth
+    (h_val,) = _struct.unpack_from("<i", td, h_off)
+    _struct.pack_into("<i", td, h_off, -h_val)
+    flipped, _ = codecs.decode_avi(bytes(td))
+    # the payload rows were written bottom-up; declaring top-down means
+    # the decoder must return them in storage order = vertically flipped
+    assert np.array_equal(flipped[0], fr[0][::-1])
 
 
 def test_video_frame_stats_through_spark(spark):

@@ -24,8 +24,15 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("card", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CARD>"),
     # country code OPTIONAL: domestic forms (555-123-4567, (555) 123-4567)
-    # are the common case and must not slip through unmasked
-    ("phone", r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    # are the common case and must not slip through unmasked. Boundaries
+    # via the (\(...\)|\b...) alternation + trailing \b, NOT lookaround —
+    # RE2 (the oracle engine) has none — so digit substrings of longer
+    # separated numbers ('serial 9555-123-4567', '...-45678') don't match.
+    (
+        "phone",
+        r"(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 

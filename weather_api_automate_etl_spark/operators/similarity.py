@@ -95,13 +95,15 @@ def kmeans_fit(
 
     - deterministic init (the k DISTINCT vectors with the lowest
       ``id_col`` — distinct so duplicate rows, which dedup-shaped corpora
-      are full of, cannot seed two identical centroids; no RNG state),
+      are full of, cannot seed two identical centroids; no RNG state).
+      An input with fewer than k distinct vectors yields that many
+      centroids — the honest maximum; there is no k-th cluster to find,
     - per round: assign = broadcast k-sized centroid table + per-vector
       top-1 (corpus-linear, no corpus shuffle beyond the window partials),
       update = one (list, pos) mean aggregate; a cluster that receives no
       members keeps its previous centroid (carried forward, so the
-      codebook ALWAYS has k entries and an emptied-then-repopulated list
-      stays addressable),
+      codebook never shrinks below its init size and an
+      emptied-then-repopulated list stays addressable),
     - each new centroid table is localCheckpoint'ed (k·d rows — tiny) and
       the movement probe is a k·d-row join-on-(list,pos) aggregate over
       METADATA-sized frames, never the corpus,

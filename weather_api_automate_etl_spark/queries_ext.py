@@ -1936,9 +1936,9 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_length_hist",
     oracle="""
     WITH b AS (
-      SELECT least(CAST(floor(n_chars / 50) AS INTEGER), 11) AS bucket,
+      SELECT greatest(least(CAST(floor(n_chars / 50) AS INTEGER), 11), 0) AS bucket,
              COUNT(*) AS n
-      FROM documents GROUP BY 1
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     )
     SELECT CAST(bucket * 50 AS INTEGER) AS bin_lo,
            CASE WHEN bucket < 11 THEN CAST((bucket + 1) * 50 AS INTEGER) END AS bin_hi,

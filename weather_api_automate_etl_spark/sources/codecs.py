@@ -90,6 +90,37 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Shared DIB raster (the BMP/AVI common layer — ONE definition of the
+# stride/flip/BGR logic so the two containers cannot drift)
+# ---------------------------------------------------------------------------
+
+
+def _dib_encode(frame: np.ndarray) -> bytes:
+    """(h, w, 3) RGB → bottom-up BGR raster with 4-byte row padding (the
+    BMP/DIB raster layout, sans file headers)."""
+    h, w, _ = frame.shape
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    bgr = np.ascontiguousarray(frame[:, :, ::-1], dtype=np.uint8)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    return rows[::-1].tobytes()
+
+
+def _dib_decode(raster: bytes, w: int, h: int, bottom_up: bool = True) -> np.ndarray:
+    """Padded BGR DIB raster → (h, w, 3) RGB. ``bottom_up=False`` for
+    top-down rasters (negative biHeight — rows already in display order)."""
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    if len(raster) != stride * h:
+        raise ValueError(f"bad DIB frame size: want {stride * h}, got {len(raster)}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
+    if bottom_up:
+        rows = rows[::-1]
+    return rows.reshape(h, w, 3)[:, :, ::-1]
+
+
+# ---------------------------------------------------------------------------
 # BMP (24 bpp, BI_RGB)
 # ---------------------------------------------------------------------------
 
@@ -108,10 +139,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     info_header = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    bgr = np.ascontiguousarray(pixels[:, :, ::-1], dtype=np.uint8)  # RGB→BGR
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
-    return file_header + info_header + rows[::-1].tobytes()  # bottom-up
+    return file_header + info_header + _dib_encode(pixels)  # bottom-up BGR
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -127,16 +155,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"only 24-bpp BI_RGB supported (bpp={bpp}, comp={compression})")
     bottom_up = h > 0
     h = abs(h)
-    row_bytes = w * 3
-    stride = (row_bytes + 3) & ~3
-    need = stride * h
+    need = ((w * 3 + 3) & ~3) * h
     raster = payload[data_off : data_off + need]
     if len(raster) != need:
         raise ValueError(f"truncated raster: want {need}, got {len(raster)}")
-    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
-    if bottom_up:
-        rows = rows[::-1]
-    return rows.reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return _dib_decode(raster, w, h, bottom_up=bottom_up)
 
 
 # ---------------------------------------------------------------------------
@@ -346,32 +369,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
-def _dib_encode(frame: np.ndarray) -> bytes:
-    """(h, w, 3) RGB → bottom-up BGR raster with 4-byte row padding (the
-    BMP/DIB raster layout, sans file headers)."""
-    h, w, _ = frame.shape
-    row_bytes = w * 3
-    stride = (row_bytes + 3) & ~3
-    bgr = np.ascontiguousarray(frame[:, :, ::-1], dtype=np.uint8)
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
-    return rows[::-1].tobytes()
-
-
-def _dib_decode(raster: bytes, w: int, h: int) -> np.ndarray:
-    row_bytes = w * 3
-    stride = (row_bytes + 3) & ~3
-    if len(raster) != stride * h:
-        raise ValueError(f"bad DIB frame size: want {stride * h}, got {len(raster)}")
-    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
-    return rows[::-1].reshape(h, w, 3)[:, :, ::-1]
-
-
 def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     """(n, h, w, 3) uint8 array → uncompressed-DIB AVI bytes (RIFF 'AVI '
     with hdrl/movi lists, one '00db' chunk per frame)."""
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError(f"expected (n, h, w, 3) array, got {frames.shape}")
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
     n, h, w, _ = frames.shape
     frame_bytes = ((w * 3 + 3) & ~3) * h
 
@@ -423,13 +427,18 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(f"truncated AVI chunk {ctype!r}")
             if ctype == b"LIST":
                 walk(data[4:])  # skip the list-type fourcc
-            elif ctype == b"strf":
+            elif ctype == b"strf" and strf is None:
+                # FIRST strf wins: the video strl precedes any audio strl
+                # in a conformant AVI, and a later audio strf (WAVEFORMAT)
+                # must not override the video format
                 strf = data
             elif ctype == b"avih":
                 if len(data) < 4:
                     raise ValueError("malformed avih chunk")
                 (us_per_frame,) = struct.unpack_from("<I", data, 0)
-                fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+                if us_per_frame == 0:
+                    raise ValueError("invalid frame rate (0 us/frame)")
+                fps = round(1_000_000 / us_per_frame)
             elif ctype in (b"00db", b"00dc"):
                 frames_raw.append(data)
             pos += 8 + length + (length & 1)
@@ -437,6 +446,8 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     walk(payload[12:])
     if strf is None or not frames_raw:
         raise ValueError("missing strf/movi frames")
+    if fps is None:
+        raise ValueError("missing avih chunk")
     if len(strf) < 40:
         raise ValueError(f"malformed strf chunk ({len(strf)} bytes)")
     _, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", strf, 0)
@@ -444,8 +455,11 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(
             f"only uncompressed 24-bpp DIB frames supported (bpp={bpp}, comp={compression})"
         )
-    decoded = np.stack([_dib_decode(f, w, abs(h)) for f in frames_raw])
-    return decoded, fps or 0
+    # negative biHeight = top-down rows (standard for capture tools)
+    decoded = np.stack(
+        [_dib_decode(f, w, abs(h), bottom_up=h > 0) for f in frames_raw]
+    )
+    return decoded, fps
 
 
 # ---------------------------------------------------------------------------
