@@ -174,6 +174,23 @@ def test_pack_assign_layout_invariants(spark):
         )
 
 
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from weather_api_automate_etl_spark.operators.textops import unigram_logprob
+
+    # corpus: tokens a a a b  → N=4, V=2; p(a)=(3+1)/(4+2)=2/3, p(b)=(1+1)/6=1/3
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 1
+    assert got[1].avg_neg_logprob == round(-math.log(2 / 3), 6)
+    assert got[2].avg_neg_logprob == round(-math.log(1 / 3), 6)
+    # the common-token doc scores LOWER (more probable) than the rare one
+    assert got[1].avg_neg_logprob < got[2].avg_neg_logprob
+
+
 def test_length_histogram_bins_and_clamp(spark):
     from weather_api_automate_etl_spark.operators.corpus import length_histogram
 

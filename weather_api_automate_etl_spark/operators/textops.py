@@ -205,6 +205,42 @@ def chunk_text(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own add-one-smoothed unigram model — the CCNet/KenLM-style statistical
+    quality signal (documents whose token distribution diverges from the
+    corpus score high and get filtered or down-weighted).
+
+    avg_neg_logprob(D) = mean over tokens t of −ln((c(t)+1)/(N+V)), with
+    c(t) the corpus token count, N total tokens, V vocabulary size.
+
+    Shape: one explode + one token-keyed aggregate builds the frequency
+    table (vocabulary-sized — deliberately NOT broadcast; the scoring
+    join buckets on the token), corpus stats are a 1-row broadcast (the
+    bm25 pattern), and the per-doc reduction is one map-side-combined
+    aggregate. Two shuffles total regardless of corpus size.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    stats = freq.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    neg_lp = -F.log(
+        (F.col("c") + F.lit(1.0)) / (F.col("n_total") + F.col("v"))
+    )
+    return (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(neg_lp), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],

@@ -563,6 +563,7 @@ ROUND4_WINDOW_HEAD: tuple[str, ...] = (
     "q_quality_gate",
     "q_kmeans",
     "q_multimodal_video_frames",
+    "q_unigram_logprob",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (

@@ -1413,6 +1413,30 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_stats(assets, every_nth=2)
 
 
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    stats AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM freq)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln((c + 1.0) / ((SELECT n FROM stats) + (SELECT v FROM stats)))), 6)
+             AS avg_neg_logprob
+    FROM tok JOIN freq USING (t)
+    GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM scoring (operators/textops.py::
+    unigram_logprob): per-doc mean −ln p(token) under the add-one-smoothed
+    corpus unigram distribution — the CCNet-style statistical quality
+    signal. Vocabulary-sized frequency table joins on the token (never
+    broadcast); corpus totals ride a 1-row broadcast."""
+    return textops.unigram_logprob(t(spark, sf_dir, "documents"))
+
+
 @query("q_kmeans", oracle=None, tags=("similarity",))
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means fit (operators/similarity.py::kmeans_fit — the IVF
