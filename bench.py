@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_pii_redact",          # 4-pattern regex scan (codegen regexp throughput)
     "q_decontaminate",       # gram explode + distinct + broadcast bench join
     "q_kmeans",              # iterative Lloyd loop (broadcast assign + mean update)
+    "q_unigram_logprob",     # explode + token-keyed freq join + per-doc reduce
 ]
 
 
