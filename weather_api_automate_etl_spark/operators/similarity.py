@@ -79,6 +79,52 @@ def centroids_by(df: DataFrame, vec_col: str, list_col: str) -> DataFrame:
     )
 
 
+_PARTIALS_SCHEMA = "list_id int, cnt long, vsum array<double>"
+
+
+def _lloyd_partials(cents: list[list[float]]):
+    """Per-partition Lloyd partials as an Arrow-batched ``mapInPandas``
+    function: vectorized cosine-argmax assignment against the driver-side
+    codebook (k·d doubles shipped in the closure), then per-cluster
+    (count, Σvec). Each partition emits ≤k rows regardless of its size —
+    the 100 TB-safe partial-aggregate contract."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64)  # k×d
+        cn = np.linalg.norm(C, axis=1)
+        k, d = C.shape
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            if V.size == 0:
+                continue
+            vn = np.linalg.norm(V, axis=1)
+            denom = np.outer(vn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.round((V @ C.T) / denom, 6)
+            # zero-norm (null cosine) scores −inf: never beats a real
+            # score; an all−inf row argmaxes to list 0 — both matching
+            # nearest_centroid's null-last, lowest-id tie-break order
+            scores[denom == 0] = -np.inf
+            idx = np.argmax(scores, axis=1)  # first max = lowest list id
+            counts += np.bincount(idx, minlength=k)
+            np.add.at(sums, idx, V)
+        nz = np.flatnonzero(counts)
+        yield pd.DataFrame(
+            {
+                "list_id": nz.astype("int32"),
+                "cnt": counts[nz],
+                "vsum": [sums[j].tolist() for j in nz],
+            }
+        )
+
+    return fn
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -98,73 +144,95 @@ def kmeans_fit(
       are full of, cannot seed two identical centroids; no RNG state).
       An input with fewer than k distinct vectors yields that many
       centroids — the honest maximum; there is no k-th cluster to find,
-    - per round: assign = broadcast k-sized centroid table + per-vector
-      top-1 (corpus-linear, no corpus shuffle beyond the window partials),
-      update = one (list, pos) mean aggregate; a cluster that receives no
-      members keeps its previous centroid (carried forward, so the
-      codebook never shrinks below its init size and an
-      emptied-then-repopulated list stays addressable),
-    - each new centroid table is localCheckpoint'ed (k·d rows — tiny) and
-      the movement probe is a k·d-row join-on-(list,pos) aggregate over
-      METADATA-sized frames, never the corpus,
-    - stops when total centroid L1 movement < ``tol`` (converged=True) or
-      after ``max_iter`` rounds (converged=False — returned, not raised:
-      a partially-converged codebook is still a usable IVF quantizer,
-      unlike a non-converged connected-components labeling).
+    - the projected ``(id, vec)`` frame is persisted ONCE before the loop
+      (memory-and-disk) — the corpus parquet is scanned exactly once no
+      matter how many rounds run; every round reads the cached projection.
+      Any pre-existing ``list_id`` column on ``df`` is dropped by the
+      projection, so re-clustering previously assigned vectors is safe,
+    - centroids live DRIVER-side between rounds (k·d doubles — index
+      metadata, the same payload ``nearest_centroid`` broadcasts). Per
+      round: ONE Arrow-batched ``mapInPandas`` pass computes, per
+      partition, the vectorized NumPy cosine-argmax assignment (ties break
+      to the lowest list id — NumPy argmax returns the first max, matching
+      ``nearest_centroid``'s (desc score, asc list_id) order; zero-norm
+      vectors score −inf everywhere and land in list 0, matching the
+      null-cosine sort) and the per-cluster (count, Σvec) PARTIALS; the
+      driver merges P·k partial rows into the next codebook. This is the
+      classic distributed-Lloyd shape (per-partition partial sums → driver
+      merge, exactly Spark MLlib's KMeans aggregate), chosen over a
+      k-wide literal-expression argmax because the codebook changes every
+      round — a literal plan would re-analyze/re-codegen a k·d-literal
+      expression tree per round (measured slower than the data pass at
+      moderate k·d), while the UDF plan is constant-shape. The only
+      per-round driver traffic is the P·k×(d ints+doubles) partials,
+      peer to the ivf_topk probe list,
+    - a cluster that receives no members keeps its previous centroid
+      (carried forward, so the codebook never shrinks below its init size
+      and an emptied-then-repopulated list stays addressable),
+    - the movement probe is pure driver arithmetic over the two k·d
+      codebooks; stops when total centroid L1 movement < ``tol``
+      (converged=True) or after ``max_iter`` rounds (converged=False —
+      returned, not raised: a partially-converged codebook is still a
+      usable IVF quantizer, unlike a non-converged connected-components
+      labeling).
     """
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    init = (
+    # loop-invariant corpus: project to (id, vec-as-double) — dropping any
+    # pre-existing list_id — and persist so the source is scanned once
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    init_rows = (
         # deterministic distinct: one representative (lowest id) per
-        # distinct vector, then the k lowest representatives; cast to
-        # double so round-N centroids (means — always double) coalesce
-        # type-correctly with carried-forward init centroids
-        df.groupBy(F.col(vec_col).cast("array<double>").alias("centroid"))
+        # distinct vector, then the k lowest representatives
+        base.groupBy(F.col("_v").alias("centroid"))
         .agg(F.min(id_col).alias("__id"))
         .orderBy("__id")
         .limit(k)
         .withColumn("list_id", F.row_number().over(Window.orderBy("__id")) - 1)
         .select("list_id", "centroid")
+        .collect()
     )
-    # k rows: checkpoint so each round starts from materialized centroids
-    cents = init.localCheckpoint(eager=True)
+    # codebook as a driver list indexed by list_id (k·d doubles)
+    cents = [list(r["centroid"]) for r in sorted(init_rows, key=lambda r: r["list_id"])]
+    dim = len(cents[0]) if cents else 0
     converged = False
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        assigned = nearest_centroid(df, cents, vec_col=vec_col, id_col=id_col)
-        updated = centroids_by(
-            df.join(assigned.select(id_col, "list_id"), id_col), vec_col, "list_id"
-        )
-        # carry an emptied cluster's previous centroid forward: the left
-        # join keeps all k list ids, so the movement probe sees every
-        # cluster (a vanished one contributes 0 — genuinely unmoved)
-        new_cents = (
-            cents.select("list_id", F.col("centroid").alias("__old"))
-            .join(updated, "list_id", "left")
-            .select(
-                "list_id",
-                F.coalesce(F.col("centroid"), F.col("__old")).alias("centroid"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # movement probe: explode both k·d-sized tables and L1-compare —
-        # metadata-scale work (k·d rows), not corpus-scale
-        old_e = cents.select(
-            "list_id", F.posexplode("centroid").alias("pos", "old_v")
-        )
-        new_e = new_cents.select(
-            "list_id", F.posexplode("centroid").alias("pos", "new_v")
-        )
-        moved = (
-            old_e.join(new_e, ["list_id", "pos"])
-            .agg(F.sum(F.abs(F.col("new_v") - F.col("old_v"))).alias("m"))
-            .first()[0]
+        partials = base.mapInPandas(
+            _lloyd_partials(cents), schema=_PARTIALS_SCHEMA
+        ).collect()
+        # driver merge: P·k partial (count, Σvec) rows → per-cluster means
+        counts = [0] * len(cents)
+        sums = [[0.0] * dim for _ in cents]
+        for r in partials:
+            j = r["list_id"]
+            counts[j] += r["cnt"]
+            s = sums[j]
+            for i, v in enumerate(r["vsum"]):
+                s[i] += v
+        # carry an emptied cluster's previous centroid forward (it
+        # contributes 0 movement — genuinely unmoved)
+        new_cents = [
+            [s / counts[j] for s in sums[j]] if counts[j] else cents[j]
+            for j in range(len(cents))
+        ]
+        moved = sum(
+            abs(n - o) for nc, oc in zip(new_cents, cents) for n, o in zip(nc, oc)
         )
         cents = new_cents
-        if moved is not None and moved < tol:
+        if moved < tol:
             converged = True
             break
-    return cents, rounds, converged
+    base.unpersist()
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        schema="list_id int, centroid array<double>",
+    )
+    return out, rounds, converged
 
 
 def ivf_topk(
