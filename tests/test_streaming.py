@@ -257,3 +257,34 @@ def test_stream_to_table_complete_replay_is_identical(spark, event_dir, tmp_path
             stream_events.windowed_counts(stream),
             out, str(tmp_path / "ckpt3"), "win_update", output_mode="update",
         )
+
+
+def test_file_sink_restart_is_exactly_once(spark, event_dir, tmp_path):
+    """Draining the same bounded source twice against the same checkpoint
+    must not double-write: the offset log records the consumed files, so
+    the restarted query commits nothing new — the exactly-once property
+    run_to_file_sink claims."""
+    sink = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = stream_events.read_event_stream(spark, event_dir)
+        stream_events.run_to_file_sink(
+            stream.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "value"
+            ),
+            sink,
+            ckpt,
+        )
+
+    drain()
+    n1 = spark.read.parquet(sink).count()
+    drain()  # restart with the same checkpoint: replays offsets, adds nothing
+    n2 = spark.read.parquet(sink).count()
+    expected = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n1 == expected
+    assert n2 == n1

@@ -44,35 +44,32 @@ _EVENT_STREAM_SCHEMA_FMT = (
 )
 
 
-def _drain_event_stream(
-    spark: SparkSession, sf_dir: str, sink: str, build, **drain_kwargs
-) -> DataFrame:
-    """Shared recipe for every q_streaming_* query: stage the events fixture
-    behind a symlink dir (file stream sources need a directory; no data
-    copy), normalize ``ts`` to a µs timestamp, apply ``build(stream)``,
-    drain availableNow into a fresh memory sink, clean up, return the sink
-    table. One definition so the staging/conversion traps live in exactly
-    one place."""
+def _staged_event_stream(
+    spark: SparkSession, sf_dir: str, prefix: str, copies: int = 1
+) -> tuple[str, DataFrame]:
+    """Stage the events fixture behind a symlink dir (file stream sources
+    need a directory; no data copy — ``copies`` > 1 symlinks the same file
+    N times, a zero-copy way to stream genuine duplicate rows) and return
+    (stage_dir, stream) with ``ts`` normalized to a µs timestamp.
+
+    File streams need a user-declared schema, and declaring the wrong ts
+    precision silently corrupts every event time (a µs long divided as ns
+    lands in 1970). Probe the file's batch schema — a driver-side footer
+    read — and stage accordingly: ns generations arrive as bigint and take
+    the integer-div path (ns epochs exceed double's mantissa, so never
+    float-divide); µs generations arrive as a native timestamp type."""
     # batch queries self-heal via load_table; the streaming stager builds
     # its own source, so heal here too — otherwise a non-UTC driver session
     # shifts every instant→ntz window/session boundary by the tz offset
     from weather_api_automate_etl_spark.sources.tables import _ensure_engine_confs
 
     _ensure_engine_confs(spark)
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    stage_dir = tempfile.mkdtemp(prefix=f"{sink}_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
-    from weather_api_automate_etl_spark.streaming import events as stream_events
-
-    # File streams need a user-declared schema, and declaring the wrong ts
-    # precision silently corrupts every event time (a µs long divided as ns
-    # lands in 1970). Probe the file's batch schema — a driver-side footer
-    # read — and stage accordingly: ns generations arrive as bigint and take
-    # the integer-div path (ns epochs exceed double's mantissa, so never
-    # float-divide); µs generations arrive as a native timestamp type.
-    batch_ts = dict(spark.read.parquet(f"{stage_dir}/events.parquet").dtypes)["ts"]
+    stage_dir = tempfile.mkdtemp(prefix=f"{prefix}_")
+    for i in range(copies):
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events_{i}.parquet")
+    batch_ts = dict(
+        spark.read.parquet(f"{stage_dir}/events_0.parquet").dtypes
+    )["ts"]
     if batch_ts == "bigint":
         stream = (
             spark.readStream.schema(_EVENT_STREAM_SCHEMA_FMT.format(ts_type="long"))
@@ -87,11 +84,50 @@ def _drain_event_stream(
             .parquet(stage_dir)
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
+    return stage_dir, stream
+
+
+def _drain_event_stream(
+    spark: SparkSession, sf_dir: str, sink: str, build, **drain_kwargs
+) -> DataFrame:
+    """Shared recipe for every memory-sink q_streaming_* query: stage via
+    ``_staged_event_stream``, apply ``build(stream)``, drain availableNow
+    into a fresh memory sink, clean up, return the sink table. One
+    definition so the staging/conversion traps live in exactly one place."""
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    stage_dir, stream = _staged_event_stream(spark, sf_dir, sink)
     try:
         stream_events.run_to_memory_sink(build(stream), sink, **drain_kwargs)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.table(sink)
+
+
+def _drain_event_stream_to_files(
+    spark: SparkSession, sf_dir: str, name: str, build, copies: int = 1
+) -> DataFrame:
+    """File-sink twin of ``_drain_event_stream``: drain into a parquet
+    append sink with a checkpoint (streaming/events.py::run_to_file_sink —
+    the exactly-once landing-zone path), batch-read the sink back,
+    materialize it (localCheckpoint), and remove the temp dirs. The
+    returned frame is what a downstream batch consumer of the landing zone
+    would see — which is exactly what the driver hashes."""
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    stage_dir, stream = _staged_event_stream(spark, sf_dir, name, copies=copies)
+    sink_dir = tempfile.mkdtemp(prefix=f"{name}_sink_")
+    try:
+        stream_events.run_to_file_sink(
+            build(stream), f"{sink_dir}/data", f"{sink_dir}/ckpt"
+        )
+        return spark.read.parquet(f"{sink_dir}/data").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -875,6 +911,51 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_events").alias("n_events"),
             F.max_by("total_value", "n_events").alias("total_value"),
         )
+    )
+
+
+@query("q_streaming_file_sink", oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           ROUND(value, 2) AS value
+    FROM events WHERE event_type = 'purchase'
+    """, tags=("streaming",))
+def q_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream → DURABLE parquet sink, verified by reading the
+    landing zone back: purchases filtered/projected on the stream, drained
+    availableNow through streaming/events.py::run_to_file_sink (append
+    mode + checkpoint = exactly-once file commits), then batch-read. A
+    stateless transform is the right file-sink demonstrator: append mode
+    emits every row immediately, so the landing zone equals the batch
+    filter — no watermark-finalization holdback to reason away."""
+    return _drain_event_stream_to_files(
+        spark, sf_dir, "q_streaming_file_sink",
+        lambda st: st.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", F.round("value", 2).alias("value")
+        ),
+    )
+
+
+@query("q_streaming_dedup_sink", oracle="""
+    SELECT DISTINCT event_id, user_id, event_type FROM events
+    """, tags=("streaming", "dedup"))
+def q_streaming_dedup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-state dedup (dropDuplicatesWithinWatermark) fed
+    GENUINE duplicates — the fixture staged twice (two symlinks, zero
+    copy; maxFilesPerTrigger=1 puts the copies in separate micro-batches,
+    so the second batch dedups against watermark state, not within-batch)
+    — drained into a durable parquet sink and read back. Projected to
+    columns identical across duplicate copies, so which copy survives is
+    immaterial and the result hashes deterministically against the
+    DISTINCT oracle."""
+    return _drain_event_stream_to_files(
+        spark, sf_dir, "q_streaming_dedup_sink",
+        lambda st: (
+            st.withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        ),
+        copies=2,
     )
 
 

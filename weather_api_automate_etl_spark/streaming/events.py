@@ -182,6 +182,34 @@ def run_to_memory_sink(
         )
 
 
+def run_to_file_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_s: float = 120.0,
+    fmt: str = "parquet",
+) -> None:
+    """Drain a stream with availableNow into a DURABLE file sink (append
+    mode + checkpoint) — the production landing-zone shape. The checkpoint
+    gives exactly-once file commits: a restarted query replays from the
+    offset log and never double-writes a batch, which is the property the
+    memory-sink drains can't demonstrate. Raises on timeout instead of
+    silently returning a partially-written directory."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"file-sink stream to {path!r} did not drain within {timeout_s}s"
+        )
+
+
 def clicks_with_recent_purchase(
     events: DataFrame, lookback_hours: int = 1, watermark: str = "2 hours"
 ) -> DataFrame:
