@@ -235,6 +235,60 @@ def kmeans_fit(
     return out, rounds, converged
 
 
+def kmeans_fixed_rounds(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Exactly ``rounds`` Lloyd iterations as a PURE column-expression
+    composition of the two oracle-proven halves (``nearest_centroid`` +
+    ``centroids_by``) — the deterministic, cross-engine-reproducible twin
+    of ``kmeans_fit`` (which runs to a data-dependent tolerance and is
+    therefore only rows-checkable).
+
+    Determinism contract: every centroid component is CLAMPED to 6 decimal
+    digits after init and after each update, so both engines feed
+    bit-identical centroids into the next round's fold — the same
+    round-at-the-interface discipline as the cosine scores. Keeps the
+    kmeans_fit shapes otherwise: deterministic distinct-lowest-id init,
+    broadcast assign, single mean aggregate, carried-forward empty
+    clusters. Returns the final (list_id, centroid) codebook."""
+    from pyspark.sql.window import Window
+
+    clamp = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cents = (
+        base.groupBy(F.col("_v").alias("centroid"))
+        .agg(F.min(id_col).alias("__id"))
+        .orderBy("__id")
+        .limit(k)
+        .withColumn("list_id", F.row_number().over(Window.orderBy("__id")) - 1)
+        .select("list_id", clamp(F.col("centroid")).alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        assigned = nearest_centroid(base, cents, vec_col="_v", id_col=id_col)
+        updated = centroids_by(
+            base.join(assigned.select(id_col, "list_id"), id_col), "_v", "list_id"
+        )
+        cents = (
+            cents.select("list_id", F.col("centroid").alias("__old"))
+            .join(updated, "list_id", "left")
+            .select(
+                "list_id",
+                clamp(
+                    F.coalesce(F.col("centroid"), F.col("__old"))
+                ).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

@@ -959,22 +959,46 @@ def q_streaming_dedup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_stats", oracle=None, tags=("approx",))
+@query("q_approx_stats", oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS value_p50,
+           quantile_disc(value, 0.95) AS value_p95,
+           COUNT(*) AS n,
+           TRUE AS users_within_10pct
+    FROM events GROUP BY event_type
+    """, tags=("approx",))
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (HLL++ distinct count, quantile
-    sketch percentiles) — sub-linear state at any scale; approximate by
-    construction, so rows-only driver check (exactness bounds in tests).
+    sketch percentiles) — sub-linear state at any scale, now fully
+    driver-hashable:
+
+    - the quantile sketch's ``accuracy`` (1e4) exceeds every fixture
+      group's size, so the GK sketch is EXACT at verification scale and
+      returns the discrete percentile element — DuckDB's quantile_disc,
+      verified value-identical. At 100 TB the same code degrades
+      gracefully to ±1e-4 rank error; nothing changes but the bound,
+    - the HLL distinct count is approximate by construction, so what the
+      driver hashes is its documented CONTRACT — |est/exact − 1| ≤ 0.10
+      (the default 5% rsd at 2σ; tests/test_approx_bounds.py pins the
+      tighter ±5% empirically) — not the register-dependent raw value.
 
     Percentiles come back as scalar columns (one sketch, two extractions)
-    rather than one array column: the rows-only check canonicalizes by
-    sorting column values, which needs every column hashable/orderable."""
+    rather than one array column: the driver canonicalizes by sorting
+    column values, which needs every column hashable/orderable."""
     ev = t(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", [0.5, 0.95], 10000)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         pcts[0].alias("value_p50"),
         pcts[1].alias("value_p95"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id")
+                / F.count_distinct("user_id")
+                - 1
+            )
+            <= 0.10
+        ).alias("users_within_10pct"),
     )
 
 
@@ -1546,6 +1570,90 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmf_assign(cents_cte: str) -> str:
+    """One Lloyd assignment as DuckDB SQL against a centroid CTE — the
+    exact twin of similarity.nearest_centroid (rounded cosine, ties to the
+    lowest list id)."""
+    dot_ec = _DOT_SQL.format(a="e.embedding", b="c.centroid")
+    dot_ee = _DOT_SQL.format(a="e.embedding", b="e.embedding")
+    dot_cc = _DOT_SQL.format(a="c.centroid", b="c.centroid")
+    return f"""
+      SELECT e.vec_id, c.list_id
+      FROM embeddings e CROSS JOIN {cents_cte} c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND({dot_ec} / (sqrt({dot_ee}) * sqrt({dot_cc})), 6) DESC,
+                 c.list_id
+      ) = 1
+    """
+
+
+def _kmf_update(assign_cte: str, prev_cte: str) -> str:
+    """One Lloyd mean-update as DuckDB SQL: elementwise AVG per assigned
+    list, components clamped to 6 digits, empty clusters carried forward
+    from the previous codebook — the twin of similarity.centroids_by plus
+    kmeans_fixed_rounds' clamp/coalesce."""
+    return f"""
+      SELECT p.list_id, coalesce(u.centroid, p.centroid) AS centroid
+      FROM {prev_cte} p LEFT JOIN (
+        SELECT list_id, list(ROUND(m, 6) ORDER BY i) AS centroid FROM (
+          SELECT a.list_id, i, AVG(CAST(e.embedding[i] AS DOUBLE)) AS m
+          FROM embeddings e
+          JOIN {assign_cte} a USING (vec_id),
+          UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+          GROUP BY a.list_id, i
+        ) GROUP BY list_id
+      ) u USING (list_id)
+    """
+
+
+@query(
+    "q_kmeans_fixed",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY __id) - 1 AS INTEGER) AS list_id,
+             list_transform(centroid, x -> ROUND(x, 6)) AS centroid
+      FROM (
+        SELECT CAST(embedding AS DOUBLE[]) AS centroid, MIN(vec_id) AS __id
+        FROM embeddings GROUP BY 1 ORDER BY __id LIMIT 8
+      )
+    ),
+    a1 AS ({_kmf_assign("c0")}),
+    c1 AS ({_kmf_update("a1", "c0")}),
+    a2 AS ({_kmf_assign("c1")}),
+    c2 AS ({_kmf_update("a2", "c1")}),
+    a3 AS ({_kmf_assign("c2")})
+    SELECT c2.list_id, coalesce(n.n_vectors, 0) AS n_vectors,
+           c2.centroid[1] AS centroid_0
+    FROM c2 LEFT JOIN (
+      SELECT list_id, COUNT(*) AS n_vectors FROM a3 GROUP BY 1
+    ) n USING (list_id)
+    """,
+    tags=("similarity",),
+)
+def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic k-means twin (operators/similarity.py::
+    kmeans_fixed_rounds): exactly 2 Lloyd rounds composed from the
+    oracle-proven halves with round-6 centroid clamping at every
+    interface, so the full iteration — init, two assign/update rounds,
+    final assignment occupancy, and the resulting centroid components —
+    hash-matches an independent DuckDB execution. This upgrades the
+    kmeans family from rows-only (q_kmeans, tolerance-terminated) to a
+    full triple-check."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fixed_rounds(emb, k=8, rounds=2)
+    occ = (
+        similarity.nearest_centroid(emb, cents)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    return cents.join(occ, "list_id", "left").select(
+        "list_id",
+        F.coalesce(F.col("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
+        F.col("centroid")[0].alias("centroid_0"),
+    )
+
+
 @query(
     "q_dedup_incremental",
     oracle="""
@@ -1843,7 +1951,13 @@ def q_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_union", oracle=None, tags=("approx", "agg"))
+@query("q_sketch_union", oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT user_id % 8) AS n_shards,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """, tags=("approx", "agg"))
 def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB pattern for distinct counting:
     build per-shard HLL sketches (here: 8 hash shards per event_type, in a
@@ -1851,20 +1965,36 @@ def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     data), then answer the query by UNIONING sketches instead of re-reading
     raw data. HLL union is exact over sketch registers, so the merged
     estimate equals the single-pass sketch estimate (pinned in
-    tests/test_approx_bounds.py); the estimate itself is approximate, so
-    the driver check is rows-only."""
+    tests/test_approx_bounds.py).
+
+    Driver-hashable upgrade: shards partition users (shard = user_id % 8),
+    so summing per-shard exact distincts gives the true count without a
+    second corpus pass; the register-dependent estimate is hashed via its
+    CONTRACT — |est/exact − 1| ≤ 0.05, the DataSketches HLL_4 lgK=12
+    error bound the bounds tests pin — alongside the exact count and the
+    shard fan-in."""
     ev = t(spark, sf_dir, "events")
     parts = ev.groupBy(
         "event_type", (F.col("user_id") % 8).alias("shard")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_u"),
+    )
     return (
         parts.groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+            F.sum("exact_u").alias("exact_users"),
             F.count(F.lit(1)).alias("n_shards"),
         )
-        .select("event_type", F.col("est_users").cast("long").alias("est_users"),
-                "n_shards")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_shards",
+            (
+                F.abs(F.col("est") / F.col("exact_users") - 1) <= 0.05
+            ).alias("est_within_5pct"),
+        )
     )
 
 
