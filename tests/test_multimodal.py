@@ -139,9 +139,12 @@ def test_decode_image_sniffs_magic_and_rejects_unknown():
     assert np.array_equal(codecs.decode_image(codecs.encode_ppm(px)), px)
     assert np.array_equal(codecs.decode_image(codecs.encode_bmp(px)), px)
     assert np.array_equal(codecs.decode_image(codecs.encode_png(px)), px)
-    # JPEG has no pure-NumPy decoder: still the documented plug point
-    with _pytest.raises(NotImplementedError, match="magic"):
+    # JPEG now routes to the real decoder (rejecting garbage loudly);
+    # unknown magics remain the documented plug point
+    with _pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0....")
+    with _pytest.raises(NotImplementedError, match="magic"):
+        codecs.decode_image(b"GIF89a....")
 
 
 def test_resize_nearest_exact_mapping():
@@ -402,3 +405,159 @@ def test_ppm_comment_terminates_token():
     px = _gradient(2, 2)
     payload = b"P6\n2 2 255# trailing comment\n" + px.tobytes()
     assert np.array_equal(codecs.decode_ppm(payload), px)
+
+
+def test_jpeg_roundtrip_solid_blocks_exact_and_lossy_bounded():
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        _jpeg_expected_pixels,
+    )
+
+    # solid 8x8 blocks: all signal in DC, quality-90 DC quant is exact for
+    # these levels -> byte-identical reconstruction
+    for d in (0, 1, 5, 11, 37, 254):
+        px = _jpeg_expected_pixels(d)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=90))
+        assert dec.shape == px.shape
+        assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 2
+    # non-block-aligned dims (edge-replication padding) and gradients:
+    # lossy but bounded, dims preserved exactly
+    for h, w in [(1, 1), (5, 9), (17, 23), (31, 2)]:
+        base = (np.indices((h, w)).sum(axis=0) * 9 % 256).astype(np.uint8)
+        px = np.stack([base, base * 3 % 256, base * 7 % 256], axis=-1)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(px.astype(np.uint8)))
+        assert dec.shape == (h, w, 3)
+        assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 40
+
+
+def test_jpeg_decoder_reads_tables_from_file_and_rejects_unsupported():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = np.full((8, 8, 3), 77, dtype=np.uint8)
+    payload = codecs.encode_jpeg(px, quality=75)
+
+    # decoder must use the FILE's quant tables: re-encoding at a different
+    # quality still round-trips (different DQT in the stream)
+    assert codecs.decode_jpeg(payload).shape == (8, 8, 3)
+
+    # not a JPEG
+    with _pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"\x00\x01rubbish")
+    # progressive SOF2 must be rejected as the documented plug point
+    prog = bytearray(payload)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg(bytes(prog))
+    # subsampled files are outside the supported subset
+    sub = bytearray(payload)
+    sof_at = sub.find(b"\xff\xc0")
+    # component 1 sampling byte: SOF0 payload = len(2) P(1) H(2) W(2) Nc(1),
+    # then [cid, samp, tq] triples
+    sub[sof_at + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x22
+    with _pytest.raises(ValueError, match="subsampling"):
+        codecs.decode_jpeg(bytes(sub))
+    # truncation fuzz: every cut either raises ValueError or (for cuts
+    # past the entropy data) still decodes full dims — never a short image
+    for cut in range(2, len(payload) - 1, 3):
+        try:
+            out = codecs.decode_jpeg(payload[:cut])
+        except ValueError:
+            continue
+        assert out.shape == (8, 8, 3)
+    assert codecs.decode_image(payload).shape == (8, 8, 3)  # magic sniffing
+
+
+def test_jpeg_spark_pipeline_stats(spark):
+    from weather_api_automate_etl_spark.sources import multimodal
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(24)
+    stats = multimodal.jpeg_stats(
+        multimodal.documents_as_jpeg_assets(docs)
+    ).collect()
+    assert len(stats) == 24
+    for r in stats:
+        assert r.width == (r.asset_id % 3 + 1) * 8
+        assert r.height == (r.asset_id % 2 + 1) * 8
+        assert r.n_channels == 3
+        assert r.n_blocks == (r.width // 8) * (r.height // 8)
+        assert r.recon_ok
+
+
+def test_avi_audio_strl_before_video_strl_and_wav_frame_alignment():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    def chunk(ctype, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return ctype + _struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, data):
+        return chunk(b"LIST", ltype + data)
+
+    frames = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    n, h, w = 2, 3, 4
+    fps = 10
+    frame_bytes = ((w * 3 + 3) & ~3) * h
+    avih = _struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+        n, 0, 2, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    # AUDIO strl FIRST (legal stream order); its strf is a WAVEFORMAT that
+    # must not be mistaken for the video format
+    strh_a = _struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 16000, 3200,
+        0, 0, 0, 0, 0, 0,
+    )
+    strf_a = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    strh_v = _struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf_v = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    movi = lst(
+        b"movi", b"".join(chunk(b"00db", codecs._dib_encode(f)) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    got, got_fps = codecs.decode_avi(payload)
+    assert got_fps == fps
+    assert np.array_equal(got, frames)
+
+    # WAV: a non-frame-aligned data chunk errors per the decoder contract
+    wav = bytearray(codecs.encode_wav(np.zeros((4, 2), dtype=np.int16), 8000))
+    # shrink data chunk length by 2 bytes (half a stereo frame)
+    data_at = bytes(wav).rfind(b"data")
+    (dlen,) = _struct.unpack_from("<I", wav, data_at + 4)
+    _struct.pack_into("<I", wav, data_at + 4, dlen - 2)
+    with _pytest.raises(ValueError, match="frames"):
+        codecs.decode_wav(bytes(wav[:-2]))
+    # zero sample rate errors
+    wav2 = bytearray(codecs.encode_wav(np.zeros((4, 1), dtype=np.int16), 8000))
+    fmt_at = bytes(wav2).find(b"fmt ")
+    _struct.pack_into("<I", wav2, fmt_at + 8 + 4, 0)
+    with _pytest.raises(ValueError, match="sample rate"):
+        codecs.decode_wav(bytes(wav2))

@@ -1476,6 +1476,35 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS width,
+           CAST((doc_id % 2 + 1) * 8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS INTEGER) AS n_blocks,
+           TRUE AS recon_ok
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-stub baseline-JPEG decode end-to-end: deterministic real JFIF
+    payloads (multimodal.documents_as_jpeg_assets — block-aligned
+    solid-block images, quality 90) run the full pure-NumPy pipeline
+    (sources/codecs.py::decode_jpeg): marker walk, file-supplied DQT/DHT
+    table build, Huffman entropy decode with byte unstuffing, DC
+    prediction, dequant, de-zigzag, batched IDCT, YCbCr→RGB. JPEG is
+    lossy, so the driver hashes the exact structure (dims, channels,
+    block count) plus the reconstruction contract (max |err| ≤ 2 vs the
+    regenerated original — DC-only quantization error for solid blocks);
+    any decode defect blows the bound. Codec fuzzes live in
+    tests/test_multimodal.py."""
+    assets = multimodal.documents_as_jpeg_assets(t(spark, sf_dir, "documents"))
+    return multimodal.jpeg_stats(assets)
+
+
+@query(
     "q_multimodal_video_frames",
     oracle="""
     WITH p AS (

@@ -1,4 +1,5 @@
-"""Pure-NumPy image codecs: binary PPM (P6), 24-bpp BMP, and 8-bit PNG.
+"""Pure-NumPy media codecs: PPM (P6), 24-bpp BMP, 8-bit PNG, baseline
+JFIF JPEG, RIFF/PCM-16 WAV, and uncompressed-DIB AVI.
 
 The container ships no PIL/ffmpeg, but these formats are decodable with
 ``struct`` + stdlib ``zlib`` + NumPy alone — which gives the multimodal
@@ -19,6 +20,12 @@ Formats (public specs):
   non-interlaced — the dominant shape of real-corpus PNGs. All five
   scanline filters (None/Sub/Up/Average/Paeth) are implemented on both
   the encode and decode side, so each unfilter path is round-trippable.
+- JPEG (ITU T.81 baseline + JFIF): marker segments, file-supplied
+  quant/Huffman tables, interleaved Huffman-coded MCUs — see the JPEG
+  section below for the exact supported subset.
+- WAV (RIFF/WAVE): chunk walk, uncompressed PCM-16 only.
+- AVI (RIFF 'AVI '): hdrl/strl/movi walk, uncompressed 24-bpp DIB
+  frames only; strf is bound to the 'vids' strh within its strl.
 """
 
 from __future__ import annotations
@@ -356,6 +363,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})")
     if n_ch < 1:
         raise ValueError(f"invalid channel count {n_ch}")
+    if rate <= 0:
+        raise ValueError(f"invalid sample rate {rate}")
+    if len(data) % (n_ch * 2) != 0:
+        # fail loudly (the decoder contract) instead of surfacing a raw
+        # numpy reshape error for a non-frame-aligned data chunk
+        raise ValueError(
+            f"data chunk ({len(data)} bytes) is not a whole number of "
+            f"{n_ch}-channel 16-bit frames"
+        )
     frames = np.frombuffer(data, dtype="<i2")
     if n_ch > 1:
         frames = frames.reshape(-1, n_ch)
@@ -416,8 +432,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     fps = None
     frames_raw: list[bytes] = []
 
-    def walk(buf: bytes) -> None:
-        nonlocal strf, fps
+    def chunks(buf: bytes):
         pos = 0
         while pos + 8 <= len(buf):
             ctype = buf[pos : pos + 4]
@@ -425,14 +440,28 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
             data = buf[pos + 8 : pos + 8 + length]
             if len(data) != length:
                 raise ValueError(f"truncated AVI chunk {ctype!r}")
+            yield ctype, data
+            pos += 8 + length + (length & 1)
+
+    def walk(buf: bytes) -> None:
+        nonlocal strf, fps
+        for ctype, data in chunks(buf):
             if ctype == b"LIST":
-                walk(data[4:])  # skip the list-type fourcc
-            elif ctype == b"strf" and strf is None:
-                # FIRST strf wins: the video strl precedes any audio strl
-                # in a conformant AVI, and a later audio strf (WAVEFORMAT)
-                # must not override the video format
-                strf = data
-            elif ctype == b"avih":
+                ltype, body = data[:4], data[4:]
+                if ltype == b"strl":
+                    # bind strf to the 'vids' strh WITHIN its own strl —
+                    # stream order is not guaranteed (an audio strl may
+                    # legally precede the video strl), so "first strf
+                    # wins" would misparse such files
+                    in_vids = False
+                    for sub_t, sub_d in chunks(body):
+                        if sub_t == b"strh":
+                            in_vids = sub_d[:4] == b"vids"
+                        elif sub_t == b"strf" and in_vids and strf is None:
+                            strf = sub_d
+                else:
+                    walk(body)
+            elif ctype == b"avih" and fps is None:  # first avih is canonical
                 if len(data) < 4:
                     raise ValueError("malformed avih chunk")
                 (us_per_frame,) = struct.unpack_from("<I", data, 0)
@@ -441,7 +470,6 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 fps = round(1_000_000 / us_per_frame)
             elif ctype in (b"00db", b"00dc"):
                 frames_raw.append(data)
-            pos += 8 + length + (length & 1)
 
     walk(payload[12:])
     if strf is None or not frames_raw:
@@ -463,17 +491,485 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline JFIF: SOF0, Huffman entropy coding, 8-bit precision)
+# ---------------------------------------------------------------------------
+#
+# Pure NumPy + struct — no libjpeg/PIL. Supported subset, chosen to cover
+# real baseline files while staying auditable:
+#   decode: SOF0, 3-component YCbCr with 1x1 sampling (no chroma
+#           subsampling), 8-bit DQT tables, any DHT tables (read from the
+#           file, as the spec requires — never assumed), restart markers,
+#           byte stuffing. Progressive (SOF2), 12-bit, subsampled, or
+#           arithmetic-coded files raise ValueError — the libjpeg plug
+#           point.
+#   encode: the matching shape (4:4:4, quality-scaled Annex-K quant
+#           tables, uniform-length Huffman tables written into DHT — any
+#           conformant decoder reads tables from DHT, so fixed-length
+#           codes are valid baseline JPEG, just less compressed).
+#
+# Rounding discipline: quantization and final pixel conversion use
+# floor(x + 0.5) (half-up, sign-deterministic) — never np.round (banker's)
+# — so encode/decode results are platform-reproducible.
+
+#: Annex-K base quantization tables (quality 50), row-major 8x8
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _zigzag_order() -> list[int]:
+    """Flat indices of the 8x8 grid in JPEG zigzag scan order."""
+    out = []
+    for s in range(15):
+        coords = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            coords.reverse()  # even diagonals run bottom-left -> top-right
+        out.extend(r * 8 + c for r, c in coords)
+    return out
+
+
+_ZIGZAG = np.array(_zigzag_order())
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+#: orthonormal 8-point DCT-II matrix (rows = frequencies)
+_DCT_T = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: uniform-length Huffman spec: all 12 DC size categories as 4-bit codes,
+#: all 162 AC run/size symbols as 8-bit codes. Written into DHT verbatim;
+#: valid canonical tables (12 <= 2^4, 162 <= 2^8, no all-ones code issue).
+_DC_HUFF_BITS = tuple(12 if ln == 4 else 0 for ln in range(1, 17))
+_DC_HUFF_VALS = tuple(range(12))
+_AC_HUFF_BITS = tuple(162 if ln == 8 else 0 for ln in range(1, 17))
+_AC_HUFF_VALS = (0x00, 0xF0) + tuple(
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+)
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment: symbol -> (code, length)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling, integer arithmetic, clipped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _entropy_encode_block(
+    bw: _BitWriter, zz: np.ndarray, prev_dc: int, dc_tab, ac_tab
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns its DC."""
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    size = abs(diff).bit_length()
+    code, length = dc_tab[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_tab[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        if size > 10:
+            raise ValueError(
+                f"AC coefficient {v} exceeds baseline size 10; lower quality"
+            )
+        c, ln = ac_tab[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        c, ln = ac_tab[0x00]  # EOB
+        bw.write(c, ln)
+    return dc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ],
+        axis=-1,
+    )
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, SOF0)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt = [
+        _scaled_quant(_JPEG_QUANT_LUMA, quality),
+        _scaled_quant(_JPEG_QUANT_CHROMA, quality),
+    ]
+    # pad to 8-multiples by edge replication, component planes
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ycc = _rgb_to_ycbcr(pixels)
+    ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    dc_tab = _huff_encode_table(_DC_HUFF_BITS, _DC_HUFF_VALS)
+    ac_tab = _huff_encode_table(_AC_HUFF_BITS, _AC_HUFF_VALS)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):  # MCU = one block per component (1x1)
+            for comp in range(3):
+                block = ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
+                coeff = _DCT_T @ (block - 128.0) @ _DCT_T.T
+                q = qt[0 if comp == 0 else 1].reshape(8, 8)
+                zz = np.floor(coeff / q + 0.5).astype(np.int64).ravel()[_ZIGZAG]
+                prev_dc[comp] = _entropy_encode_block(
+                    bw, zz, prev_dc[comp], dc_tab, ac_tab
+                )
+    bw.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    dqt = b"".join(
+        seg(0xFFDB, bytes([tq]) + bytes(qt[tq].ravel()[_ZIGZAG].astype(np.uint8)))
+        for tq in (0, 1)
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"".join(struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+                   for cid in (1, 2, 3)),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_HUFF_BITS) + bytes(_DC_HUFF_VALS)
+        + bytes([0x10]) + bytes(_AC_HUFF_BITS) + bytes(_AC_HUFF_VALS),
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3]) + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(bw.buf) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, payload: bytes, pos: int) -> None:
+        self.payload = payload
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        p = self.payload
+        if self.pos >= len(p):
+            raise ValueError("truncated JPEG entropy segment")
+        byte = p[self.pos]
+        if byte == 0xFF:
+            nxt = p[self.pos + 1] if self.pos + 1 < len(p) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed
+            else:
+                # marker reached: spec says pad with 1-bits (decoder that
+                # reads past the scan is a bug upstream; fail loudly)
+                raise ValueError("hit marker inside entropy decode")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+    def at_marker(self) -> bool:
+        return (
+            self.pos + 1 < len(self.payload)
+            and self.payload[self.pos] == 0xFF
+            and self.payload[self.pos + 1] != 0x00
+        )
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical assignment (F.2.2.3)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB.
+
+    Tables (DQT/DHT) are read from the file as the spec requires, so files
+    from any conformant baseline encoder decode — not just ours. Outside
+    the supported subset (SOF0 3-component 1x1 8-bit) raises ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG (no SOS/EOI)")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("EOI before scan data")
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.frombuffer(seg[sp + 1 : sp + 65], dtype=np.uint8)
+                if len(tab) != 64:
+                    raise ValueError("short DQT table")
+                qtabs[tq] = tab.astype(np.int64)[_UNZIGZAG]
+                sp += 65
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("short DHT table")
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                sp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            if nc != 3:
+                raise ValueError(f"{nc}-component JPEG unsupported (YCbCr only)")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline SOF0 JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            if ns != 3:
+                raise ValueError("scan must cover all 3 components")
+            scan_tabs = []
+            for c in range(ns):
+                _, tdta = struct.unpack_from(">BB", seg, 1 + 2 * c)
+                td, ta = tdta >> 4, tdta & 0xF
+                dc = htabs.get((0, td))
+                ac = htabs.get((1, ta))
+                if dc is None or ac is None:
+                    raise ValueError("scan references missing DHT table")
+                scan_tabs.append((dc, ac))
+            pos = pos + 2 + seg_len
+            break
+        pos = pos + 2 + seg_len
+
+    fh, fw, comps = frame
+    for _, tq in comps:
+        if tq not in qtabs:
+            raise ValueError("frame references missing DQT table")
+    bw_, bh_ = -(-fw // 8), -(-fh // 8)
+    n_mcus = bw_ * bh_
+    coeffs = np.zeros((3, n_mcus, 64), dtype=np.int64)
+    br = _BitReader(payload, pos)
+    pred = [0, 0, 0]
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align()
+            if not br.at_marker():
+                raise ValueError("expected restart marker")
+            rst = payload[br.pos + 1]
+            if not 0xD0 <= rst <= 0xD7:
+                raise ValueError(f"expected RSTn, got {rst:#x}")
+            br.pos += 2
+            pred = [0, 0, 0]
+        for comp in range(3):
+            dc_tab, ac_tab = scan_tabs[comp]
+            size = _huff_decode(br, dc_tab)
+            if size > 11:
+                raise ValueError(f"bad DC size {size}")
+            diff = _extend(br.receive(size), size) if size else 0
+            pred[comp] += diff
+            blk = coeffs[comp, m]
+            blk[0] = pred[comp]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                blk[k] = _extend(br.receive(size), size)
+                k += 1
+    # dequantize, de-zigzag, batched IDCT per component
+    planes = []
+    for comp in range(3):
+        q = qtabs[comps[comp][1]]
+        dq = (coeffs[comp] * q[_ZIGZAG][None, :])[:, _UNZIGZAG].reshape(-1, 8, 8)
+        blocks = np.einsum("ij,njk,kl->nil", _DCT_T.T, dq.astype(np.float64), _DCT_T)
+        plane = (
+            blocks.reshape(bh_, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_ * 8, bw_ * 8)
+        ) + 128.0
+        planes.append(plane[:fh, :fw])
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Shared ops
 # ---------------------------------------------------------------------------
 
 #: magic-byte sniffing → decoder
-DECODERS = {b"P6": decode_ppm, b"BM": decode_bmp, PNG_SIG[:2]: decode_png}
+DECODERS = {
+    b"P6": decode_ppm,
+    b"BM": decode_bmp,
+    PNG_SIG[:2]: decode_png,
+    b"\xff\xd8": decode_jpeg,
+}
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff magic bytes and decode; raises NotImplementedError for media
-    this pure-NumPy path cannot handle (PNG/JPEG/… need a real codec lib —
-    that is the documented plug point in sources/multimodal.py)."""
+    this pure-NumPy path cannot handle (GIF/WebP/TIFF/… need a real codec
+    lib — that is the documented plug point in sources/multimodal.py)."""
     dec = DECODERS.get(bytes(payload[:2]))
     if dec is None:
         raise NotImplementedError(

@@ -9,10 +9,12 @@ The codec step has two tiers:
 
 - ``decode_stub=True`` — deterministic fake feature row (any media type);
 - ``decode_stub=False`` — a REAL pure-stdlib+NumPy decode for binary PPM,
-  24-bpp BMP, 8-bit PNG (all five scanline filters, RGB/RGBA) and
-  RIFF/PCM-16 WAV payloads (sources/codecs.py); formats that genuinely
-  need a codec library (JPEG, compressed audio, video containers) still
-  raise — that is the documented PIL/ffmpeg plug point.
+  24-bpp BMP, 8-bit PNG (all five scanline filters, RGB/RGBA), baseline
+  JFIF JPEG (4:4:4 SOF0, file-supplied Huffman/quant tables, restart
+  markers) and RIFF/PCM-16 WAV payloads (sources/codecs.py); formats that
+  genuinely need a codec library (progressive/subsampled JPEG, compressed
+  audio, compressed video) still raise — that is the documented
+  PIL/ffmpeg plug point.
 
 Scale shape: payload bytes never leave the executor, batches stream through
 Arrow, and per-batch decode cost amortizes Python overhead — the standard
@@ -146,6 +148,109 @@ def documents_as_png_assets(documents: DataFrame) -> DataFrame:
             )
 
     return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+
+
+def _jpeg_expected_pixels(doc_id: int) -> "np.ndarray":  # noqa: F821
+    """The deterministic pre-encode image for doc_id: block-aligned dims
+    (w = (doc_id%3+1)*8, h = (doc_id%2+1)*8), each 8x8 block solid with a
+    block-index-derived RGB. Solid blocks put all signal in the DC
+    coefficient, so quality-90 reconstruction error is bounded by DC
+    quantization alone (≤ ~1 level per channel) — the contract
+    jpeg_stats hashes. Single definition shared by the encoder side and
+    the verification side."""
+    import numpy as np
+
+    w, h = (doc_id % 3 + 1) * 8, (doc_id % 2 + 1) * 8
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            bi = by * (w // 8) + bx
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                (doc_id + 29 * bi) % 256,
+                (doc_id * 13 + 17 * bi) % 256,
+                (doc_id * 7 + 11 * bi) % 256,
+            )
+    return px
+
+
+def documents_as_jpeg_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL baseline-JFIF JPEG payloads deterministically from
+    doc_id (the lossy-codec sibling of documents_as_png_assets; image
+    defined by _jpeg_expected_pixels). The bytes take the full marker
+    parse → DHT/DQT build → Huffman entropy decode → dequant → IDCT →
+    color-convert path on decode."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = [
+                codecs.encode_jpeg(_jpeg_expected_pixels(int(d)), quality=90)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["image/jpeg"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("recon_ok", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_stats(assets: DataFrame) -> DataFrame:
+    """REAL JPEG decode → per-image stats via Arrow-batched mapInPandas.
+
+    JPEG is lossy, so exact pixel values are codec-noise; what IS exact —
+    and what the driver hashes — is the structure (dims, channels, block
+    count) plus the reconstruction CONTRACT: max |decoded − original| ≤ 2
+    levels for the solid-block fixtures (DC-only quantization error at
+    quality 90; the expected image is regenerated from asset_id via the
+    shared _jpeg_expected_pixels definition). A decoder defect — wrong
+    dequant table, zigzag slip, IDCT scale, color-matrix error, DC
+    prediction bug — blows the ±2 bound immediately."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in JPEG_STATS_SCHEMA.fieldNames()}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                arr = codecs.decode_jpeg(bytes(content))
+                expected = _jpeg_expected_pixels(int(aid))
+                err = int(
+                    np.abs(
+                        arr.astype(np.int16) - expected.astype(np.int16)
+                    ).max()
+                )
+                out["asset_id"].append(aid)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["n_channels"].append(arr.shape[2])
+                out["n_blocks"].append((arr.shape[1] // 8) * (arr.shape[0] // 8))
+                out["recon_ok"].append(err <= 2)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, JPEG_STATS_SCHEMA)
 
 
 PNG_STATS_SCHEMA = T.StructType(
