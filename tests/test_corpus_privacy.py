@@ -45,8 +45,37 @@ def test_redact_pii_masks_and_counts(spark):
     assert not got[4].has_pii and got[1].has_pii
     # schema: input id survives, text column replaced by `redacted`
     assert set(redact_pii(df, "raw").columns) == {
-        "id", "redacted", "n_email", "n_card", "n_phone", "n_ip", "has_pii"
+        "id", "redacted", "n_email", "n_card", "n_phone", "n_phone_contig",
+        "n_ip", "has_pii",
     }
+
+
+def test_redact_pii_contiguous_phone_and_amex(spark):
+    from weather_api_automate_etl_spark.operators.privacy import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            # the round-4 advice forms: contiguous 10/11-digit phones and
+            # 15-digit Amex (4-6-5 and contiguous)
+            (1, "call 5551234567 now"),
+            (2, "intl +15551234567 ok"),
+            (3, "amex 3714-496353-98431 paid"),
+            (4, "amex 371449635398431 paid"),
+            (5, "contiguous card 4111111111111111 x"),
+            # NOT phone-shaped: 12-digit run, 11 digits not starting 1,
+            # and digit substrings of longer runs must stay untouched
+            (6, "serial 555123456789 and 25551234567 end"),
+        ],
+        "id long, raw string",
+    )
+    got = {r.id: r for r in redact_pii(df, "raw").collect()}
+    assert got[1].redacted == "call <PHONE> now" and got[1].n_phone_contig == 1
+    assert got[2].redacted == "intl <PHONE> ok" and got[2].n_phone_contig == 1
+    assert got[3].redacted == "amex <CARD> paid" and got[3].n_card == 1
+    assert got[4].redacted == "amex <CARD> paid" and got[4].n_card == 1
+    assert got[5].redacted == "contiguous card <CARD> x" and got[5].n_card == 1
+    assert got[6].redacted == "serial 555123456789 and 25551234567 end"
+    assert not got[6].has_pii
 
 
 def test_decontaminate_flags_shared_grams_only(spark):

@@ -115,12 +115,24 @@ def pack_assign(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum(t).over(w) - t  # tokens laid down before this doc
+    # seq_id via INTEGER division (`div`), not floor(double) — a per-stratum
+    # cumulative token count above 2^53 would silently mis-bucket through a
+    # double; same integer-div discipline as the ns-epoch path in tables.py
     return docs.select(
         id_col,
         *strata,
         t.alias("n_tokens"),
-        F.floor(start / F.lit(ctx_len)).cast("long").alias("seq_id"),
-        (start % F.lit(ctx_len)).cast("long").alias("seq_offset"),
+        F.sum(t).over(w).alias("__cum"),
+    ).select(
+        id_col,
+        *strata,
+        "n_tokens",
+        F.expr(f"(__cum - n_tokens) div {int(ctx_len)}")
+        .cast("long")
+        .alias("seq_id"),
+        ((F.col("__cum") - F.col("n_tokens")) % F.lit(ctx_len))
+        .cast("long")
+        .alias("seq_offset"),
     )
 
 

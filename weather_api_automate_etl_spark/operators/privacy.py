@@ -22,7 +22,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: (kind, pattern, replacement) — applied in order.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("card", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CARD>"),
+    # 16-digit 4-4-4-4 (Visa/MC shape) OR 15-digit 4-6-5 (Amex shape),
+    # separators optional — so CONTIGUOUS 15/16-digit runs are card-shaped
+    # too. Leftmost-first alternation (same in Java regex and RE2) tries
+    # the 16-digit branch first, so a 16-digit run is never half-eaten by
+    # the Amex branch.
+    (
+        "card",
+        r"\b(?:\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}|\d{4}[ -]?\d{6}[ -]?\d{5})\b",
+        "<CARD>",
+    ),
     # country code OPTIONAL: domestic forms (555-123-4567, (555) 123-4567)
     # are the common case and must not slip through unmasked. Boundaries
     # via the (\(...\)|\b...) alternation + trailing \b, NOT lookaround —
@@ -33,6 +42,16 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
         r"(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b",
         "<PHONE>",
     ),
+    # CONTIGUOUS 10-digit runs (5551234567), optionally +1/1-prefixed —
+    # the most common raw phone form; \b…\b keeps this off substrings of
+    # longer digit runs (an 11-digit run not starting with 1, or 12+, has
+    # no interior word boundary to anchor on). Runs AFTER the card rule
+    # in mask order so 15/16-digit runs are already <CARD>; deliberate
+    # over-redaction tradeoff: any bare 10-digit run is phone-shaped.
+    # (the separator is only legal after an explicit 1-prefix — a bare
+    # optional separator would let the match swallow the char before the
+    # digit run)
+    ("phone_contig", r"\+?\b1[-. ]?\d{10}\b|\b\d{10}\b", "<PHONE>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 

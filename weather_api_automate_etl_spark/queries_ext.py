@@ -1957,7 +1957,7 @@ def q_pack_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source,
            CAST(t AS BIGINT) AS n_tokens,
-           CAST(floor(s / 32.0) AS BIGINT) AS seq_id,
+           CAST(s // 32 AS BIGINT) AS seq_id,
            CAST(s % 32 AS BIGINT) AS seq_offset
     FROM c
     """,
@@ -2047,6 +2047,8 @@ _PII_AUG_SQL = """
     || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
     || ' card 4111-1111-1111-'
     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    || ' or 555' || lpad(CAST(doc_id * 11 % 10000000 AS VARCHAR), 7, '0')
+    || ' amex 3714-496353-' || lpad(CAST(doc_id * 13 % 100000 AS VARCHAR), 5, '0')
 """
 
 
@@ -2065,6 +2067,12 @@ def _pii_aug_col() -> "Column":  # noqa: F821
         F.lit("."), (d * 7 % 256).cast("string"),
         F.lit(" card 4111-1111-1111-"),
         F.lpad((d % 10000).cast("string"), 4, "0"),
+        # contiguous 10-digit phone + Amex 4-6-5 card: the raw forms the
+        # round-4 advice flagged as unredacted
+        F.lit(" or 555"),
+        F.lpad((d * 11 % 10000000).cast("string"), 7, "0"),
+        F.lit(" amex 3714-496353-"),
+        F.lpad((d * 13 % 100000).cast("string"), 5, "0"),
     )
 
 
