@@ -78,13 +78,13 @@ def _driver_verified() -> set[str]:
 def test_priority_prefix_covers_every_family():
     """External verification records exactly the first ~50 registry entries
     per round; rounds 1-3 drove 102 of 103 distinct queries green. Pin
-    round 4's evidence strategy: the window opens with every query no prior
+    round 5's evidence strategy: the window opens with every query no prior
     round verified (derived from the CORRECTNESS files themselves, so this
     test self-maintains as queries are added), keeps the §2 core and one
     representative per family inside the window, and everything outside the
     window already holds a green driver row."""
     from weather_api_automate_etl_spark.queries import (
-        ROUND4_WINDOW_HEAD,
+        ROUND5_WINDOW_HEAD,
         queries,
     )
 
@@ -93,11 +93,11 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND4_WINDOW_HEAD)
-    assert names[:k] == list(ROUND4_WINDOW_HEAD)
-    assert unverified <= set(ROUND4_WINDOW_HEAD), (
+    k = len(ROUND5_WINDOW_HEAD)
+    assert names[:k] == list(ROUND5_WINDOW_HEAD)
+    assert unverified <= set(ROUND5_WINDOW_HEAD), (
         "every never-driver-verified query must open the round-4 window: "
-        f"missing {unverified - set(ROUND4_WINDOW_HEAD)}"
+        f"missing {unverified - set(ROUND5_WINDOW_HEAD)}"
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}

@@ -214,3 +214,38 @@ def length_histogram(
         "n_docs",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
     )
+
+
+def train_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment: every
+    document gets a content-hash sort key (md5 of seed:id — change the
+    seed string to get an independent permutation per epoch), a shard in
+    [0, n_shards) from the key's top 32 bits, and its 0-based position
+    within the shard's key order. The writer that follows partitions by
+    ``shard`` and sorts by ``pos`` — a reproducible, engine-portable
+    epoch order with no RNG state (the sampling.py hash discipline).
+
+    Scale: the shard assignment is map-only; the in-shard position is a
+    row_number window partitioned BY SHARD — each shard sorts
+    independently (corpus_size/n_shards rows per task, the same layout
+    the downstream writer needs), never a single global sort.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("sort_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return keyed.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("int")
+    ).select(id_col, "shard", "pos", "sort_key")

@@ -505,3 +505,103 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal (the C4/RefinedWeb "remove
+    repeated substrings" pass): every k-token span that occurs in at least
+    ``min_docs`` distinct documents is deleted from ALL of them; the
+    surviving tokens are re-joined in order.
+
+    Returns ``id_col, clean_text, n_removed`` for every input document
+    (fully-duplicated documents come back as an empty string, documents
+    shorter than k tokens pass through untouched).
+
+    Shape at scale (no step is corpus-quadratic):
+    1. span inventory — map-only: per doc, md5 of each of the n−k+1
+       k-token windows (the hash, never the span text, is what shuffles);
+    2. duplicated-span set — one shingle-keyed aggregate
+       (count-distinct docs ≥ min_docs);
+    3. cover — spans ⋈ dup-set on the hash (plain shuffle join: the dup
+       set is corpus-sized, deliberately NOT broadcast), exploded to
+       (doc, position) and de-duplicated;
+    4. rebuild — posexploded tokens LEFT ANTI cover, then one per-doc
+       aggregate re-joining survivors (array_sort(collect_list(struct))
+       — order restored from positions, not from shuffle order).
+    """
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    spans = base.filter(F.col("__n") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))
+                ),
+            )
+        ).alias("st", "sh"),
+    )
+    dup = (
+        spans.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("sh")
+    )
+    covered = (
+        spans.join(dup, "sh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("st"), F.col("st") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "w")
+    )
+    kept = words.join(covered, [id_col, "pos"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.select(id_col, "__n")
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def neardup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Greedy keep-lowest-id semantic dedup (the SemDeDup reduction): from
+    a near-dup ``pairs`` frame (id_a < id_b), drop every row that has a
+    lower-id near-neighbor — one LEFT ANTI join on the id, no transitive
+    closure (for closure-based survivors see ``cluster_survivors``).
+
+    The anti-join is id-keyed and the dropped-id set is produced by a
+    distinct over the pairs frame — both plain shuffles, nothing
+    quadratic beyond what ``pairs`` itself cost."""
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

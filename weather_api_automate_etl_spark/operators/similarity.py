@@ -448,3 +448,68 @@ def hyperplane_lsh_buckets(
     return df.select(
         F.col(id_col), lsh_bucket_expr(vec_col, dim, n_planes).alias("bucket")
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    list_col: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an on-disk IVF index: the rows written PARTITIONED BY
+    the inverted-list id (``{path}/lists/<list_col>=<v>/``) plus the
+    per-list centroids (``{path}/centroids``, nlists rows).
+
+    This is the storage layout the ``ivf_topk`` docstring promises: with
+    the list id as a partition column, a probe's ``IN (lists…)`` filter is
+    *partition pruning* — the scan plans only nprobe/nlists of the data
+    and never opens the rest (pinned by tests/test_mlprep.py::
+    test_ivf_bucketed_partition_pruning)."""
+    df.select(id_col, vec_col, list_col).write.mode("overwrite").partitionBy(
+        list_col
+    ).parquet(f"{path}/lists")
+    centroids_by(df, vec_col, list_col).withColumnRenamed(
+        "list_id", "__list"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_lists(
+    spark, path: str, query_vec: Sequence[float], nprobe: int
+) -> list:
+    """Rank the stored centroids (nlists rows — a driver-side read by
+    design) and return the ``nprobe`` nearest list ids, rounded +
+    id-tie-broken exactly like ``ivf_topk``'s in-memory probe."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = _query_vec_lit(query_vec)
+    return [
+        r["__list"]
+        for r in cents.select(
+            "__list",
+            F.round(cosine_similarity(F.col("centroid"), q), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("__list"))
+        .limit(nprobe)
+        .collect()
+    ]
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    list_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a ``build_ivf_index`` layout: probe the stored
+    centroids, then scan ONLY the probed partitions (the ``isin`` filter
+    on the partition column prunes at planning time — at 100 TB the query
+    touches nprobe directories, not the corpus)."""
+    probed = ivf_probe_lists(spark, path, query_vec, nprobe)
+    subset = spark.read.parquet(f"{path}/lists").filter(
+        F.col(list_col).isin(probed)
+    )
+    return topk_cosine(subset, vec_col, query_vec, k=k, id_col=id_col)

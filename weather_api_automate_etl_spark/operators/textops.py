@@ -319,3 +319,79 @@ def fingerprints(
     return df.select(
         F.col(id_col), document_fingerprint(text_col, k).alias("fingerprint")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smooth idf:
+    ln((N+1)/(df+1)) + 1) — the classic keyword/topic signal a corpus
+    pipeline materializes for search, clustering seeds and near-dup
+    explanation.
+
+    Shape at scale: one explode + (doc, term)-keyed count aggregate (tf),
+    a term-keyed count-distinct (df — vocabulary-sized, joined on the
+    term key like unigram_logprob's freq table, deliberately NOT
+    broadcast), the corpus doc count as a 1-row broadcast, and a per-doc
+    window top-k that Spark runs as WindowGroupLimit (per-partition
+    top-k, no full sort). No step is quadratic; no driver collect."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rk")
+    )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    H = ln(n) − Σ c·ln(c) / n — a repetition/diversity quality signal
+    (low entropy ⇒ templated or repetitive text; pairs with
+    repetition_profile's duplicate-line fractions).
+
+    One explode + (doc, term) count + per-doc aggregate — two shuffles,
+    both map-side combined; the entropy identity avoids materializing
+    per-term probabilities."""
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -525,7 +525,11 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _load_extensions() -> None:
     """Extension queries register themselves on import (kept in a separate
     module so the core §2 inventory stays readable)."""
-    from weather_api_automate_etl_spark import queries_analytics, queries_ext  # noqa: F401
+    from weather_api_automate_etl_spark import (  # noqa: F401
+        queries_analytics,
+        queries_ext,
+        queries_mlprep,
+    )
 
 
 # Priority order for the registry as exposed to the driver. External
@@ -541,32 +545,36 @@ def _load_extensions() -> None:
 # registration order (new queries are never silently dropped);
 # test_queries_registry asserts every listed name is actually registered.
 
-#: queries with no green CORRECTNESS_r01/r02/r03 row plus round-4
-#: additions — round 4's window must open with these (pinned by
+#: queries with no green CORRECTNESS_r01–r04 row plus every round-5
+#: addition — round 5's window must open with these (pinned by
 #: test_queries_registry, which derives the unverified set from the
 #: CORRECTNESS files themselves).
-ROUND4_WINDOW_HEAD: tuple[str, ...] = (
-    "q_approx_stats",          # r3 red row: array column, now scalarized
-    # -- round-4 additions (no driver row yet by construction) -------------
-    "q_multimodal_decode_png",
-    "q_pii_redact",
-    "q_decontaminate",
-    "q_mixture_sample",
-    "q_length_hist",
-    "q_pagerank_converged",
-    "q_pack_assign",
-    "q_sketch_union",
-    "q_winsorize",
-    "q_group_centroids",
-    "q_multimodal_decode_wav",
-    "q_dedup_incremental",
-    "q_quality_gate",
-    "q_kmeans",
-    "q_multimodal_video_frames",
-    "q_unigram_logprob",
+ROUND5_WINDOW_HEAD: tuple[str, ...] = (
+    # -- rows-only / red in r1-r4, since upgraded or by-nature approximate -
+    "q_approx_stats",          # oracle added post-r4 (scalarized + exact SQL)
+    "q_sketch_union",          # oracle added post-r4 (exact distinct twin)
+    "q_pagerank_converged",    # no_oracle by nature (iteration count)
+    "q_kmeans",                # no_oracle by nature (Lloyd iterations)
+    # -- post-r4 additions (no driver row yet by construction) -------------
+    "q_kmeans_fixed",
+    "q_multimodal_decode_jpeg",
+    "q_streaming_file_sink",
+    "q_streaming_dedup_sink",
+    # -- round-5 additions --------------------------------------------------
+    "q_dup_span_removal",
+    "q_tfidf_top_terms",
+    "q_token_entropy",
+    "q_semdedup_survivors",
+    "q_train_shuffle",
+    "q_embedding_quantize",
+    "q_embedding_standardize",
+    "q_ann_ivf_bucketed",
 )
 
-PRIORITY_ORDER: tuple[str, ...] = ROUND4_WINDOW_HEAD + (
+PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
+    # (round-4 window entries — all driver-green in r4 — now ride in
+    # registration-order overflow; only never-verified queries need
+    # window placement)
     # -- §2 core sentinels (driver-green r1+r2; regression canaries) -------
     "q_string_normalize",
     "q_case_ilike",

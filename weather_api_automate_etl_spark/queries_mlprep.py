@@ -1,0 +1,355 @@
+"""Round-5 training-data-pipeline queries: corpus-level span dedup,
+TF-IDF keywords, token entropy, semantic-dedup survivors, deterministic
+training shuffle, embedding int8 quantization / standardization, and the
+bucketed on-disk IVF index (the partition-pruned scale path the in-memory
+``q_ann_ivf`` docstring promises).
+
+Same registry/oracle conventions as queries_ext.py: md5-only hashing,
+double-precision folds in array order on both engines, defensive round(6)
+on aggregation-order-sensitive doubles, explicit BIGINT/INTEGER casts where
+DuckDB widens.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weather_api_automate_etl_spark.operators import (
+    corpus,
+    dedup,
+    embeddings as emb_ops,
+    similarity,
+    textops,
+)
+from weather_api_automate_etl_spark.queries import query, t
+from weather_api_automate_etl_spark.queries_ext import (
+    _ann_ivf_oracle,
+    _neardup_lsh_oracle,
+    _TOKENS_SQL,
+)
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicated-span removal (C4/RefinedWeb substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5
+
+
+@query(
+    "q_dup_span_removal",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks, len({_TOKENS_SQL}) AS n
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS st,
+             md5(array_to_string(toks[i + 1 : i + {_SPAN_K}], ' ')) AS sh
+      FROM base, UNNEST(range(0, n - {_SPAN_K - 1})) AS u(i)
+      WHERE n >= {_SPAN_K}
+    ),
+    dup AS (
+      SELECT sh FROM spans GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT s.doc_id, CAST(s.st + j AS INTEGER) AS pos
+      FROM spans s JOIN dup USING (sh), UNNEST(range(0, {_SPAN_K})) AS v(j)
+    ),
+    words AS (
+      SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS pos, toks[g.i] AS w
+      FROM base, UNNEST(range(1, n + 1)) AS g(i)
+    ),
+    kept AS (
+      SELECT w.doc_id, w.pos, w.w
+      FROM words w LEFT JOIN covered c
+        ON w.doc_id = c.doc_id AND w.pos = c.pos
+      WHERE c.doc_id IS NULL
+    ),
+    cleaned AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(b.n - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN cleaned c USING (doc_id)
+    """,
+    tags=("dedup", "text"),
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span removal: every 5-token span occurring
+    in ≥2 distinct documents is deleted from all of them (the C4/RefinedWeb
+    repeated-substring pass — operators/dedup.py::remove_duplicated_spans).
+    Only span *hashes* shuffle; rebuild order comes from token positions,
+    never from shuffle order."""
+    return dedup.remove_duplicated_spans(
+        t(spark, sf_dir, "documents"), k=_SPAN_K, min_docs=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords + token entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfq USING (term), n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS INTEGER) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("text",),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf) — keyword extraction
+    over the whole corpus. Vocabulary-sized df table joined on the term
+    key (the unigram_logprob discipline — never broadcast a
+    corpus-dependent table), per-doc top-k via WindowGroupLimit."""
+    return textops.tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    c AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    diversity/repetition quality signal (H = ln n − Σ c·ln c / n)."""
+    return textops.token_entropy(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup survivors (SemDeDup reduction over LSH-blocked cosine)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_semdedup_survivors",
+    oracle=f"""
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (
+      SELECT id_b FROM ({_neardup_lsh_oracle()})
+    )
+    """,
+    tags=("dedup", "similarity"),
+)
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, end to end: hyperplane-LSH blocking → in-bucket
+    cosine pairs (≥0.3) → greedy keep-lowest-id survivors
+    (operators/dedup.py::neardup_survivors). The anti-join output is the
+    deduplicated corpus a training run would actually read."""
+    emb = t(spark, sf_dir, "embeddings")
+    buckets = similarity.hyperplane_lsh_buckets(
+        emb, "embedding", dim=64, n_planes=8
+    )
+    blocked = emb.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
+    pairs = dedup.embedding_neardup_pairs(
+        blocked, "vec_id", "embedding", block_col="bucket", threshold=0.3
+    )
+    return dedup.neardup_survivors(emb, pairs, "vec_id").select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# deterministic training shuffle / sharding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_train_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))) AS sort_key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, sort_key,
+             CAST(CAST(concat('0x', substr(sort_key, 1, 8)) AS UBIGINT) % 8
+                  AS INTEGER) AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY sort_key, doc_id
+           ) - 1 AS INTEGER) AS pos,
+           sort_key
+    FROM s
+    """,
+    tags=("corpus",),
+)
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: content-hash sort key + shard in
+    [0,8) + within-shard position (operators/corpus.py::train_shuffle).
+    Replayable across engines/partitionings — no RNG state; each shard
+    sorts independently (never a single global sort)."""
+    return corpus.train_shuffle(
+        t(spark, sf_dir, "documents"), n_shards=8, seed="epoch0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding int8 quantization + per-dimension standardization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, e, scale,
+             CASE WHEN scale > 0 THEN list_transform(
+               e, x -> CAST(greatest(-127, least(127, floor(x / scale + 0.5)))
+                            AS INTEGER))
+             ELSE list_transform(e, x -> 0) END AS qc
+      FROM s
+    )
+    SELECT vec_id,
+           floor(scale * 1e9 + 0.5) / 1e9 AS scale,
+           floor(list_sum(list_transform(range(1, len(e) + 1),
+                 i -> pow(e[i] - qc[i] * scale, 2))) / len(e) * 1e9 + 0.5)
+             / 1e9 AS mse,
+           CAST(len(list_filter(qc, x -> x != 0)) AS INTEGER) AS nnz,
+           qc[1] AS q0, qc[2] AS q1, qc[3] AS q2, qc[4] AS q3
+    FROM q
+    """,
+    tags=("similarity", "corpus"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization + reconstruction MSE
+    (operators/embeddings.py::quantize_int8) — the storage/ANN compression
+    step, with the quality signal a pipeline monitors before switching
+    search to the quantized codes. The quantize rounding is
+    floor(x/scale + 0.5) on both engines (no round() tie ambiguity)."""
+    from weather_api_automate_etl_spark.functions.core import (
+        round_half_up_via_double,
+    )
+
+    qz = emb_ops.quantize_int8(t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return qz.select(
+        "vec_id",
+        round_half_up_via_double(F.col("scale"), 9).alias("scale"),
+        round_half_up_via_double(F.col("mse"), 9).alias("mse"),
+        F.size(F.filter(F.col("q"), lambda x: x != 0)).alias("nnz"),
+        F.element_at("q", 1).alias("q0"),
+        F.element_at("q", 2).alias("q1"),
+        F.element_at("q", 3).alias("q2"),
+        F.element_at("q", 4).alias("q3"),
+    )
+
+
+@query(
+    "q_embedding_standardize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS pos,
+             CAST(embedding[i + 1] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    st AS (
+      SELECT pos, AVG(val) AS mu, stddev_pop(val) AS sigma
+      FROM x GROUP BY pos
+    ),
+    z AS (
+      SELECT vec_id, pos,
+             CASE WHEN sigma > 0 THEN round((val - mu) / sigma, 6)
+                  ELSE 0.0 END AS z
+      FROM x JOIN st USING (pos)
+    ),
+    zv AS(SELECT vec_id, list(z ORDER BY pos) AS z_vec FROM z GROUP BY vec_id)
+    SELECT vec_id,
+           z_vec[1] AS z0, z_vec[2] AS z1, z_vec[3] AS z2, z_vec[4] AS z3,
+           round(list_sum(list_transform(z_vec, x -> x * x)), 6) AS z_norm2
+    FROM zv
+    """,
+    tags=("similarity", "corpus"),
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus z-scoring (operators/embeddings.py::
+    standardize_dims) — feature normalization before k-means / linear
+    probes. The dim-row stats table broadcasts; per-dim means are
+    aggregation-order-sensitive in the last ulp, so components compare
+    rounded (the IVF-probe convention). Output is scalarized (first four
+    components + the squared norm of the rounded z-vector) — the driver
+    canonicalizer rejects complex-typed columns (r3 lesson)."""
+    std = emb_ops.standardize_dims(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    zr = F.transform(F.col("z_vec"), lambda x: F.round(x, 6))
+    return std.select("vec_id", zr.alias("__z")).select(
+        "vec_id",
+        F.element_at("__z", 1).alias("z0"),
+        F.element_at("__z", 2).alias("z1"),
+        F.element_at("__z", 3).alias("z2"),
+        F.element_at("__z", 4).alias("z3"),
+        F.round(
+            F.aggregate(F.col("__z"), F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("z_norm2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed on-disk IVF index (partition-pruned ANN)
+# ---------------------------------------------------------------------------
+
+
+@query("q_ann_ivf_bucketed", oracle=_ann_ivf_oracle(), tags=("similarity",))
+def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ON-DISK twin of q_ann_ivf: build a bucketed IVF index (rows
+    partitioned by inverted list, centroids alongside —
+    operators/similarity.py::build_ivf_index), then probe it. The probe's
+    IN-list filter on the partition column is partition *pruning* — the
+    scan plans nprobe directories, not the corpus (pinned by
+    tests/test_mlprep.py). Same lists, same ranking, same answer as the
+    in-memory path, so it shares q_ann_ivf's oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    corp = emb.filter(F.col("vec_id") != 0)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        similarity.build_ivf_index(corp, path, "embedding", "label")
+        result = similarity.ivf_topk_from_index(
+            spark, path, qvec, list_col="label", k=10, nprobe=3
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return result
