@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "q_decontaminate",       # gram explode + distinct + broadcast bench join
     "q_kmeans",              # iterative Lloyd loop (broadcast assign + mean update)
     "q_unigram_logprob",     # explode + token-keyed freq join + per-doc reduce
+    # round-5 additions: the corpus-prep heavyweights
+    "q_dup_span_removal",    # span-hash shuffle + cover join + position rebuild
+    "q_tfidf_top_terms",     # explode + term-keyed df join + per-doc top-k
+    "q_semdedup_survivors",  # LSH buckets + in-bucket cosine pairs + anti-join
+    "q_train_shuffle",       # hash permutation + per-shard row_number
 ]
 
 

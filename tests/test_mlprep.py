@@ -318,3 +318,78 @@ def test_standardize_dims_zero_variance_guard(spark):
     }
     assert out[1][0] == 0.0 and out[2][0] == 0.0  # constant dim → 0
     assert out[1][1] == -1.0 and out[2][1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# intra-document repeated-span removal
+# ---------------------------------------------------------------------------
+
+
+def test_intradoc_repeats_removes_later_occurrences(spark):
+    df = spark.createDataFrame(
+        [
+            # 'x y z' repeats at positions 0 and 4 (≥ k after first)
+            Row(doc_id=1, text="x y z q x y z w"),
+            Row(doc_id=2, text="all distinct words here now"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_intradoc_repeats(df, k=3).collect()
+    }
+    assert out[1].clean_text == "x y z q w"
+    assert out[1].n_removed == 3
+    assert out[2].n_removed == 0
+    assert out[2].clean_text == "all distinct words here now"
+
+
+def test_intradoc_repeats_overlap_is_not_repetition(spark):
+    # 'a a a a' with k=2: span 'a a' occurs at 0,1,2; only start 2 is
+    # ≥ first+k → positions 2,3 removed, the leading 'a a' survives
+    df = spark.createDataFrame([Row(doc_id=1, text="a a a a")])
+    r = dedup.remove_intradoc_repeats(df, k=2).head()
+    assert r.clean_text == "a a"
+    assert r.n_removed == 2
+
+
+def test_intradoc_repeats_cross_doc_blind(spark):
+    # identical text in two docs: intra-doc removal never looks across
+    # documents (that's remove_duplicated_spans' job)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="p q r s t") for i in (1, 2)]
+    )
+    for r in dedup.remove_intradoc_repeats(df, k=3).collect():
+        assert r.clean_text == "p q r s t" and r.n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_buckets_and_positions(spark, docs):
+    out = corpus.curriculum_order(docs, score_col="n_chars", n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert {r.bucket for r in rows} <= {0, 1, 2, 3}
+    # monotone: every doc in a higher bucket is at least as long as every
+    # doc in a lower bucket boundary-wise (quantile buckets)
+    max_per = {}
+    min_per = {}
+    for r in rows:
+        max_per[r.bucket] = max(max_per.get(r.bucket, -1), r.n_chars)
+        min_per[r.bucket] = min(min_per.get(r.bucket, 1 << 60), r.n_chars)
+    buckets = sorted(max_per)
+    for lo, hi in zip(buckets, buckets[1:]):
+        assert max_per[lo] <= min_per[hi]
+    # positions dense per bucket
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # replayable across physical layouts
+    again = corpus.curriculum_order(
+        docs.repartition(11), score_col="n_chars", n_buckets=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -1,0 +1,108 @@
+"""20x replication stress for the round-5 corpus-prep family.
+
+Same replication discipline as tools/stress_corpus.py: sf0.1 documents /
+embeddings copied N times with shifted ids and per-copy text salting, so
+duplicated-span GROUPS scale with the corpus while each span's document
+count stays bounded (the realistic profile — unsalted replication would
+make EVERY span 20-way duplicated, collapsing all documents to empty and
+telling us nothing about the join fan-out). Embedding copies are exact
+(vectors unchanged), which stresses semdedup's bucket-quadratic pair step
+at 20x occupancy — the worst case for that operator.
+
+Usage: python tools/stress_mlprep.py [N]. Results recorded in SCALING.md;
+re-run after touching remove_duplicated_spans / tfidf / neardup_survivors /
+train_shuffle / quantize / standardize.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F
+
+from tools.stress_corpus import replicate_docs, replicate_embeddings
+from weather_api_automate_etl_spark.operators import (
+    corpus,
+    dedup,
+    embeddings as emb_ops_mod,
+    similarity,
+    textops,
+)
+from weather_api_automate_etl_spark.session import get_spark
+from weather_api_automate_etl_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def bench(name: str, fn, df: DataFrame) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        fn(df).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    print(f"{name:28s} {best:7.2f} s")
+    return best
+
+
+def doc_ops() -> dict:
+    return {
+        "dup_span_removal (k=5)": lambda d: dedup.remove_duplicated_spans(
+            d, k=5, min_docs=2
+        ),
+        "tfidf_top_terms (k=3)": lambda d: textops.tfidf_top_terms(d, k=3),
+        "token_entropy": textops.token_entropy,
+        "train_shuffle (8 shards)": lambda d: corpus.train_shuffle(
+            d, n_shards=8, seed="epoch0"
+        ),
+    }
+
+
+def emb_ops() -> dict:
+    def semdedup(emb):
+        buckets = similarity.hyperplane_lsh_buckets(
+            emb, "embedding", dim=64, n_planes=8
+        )
+        blocked = emb.join(buckets, "vec_id").select(
+            "vec_id", "embedding", "bucket"
+        )
+        pairs = dedup.embedding_neardup_pairs(
+            blocked, "vec_id", "embedding", block_col="bucket", threshold=0.3
+        )
+        return dedup.neardup_survivors(emb, pairs, "vec_id")
+
+    return {
+        "semdedup_survivors": semdedup,
+        "quantize_int8": lambda e: emb_ops_mod.quantize_int8(
+            e, "vec_id", "embedding"
+        ),
+        "standardize_dims": lambda e: emb_ops_mod.standardize_dims(
+            e, "vec_id", "embedding"
+        ),
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = get_spark("stress-mlprep")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    big_docs = replicate_docs(docs, n).repartition(32).localCheckpoint()
+    big_emb = replicate_embeddings(emb, n).repartition(32).localCheckpoint()
+    print(
+        f"docs: {docs.count():,} -> {big_docs.count():,}; "
+        f"embeddings: {emb.count():,} -> {big_emb.count():,}"
+    )
+    for label, d, e in (("sf0.1", docs, emb), (f"{n}x", big_docs, big_emb)):
+        print(f"--- {label}")
+        for name, fn in doc_ops().items():
+            bench(name, fn, d)
+        for name, fn in emb_ops().items():
+            bench(name, fn, e)
+
+
+if __name__ == "__main__":
+    main()

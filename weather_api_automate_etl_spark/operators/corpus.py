@@ -249,3 +249,51 @@ def train_shuffle(
     return keyed.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("int")
     ).select(id_col, "shard", "pos", "sort_key")
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    n_buckets: int = 4,
+    seed: str = "cur0",
+) -> DataFrame:
+    """Curriculum ordering: bucket documents into ``n_buckets`` difficulty
+    quantiles of ``score_col`` (exact interpolated percentiles — the
+    winsorize discipline), then give each document a deterministic
+    content-hash position within its bucket. A trainer walks buckets
+    easy → hard, reading each in ``pos`` order — a reproducible
+    curriculum with no RNG state.
+
+    Scale: quantile boundaries are ONE corpus aggregate broadcast back
+    as a 1-row table (n_buckets−1 doubles); bucket assignment is a
+    map-only comparison fold; the in-bucket position is a row_number
+    window partitioned BY BUCKET (n_buckets independent sorts — the
+    train_shuffle shape, never a single global sort).
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        *[
+            F.expr(f"percentile({score_col}, {f!r})").alias(f"__b{i}")
+            for i, f in enumerate(fracs)
+        ]
+    )
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    bucket = sum(
+        (F.col(score_col) > F.col(f"__b{i}")).cast("int")
+        for i in range(len(fracs))
+    )
+    assigned = (
+        df.select(id_col, score_col)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            bucket.cast("int").alias("bucket"),
+            key.alias("__key"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("__key", id_col)
+    return assigned.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("int")
+    ).select(id_col, score_col, "bucket", "pos")

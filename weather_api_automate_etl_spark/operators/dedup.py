@@ -605,3 +605,87 @@ def neardup_survivors(
     quadratic beyond what ``pairs`` itself cost."""
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def remove_intradoc_repeats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """WITHIN-document repeated-span removal (the Gopher/quality-filter
+    complement to corpus-level ``remove_duplicated_spans``): every k-token
+    span that already occurred EARLIER in the same document is deleted;
+    the first occurrence stays. Catches looping/boilerplate generation
+    inside a single document.
+
+    Per-doc semantics: a span occurrence at start s is a repeat iff it
+    begins at least k tokens after the span's FIRST occurrence in the
+    document (s ≥ min_start + k) — true non-overlapping repetition, so
+    'a a a a' with k=2 keeps 'a a'. One (doc, span-hash)-keyed min
+    aggregate decides; no window, no self-join; order rebuild uses token
+    positions (never shuffle order).
+    """
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    spans = base.filter(F.col("__n") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))
+                ),
+            )
+        ).alias("st", "sh"),
+    )
+    # per (doc, span): the min start is the canonical first occurrence;
+    # any occurrence ≥ k after it is non-overlapping repetition. ONE
+    # (doc, span)-keyed aggregate carries both the min and the occurrence
+    # list — no join back, no window (per-span occurrence lists are
+    # bounded by the doc's own length, so collect_list here is safe).
+    repeats = (
+        spans.groupBy(id_col, "sh")
+        .agg(
+            F.min("st").alias("min_st"),
+            F.collect_list("st").alias("sts"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.col("sts"), lambda s: s >= F.col("min_st") + k
+                )
+            ).alias("st"),
+        )
+    )
+    covered = repeats.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("st"), F.col("st") + (k - 1))).alias("pos"),
+    ).distinct()
+    words = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "w")
+    )
+    kept = words.join(covered, [id_col, "pos"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.select(id_col, "__n")
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

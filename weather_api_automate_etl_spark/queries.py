@@ -569,6 +569,8 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_embedding_quantize",
     "q_embedding_standardize",
     "q_ann_ivf_bucketed",
+    "q_intradoc_repeats",
+    "q_curriculum_order",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

@@ -353,3 +353,109 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# intra-document repeated-span removal (Gopher-style within-doc cleanup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_intradoc_repeats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks, len({_TOKENS_SQL}) AS n
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS st,
+             md5(array_to_string(toks[i + 1 : i + 3], ' ')) AS sh
+      FROM base, UNNEST(range(0, n - 2)) AS u(i)
+      WHERE n >= 3
+    ),
+    firsts AS (
+      SELECT doc_id, sh, MIN(st) AS min_st
+      FROM spans GROUP BY doc_id, sh
+    ),
+    repeats AS (
+      SELECT s.doc_id, s.st
+      FROM spans s JOIN firsts f ON s.doc_id = f.doc_id AND s.sh = f.sh
+      WHERE s.st >= f.min_st + 3
+    ),
+    covered AS (
+      SELECT DISTINCT r.doc_id, CAST(r.st + j AS INTEGER) AS pos
+      FROM repeats r, UNNEST(range(0, 3)) AS v(j)
+    ),
+    words AS (
+      SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS pos, toks[g.i] AS w
+      FROM base, UNNEST(range(1, n + 1)) AS g(i)
+    ),
+    kept AS (
+      SELECT w.doc_id, w.pos, w.w
+      FROM words w LEFT JOIN covered c
+        ON w.doc_id = c.doc_id AND w.pos = c.pos
+      WHERE c.doc_id IS NULL
+    ),
+    cleaned AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(b.n - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN cleaned c USING (doc_id)
+    """,
+    tags=("dedup", "text"),
+)
+def q_intradoc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated 3-gram removal (the Gopher-style looping/
+    boilerplate cleanup — operators/dedup.py::remove_intradoc_repeats):
+    occurrences ≥3 tokens after the span's first occurrence in the same
+    document are deleted; the corpus-level twin is q_dup_span_removal."""
+    return dedup.remove_intradoc_repeats(
+        t(spark, sf_dir, "documents"), k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering (quantile difficulty buckets, deterministic walk)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_curriculum_order",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.25) AS b0,
+             quantile_cont(n_chars, 0.50) AS b1,
+             quantile_cont(n_chars, 0.75) AS b2
+      FROM documents
+    ),
+    a AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST((d.n_chars > b.b0)::int + (d.n_chars > b.b1)::int
+                  + (d.n_chars > b.b2)::int AS INTEGER) AS bucket,
+             md5(concat('cur0', ':', CAST(d.doc_id AS VARCHAR))) AS key
+      FROM documents d, b
+    )
+    SELECT doc_id, n_chars, bucket,
+           CAST(row_number() OVER (
+             PARTITION BY bucket ORDER BY key, doc_id
+           ) - 1 AS INTEGER) AS pos
+    FROM a
+    """,
+    tags=("corpus",),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/corpus.py::curriculum_order):
+    4 exact length-quantile difficulty buckets + deterministic
+    content-hash position within each — trainer walks buckets easy→hard.
+    Boundaries are a 1-row broadcast; per-bucket sorts are independent
+    (never one global sort)."""
+    return corpus.curriculum_order(
+        t(spark, sf_dir, "documents"),
+        score_col="n_chars",
+        n_buckets=4,
+        seed="cur0",
+    )
