@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_tfidf_top_terms",     # explode + term-keyed df join + per-doc top-k
     "q_semdedup_survivors",  # LSH buckets + in-bucket cosine pairs + anti-join
     "q_train_shuffle",       # hash permutation + per-shard row_number
+    "q_corpus_pipeline",     # the composed gate→redact→clean→dedup→shard DAG
 ]
 
 

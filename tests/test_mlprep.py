@@ -393,3 +393,27 @@ def test_curriculum_order_buckets_and_positions(spark, docs):
         docs.repartition(11), score_col="n_chars", n_buckets=4
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+# ---------------------------------------------------------------------------
+# composed corpus pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_pipeline_invariants(spark):
+    from weather_api_automate_etl_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    rows = REGISTRY["q_corpus_pipeline"].fn(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert 0 < len(rows) < n_docs          # gate + dedup both dropped rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert len({r.clean_text for r in rows}) == len(rows)  # exact-deduped
+    assert all("<EMAIL>" in r.clean_text.lower() or "<email>" in r.clean_text
+               for r in rows)              # redaction actually ran
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < 4 and r.n_removed >= 0
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))

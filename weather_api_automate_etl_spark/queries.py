@@ -571,6 +571,7 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_ann_ivf_bucketed",
     "q_intradoc_repeats",
     "q_curriculum_order",
+    "q_corpus_pipeline",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

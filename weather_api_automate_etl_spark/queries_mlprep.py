@@ -459,3 +459,149 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=4,
         seed="cur0",
     )
+
+
+# ---------------------------------------------------------------------------
+# the full corpus pipeline, composed end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _corpus_pipeline_oracle() -> str:
+    """The whole pipeline as one CTE chain, each stage reusing the SQL
+    already proven by its standalone query's oracle (quality gate →
+    synthetic-PII augment + redact → intra-doc repeat removal → exact
+    dedup → shard assignment)."""
+    from weather_api_automate_etl_spark.queries_ext import (
+        _PII_AUG_SQL,
+        _PII_REDACTED_SQL,
+    )
+
+    toks = "regexp_split_to_array(lower(trim(rtext)), '\\s+')"
+    return f"""
+    WITH m AS (SELECT doc_id, trim(text) AS tt, {_TOKENS_SQL} AS w FROM documents),
+    x AS (
+      SELECT doc_id,
+             CAST(length(tt) AS BIGINT) AS L,
+             CAST(len(regexp_extract_all(tt, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS P,
+             CAST(len(list_filter(w, tok -> tok IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS SW,
+             CAST(len(w) AS DOUBLE) AS NT,
+             CASE WHEN len(w) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(w),
+                       d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w)
+                  ELSE 0.0e0 END AS TF
+      FROM m
+    ),
+    v AS (
+      SELECT doc_id,
+        CASE WHEN L < 200 THEN 'too_short'
+             WHEN TF > 0.12e0 THEN 'repetitive'
+             WHEN 0.4e0 * least(L / 500.0e0, 1.0e0)
+                  + 0.3e0 * (1.0e0 - CASE WHEN L > 0 THEN P / L ELSE 0.0e0 END)
+                  + 0.3e0 * (1.0e0 - abs((CASE WHEN NT > 0 THEN SW / NT ELSE 0.0e0 END) - 0.4e0))
+                  < 0.7e0 THEN 'low_quality'
+        END AS violation
+      FROM x
+    ),
+    keepers AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN v USING (doc_id)
+      WHERE v.violation IS NULL
+    ),
+    aug AS (SELECT doc_id, {_PII_AUG_SQL} AS raw FROM keepers),
+    red AS (SELECT doc_id, {_PII_REDACTED_SQL} AS rtext FROM aug),
+    base AS (
+      SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM red
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS st,
+             md5(array_to_string(toks[i + 1 : i + 3], ' ')) AS sh
+      FROM base, UNNEST(range(0, n - 2)) AS u(i)
+      WHERE n >= 3
+    ),
+    firsts AS (
+      SELECT doc_id, sh, MIN(st) AS min_st FROM spans GROUP BY doc_id, sh
+    ),
+    covered AS (
+      SELECT DISTINCT s.doc_id, CAST(s.st + j AS INTEGER) AS pos
+      FROM spans s JOIN firsts f ON s.doc_id = f.doc_id AND s.sh = f.sh,
+           UNNEST(range(0, 3)) AS vj(j)
+      WHERE s.st >= f.min_st + 3
+    ),
+    words AS (
+      SELECT doc_id, CAST(g.i - 1 AS INTEGER) AS pos, toks[g.i] AS wd
+      FROM base, UNNEST(range(1, n + 1)) AS g(i)
+    ),
+    kept AS (
+      SELECT w.doc_id, w.pos, w.wd
+      FROM words w LEFT JOIN covered c
+        ON w.doc_id = c.doc_id AND w.pos = c.pos
+      WHERE c.doc_id IS NULL
+    ),
+    cleaned AS (
+      SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT b.doc_id,
+             COALESCE(c.clean_text, '') AS clean_text,
+             CAST(b.n - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+      FROM base b LEFT JOIN cleaned c USING (doc_id)
+    ),
+    surv AS (
+      SELECT doc_id, clean_text, n_removed FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(clean_text) ORDER BY doc_id
+        ) AS rn FROM rebuilt
+      ) WHERE rn = 1
+    ),
+    sharded AS (
+      SELECT doc_id, clean_text, n_removed,
+             md5(concat('pipe0', ':', CAST(doc_id AS VARCHAR))) AS skey,
+             CAST(CAST(concat('0x', substr(
+               md5(concat('pipe0', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+               AS UBIGINT) % 4 AS INTEGER) AS shard
+      FROM surv
+    )
+    SELECT doc_id, clean_text, n_removed, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY skey, doc_id
+           ) - 1 AS INTEGER) AS pos
+    FROM sharded
+    """
+
+
+@query("q_corpus_pipeline", oracle=_corpus_pipeline_oracle(), tags=("corpus", "text", "dedup"))
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus pipeline as one composed DAG — what a
+    user of this engine actually runs nightly: quality gate (drop
+    too-short/repetitive/low-quality) → PII redaction (on the synthetic
+    contact-string augmentation, so the masking path is exercised) →
+    intra-doc repeated-span removal → exact dedup of the cleaned text
+    (keep lowest doc_id) → deterministic 4-shard training assignment.
+
+    Every stage is the already-oracled operator; the composition is one
+    lazy plan, so Catalyst sees the whole chain (the gate's filter and
+    the projections fuse into the scan side before the first shuffle).
+    Shuffle census: span aggregate + cover join (doc-keyed), the rebuild
+    aggregate (doc-keyed), the dedup window (hash-keyed), the per-shard
+    row_number — each keyed, none corpus-quadratic, none global-sort."""
+    from weather_api_automate_etl_spark.operators import privacy
+    from weather_api_automate_etl_spark.queries_ext import _pii_aug_col
+
+    docs = t(spark, sf_dir, "documents")
+    gate = textops.quality_gate(docs)
+    keepers = docs.join(
+        gate.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    aug = keepers.select("doc_id", _pii_aug_col().alias("raw"))
+    red = privacy.redact_pii(aug, "raw").select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    rebuilt = dedup.remove_intradoc_repeats(red, k=3)
+    surv = dedup.dedup_exact(
+        rebuilt, keys=[F.md5("clean_text")], order_by="doc_id"
+    )
+    sharded = corpus.train_shuffle(surv, n_shards=4, seed="pipe0")
+    return sharded.join(surv, "doc_id").select(
+        "doc_id", "clean_text", "n_removed", "shard", "pos"
+    )
