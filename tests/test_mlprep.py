@@ -417,3 +417,79 @@ def test_corpus_pipeline_invariants(spark):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+# ---------------------------------------------------------------------------
+# property tests: span removal vs pure-Python reference models
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+
+_HSETTINGS = hyp_settings(
+    max_examples=6,  # each example is a Spark job
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocabulary forces genuine span collisions within/across docs
+_doc_st = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+def _model_dup_spans(texts: dict[int, str], k: int, min_docs: int):
+    toks = {i: t.strip().lower().split() if t.strip() else [""] for i, t in texts.items()}
+    owners: dict[str, set] = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            owners.setdefault(" ".join(ts[s : s + k]), set()).add(i)
+    dup = {sh for sh, ds in owners.items() if len(ds) >= min_docs}
+    out = {}
+    for i, ts in toks.items():
+        cov: set = set()
+        for s in range(len(ts) - k + 1):
+            if " ".join(ts[s : s + k]) in dup:
+                cov.update(range(s, s + k))
+        kept = [w for p, w in enumerate(ts) if p not in cov]
+        out[i] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+@given(texts=st.lists(_doc_st, min_size=2, max_size=5), k=st.integers(2, 3))
+@_HSETTINGS
+def test_remove_duplicated_spans_matches_model(spark, texts, k):
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dedup.remove_duplicated_spans(df, k=k, min_docs=2).collect()
+    }
+    expect = _model_dup_spans({i: t for i, t in enumerate(texts)}, k, 2)
+    assert got == expect
+
+
+def _model_intradoc(text: str, k: int):
+    ts = text.strip().lower().split() if text.strip() else [""]
+    first: dict[str, int] = {}
+    cov: set = set()
+    for s in range(len(ts) - k + 1):
+        sh = " ".join(ts[s : s + k])
+        if sh not in first:
+            first[sh] = s
+        if s >= first[sh] + k:
+            cov.update(range(s, s + k))
+    kept = [w for p, w in enumerate(ts) if p not in cov]
+    return " ".join(kept), len(ts) - len(kept)
+
+
+@given(texts=st.lists(_doc_st, min_size=1, max_size=4), k=st.integers(2, 3))
+@_HSETTINGS
+def test_intradoc_repeats_matches_model(spark, texts, k):
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dedup.remove_intradoc_repeats(df, k=k).collect()
+    }
+    expect = {i: _model_intradoc(t, k) for i, t in enumerate(texts)}
+    assert got == expect

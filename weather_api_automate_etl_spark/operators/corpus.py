@@ -221,6 +221,7 @@ def train_shuffle(
     id_col: str = "doc_id",
     n_shards: int = 8,
     seed: str = "epoch0",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Deterministic global training shuffle + shard assignment: every
     document gets a content-hash sort key (md5 of seed:id — change the
@@ -240,6 +241,9 @@ def train_shuffle(
     )
     keyed = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],  # carried through, not re-joined —
+        # a caller joining this output back on id_col would re-execute the
+        # whole upstream lineage a second time (q_corpus_pipeline lesson)
         key.alias("sort_key"),
         (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards)
         .cast("int")
@@ -248,7 +252,7 @@ def train_shuffle(
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return keyed.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("int")
-    ).select(id_col, "shard", "pos", "sort_key")
+    ).select(id_col, *keep_cols, "shard", "pos", "sort_key")
 
 
 def curriculum_order(

@@ -71,13 +71,17 @@ def quality_gate(
     min_chars: int = 200,
     max_top_word_frac: float = 0.12,
     min_quality: float = 0.7,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The composed C4/Gopher-style filter chain as ONE verdict operator:
     rules evaluate in a fixed order and the FIRST failing rule names the
     violation (length floor → repetition ceiling → composite-quality
     floor), so downstream loss accounting can attribute every dropped doc
     to exactly one cause. Returns (id, violation, keep); violation is NULL
-    for keepers.
+    for keepers. ``passthrough=True`` returns the INPUT columns plus the
+    verdict instead — a consumer filtering on ``keep`` then stays on one
+    scan lineage (joining the verdict back on the id would scan + shuffle
+    twice; the q_corpus_pipeline composition uses this).
 
     Everything is per-row JVM expression work (length, HOF mode-of-array,
     the quality_score arithmetic) in one codegen stage — zero shuffles at
@@ -100,6 +104,12 @@ def quality_gate(
         .when(top_frac > max_top_word_frac, F.lit("repetitive"))
         .when(quality_score(text_col) < min_quality, F.lit("low_quality"))
     )
+    if passthrough:
+        return df.select(
+            "*",
+            violation.alias("violation"),
+            violation.isNull().alias("keep"),
+        )
     return df.select(
         F.col(id_col),
         violation.alias("violation"),
