@@ -96,7 +96,7 @@ def test_priority_prefix_covers_every_family():
     k = len(ROUND5_WINDOW_HEAD)
     assert names[:k] == list(ROUND5_WINDOW_HEAD)
     assert unverified <= set(ROUND5_WINDOW_HEAD), (
-        "every never-driver-verified query must open the round-4 window: "
+        "every never-driver-verified query must open the round-5 window: "
         f"missing {unverified - set(ROUND5_WINDOW_HEAD)}"
     )
     prefix = names[:50]

@@ -1,13 +1,18 @@
 """20x replication stress for the round-5 corpus-prep family.
 
-Same replication discipline as tools/stress_corpus.py: sf0.1 documents /
-embeddings copied N times with shifted ids and per-copy text salting, so
-duplicated-span GROUPS scale with the corpus while each span's document
-count stays bounded (the realistic profile — unsalted replication would
-make EVERY span 20-way duplicated, collapsing all documents to empty and
-telling us nothing about the join fan-out). Embedding copies are exact
-(vectors unchanged), which stresses semdedup's bucket-quadratic pair step
-at 20x occupancy — the worst case for that operator.
+sf0.1 documents / embeddings copied N times with shifted ids. Document
+text is salted PER TOKEN (every token gets a per-copy suffix), not by an
+appended suffix token: span-level dedup looks at every interior k-token
+window, so a suffix-only salt (the stress_corpus.py recipe, fine for
+whole-document shingling) would leave every interior span identical
+across copies — N-way duplicated everywhere, the degenerate
+collapse-to-empty workload. Per-token salting keeps each copy's
+WITHIN-copy duplicate structure intact (spans still collide across docs
+of the same copy) while making copies disjoint, so duplicated-span
+GROUPS scale with the corpus and each span's document count stays
+bounded — the realistic growth profile. Embedding copies are exact
+(vectors unchanged), which stresses semdedup's bucket-quadratic pair
+step at 20x occupancy — the worst case for that operator.
 
 Usage: python tools/stress_mlprep.py [N]. Results recorded in SCALING.md;
 re-run after touching remove_duplicated_spans / tfidf / neardup_survivors /
@@ -23,7 +28,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, functions as F
 
-from tools.stress_corpus import replicate_docs, replicate_embeddings
+from tools.stress_corpus import bench, replicate_embeddings
 from weather_api_automate_etl_spark.operators import (
     corpus,
     dedup,
@@ -37,14 +42,29 @@ from weather_api_automate_etl_spark.sources.tables import load_table
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def bench(name: str, fn, df: DataFrame) -> float:
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.monotonic()
-        fn(df).write.format("noop").mode("overwrite").save()
-        best = min(best, time.monotonic() - t0)
-    print(f"{name:28s} {best:7.2f} s")
-    return best
+def replicate_docs_tokensalt(docs: DataFrame, n: int) -> DataFrame:
+    """N shifted copies with every TOKEN suffixed by the copy index (see
+    module docstring for why span-level stress cannot use suffix-only
+    salting)."""
+    def salter(i: int):
+        # unary closure, NOT `lambda t, i=i`: pyspark binds a second HOF
+        # lambda param (even defaulted) to the element index
+        return lambda tk: F.concat(tk, F.lit(f"_{i}"))
+
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(F.split(F.col("text"), " "), salter(i)), " "
+            ),
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 def doc_ops() -> dict:
@@ -90,7 +110,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents")
     emb = load_table(spark, SF_DIR, "embeddings")
-    big_docs = replicate_docs(docs, n).repartition(32).localCheckpoint()
+    big_docs = replicate_docs_tokensalt(docs, n).repartition(32).localCheckpoint()
     big_emb = replicate_embeddings(emb, n).repartition(32).localCheckpoint()
     print(
         f"docs: {docs.count():,} -> {big_docs.count():,}; "

@@ -507,34 +507,11 @@ def simhash_pairs(
     )
 
 
-def remove_duplicated_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 5,
-    min_docs: int = 2,
-) -> DataFrame:
-    """Corpus-level duplicated-span removal (the C4/RefinedWeb "remove
-    repeated substrings" pass): every k-token span that occurs in at least
-    ``min_docs`` distinct documents is deleted from ALL of them; the
-    surviving tokens are re-joined in order.
-
-    Returns ``id_col, clean_text, n_removed`` for every input document
-    (fully-duplicated documents come back as an empty string, documents
-    shorter than k tokens pass through untouched).
-
-    Shape at scale (no step is corpus-quadratic):
-    1. span inventory — map-only: per doc, md5 of each of the n−k+1
-       k-token windows (the hash, never the span text, is what shuffles);
-    2. duplicated-span set — one shingle-keyed aggregate
-       (count-distinct docs ≥ min_docs);
-    3. cover — spans ⋈ dup-set on the hash (plain shuffle join: the dup
-       set is corpus-sized, deliberately NOT broadcast), exploded to
-       (doc, position) and de-duplicated;
-    4. rebuild — posexploded tokens LEFT ANTI cover, then one per-doc
-       aggregate re-joining survivors (array_sort(collect_list(struct))
-       — order restored from positions, not from shuffle order).
-    """
+def _span_inventory(df, id_col: str, text_col: str, k: int):
+    """Shared span-removal front end: (base, spans) where ``base`` is the
+    tokenized frame (id, __toks, __n) and ``spans`` the map-only k-token
+    span inventory (id, st, sh) — md5 of each of the n−k+1 windows; the
+    HASH, never the span text, is what shuffles downstream."""
     base = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
@@ -549,22 +526,20 @@ def remove_duplicated_spans(
             )
         ).alias("st", "sh"),
     )
-    dup = (
-        spans.groupBy("sh")
-        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
-        .filter(F.col("__ndocs") >= min_docs)
-        .select("sh")
-    )
-    covered = (
-        spans.join(dup, "sh")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("st"), F.col("st") + (k - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
+    return base, spans
+
+
+def _rebuild_without(base, covered, id_col: str):
+    """Shared span-removal back end: drop the ``covered`` (id, pos) token
+    positions and re-join the survivors in position order —
+    array_sort(collect_list(struct)) restores order from positions, never
+    from shuffle order. Returns (id, clean_text, n_removed) for EVERY
+    input document (fully-covered docs come back as '').
+
+    NOTE the rebuild normalizes: clean_text is lowercased with collapsed
+    single-space separators (the ``tokens()`` normalization) even for
+    documents nothing was removed from — the contract is 'normalized
+    tokens minus covered spans', not byte preservation."""
     words = base.select(
         F.col(id_col), F.posexplode("__toks").alias("pos", "w")
     )
@@ -592,17 +567,69 @@ def remove_duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal (the C4/RefinedWeb "remove
+    repeated substrings" pass): every k-token span that occurs in at least
+    ``min_docs`` distinct documents is deleted from ALL of them; the
+    surviving tokens are re-joined in order.
+
+    Returns ``id_col, clean_text, n_removed`` for every input document.
+    Fully-duplicated documents come back as an empty string; documents
+    shorter than k tokens lose no tokens but — like every output row —
+    get the normalized form of their text (lowercased, single-space
+    separators; see ``_rebuild_without``), not the original bytes.
+
+    Shape at scale (no step is corpus-quadratic):
+    1. span inventory — map-only (``_span_inventory``);
+    2. duplicated-span set — one shingle-keyed aggregate
+       (count-distinct docs ≥ min_docs);
+    3. cover — spans ⋈ dup-set on the hash (plain shuffle join: the dup
+       set is corpus-sized, deliberately NOT broadcast), exploded to
+       (doc, position) and de-duplicated;
+    4. rebuild — ``_rebuild_without`` (posexploded tokens LEFT ANTI
+       cover + position-ordered re-join).
+    """
+    base, spans = _span_inventory(df, id_col, text_col, k)
+    dup = (
+        spans.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("sh")
+    )
+    covered = (
+        spans.join(dup, "sh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("st"), F.col("st") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _rebuild_without(base, covered, id_col)
+
+
 def neardup_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
-    """Greedy keep-lowest-id semantic dedup (the SemDeDup reduction): from
-    a near-dup ``pairs`` frame (id_a < id_b), drop every row that has a
-    lower-id near-neighbor — one LEFT ANTI join on the id, no transitive
-    closure (for closure-based survivors see ``cluster_survivors``).
+    """Dominated-id removal over a near-dup ``pairs`` frame (id_a < id_b):
+    drop every id that appears as the HIGHER side of any pair — one
+    distinct + one LEFT ANTI join, both id-keyed.
 
-    The anti-join is id-keyed and the dropped-id set is produced by a
-    distinct over the pairs frame — both plain shuffles, nothing
-    quadratic beyond what ``pairs`` itself cost."""
+    This is deliberately NOT greedy SemDeDup: an id whose only lower-id
+    neighbor was itself dropped is still removed (pairs {(0,3),(3,5)}
+    keep {0}, where greedy would keep {0,5}) — a conservative superset
+    of the greedy deletion, chosen because it is join-expressible with
+    no iteration. For transitive-closure survivorship (one
+    representative per connected component — keeps {0} here too, but by
+    cluster reasoning) see ``cluster_survivors``; for exact greedy
+    semantics you need the iterative closure anyway."""
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
 
@@ -617,29 +644,16 @@ def remove_intradoc_repeats(
     complement to corpus-level ``remove_duplicated_spans``): every k-token
     span that already occurred EARLIER in the same document is deleted;
     the first occurrence stays. Catches looping/boilerplate generation
-    inside a single document.
+    inside a single document. Output rows carry the normalized rebuild
+    (see ``_rebuild_without``), not the original bytes.
 
     Per-doc semantics: a span occurrence at start s is a repeat iff it
     begins at least k tokens after the span's FIRST occurrence in the
     document (s ≥ min_start + k) — true non-overlapping repetition, so
     'a a a a' with k=2 keeps 'a a'. One (doc, span-hash)-keyed min
-    aggregate decides; no window, no self-join; order rebuild uses token
-    positions (never shuffle order).
+    aggregate decides; no window, no self-join.
     """
-    base = df.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).withColumn("__n", F.size("__toks"))
-    spans = base.filter(F.col("__n") >= k).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("__n") - k),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))
-                ),
-            )
-        ).alias("st", "sh"),
-    )
+    base, spans = _span_inventory(df, id_col, text_col, k)
     # per (doc, span): the min start is the canonical first occurrence;
     # any occurrence ≥ k after it is non-overlapping repetition. ONE
     # (doc, span)-keyed aggregate carries both the min and the occurrence
@@ -664,28 +678,4 @@ def remove_intradoc_repeats(
         F.col(id_col),
         F.explode(F.sequence(F.col("st"), F.col("st") + (k - 1))).alias("pos"),
     ).distinct()
-    words = base.select(
-        F.col(id_col), F.posexplode("__toks").alias("pos", "w")
-    )
-    kept = words.join(covered, [id_col, "pos"], "left_anti")
-    cleaned = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    return (
-        base.select(id_col, "__n")
-        .join(cleaned, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-    )
+    return _rebuild_without(base, covered, id_col)

@@ -46,8 +46,10 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     recon_sq = F.zip_with(
         v, q, lambda x, c: (x - c.cast("double") * scale) * (x - c.cast("double") * scale)
     )
-    mse = F.aggregate(recon_sq, F.lit(0.0), lambda acc, x: acc + x) / F.size(
-        F.col(vec_col)
+    # greatest(size, 1) guards the empty-vector row: [] quantizes to
+    # scale 0 / code [] / mse 0.0, never a 0/0 NULL
+    mse = F.aggregate(recon_sq, F.lit(0.0), lambda acc, x: acc + x) / F.greatest(
+        F.size(F.col(vec_col)), F.lit(1)
     )
     return df.select(
         id_col,

@@ -165,9 +165,11 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, end to end: hyperplane-LSH blocking → in-bucket
-    cosine pairs (≥0.3) → greedy keep-lowest-id survivors
-    (operators/dedup.py::neardup_survivors). The anti-join output is the
-    deduplicated corpus a training run would actually read."""
+    cosine pairs (≥0.3) → dominated-id survivor reduction
+    (operators/dedup.py::neardup_survivors — drops every id with ANY
+    lower-id near-neighbor; a conservative, join-expressible superset of
+    greedy SemDeDup deletion). The anti-join output is the deduplicated
+    corpus a training run would actually read."""
     emb = t(spark, sf_dir, "embeddings")
     buckets = similarity.hyperplane_lsh_buckets(
         emb, "embedding", dim=64, n_planes=8
