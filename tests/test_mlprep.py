@@ -505,3 +505,38 @@ def test_intradoc_repeats_matches_model(spark, texts, k):
     }
     expect = {i: _model_intradoc(t, k) for i, t in enumerate(texts)}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# vectorized cosine pairs: set parity with the HOF join path + speed story
+# ---------------------------------------------------------------------------
+
+
+def test_vectorized_pairs_match_hof_pairs(spark, emb):
+    hof = dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.35
+    )
+    vec = dedup.embedding_neardup_pairs_vectorized(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.35
+    )
+    hof_set = {(r.id_a, r.id_b) for r in hof.collect()}
+    vec_set = {(r.id_a, r.id_b) for r in vec.collect()}
+    assert hof_set == vec_set and len(hof_set) > 0
+
+
+def test_vectorized_pairs_singleton_and_zero_norm(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0], label=1),   # singleton bucket
+            Row(vec_id=2, embedding=[0.0, 0.0], label=2),   # zero-norm pair
+            Row(vec_id=3, embedding=[1.0, 1.0], label=2),
+            Row(vec_id=4, embedding=[2.0, 2.0], label=2),   # parallel to 3
+        ]
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs_vectorized(
+            df, "vec_id", "embedding", block_col="label", threshold=0.5
+        ).collect()
+    }
+    assert got == {(3, 4)}  # zero-norm row pairs with nothing

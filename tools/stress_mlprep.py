@@ -22,7 +22,6 @@ train_shuffle / quantize / standardize.
 from __future__ import annotations
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -93,8 +92,20 @@ def emb_ops() -> dict:
         )
         return dedup.neardup_survivors(emb, pairs, "vec_id")
 
+    def vec_pairs(emb):
+        buckets = similarity.hyperplane_lsh_buckets(
+            emb, "embedding", dim=64, n_planes=8
+        )
+        blocked = emb.join(buckets, "vec_id").select(
+            "vec_id", "embedding", "bucket"
+        )
+        return dedup.embedding_neardup_pairs_vectorized(
+            blocked, "vec_id", "embedding", block_col="bucket", threshold=0.3
+        )
+
     return {
         "semdedup_survivors": semdedup,
+        "vectorized_pairs": vec_pairs,
         "quantize_int8": lambda e: emb_ops_mod.quantize_int8(
             e, "vec_id", "embedding"
         ),

@@ -679,3 +679,59 @@ def remove_intradoc_repeats(
         F.explode(F.sequence(F.col("st"), F.col("st") + (k - 1))).alias("pos"),
     ).distinct()
     return _rebuild_without(base, covered, id_col)
+
+
+def embedding_neardup_pairs_vectorized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Arrow/NumPy twin of ``embedding_neardup_pairs`` for DENSE buckets:
+    one ``applyInPandas`` per blocking key computes the whole in-bucket
+    cosine matrix as a single BLAS gemm (X·Xᵀ / outer norms) instead of
+    per-pair fold expressions, and emits qualifying (id_a, id_b) pairs
+    with id_a < id_b.
+
+    When to prefer which: the HOF version keeps everything JVM-side and
+    wins for small buckets (no Python round-trip); this one wins when
+    per-bucket occupancy is large enough that the d-length fold per pair
+    dominates (gemm is ~d× less instruction traffic per pair). Same
+    blocking contract — per-bucket memory is O(occupancy²), so the
+    blocking key must keep buckets bounded, exactly as for the join path.
+
+    Emits the PAIR SET only (no score column): NumPy's pairwise-summation
+    dot differs from the sequential JVM/DuckDB fold in the last ulp, so
+    scores are not bit-comparable across engines — membership at a fixed
+    threshold is (rounded to 6dp before comparing, like the join path).
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    def pairs_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        V = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        n = np.linalg.norm(V, axis=1)
+        denom = np.outer(n, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round((V @ V.T) / denom, 6)
+        cos[denom == 0] = -np.inf  # zero-norm rows pair with nothing
+        ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    # no distinct needed: each row carries exactly one block value, so a
+    # pair can only materialize inside its one shared bucket
+    return (
+        df.select(F.col(block_col).alias("__blk"), id_col, vec_col)
+        .groupBy("__blk")
+        .applyInPandas(pairs_fn, schema="id_a long, id_b long")
+    )

@@ -572,6 +572,7 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_intradoc_repeats",
     "q_curriculum_order",
     "q_corpus_pipeline",
+    "q_neardup_cosine_vectorized",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

@@ -609,3 +609,42 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pipeline lineage a second time (measured 4.9 s → 4.0 s at sf0.1)
     )
     return sharded.select("doc_id", "clean_text", "n_removed", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# vectorized (Arrow gemm) twin of the bucketed cosine pair search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_neardup_cosine_vectorized",
+    oracle="""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dp,
+             sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS nb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b FROM p WHERE ROUND(dp / (na * nb), 6) >= 0.35
+    """,
+    tags=("dedup", "similarity"),
+)
+def q_neardup_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/NumPy twin of q_neardup_cosine: per-label buckets, one
+    BLAS gemm per bucket under ``applyInPandas`` instead of per-pair HOF
+    folds (operators/dedup.py::embedding_neardup_pairs_vectorized). Same
+    pair set as the join path — scores are deliberately not emitted
+    (NumPy pairwise summation is not bit-comparable to the sequential
+    fold); parity of the SETS is pinned here and in test_mlprep."""
+    return dedup.embedding_neardup_pairs_vectorized(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        block_col="label",
+        threshold=0.35,
+    )
