@@ -573,6 +573,7 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_curriculum_order",
     "q_corpus_pipeline",
     "q_neardup_cosine_vectorized",
+    "q_streaming_corpus_clean",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

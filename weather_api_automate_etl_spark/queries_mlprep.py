@@ -648,3 +648,100 @@ def q_neardup_cosine_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="label",
         threshold=0.35,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the stateless corpus-cleaning stage
+# ---------------------------------------------------------------------------
+
+_DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@query(
+    "q_streaming_corpus_clean",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, trim(text) AS tt, {_TOKENS_SQL} AS w FROM documents),
+    x AS (
+      SELECT doc_id,
+             CAST(length(tt) AS BIGINT) AS L,
+             CAST(len(regexp_extract_all(tt, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS P,
+             CAST(len(list_filter(w, tok -> tok IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS SW,
+             CAST(len(w) AS DOUBLE) AS NT,
+             CASE WHEN len(w) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(w),
+                       d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w)
+                  ELSE 0.0e0 END AS TF
+      FROM m
+    ),
+    v AS (
+      SELECT doc_id,
+        CASE WHEN L < 200 THEN 'too_short'
+             WHEN TF > 0.12e0 THEN 'repetitive'
+             WHEN 0.4e0 * least(L / 500.0e0, 1.0e0)
+                  + 0.3e0 * (1.0e0 - CASE WHEN L > 0 THEN P / L ELSE 0.0e0 END)
+                  + 0.3e0 * (1.0e0 - abs((CASE WHEN NT > 0 THEN SW / NT ELSE 0.0e0 END) - 0.4e0))
+                  < 0.7e0 THEN 'low_quality'
+        END AS violation
+      FROM x
+    ),
+    keepers AS (
+      SELECT d.doc_id, d.text, d.lang FROM documents d JOIN v USING (doc_id)
+      WHERE v.violation IS NULL
+    ),
+    base AS (
+      SELECT doc_id, lang, lower(trim(text)) AS txt, {_TOKENS_SQL} AS tk
+      FROM keepers
+    ),
+    sh AS (
+      SELECT doc_id, lang, txt,
+             CASE WHEN len(tk) >= 4
+                  THEN [array_to_string(tk[i:i+3], ' ') FOR i IN range(1, len(tk) - 2)]
+                  ELSE NULL END AS shingles
+      FROM base
+    )
+    SELECT doc_id, lang,
+           COALESCE(list_aggregate(list_transform(shingles, s -> md5(s)), 'min'),
+                    md5(txt)) AS fingerprint
+    FROM sh
+    """,
+    tags=("streaming", "text"),
+)
+def q_streaming_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the stateless corpus-cleaning stage: documents
+    arrive as a file stream (landing zone), pass the quality gate
+    (passthrough filter), and emit (doc_id, lang, fingerprint) — the
+    dedup-ready stream a continuous ingestion pipeline hands to
+    dedup_incremental. Every transform is a stateless projection, so the
+    stream needs no watermark and the batch oracle is exact (same rows,
+    any trigger). Drained availableNow into a memory sink, like every
+    q_streaming_* twin."""
+    import os
+
+    from weather_api_automate_etl_spark.functions.text import (
+        document_fingerprint,
+    )
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    sink = "q_streaming_corpus_clean"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    stage_dir = tempfile.mkdtemp(prefix=f"{sink}_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{stage_dir}/documents_0.parquet")
+    try:
+        stream = spark.readStream.schema(_DOCS_STREAM_SCHEMA).parquet(stage_dir)
+        cleaned = (
+            textops.quality_gate(stream, passthrough=True)
+            .filter(F.col("keep"))
+            .select(
+                "doc_id",
+                "lang",
+                document_fingerprint("text", 4).alias("fingerprint"),
+            )
+        )
+        stream_events.run_to_memory_sink(cleaned, sink, output_mode="append")
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.table(sink)
