@@ -540,3 +540,52 @@ def test_vectorized_pairs_singleton_and_zero_norm(spark):
         ).collect()
     }
     assert got == {(3, 4)}  # zero-norm row pairs with nothing
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning: runtime pruning of a partitioned fact by a
+# filtered dim — the other half of the partition-layout story (static
+# pruning is pinned in test_scale_plans / the IVF test above)
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    from weather_api_automate_etl_spark.operators import marts
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "extraction_date", F.to_date("ts")
+    )
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    marts.write_mart(ev, fact_path, partition_by="extraction_date")
+    # calendar dim: one row per date with a non-key attribute; the query
+    # filters on the ATTRIBUTE, so the matching partition set is only
+    # known at runtime — the DPP case, not static pruning
+    # the dim filter must be a LIKELY-SELECTIVE predicate (equality/IN —
+    # PartitionPruning's hasSelectivePredicate) for the optimizer to
+    # consider injection; a bare boolean attribute does not qualify
+    ev.select("extraction_date").distinct().withColumn(
+        "day_kind",
+        F.when(
+            F.dayofweek("extraction_date").isin(1, 7), F.lit("weekend")
+        ).otherwise(F.lit("weekday")),
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path)
+    n_parts = fact.select("extraction_date").distinct().count()
+    assert n_parts > 1
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(
+        dim.filter(F.col("day_kind") == "weekend"), "extraction_date"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "the partition filter must be injected at runtime (DPP), "
+        "not read the whole fact"
+    )
+    weekend = [
+        r[0] for r in dim.filter(F.col("day_kind") == "weekend").collect()
+    ]
+    expect = fact.filter(F.col("extraction_date").isin(weekend)).count()
+    assert 0 < expect < fact.count()
+    assert joined.count() == expect
