@@ -972,11 +972,15 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch percentiles) — sub-linear state at any scale, now fully
     driver-hashable:
 
-    - the quantile sketch's ``accuracy`` (1e4) exceeds every fixture
-      group's size, so the GK sketch is EXACT at verification scale and
-      returns the discrete percentile element — DuckDB's quantile_disc,
-      verified value-identical. At 100 TB the same code degrades
-      gracefully to ±1e-4 rank error; nothing changes but the bound,
+    - the quantile sketch's ``accuracy`` (1e6) exceeds every fixture
+      group's size AT EVERY ORACLE SCALE (sf0.1 groups are ~20k rows —
+      the original 1e4 went approximate there and drifted off
+      quantile_disc by one element), so the GK sketch is EXACT at
+      verification scale and returns the discrete percentile element —
+      DuckDB's quantile_disc, verified value-identical at sf0.001/0.01/
+      0.1. At 100 TB the same code degrades gracefully to ±1e-6 rank
+      error (or dial accuracy down for memory); nothing changes but the
+      bound,
     - the HLL distinct count is approximate by construction, so what the
       driver hashes is its documented CONTRACT — |est/exact − 1| ≤ 0.10
       (the default 5% rsd at 2σ; tests/test_approx_bounds.py pins the
@@ -986,7 +990,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than one array column: the driver canonicalizes by sorting
     column values, which needs every column hashable/orderable."""
     ev = t(spark, sf_dir, "events")
-    pcts = F.percentile_approx("value", [0.5, 0.95], 10000)
+    pcts = F.percentile_approx("value", [0.5, 0.95], 1_000_000)
     return ev.groupBy("event_type").agg(
         pcts[0].alias("value_p50"),
         pcts[1].alias("value_p95"),
