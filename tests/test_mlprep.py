@@ -589,3 +589,34 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     expect = fact.filter(F.col("extraction_date").isin(weekend)).count()
     assert 0 < expect < fact.count()
     assert joined.count() == expect
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (rows-only query → invariants here)
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_invariants(spark, docs):
+    out = textops.compression_ratio(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0 < r.ratio < 1.2 and r.raw_bytes > 0
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    import random
+
+    rng = random.Random(7)
+    rand_text = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(60)
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam ham " * 240),          # highly repetitive
+            Row(doc_id=2, text=rand_text),                   # incompressible
+        ]
+    )
+    got = {r.doc_id: r.ratio for r in textops.compression_ratio(df).collect()}
+    assert got[1] < 0.05 < got[2]
+    assert got[2] > 0.5

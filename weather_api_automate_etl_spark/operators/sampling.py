@@ -125,3 +125,25 @@ def stratified_sample(
     for stratum, r in sorted(rates.items()):
         rate = rate.when(F.col(strata_col) == stratum, F.lit(float(r)))
     return df.filter(frac < rate)
+
+
+def holdout_split(
+    df: DataFrame,
+    key_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the content-hash
+    uniform of ``key_col``: u < train → 'train', u < train+val → 'val',
+    else 'test'. The split is a pure function of the data (identical
+    across engines, partitionings, reruns — the module's replayability
+    discipline), so a row can never migrate between splits when the
+    corpus is re-processed, which is what keeps eval sets uncontaminated
+    over pipeline versions. Zero shuffle — one projection."""
+    u = hash_fraction(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -405,3 +405,42 @@ def token_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    Gopher-style redundancy signal: templated or looping text compresses
+    far below natural prose, and near-random text sits near (or just
+    above) 1.0. Deterministic for a fixed zlib level, but NOT
+    SQL-expressible, so its registry entry is rows-only with invariant
+    tests (the q_kmeans discipline).
+
+    Arrow-batched ``mapInPandas`` — the bytes never leave the executor,
+    each batch is one vectorized pass; zero shuffle, scan-speed."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = f"{id_col} long, raw_bytes long, ratio double"
+
+    def fn(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            enc = [t.encode("utf-8") for t in pdf[text_col]]
+            raw = [len(b) for b in enc]
+            comp = [len(zlib.compress(b, 6)) for b in enc]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw,
+                    "ratio": [
+                        round(c / r, 6) if r else 0.0
+                        for c, r in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, out_schema)

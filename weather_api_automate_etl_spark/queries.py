@@ -574,6 +574,8 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_corpus_pipeline",
     "q_neardup_cosine_vectorized",
     "q_streaming_corpus_clean",
+    "q_holdout_split",
+    "q_compression_ratio",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

@@ -745,3 +745,48 @@ def q_streaming_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# deterministic holdout split (train/val/test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_holdout_split",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS frac
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout assignment
+    (operators/sampling.py::holdout_split): content-hash uniform of the
+    doc id, 80/10/10. Replayable across engines and reruns — a document
+    can never migrate between splits, which is what keeps eval sets
+    uncontaminated across pipeline versions. Zero shuffle."""
+    from weather_api_automate_etl_spark.operators import sampling
+
+    return sampling.holdout_split(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id",
+    )
+
+
+@query("q_compression_ratio", tags=("text", "quality"))
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/textops.py::
+    compression_ratio) — rows-only by necessity (no SQL twin for
+    deflate); bounds + monotonicity invariants live in
+    tests/test_mlprep.py, the q_kmeans discipline for non-SQL ops."""
+    return textops.compression_ratio(t(spark, sf_dir, "documents"))
