@@ -620,3 +620,40 @@ def test_compression_ratio_orders_redundancy(spark):
     got = {r.doc_id: r.ratio for r in textops.compression_ratio(df).collect()}
     assert got[1] < 0.05 < got[2]
     assert got[2] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# the FULL ANN lifecycle: k-means codebook → assignment → bucketed store
+# → partition-pruned probe → recall vs the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def test_ann_end_to_end_kmeans_store_probe(spark, emb, tmp_path):
+    cents, n_iter, moved = similarity.kmeans_fit(
+        emb, k=8, max_iter=4, tol=0.0
+    )
+    assigned = similarity.nearest_centroid(emb, cents)
+    indexed = emb.select("vec_id", "embedding").join(
+        assigned.select("vec_id", "list_id"), "vec_id"
+    )
+    path = str(tmp_path / "ann")
+    similarity.build_ivf_index(indexed, path, "embedding", "list_id")
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    approx = similarity.ivf_topk_from_index(
+        spark, path, qvec, list_col="list_id", k=10, nprobe=3
+    ).collect()
+    exact = similarity.topk_cosine(emb, "embedding", qvec, k=10).collect()
+    assert len(approx) == 10
+    # the probed scan is a strict subset of the index
+    all_files = set(spark.read.parquet(f"{path}/lists").inputFiles())
+    probed = similarity.ivf_probe_lists(spark, path, qvec, nprobe=3)
+    probed_files = {
+        f
+        for lst in probed
+        for f in spark.read.parquet(f"{path}/lists/list_id={lst}").inputFiles()
+    }
+    assert probed_files < all_files
+    # recall@10 vs exact: nprobe 3 of 8 learned lists must recover most
+    # of the true neighborhood (the query vector's own list + neighbors)
+    recall = len({r.vec_id for r in approx} & {r.vec_id for r in exact}) / 10
+    assert recall >= 0.6, f"recall@10 {recall} too low for nprobe=3/8"
