@@ -657,3 +657,19 @@ def test_ann_end_to_end_kmeans_store_probe(spark, emb, tmp_path):
     # of the true neighborhood (the query vector's own list + neighbors)
     recall = len({r.vec_id for r in approx} & {r.vec_id for r in exact}) / 10
     assert recall >= 0.6, f"recall@10 {recall} too low for nprobe=3/8"
+
+
+def test_hashing_vectorizer_dimensions_and_mass(spark, docs):
+    out = textops.hashing_vectorizer(docs, dim=16).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert len(r.tf_vec) == 16
+        assert sum(r.tf_vec) == r.n_tokens  # every token lands in a bucket
+
+
+def test_hashing_vectorizer_deterministic_and_collision_free_case(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x x y")])
+    a = textops.hashing_vectorizer(df, dim=16).head()
+    b = textops.hashing_vectorizer(df.repartition(3), dim=16).head()
+    assert list(a.tf_vec) == list(b.tf_vec)
+    assert sorted(v for v in a.tf_vec if v) in ([1, 2], [3])  # x:2,y:1 (or collide)

@@ -444,3 +444,43 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def hashing_vectorizer(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) term-frequency vectorizer: token t
+    lands in bucket ``conv(md5(t)[:8], 16) % dim``; the document's vector
+    is the per-bucket token count. No vocabulary table, no fit step, no
+    OOV problem — the standard way to get fixed-width text features at
+    corpus scale (and the cheap text→vector bridge into the similarity /
+    ANN operators).
+
+    Map-only: ONE pass binding the hashed-bucket array, then a dim-wide
+    count-per-bucket fold (O(dim·n_tokens) per doc — fine for feature
+    dims; for dim ≥ ~256 switch to explode + groupBy pivot). md5-derived
+    buckets keep it engine-portable (sampling.py's discipline)."""
+    toks = tokens(text_col)
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("long")
+        % dim,
+    )
+    # bind the bucket array once (projection-collapse trap — see
+    # minhash_signatures), then count per feature index
+    vec = F.transform(
+        F.array(buckets),
+        lambda bs: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.size(F.filter(bs, lambda b: b == i.cast("long"))),
+        ),
+    )[0]
+    return df.select(
+        F.col(id_col),
+        vec.alias("tf_vec"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )

@@ -576,6 +576,7 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_streaming_corpus_clean",
     "q_holdout_split",
     "q_compression_ratio",
+    "q_hashing_vectorizer",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

@@ -790,3 +790,41 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     deflate); bounds + monotonicity invariants live in
     tests/test_mlprep.py, the q_kmeans discipline for non-SQL ops."""
     return textops.compression_ratio(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing vectorizer (the text→vector bridge, no vocabulary)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hashing_vectorizer",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 16
+                  AS INTEGER) AS feature
+      FROM tok
+    )
+    SELECT doc_id, feature, CAST(count(*) AS BIGINT) AS tf
+    FROM b GROUP BY doc_id, feature
+    """,
+    tags=("text", "similarity"),
+)
+def q_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing TF vectors (operators/textops.py::
+    hashing_vectorizer, dim=16) exploded to sparse long form
+    (doc, feature, tf) — the vocabulary-free text→vector bridge into the
+    similarity/ANN family; the driver compares the nonzero coordinates
+    exactly."""
+    vec = textops.hashing_vectorizer(t(spark, sf_dir, "documents"), dim=16)
+    return (
+        vec.select(
+            "doc_id", F.posexplode("tf_vec").alias("feature", "tf")
+        )
+        .filter(F.col("tf") > 0)
+        .select("doc_id", "feature", F.col("tf").cast("long").alias("tf"))
+    )
