@@ -673,3 +673,63 @@ def test_hashing_vectorizer_deterministic_and_collision_free_case(spark):
     b = textops.hashing_vectorizer(df.repartition(3), dim=16).head()
     assert list(a.tf_vec) == list(b.tf_vec)
     assert sorted(v for v in a.tf_vec if v) in ([1, 2], [3])  # x:2,y:1 (or collide)
+
+
+def test_vectorized_pairs_duplicate_ids_no_self_pair(spark):
+    # two rows with the SAME id (dedup-shaped corpora have these): the
+    # gemm path must not emit (5,5); the HOF twin's id_a < id_b filter
+    # never does
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=5, embedding=[1.0, 0.0], label=1),
+            Row(vec_id=5, embedding=[1.0, 0.0], label=1),
+            Row(vec_id=9, embedding=[1.0, 0.1], label=1),
+        ]
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs_vectorized(
+            df, "vec_id", "embedding", block_col="label", threshold=0.5
+        ).collect()
+    }
+    assert got == {(5, 9)}
+
+
+def test_vectorized_pairs_string_ids(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id="a", embedding=[1.0, 0.0], label=1),
+            Row(vec_id="b", embedding=[2.0, 0.0], label=1),
+        ]
+    )
+    out = dedup.embedding_neardup_pairs_vectorized(
+        df, "vec_id", "embedding", block_col="label", threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [("a", "b")]
+
+
+def test_compression_ratio_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=""), Row(doc_id=3, text="hi")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.compression_ratio(df).collect()}
+    assert out[1].ratio is None and out[1].raw_bytes == 0
+    assert out[2].ratio is None and out[2].raw_bytes == 0
+    assert out[3].ratio is not None and out[3].raw_bytes == 2
+
+
+def test_hashing_vectorizer_empty_doc_zero_vector(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="   "), Row(doc_id=2, text="word")]
+    )
+    out = {r.doc_id: r for r in textops.hashing_vectorizer(df, dim=8).collect()}
+    assert sum(out[1].tf_vec) == 0 and out[1].n_tokens == 0
+    assert sum(out[2].tf_vec) == 1 and out[2].n_tokens == 1
+
+
+def test_holdout_split_rejects_bad_fractions(spark, docs):
+    from weather_api_automate_etl_spark.operators import sampling
+
+    with pytest.raises(ValueError, match="invalid split fractions"):
+        sampling.holdout_split(docs, "doc_id", train=0.9, val=0.2)

@@ -705,8 +705,10 @@ def embedding_neardup_pairs_vectorized(
     dot differs from the sequential JVM/DuckDB fold in the last ulp, so
     scores are not bit-comparable across engines — membership at a fixed
     threshold is (rounded to 6dp before comparing, like the join path).
+    Duplicate ids inside a bucket never yield a (x, x) self-pair, and the
+    id columns keep the input id type — both matching the HOF twin.
     """
-    import pandas as pd  # noqa: F401 — applyInPandas contract
+    id_type = dict(df.dtypes)[id_col]  # preserve the caller's id type
 
     def pairs_fn(pdf):
         import numpy as np
@@ -717,7 +719,7 @@ def embedding_neardup_pairs_vectorized(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
         n = np.linalg.norm(V, axis=1)
         denom = np.outer(n, n)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -726,12 +728,13 @@ def embedding_neardup_pairs_vectorized(
         ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
         a, b = ids[ia], ids[ib]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        keep = lo != hi  # duplicate ids in a bucket are not a self-pair
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
 
     # no distinct needed: each row carries exactly one block value, so a
     # pair can only materialize inside its one shared bucket
     return (
         df.select(F.col(block_col).alias("__blk"), id_col, vec_col)
         .groupBy("__blk")
-        .applyInPandas(pairs_fn, schema="id_a long, id_b long")
+        .applyInPandas(pairs_fn, schema=f"id_a {id_type}, id_b {id_type}")
     )

@@ -140,6 +140,12 @@ def holdout_split(
     discipline), so a row can never migrate between splits when the
     corpus is re-processed, which is what keeps eval sets uncontaminated
     over pipeline versions. Zero shuffle — one projection."""
+    if not (0 <= train and 0 <= val and train + val <= 1):
+        raise ValueError(
+            f"invalid split fractions train={train} val={val}: need "
+            "0 <= train, 0 <= val, train + val <= 1 (else the 'test' "
+            "band silently vanishes)"
+        )
     u = hash_fraction(F.col(key_col))
     return df.withColumn(
         "split",

@@ -417,6 +417,10 @@ def compression_ratio(
     SQL-expressible, so its registry entry is rows-only with invariant
     tests (the q_kmeans discipline).
 
+    Null text propagates as a null ratio (the sibling-operator contract,
+    never a Python-worker crash); empty text gets raw_bytes 0 and a null
+    ratio (a 0-byte doc has no meaningful compressibility).
+
     Arrow-batched ``mapInPandas`` — the bytes never leave the executor,
     each batch is one vectorized pass; zero shuffle, scan-speed."""
     import pandas as pd  # noqa: F401
@@ -429,18 +433,19 @@ def compression_ratio(
         import pandas as pd
 
         for pdf in batches:
-            enc = [t.encode("utf-8") for t in pdf[text_col]]
-            raw = [len(b) for b in enc]
-            comp = [len(zlib.compress(b, 6)) for b in enc]
+            enc = [
+                t.encode("utf-8") if t is not None else None
+                for t in pdf[text_col]
+            ]
+            raw = [len(b) if b is not None else 0 for b in enc]
+            ratio = [
+                round(len(zlib.compress(b, 6)) / r, 6)
+                if b is not None and r
+                else None
+                for b, r in zip(enc, raw)
+            ]
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "raw_bytes": raw,
-                    "ratio": [
-                        round(c / r, 6) if r else 0.0
-                        for c, r in zip(comp, raw)
-                    ],
-                }
+                {id_col: pdf[id_col], "raw_bytes": raw, "ratio": ratio}
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
@@ -462,8 +467,11 @@ def hashing_vectorizer(
     Map-only: ONE pass binding the hashed-bucket array, then a dim-wide
     count-per-bucket fold (O(dim·n_tokens) per doc — fine for feature
     dims; for dim ≥ ~256 switch to explode + groupBy pivot). md5-derived
-    buckets keep it engine-portable (sampling.py's discipline)."""
-    toks = tokens(text_col)
+    buckets keep it engine-portable (sampling.py's discipline).
+    Content-free documents (empty/whitespace text tokenizes to the ''
+    pseudo-token) get the zero vector and n_tokens 0 — they must not
+    share a feature coordinate with real one-token docs."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
     buckets = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)

@@ -87,6 +87,47 @@ def _staged_event_stream(
     return stage_dir, stream
 
 
+def _staged_table_stream(
+    spark: SparkSession, sf_dir: str, table: str, schema: str, prefix: str
+):
+    """Generic symlink-staged file stream over a fixture table with a
+    static schema — the base recipe ``_staged_event_stream`` layers its
+    ts-precision probing on top of; non-timestamp tables (documents) use
+    it directly. Self-heals the engine confs like every stager (the
+    driver builds its own, possibly hostile, session)."""
+    from weather_api_automate_etl_spark.sources.tables import _ensure_engine_confs
+
+    _ensure_engine_confs(spark)
+    stage_dir = tempfile.mkdtemp(prefix=f"{prefix}_")
+    os.symlink(f"{sf_dir}/{table}.parquet", f"{stage_dir}/{table}_0.parquet")
+    return stage_dir, spark.readStream.schema(schema).parquet(stage_dir)
+
+
+def _drain_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    schema: str,
+    sink: str,
+    build,
+    **drain_kwargs,
+) -> DataFrame:
+    """Table-generic twin of ``_drain_event_stream``: stage, transform,
+    drain availableNow into a memory sink, clean up — one definition of
+    the stop-sink/stage/drain/rmtree recipe for non-events tables."""
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    stage_dir, stream = _staged_table_stream(spark, sf_dir, table, schema, sink)
+    try:
+        stream_events.run_to_memory_sink(build(stream), sink, **drain_kwargs)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.table(sink)
+
+
 def _drain_event_stream(
     spark: SparkSession, sf_dir: str, sink: str, build, **drain_kwargs
 ) -> DataFrame:

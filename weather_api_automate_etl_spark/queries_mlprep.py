@@ -717,22 +717,13 @@ def q_streaming_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream needs no watermark and the batch oracle is exact (same rows,
     any trigger). Drained availableNow into a memory sink, like every
     q_streaming_* twin."""
-    import os
-
     from weather_api_automate_etl_spark.functions.text import (
         document_fingerprint,
     )
-    from weather_api_automate_etl_spark.streaming import events as stream_events
+    from weather_api_automate_etl_spark.queries_ext import _drain_table_stream
 
-    sink = "q_streaming_corpus_clean"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    stage_dir = tempfile.mkdtemp(prefix=f"{sink}_")
-    os.symlink(f"{sf_dir}/documents.parquet", f"{stage_dir}/documents_0.parquet")
-    try:
-        stream = spark.readStream.schema(_DOCS_STREAM_SCHEMA).parquet(stage_dir)
-        cleaned = (
+    def build(stream: DataFrame) -> DataFrame:
+        return (
             textops.quality_gate(stream, passthrough=True)
             .filter(F.col("keep"))
             .select(
@@ -741,10 +732,16 @@ def q_streaming_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 document_fingerprint("text", 4).alias("fingerprint"),
             )
         )
-        stream_events.run_to_memory_sink(cleaned, sink, output_mode="append")
-    finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
-    return spark.table(sink)
+
+    return _drain_table_stream(
+        spark,
+        sf_dir,
+        "documents",
+        _DOCS_STREAM_SCHEMA,
+        "q_streaming_corpus_clean",
+        build,
+        output_mode="append",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -807,7 +804,7 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 16
                   AS INTEGER) AS feature
-      FROM tok
+      FROM tok WHERE term != ''
     )
     SELECT doc_id, feature, CAST(count(*) AS BIGINT) AS tf
     FROM b GROUP BY doc_id, feature
