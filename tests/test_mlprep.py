@@ -733,3 +733,41 @@ def test_holdout_split_rejects_bad_fractions(spark, docs):
 
     with pytest.raises(ValueError, match="invalid split fractions"):
         sampling.holdout_split(docs, "doc_id", train=0.9, val=0.2)
+
+
+# ---------------------------------------------------------------------------
+# two-pass Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark, docs):
+    got = {
+        (r.term, r.cnt)
+        for r in textops.heavy_hitters(docs, m=50).collect()
+    }
+    from pyspark.sql import functions as SF
+
+    tok = docs.select(SF.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    n = tok.count()
+    exact = {
+        (r.t, r.c)
+        for r in tok.groupBy("t").agg(SF.count(SF.lit(1)).alias("c"))
+        .filter(F.col("c") > n / 50)
+        .collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_heavy_hitters_skewed_stream_tiny_m(spark):
+    # 1 dominant token among 40 distinct noise tokens, m far below the
+    # vocabulary: the dominant token must survive the decrements
+    rows = [Row(doc_id=i, text="dominant " + f"noise{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = {r.term: (r.cnt, r.n_total) for r in textops.heavy_hitters(df, m=5).collect()}
+    assert "dominant" in out
+    assert out["dominant"] == (200, 400)
+    # every reported term genuinely exceeds N/m — no false positives
+    for term, (cnt, n_total) in out.items():
+        assert cnt > n_total / 5

@@ -492,3 +492,63 @@ def hashing_vectorizer(
         vec.alias("tf_vec"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    m: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus heavy hitters by the classic TWO-PASS Misra-Gries recipe:
+
+    1. candidate pass — each partition keeps a bounded Misra-Gries
+       summary of ≤ ``m`` tokens (batched variant: merge exact batch
+       counts, then subtract the (m+1)-th largest count from all and
+       drop non-positives). Pigeonhole guarantees the UNION of
+       per-partition candidates is a superset of every token with global
+       frequency > N/m — the state is m entries per partition no matter
+       the corpus size, the mergeable-sketch property;
+    2. exact pass — count ONLY the candidates (tiny set → broadcast
+       semi-join) and keep those with count > N/m.
+
+    The output is therefore EXACT (all tokens with freq > N/m, true
+    counts) while pass 1 never holds more than m counters — the shape
+    that finds corpus boilerplate/stop tokens at 100 TB without a full
+    vocabulary aggregate. Returns (term, cnt, n_total) sorted-free.
+    """
+    import pandas as pd  # noqa: F401
+
+    tok = df.select(F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+
+    def mg_partial(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            batch = pdf["term"].value_counts()
+            counters = counters.add(batch, fill_value=0)
+            if len(counters) > m:
+                # batched Misra-Gries decrement: subtracting the
+                # (m+1)-th largest count from every counter is a stack
+                # of standard decrement steps — the superset guarantee
+                # (est >= true − N/m) is preserved
+                kth = counters.nlargest(m + 1).iloc[-1]
+                counters = counters - kth
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"term": counters.index.astype(str)})
+
+    candidates = (
+        tok.mapInPandas(mg_partial, "term string").distinct()
+    )
+    n_total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") > F.col("n_total") / m)
+        .select("term", "cnt", "n_total")
+    )

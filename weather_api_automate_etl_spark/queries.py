@@ -577,6 +577,7 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_holdout_split",
     "q_compression_ratio",
     "q_hashing_vectorizer",
+    "q_heavy_hitters",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

@@ -825,3 +825,35 @@ def q_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tf") > 0)
         .select("doc_id", "feature", F.col("tf").cast("long").alias("tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# two-pass Misra-Gries heavy hitters (bounded-state candidates, exact output)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    t2 AS (SELECT term FROM tok WHERE term != ''),
+    n AS (SELECT count(*) AS n_total FROM t2)
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(n.n_total AS BIGINT) AS n_total
+    FROM t2, n
+    GROUP BY term, n.n_total
+    HAVING count(*) > n.n_total / 100.0
+    """,
+    tags=("text", "approx"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens with frequency > N/100) via the
+    two-pass Misra-Gries recipe (operators/textops.py::heavy_hitters):
+    bounded m-entry candidate summaries per partition (mergeable-sketch
+    state — never a full vocabulary), then an exact count of candidates
+    only. The OUTPUT is exact — the sketch's superset guarantee makes
+    the second pass recover precisely the SQL HAVING answer, which is
+    why this approximate-family query carries a full oracle."""
+    return textops.heavy_hitters(t(spark, sf_dir, "documents"), m=100)
