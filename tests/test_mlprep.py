@@ -771,3 +771,44 @@ def test_heavy_hitters_skewed_stream_tiny_m(spark):
     # every reported term genuinely exceeds N/m — no false positives
     for term, (cnt, n_total) in out.items():
         assert cnt > n_total / 5
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_pairs_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    texts = [
+        "new york is a big city",
+        "new york has a big port",
+        "a city has a port",
+        "new york new york",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.a, r.b): (r.c_ab, r.pmi)
+        for r in textops.pmi_pairs(df, window=2, min_count=2).collect()
+    }
+    co, left, right = Counter(), Counter(), Counter()
+    for t in texts:
+        ts = t.split()
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 : i + 3]:
+                co[(a, b)] += 1
+                left[a] += 1
+                right[b] += 1
+    n = sum(co.values())
+    expect = {
+        p: (c, round(math.log(n * c / (left[p[0]] * right[p[1]])), 6))
+        for p, c in co.items()
+        if c >= 2
+    }
+    assert got == expect
+    assert ("new", "york") in got  # the collocation scores positive PMI
+    assert got[("new", "york")][1] > 0

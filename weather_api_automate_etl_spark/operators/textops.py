@@ -552,3 +552,66 @@ def heavy_hitters(
         .filter(F.col("cnt") > F.col("n_total") / m)
         .select("term", "cnt", "n_total")
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence within a
+    ±``window`` span: pmi(a,b) = ln(N·c(a,b) / (c(a)·c(b))) for ORDERED
+    pairs (a before b, gap ≤ window), filtered to pairs seen at least
+    ``min_count`` times — the collocation/phrase-mining statistic.
+
+    Shape at scale: pair GENERATION is map-only (a nested HOF flatten
+    over each doc's token array — no self-join on positions); then one
+    (a,b)-keyed count aggregate, one token-keyed marginal aggregate
+    joined back on each side (vocabulary-sized, NOT broadcast — the
+    unigram_logprob discipline), and a 1-row total broadcast. N is the
+    number of co-occurrence SLOTS (Σ pair counts), so Σ p(a,b) = 1.
+    """
+    toks = tokens(text_col)
+    # all ordered within-window pairs of one doc, as one bound HOF
+    # expression (array wrapper against projection collapse)
+    pair_arrays = F.transform(
+        F.array(F.filter(toks, lambda t: t != "")),
+        lambda ts: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(ts) - 2, F.lit(0))),
+                lambda i: F.transform(
+                    F.slice(ts, i + 2, window),
+                    lambda b: F.struct(
+                        F.element_at(ts, i + 1).alias("a"), b.alias("b")
+                    ),
+                ),
+            )
+        ),
+    )[0]
+    pairs = df.select(F.explode(pair_arrays).alias("p")).select("p.a", "p.b")
+    co = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # marginals over the SAME slot distribution (left/right occurrences)
+    left = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    right = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n_slots"))
+    return (
+        co.filter(F.col("c_ab") >= min_count)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    F.col("n_slots")
+                    * F.col("c_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -578,6 +578,7 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_compression_ratio",
     "q_hashing_vectorizer",
     "q_heavy_hitters",
+    "q_pmi_pairs",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

@@ -857,3 +857,42 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second pass recover precisely the SQL HAVING answer, which is
     why this approximate-family query carries a full oracle."""
     return textops.heavy_hitters(t(spark, sf_dir, "documents"), m=100)
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence pairs (collocation mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pmi_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT list_filter({_TOKENS_SQL}, t -> t != '') AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT p.a AS a, p.b AS b
+      FROM base,
+           UNNEST(flatten([[{{'a': ts[i], 'b': ts[j]}}
+                            FOR j IN range(i + 1, least(i + 2, len(ts)) + 1)]
+                           FOR i IN range(1, len(ts))])) AS u(p)
+    ),
+    co AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+    lm AS (SELECT a, count(*) AS c_a FROM pairs GROUP BY a),
+    rm AS (SELECT b, count(*) AS c_b FROM pairs GROUP BY b),
+    n AS (SELECT count(*) AS n_slots FROM pairs)
+    SELECT co.a, co.b, CAST(co.c_ab AS BIGINT) AS c_ab,
+           round(ln(n.n_slots * co.c_ab / (lm.c_a * rm.c_b)), 6) AS pmi
+    FROM co JOIN lm USING (a) JOIN rm USING (b), n
+    WHERE co.c_ab >= 5
+    """,
+    tags=("text",),
+)
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over ±2-token co-occurrence (operators/
+    textops.py::pmi_pairs, min_count=5): map-only HOF pair generation
+    (no position self-join), vocabulary-keyed marginal joins (never
+    broadcast), 1-row slot-total broadcast."""
+    return textops.pmi_pairs(
+        t(spark, sf_dir, "documents"), window=2, min_count=5
+    )
