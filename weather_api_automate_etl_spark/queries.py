@@ -602,6 +602,7 @@ PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     "q_test_accepted_values",
     "q_pricing_summary",
     "q_top_revenue",
+    "q_ingest_smoke",  # REST ingest — keep inside the 50-row prefix
     # -- one representative per extension family (fills the 50-row prefix) -
     "q_dedup_exact",              # dedup: exact
     "q_minhash_pairs",            # dedup: LSH candidate pairs
@@ -611,7 +612,6 @@ PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     "q_event_windows",            # event-time windows
     "q_streaming_event_windows",  # streaming twin
     "q_multimodal_decode",        # multimodal: non-stub PPM/BMP decode
-    "q_ingest_smoke",             # REST ingest
     # -- remaining families (overflow; all driver-green in r1/r2) ----------
     "q_snapshot_diff",   # CDC
     "q_asof_join",       # time-series joins
