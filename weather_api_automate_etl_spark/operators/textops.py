@@ -516,9 +516,16 @@ def heavy_hitters(
     counts) while pass 1 never holds more than m counters — the shape
     that finds corpus boilerplate/stop tokens at 100 TB without a full
     vocabulary aggregate. Returns (term, cnt, n_total) sorted-free.
+
+    GENUINELY two passes over the corpus: the candidate partials also
+    carry each partition's token total (one NULL-term row), and the tiny
+    summary (≤ partitions·(m+1) rows) is localCheckpointed so deriving
+    candidates AND N from it never re-runs the scan.
     """
     import pandas as pd  # noqa: F401
 
+    if m < 1:
+        raise ValueError(f"invalid capacity m={m}: need m >= 1")
     tok = df.select(F.explode(tokens(text_col)).alias("term")).filter(
         F.col("term") != ""
     )
@@ -527,8 +534,10 @@ def heavy_hitters(
         import pandas as pd
 
         counters = pd.Series(dtype="int64")
+        total = 0
         for pdf in batches:
             batch = pdf["term"].value_counts()
+            total += int(batch.sum())
             counters = counters.add(batch, fill_value=0)
             if len(counters) > m:
                 # batched Misra-Gries decrement: subtracting the
@@ -538,12 +547,20 @@ def heavy_hitters(
                 kth = counters.nlargest(m + 1).iloc[-1]
                 counters = counters - kth
                 counters = counters[counters > 0]
-        yield pd.DataFrame({"term": counters.index.astype(str)})
+        yield pd.DataFrame(
+            {
+                "term": list(counters.index.astype(str)) + [None],
+                "n": [0] * len(counters) + [total],
+            }
+        )
 
-    candidates = (
-        tok.mapInPandas(mg_partial, "term string").distinct()
-    )
-    n_total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    summary = tok.mapInPandas(
+        mg_partial, "term string, n long"
+    ).localCheckpoint(eager=True)
+    candidates = summary.filter(F.col("term").isNotNull()).select(
+        "term"
+    ).distinct()
+    n_total = summary.agg(F.sum("n").alias("n_total"))
     return (
         tok.join(F.broadcast(candidates), "term")
         .groupBy("term")
@@ -592,10 +609,19 @@ def pmi_pairs(
     )[0]
     pairs = df.select(F.explode(pair_arrays).alias("p")).select("p.a", "p.b")
     co = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    # marginals over the SAME slot distribution (left/right occurrences)
-    left = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
-    right = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
-    n = pairs.agg(F.count(F.lit(1)).alias("n_slots"))
+    # marginals and the slot total re-aggregate the vocabulary-sized co —
+    # the expensive HOF pair-generation map stage runs ONCE, not four
+    # times (c(a) = Σ_b c(a,b) etc. over the same slot distribution)
+    left = co.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    right = co.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    n = co.agg(F.sum("c_ab").alias("n_slots"))
+    # double BEFORE multiplying: n_slots·c_ab as long·long wraps past
+    # 2^63 at real corpus scale (silently, in non-ANSI mode)
+    ratio = (
+        F.col("n_slots").cast("double")
+        * F.col("c_ab")
+        / (F.col("c_a").cast("double") * F.col("c_b"))
+    )
     return (
         co.filter(F.col("c_ab") >= min_count)
         .join(left, "a")
@@ -605,13 +631,6 @@ def pmi_pairs(
             "a",
             "b",
             F.col("c_ab").cast("long").alias("c_ab"),
-            F.round(
-                F.log(
-                    F.col("n_slots")
-                    * F.col("c_ab")
-                    / (F.col("c_a") * F.col("c_b"))
-                ),
-                6,
-            ).alias("pmi"),
+            F.round(F.log(ratio), 6).alias("pmi"),
         )
     )

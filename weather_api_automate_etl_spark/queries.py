@@ -603,7 +603,10 @@ PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     "q_pricing_summary",
     "q_top_revenue",
     "q_ingest_smoke",  # REST ingest — keep inside the 50-row prefix
-    # -- one representative per extension family (fills the 50-row prefix) -
+    # -- one representative per extension family. NB the window head has
+    # -- grown: entries at the END of this block may now sit past row 50 —
+    # -- fine only while they hold old green driver rows AND their family
+    # -- tag also appears earlier (test_queries_registry enforces both) -
     "q_dedup_exact",              # dedup: exact
     "q_minhash_pairs",            # dedup: LSH candidate pairs
     "q_topk_similarity",          # similarity: brute-force top-k

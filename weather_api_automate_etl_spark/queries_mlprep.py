@@ -882,7 +882,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rm AS (SELECT b, count(*) AS c_b FROM pairs GROUP BY b),
     n AS (SELECT count(*) AS n_slots FROM pairs)
     SELECT co.a, co.b, CAST(co.c_ab AS BIGINT) AS c_ab,
-           round(ln(n.n_slots * co.c_ab / (lm.c_a * rm.c_b)), 6) AS pmi
+           round(ln(CAST(n.n_slots AS DOUBLE) * co.c_ab
+                    / (CAST(lm.c_a AS DOUBLE) * rm.c_b)), 6) AS pmi
     FROM co JOIN lm USING (a) JOIN rm USING (b), n
     WHERE co.c_ab >= 5
     """,
