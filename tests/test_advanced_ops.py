@@ -1,0 +1,157 @@
+"""Hand-case invariants for the round-5 second-wave operators: triangle
+counting, materialized sequence packing, EWMA folding, IQR fences, and the
+moment-sum regression formulas."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_triangle_counts_hand_case(spark):
+    # K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant edge 4-5 (in no
+    # triangle) + isolated pair 6-7
+    from weather_api_automate_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        x.doc_id: x.n_triangles
+        for x in graph.triangle_counts(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_skewed_hub(spark):
+    # hub 0 connected to 1..10, plus one edge (1,2): exactly one triangle.
+    # Degree orientation must not blow up or double-count around the hub.
+    from weather_api_automate_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 11)] + [(1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        x.doc_id: x.n_triangles
+        for x in graph.triangle_counts(edges).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_pack_sequences_covers_all_tokens_in_order(spark):
+    # 3 docs in one stratum, 7 tokens total, ctx=4 → seqs of 4 and 3 tokens;
+    # doc boundaries straddle: doc B starts at gpos 2 inside seq 0
+    from weather_api_automate_etl_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b"),
+            (2, "s", "c d e"),
+            (3, "s", "f g"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = corpus.pack_sequences(docs, ctx_len=4, vocab_size=97).orderBy(
+        "seq_id"
+    )
+    rows = out.collect()
+    assert [r.seq_id for r in rows] == [0, 1]
+    assert [r.n_tokens for r in rows] == [4, 3]
+    assert [r.n_docs for r in rows] == [2, 2]
+    # ids are the md5-hash buckets of tokens in corpus order a..g
+    ids = (
+        spark.createDataFrame(
+            [(t,) for t in ["a", "b", "c", "d", "e", "f", "g"]], "tok string"
+        )
+        .select(
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 97)
+            .cast("int")
+            .alias("tid")
+        )
+        .collect()
+    )
+    want = [r.tid for r in ids]
+    got = rows[0].input_ids + rows[1].input_ids
+    assert got == want
+
+
+def test_pack_sequences_empty_and_whitespace_docs(spark):
+    # whitespace-only docs contribute zero tokens and shift nothing
+    from weather_api_automate_etl_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "s", "   "), (2, "s", "x y z"), (3, "s", "")],
+        "doc_id long, source string, text string",
+    )
+    rows = corpus.pack_sequences(docs, ctx_len=8, vocab_size=13).collect()
+    assert len(rows) == 1
+    assert rows[0].n_tokens == 3
+    assert rows[0].n_docs == 1
+
+
+def test_ewma_fold_matches_direct_formula(spark, monkeypatch):
+    from weather_api_automate_etl_spark import queries_advanced as qa
+
+    # single user, values 1..5: trailing-8 frame covers the whole prefix
+    rows = [(i, 1, float(i), f"2024-01-01 00:00:0{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(
+        "weather_api_automate_etl_spark.queries_advanced.t",
+        lambda s, d, n: df,
+    )
+    got = {
+        r.event_id: r.ewma for r in qa.q_ewma(spark, "unused").collect()
+    }
+    a = 0.3
+    for t_i in range(1, 6):
+        num = sum((1 - a) ** (t_i - j) * j for j in range(1, t_i + 1))
+        den = sum((1 - a) ** (t_i - j) for j in range(1, t_i + 1))
+        assert math.isclose(got[t_i], round(num / den, 6), abs_tol=1e-6)
+    # smoothing pulls toward history: ewma < raw value on a rising series
+    assert got[5] < 5.0
+
+
+def test_linreg_exact_line_and_constant_group(spark, monkeypatch):
+    from weather_api_automate_etl_spark import queries_advanced as qa
+
+    # group A: exact line y = 3x + 2 → slope 3, intercept 2, r2 = 1
+    # group B: constant x → degenerate variance, slope NULL (var_x = 0)
+    rows = [("A", float(x), 3.0 * x + 2.0) for x in range(1, 8)] + [
+        ("B", 5.0, float(y)) for y in range(1, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    monkeypatch.setattr(
+        "weather_api_automate_etl_spark.queries_advanced.t",
+        lambda s, d, n: df,
+    )
+    got = {r.l_returnflag: r for r in qa.q_linreg_by_group(spark, "x").collect()}
+    assert got["A"].slope == 3.0
+    assert got["A"].intercept == 2.0
+    assert got["A"].r2 == 1.0
+    assert got["A"].corr_xy == 1.0
+    assert got["B"].slope is None
+
+
+def test_anomaly_iqr_flags_only_fence_breakers(spark, monkeypatch):
+    from weather_api_automate_etl_spark import queries_advanced as qa
+
+    # 1..11 plus one far outlier 100: Q1=3.75, Q3=9.25, IQR=5.5 → hi=17.5
+    rows = [(i, "e", float(i)) for i in range(1, 12)] + [(99, "e", 100.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(
+        "weather_api_automate_etl_spark.queries_advanced.t",
+        lambda s, d, n: df,
+    )
+    got = {r.event_id: r for r in qa.q_anomaly_iqr(spark, "x").collect()}
+    assert got[99].is_outlier
+    assert not any(got[i].is_outlier for i in range(1, 12))
+    # fences derive from quartiles of the full column (outlier included)
+    assert got[1].lo == got[99].lo and got[1].hi == got[99].hi

@@ -301,3 +301,80 @@ def curriculum_order(
     return assigned.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("int")
     ).select(id_col, score_col, "bucket", "pos")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    strata: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 512,
+    vocab_size: int = 32768,
+) -> DataFrame:
+    """MATERIALIZED concat-and-chunk packing — the step after
+    :func:`pack_assign` decides where each document starts: emit the
+    actual fixed-length training sequences as ``input_ids`` arrays, token
+    ids from the same vocabulary-free md5 hash the hashing vectorizer
+    uses (engine-portable; a real deployment swaps in its BPE id map as
+    a broadcast join without changing the dataflow shape).
+
+    Within each stratum, documents are laid head-to-tail in ``id_col``
+    order; token global position = doc start offset (one cumulative-sum
+    window over per-doc token counts) + position in doc (posexplode).
+    ``seq_id = gpos div ctx_len`` (integer div — the pack_assign
+    discipline), ``pos = gpos % ctx_len``; sequences rebuild by grouping
+    on (strata, seq_id) and sorting the (pos, id) pairs. The final
+    sequence of a stratum may be short — ``n_tokens < ctx_len`` marks it
+    for the loader to drop or pad.
+
+    Scale: one window shuffle on the strata key (doc-count rows, not
+    token rows), one explode (map-side), one groupBy shuffle keyed by
+    (strata, seq_id) whose groups are ctx_len-bounded — no skew regardless
+    of document length distribution, because long documents straddle
+    MANY sequences instead of landing in one group. Returns
+    ``(*strata, seq_id, input_ids, n_tokens, n_docs)``.
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    counted = docs.select(
+        F.col(id_col), *[F.col(c) for c in strata], toks.alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("long"))
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    started = counted.withColumn("__start", F.sum("__n").over(w) - F.col("__n"))
+    tok_rows = started.select(
+        F.col(id_col),
+        *[F.col(c) for c in strata],
+        F.col("__start"),
+        F.posexplode("__toks").alias("__p", "__term"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in strata],
+        (F.col("__start") + F.col("__p")).alias("__gpos"),
+        (
+            F.conv(F.substring(F.md5("__term"), 1, 8), 16, 10).cast("long")
+            % vocab_size
+        )
+        .cast("int")
+        .alias("__tid"),
+    )
+    placed = tok_rows.select(
+        F.col(id_col),
+        *[F.col(c) for c in strata],
+        F.expr(f"__gpos div {int(ctx_len)}").cast("long").alias("seq_id"),
+        (F.col("__gpos") % F.lit(ctx_len)).cast("int").alias("__pos"),
+        "__tid",
+    )
+    return (
+        placed.groupBy(*strata, "seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tid"))),
+                lambda s: s["__tid"],
+            ).alias("input_ids"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.countDistinct(id_col).cast("int").alias("n_docs"),
+        )
+    )

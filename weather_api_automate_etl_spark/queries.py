@@ -526,6 +526,7 @@ def _load_extensions() -> None:
     """Extension queries register themselves on import (kept in a separate
     module so the core §2 inventory stays readable)."""
     from weather_api_automate_etl_spark import (  # noqa: F401
+        queries_advanced,
         queries_analytics,
         queries_ext,
         queries_mlprep,
@@ -579,30 +580,42 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_hashing_vectorizer",
     "q_heavy_hitters",
     "q_pmi_pairs",
+    # -- round-5 second wave ------------------------------------------------
+    "q_ewma",
+    "q_anomaly_iqr",
+    "q_ntile_bucket",
+    "q_linreg_by_group",
+    "q_triangle_count",
+    "q_pack_sequences",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     # (round-4 window entries — all driver-green in r4 — now ride in
     # registration-order overflow; only never-verified queries need
     # window placement)
-    # -- §2 core sentinels (driver-green r1+r2; regression canaries) -------
-    "q_string_normalize",
+    # -- §2 core sentinels (driver-green r1+r2; regression canaries). The
+    # -- 36-entry round-5 head leaves exactly 14 prefix slots: the
+    # -- semantics-trap sentinels (ILIKE branch order, Postgres dow,
+    # -- dbt_utils md5 sentinel, schema tests) and the ingest family keep
+    # -- them; the trivial projections (TRIM/UPPER, DISTINCT, lineage
+    # -- cols) ride the overflow on their r1-r4 green rows ----------------
     "q_case_ilike",
     "q_range_bucket",
     "q_quality_filter",
     "q_date_parts",
     "q_surrogate_key",
     "q_groupby_minmax_count",
-    "q_distinct",
     "q_join_fct_dim",
     "q_json_extract",
-    "q_lineage_cols",
     "q_test_unique",
     "q_test_not_null",
     "q_test_accepted_values",
     "q_pricing_summary",
     "q_top_revenue",
     "q_ingest_smoke",  # REST ingest — keep inside the 50-row prefix
+    "q_string_normalize",
+    "q_distinct",
+    "q_lineage_cols",
     # -- one representative per extension family. NB the window head has
     # -- grown: entries at the END of this block may now sit past row 50 —
     # -- fine only while they hold old green driver rows AND their family
