@@ -101,15 +101,12 @@ def test_priority_prefix_covers_every_family():
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
-    # the 36-entry unverified head leaves 14 prefix slots: the
-    # semantics-trap sentinels + ingest keep them; the trivial projections
-    # (TRIM/UPPER, DISTINCT, lineage cols) ride overflow on r1-r4 rows
+    # the 46-entry unverified head leaves 4 prefix slots: the
+    # semantics-trap sentinels (ILIKE branch order, Postgres dow, dbt_utils
+    # md5 sentinel) and the ingest family keep them; every other §2 core
+    # entry rides overflow on its r1-r4 green rows
     core = {
-        "q_case_ilike", "q_range_bucket", "q_quality_filter",
-        "q_date_parts", "q_surrogate_key", "q_groupby_minmax_count",
-        "q_join_fct_dim", "q_json_extract", "q_test_unique",
-        "q_test_not_null", "q_test_accepted_values", "q_pricing_summary",
-        "q_top_revenue", "q_ingest_smoke",
+        "q_case_ilike", "q_date_parts", "q_surrogate_key", "q_ingest_smoke",
     }
     assert core <= set(prefix), "all §2 core sentinels must sit in the prefix"
     for family in ("dedup", "similarity", "text", "windows", "streaming",

@@ -1,0 +1,260 @@
+"""Round-5 third-wave invariants: count-min one-sided error, bigram-LM
+ordering signal, MAD robustness, autocorrelation sign, blocklist
+attribution order, basket-pair math, RFM scoring, and the covariance/PCA
+pair (orthonormality, eigenvalue ordering, projection variance) — the
+quantitative bounds that stand in for (or back up) the SQL oracles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_SMALL
+from weather_api_automate_etl_spark.operators import (
+    corpus,
+    embeddings as emb_ops,
+    textops,
+)
+from weather_api_automate_etl_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: one-sided error, additive bound
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overestimates_never_under(spark, docs):
+    rows = textops.count_min_frequencies(
+        docs, depth=4, width=256, min_count=10
+    ).collect()
+    assert rows, "expected probe terms at sf0.001"
+    n_total = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    for r in rows:
+        assert r["est_cnt"] >= r["cnt"], f"CMS underestimated {r['term']}"
+        # additive error bound: collisions can add at most the rest of the
+        # stream into a bucket; with width 256 the EXPECTED excess is
+        # N/256 per hash row — assert the loose deterministic cap
+        assert r["est_cnt"] - r["cnt"] <= n_total
+
+
+def test_cms_rejects_bad_shape(spark, docs):
+    with pytest.raises(ValueError, match="sketch shape"):
+        textops.count_min_frequencies(docs, depth=0)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM: consecutive-token typicality orders documents
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_prefers_typical_sequences(spark):
+    # corpus dominated by the bigram "a b"; doc 1 repeats it, doc 2 uses
+    # the same unigrams in atypical order ("b a"), doc 3 is too short
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b a b"),
+            Row(doc_id=2, text="b a b a b a b a"),
+            Row(doc_id=3, text="a"),
+        ]
+        + [Row(doc_id=10 + i, text="a b c d a b c d") for i in range(5)]
+    )
+    out = {r["doc_id"]: r for r in textops.bigram_logprob(df).collect()}
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"], (
+        "doc built from corpus-typical bigrams must outscore the "
+        "same unigrams in atypical order"
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocklist: attribution order, verdicts, edge contracts
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_attribution_first_in_reading_order(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="clean words only here"),
+            Row(doc_id=2, text="one bad word then worse word"),
+            Row(doc_id=3, text="worse comes before bad here bad"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.blocklist_filter(df, terms=("bad", "worse")).collect()
+    }
+    assert not out[1]["is_blocked"] and out[1]["n_hits"] == 0
+    assert out[1]["first_hit"] is None
+    assert out[2]["first_hit"] == "bad" and out[2]["n_hits"] == 2
+    assert out[3]["first_hit"] == "worse" and out[3]["n_hits"] == 3
+    assert not out[4]["is_blocked"]
+
+
+def test_blocklist_rejects_empty_terms(spark, docs):
+    with pytest.raises(ValueError, match="empty blocklist"):
+        corpus.blocklist_filter(docs, terms=())
+
+
+# ---------------------------------------------------------------------------
+# covariance: gemm partials agree with NumPy, symmetry implied by triangle
+# ---------------------------------------------------------------------------
+
+
+def test_covariance_matches_numpy(spark, emb):
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in emb_ops.covariance_matrix(emb, "embedding").collect()
+    }
+    x = np.stack(
+        [np.asarray(r["embedding"], dtype="float64") for r in emb.collect()]
+    )
+    want = np.cov(x, rowvar=False)  # sample covariance (n-1)
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert math.isclose(v, round(want[i, j], 6), abs_tol=2e-6), (
+            f"cov[{i},{j}]: {v} vs numpy {want[i, j]}"
+        )
+
+
+def test_covariance_rejects_ragged_vectors(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, v=[1.0, 2.0]), Row(vec_id=2, v=[1.0, 2.0, 3.0])]
+    )
+    with pytest.raises(Exception, match="ragged"):
+        emb_ops.covariance_matrix(df, "v", dim=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# PCA: orthonormal components, descending variance, projection variance
+# ---------------------------------------------------------------------------
+
+
+def test_pca_fit_invariants(spark, emb):
+    mu, comps, ev = emb_ops.pca_fit(emb, "embedding", k=4)
+    # components orthonormal
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(4), atol=1e-8)
+    # eigenvalues sorted descending, non-negative
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert all(v >= -1e-9 for v in ev)
+    # deterministic sign convention: largest-|entry| positive
+    for row in comps:
+        assert row[np.argmax(np.abs(row))] > 0
+    # projection variance per component ≈ eigenvalue
+    x = np.stack(
+        [np.asarray(r["embedding"], dtype="float64") for r in emb.collect()]
+    )
+    proj = (x - mu) @ comps.T
+    var = proj.var(axis=0, ddof=1)
+    for k in range(4):
+        # cov entries are rounded to 6dp before eigh, so allow that noise
+        assert math.isclose(var[k], ev[k], rel_tol=1e-3, abs_tol=1e-4)
+
+
+def test_pca_project_matches_fit(spark, emb):
+    mu, comps, _ = emb_ops.pca_fit(emb, "embedding", k=3)
+    got = {
+        r["vec_id"]: np.asarray(r["proj"])
+        for r in emb_ops.pca_project(emb, "vec_id", "embedding", k=3).collect()
+    }
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+            for r in emb.collect()}
+    for vid in list(rows)[:10]:
+        want = (rows[vid] - mu) @ comps.T
+        assert np.allclose(got[vid], want, atol=1e-9)
+
+
+def test_pca_rejects_bad_k(spark, emb):
+    with pytest.raises(ValueError, match="invalid k"):
+        emb_ops.pca_fit(emb, "embedding", k=0)
+
+
+# ---------------------------------------------------------------------------
+# MAD / autocorr: behavioral checks on crafted series
+# ---------------------------------------------------------------------------
+
+
+def test_mad_flags_survive_extreme_outlier(spark):
+    # one wild outlier must not drag the fence the way mean/std z would:
+    # MAD of the inliers is untouched by the outlier's magnitude
+    vals = [float(v) for v in (10, 11, 12, 10, 11, 12, 10, 11, 12, 1000)]
+    df = spark.createDataFrame(
+        [Row(event_id=i, event_type="t", value=v) for i, v in enumerate(vals)]
+    )
+    med = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+        .head()
+    )
+    z_outlier = 0.6745 * (1000 - mad["med"]) / mad["mad"]
+    z_inlier = 0.6745 * (12 - mad["med"]) / mad["mad"]
+    assert abs(z_outlier) > 3.5
+    assert abs(z_inlier) < 3.5
+
+
+def test_autocorr_sign_on_crafted_series(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: trending (positive lag-1 r), user 2: alternating (negative)
+    for i in range(40):
+        rows.append(Row(event_id=i, user_id=1,
+                        ts=base + dt.timedelta(minutes=i),
+                        value=float(i) + (0.1 if i % 3 else -0.1)))
+        rows.append(Row(event_id=100 + i, user_id=2,
+                        ts=base + dt.timedelta(minutes=i),
+                        value=float(1 if i % 2 else -1)))
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    p = df.select(
+        "user_id", F.col("value").alias("x"), F.lag("value").over(w).alias("xp")
+    ).filter(F.col("xp").isNotNull())
+    m = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("xp").alias("sy"),
+        F.sum(F.col("x") * F.col("xp")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = {
+        row["user_id"]: row["r"]
+        for row in m.select(
+            "user_id",
+            (
+                (n * F.col("sxy") - sx * sy)
+                / F.sqrt(
+                    (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+                )
+            ).alias("r"),
+        ).collect()
+    }
+    assert r[1] > 0.9
+    assert r[2] < -0.9

@@ -378,3 +378,35 @@ def pack_sequences(
             F.countDistinct(id_col).cast("int").alias("n_docs"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-blocklist screen with attribution: for every document, how
+    many token occurrences hit the blocklist, the FIRST offending token
+    (reading order — the quality_gate first-failing-rule discipline), and
+    the block verdict. Returns every input row so the caller chooses
+    filter vs. quarantine-with-reason.
+
+    Shape at scale: the blocklist is a literal in-expression array
+    (blocklists are curated, thousands of terms at most — metadata), so
+    the whole screen is ONE codegen'd HOF filter per row: map-only,
+    scan-speed, no join, no shuffle. For a blocklist too large to inline,
+    swap the array literal for a broadcast-join on token — same semantics,
+    one broadcast.
+    """
+    if not terms:
+        raise ValueError("empty blocklist: pass at least one term")
+    bl = F.array(*[F.lit(t) for t in terms])
+    ts = F.filter(tokens(text_col), lambda t: t != "")
+    hits = F.array(F.filter(ts, lambda t: F.array_contains(bl, t)))[0]
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("int").alias("n_hits"),
+        F.get(hits, 0).alias("first_hit"),
+        (F.size(hits) > 0).alias("is_blocked"),
+    )

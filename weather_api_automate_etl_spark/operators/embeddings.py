@@ -105,3 +105,178 @@ def standardize_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             ).alias("z_vec")
         )
     )
+
+
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (a 1-row probe, the IVF-probe-list
+    discipline — index arithmetic below needs the dim at plan time)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer vector dim from column {vec_col!r}")
+    return int(row["d"])
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int | None = None) -> DataFrame:
+    """Sample covariance matrix of an embedding column as the upper
+    triangle ``(i, j, cov)`` with ``i <= j`` — the input to PCA/whitening
+    and the correlation screen feature pipelines run before training.
+
+    Shape at 100 TB — the mergeable-moments pattern at its purest: each
+    partition reduces to ONE augmented Gram matrix ``[x,1]ᵀ[x,1]`` (a
+    (d+1)² double array holding Σxxᵀ, Σx and n in one accumulator) via an
+    Arrow-batched NumPy gemm; partials merge by elementwise sum (a
+    (d+1)²·n_partitions-row aggregate, metadata-scale), and the covariance
+    derives from the merged sums alone. The corpus is scanned exactly
+    once; nothing row-scale ever shuffles. Per-batch gemm keeps the
+    Python-side work vectorized (the codecs.py discipline).
+    """
+    d = dim or _vector_dim(df, vec_col)
+    w = d + 1
+
+    def gram_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((w, w), dtype="float64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"ragged vectors: expected dim {d}, got {x.shape[1]}"
+                )
+            aug = np.hstack([x, np.ones((x.shape[0], 1))])
+            acc += aug.T @ aug
+        yield pd.DataFrame({"g": [acc.ravel().tolist()]})
+
+    merged = (
+        df.select(vec_col)
+        .mapInPandas(gram_partial, "g array<double>")
+        .select(F.posexplode("g").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("g"))
+    )
+    # split the merged frame into moments: n (corner), sums (last column),
+    # and raw second moments — all metadata-scale ((d+1)² rows total)
+    n_row = merged.filter(F.col("idx") == d * w + d).select(
+        F.col("g").alias("n")
+    )
+    sums = merged.filter(
+        (F.col("idx") % w == d) & (F.col("idx") < d * w)
+    ).select((F.col("idx") / w).cast("int").alias("i"), F.col("g").alias("s"))
+    second = merged.filter(
+        (F.col("idx") % w != d) & (F.col("idx") < d * w)
+    ).select(
+        (F.col("idx") / w).cast("int").alias("i"),
+        (F.col("idx") % w).cast("int").alias("j"),
+        F.col("g").alias("gij"),
+    )
+    return (
+        second.filter(F.col("i") <= F.col("j"))
+        .join(F.broadcast(sums.withColumnRenamed("i", "i_").withColumnRenamed("s", "si")),
+              F.col("i") == F.col("i_"))
+        .join(F.broadcast(sums.withColumnRenamed("i", "j_").withColumnRenamed("s", "sj")),
+              F.col("j") == F.col("j_"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            # + 0.0 after the round: IEEE −0.0 + 0.0 = +0.0, so a
+            # near-zero covariance that rounds to negative zero can't
+            # hash-differ from the oracle's positive zero
+            (
+                F.round(
+                    (F.col("gij") - F.col("si") * F.col("sj") / F.col("n"))
+                    / F.when(F.col("n") > 1, F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str, k: int = 8, dim: int | None = None
+):
+    """Top-``k`` principal components of an embedding column.
+
+    Returns ``(mean, components, explained_var)`` as NumPy arrays:
+    ``components`` is (k, d) with rows sorted by eigenvalue descending and
+    sign-fixed so each row's largest-|entry| is positive (the deterministic
+    convention — eigenvectors are otherwise sign-ambiguous across LAPACK
+    builds).
+
+    The distributed work is exactly ``covariance_matrix`` (one corpus scan
+    → mergeable Gram partials); the eigendecomposition itself runs on the
+    driver over the d×d matrix — d is feature-width (64…4096), never
+    corpus-scale, so this is a microseconds-size `eigh`, the same
+    metadata-at-the-driver boundary as the IVF probe list.
+    """
+    import numpy as np
+
+    d = dim or _vector_dim(df, vec_col)
+    if not 1 <= k <= d:
+        raise ValueError(f"invalid k={k} for dim {d}")
+    cov_rows = covariance_matrix(df, vec_col, dim=d).collect()
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    # mean vector: one tiny aggregate over the exploded dims
+    mu_rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["pos"]] = r["mu"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()  # (k, d)
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    return mu, comps, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components:
+    ``proj[c] = (x − μ)·comp_c``. Returns ``(id_col, proj array<double>)``.
+
+    The (k, d) component matrix and mean come from ``pca_fit`` and are
+    inlined as literal arrays (k·d doubles — metadata, the broadcast-
+    centroid discipline of similarity.nearest_centroid); the projection
+    itself is a pure zip_with fold per row — map-only, scan-speed, no
+    Python in the projection path.
+    """
+    mu, comps, _ = pca_fit(df, vec_col, k=k, dim=dim)
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        mu_lit,
+        lambda x, m: x - m,
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(c)) for c in comp]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in comps
+    ]
+    return df.select(F.col(id_col), F.array(*projs).alias("proj"))

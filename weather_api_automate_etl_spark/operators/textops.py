@@ -634,3 +634,149 @@ def pmi_pairs(
             F.round(F.log(ratio), 6).alias("pmi"),
         )
     )
+
+
+def count_min_frequencies(
+    df: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    min_count: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed for every
+    token whose TRUE frequency is >= ``min_count``: returns
+    ``(term, cnt, est_cnt)`` where ``est_cnt`` is the CMS estimate
+    (min over ``depth`` salted-md5 hash rows of the bucket counts) and
+    ``cnt`` the exact count. The one-sided error guarantee —
+    ``est_cnt >= cnt`` always, ``est_cnt <= cnt + εN`` w.h.p. — is what a
+    pipeline monitors when swapping exact vocabulary counts for the
+    sketch at corpus scale.
+
+    Shape at 100 TB: the sketch is FIXED-SIZE mergeable state — the
+    (h, bucket) count table is depth·width rows no matter the corpus
+    (map-side partial aggregation does the collapse), so it broadcasts
+    back onto the probe set for free. Salted md5 keeps the hash family
+    engine-portable (the hashing_vectorizer discipline). The exact-count
+    probe pass exists for the paired oracle/monitoring contract; a pure
+    production estimate path skips it and reads the sketch alone.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"invalid sketch shape depth={depth} width={width}")
+    tok = df.select(F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+
+    def bucket_structs(term: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("h"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{i}:"), term)), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % width
+                    ).cast("int").alias("b"),
+                )
+                for i in range(depth)
+            ]
+        )
+
+    cms = (
+        tok.select(F.explode(bucket_structs(F.col("term"))).alias("hb"))
+        .select("hb.h", "hb.b")
+        .groupBy("h", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return (
+        probes.select(
+            "term", "cnt", F.explode(bucket_structs(F.col("term"))).alias("hb")
+        )
+        .select("term", "cnt", "hb.h", "hb.b")
+        .join(F.broadcast(cms), ["h", "b"])
+        .groupBy("term", "cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .select("term", "cnt", "est_cnt")
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one-
+    smoothed corpus-self-trained bigram LM:
+    ``avg over doc bigrams of ln((c(a,b)+1)/(c(a)+V))`` with ``c(a)`` the
+    corpus unigram count and ``V`` the vocabulary size — the
+    second-order fluency signal (unigram_logprob's conditional sibling):
+    documents whose CONSECUTIVE-token patterns are corpus-typical score
+    high even when their unigram mix is unusual, and shuffled-token spam
+    scores low even when its unigrams are common.
+
+    Returns every input row: ``(id_col, n_bigrams, avg_logprob)`` with a
+    NULL score for docs with fewer than two tokens.
+
+    Shape at scale: bigram formation is a map-only zip_with of two
+    shifted token-array slices (no position self-join); the bigram and
+    unigram count tables are vocabulary²-/vocabulary-sized and joined
+    KEYED (never broadcast — the unigram_logprob discipline); V is a
+    1-row broadcast. Two scans of the corpus total (model pass + score
+    pass), the irreducible cost of self-training.
+    """
+    ts = F.filter(tokens(text_col), lambda t: t != "")
+    m = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, m),
+        F.slice(ts, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    doc_bg = df.select(
+        F.col(id_col), F.explode(bigrams).alias("p")
+    ).select(id_col, "p.a", "p.b")
+    cab = doc_bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ug = (
+        df.select(F.explode(ts).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    v = ug.agg(F.count(F.lit(1)).alias("v"))
+    per = (
+        doc_bg.join(cab, ["a", "b"])
+        .join(ug, "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c_ab") + F.lit(1.0))
+                        / (F.col("c_a") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "avg_logprob",
+        )
+    )

@@ -530,6 +530,7 @@ def _load_extensions() -> None:
         queries_analytics,
         queries_ext,
         queries_mlprep,
+        queries_statml,
     )
 
 
@@ -587,23 +588,35 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_linreg_by_group",
     "q_triangle_count",
     "q_pack_sequences",
+    # -- round-5 third wave (stat/ML family) ---------------------------------
+    "q_cms_frequency",
+    "q_bigram_logprob",
+    "q_mad_outliers",
+    "q_autocorr",
+    "q_quantile_normalize",
+    "q_blocklist_filter",
+    "q_basket_pairs",
+    "q_rfm_segments",
+    "q_embedding_covariance",
+    "q_pca_project",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     # (round-4 window entries — all driver-green in r4 — now ride in
     # registration-order overflow; only never-verified queries need
     # window placement)
-    # -- §2 core sentinels (driver-green r1+r2; regression canaries). The
-    # -- 36-entry round-5 head leaves exactly 14 prefix slots: the
+    # -- §2 core sentinels (driver-green r1-r4; regression canaries). The
+    # -- 46-entry round-5 head leaves exactly 4 prefix slots: the
     # -- semantics-trap sentinels (ILIKE branch order, Postgres dow,
-    # -- dbt_utils md5 sentinel, schema tests) and the ingest family keep
-    # -- them; the trivial projections (TRIM/UPPER, DISTINCT, lineage
-    # -- cols) ride the overflow on their r1-r4 green rows ----------------
+    # -- dbt_utils md5 sentinel) and the ingest family keep them — every
+    # -- other core entry rides the overflow on its multi-round green rows
     "q_case_ilike",
-    "q_range_bucket",
-    "q_quality_filter",
     "q_date_parts",
     "q_surrogate_key",
+    "q_ingest_smoke",  # REST ingest — the only ingest-tagged query
+    # -- overflow (all driver-green in r1-r4) ------------------------------
+    "q_range_bucket",
+    "q_quality_filter",
     "q_groupby_minmax_count",
     "q_join_fct_dim",
     "q_json_extract",
@@ -612,7 +625,6 @@ PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     "q_test_accepted_values",
     "q_pricing_summary",
     "q_top_revenue",
-    "q_ingest_smoke",  # REST ingest — keep inside the 50-row prefix
     "q_string_normalize",
     "q_distinct",
     "q_lineage_cols",
