@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "q_semdedup_survivors",  # LSH buckets + in-bucket cosine pairs + anti-join
     "q_train_shuffle",       # hash permutation + per-shard row_number
     "q_corpus_pipeline",     # the composed gate→redact→clean→dedup→shard DAG
+    # round-5 third wave: the stat/ML heavyweights
+    "q_embedding_covariance",  # Arrow-gemm Gram partials + elementwise merge
+    "q_bigram_logprob",      # zip_with bigrams + two vocab-keyed count joins
+    "q_basket_pairs",        # order-keyed self-join + part-keyed marginals
+    "q_cms_frequency",       # fixed-size sketch build + broadcast probe
 ]
 
 

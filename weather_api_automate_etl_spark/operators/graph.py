@@ -12,7 +12,7 @@ shuffle of (dst, contribution) partials.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -187,3 +187,60 @@ def triangle_counts(
     return member.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     ).select(F.col("node").alias(node_id), "n_triangles")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_id: str = "doc_id",
+) -> DataFrame:
+    """Synchronous label propagation (fixed ``rounds``) on the undirected
+    graph given as DISTINCT ``(id_a < id_b)`` pairs: every node starts as
+    its own label; each round EVERY node simultaneously adopts the most
+    frequent label among its neighbours, ties broken by the smallest
+    label — the community-detection sibling of connected components
+    (which only answers reachability; LPA separates densely-knit
+    near-dup families that happen to share a bridge edge).
+
+    Fixed synchronous rounds + the deterministic tie rule make the result
+    engine-portable (the kmeans_fixed discipline — the q_kmeans-style
+    convergence-loop variant would be rows-only). Per round: one
+    neighbour-label join (labels keyed by node), one (node, label) count
+    aggregate, one per-node argmax window — all keyed on the node, no
+    all-pairs anywhere. The symmetric edge list is loop-invariant and
+    localCheckpointed once; labels are checkpointed per round to keep the
+    lineage flat (the pagerank/connected-components loop discipline).
+    Isolated nodes never appear in ``edges`` — compose with a left join
+    on the node table to carry them unchanged.
+
+    Returns ``(node_id, label)``.
+    """
+    if rounds < 1:
+        raise ValueError(f"invalid rounds={rounds}: need >= 1")
+    und = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        neigh = sym.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counted = neigh.groupBy("u", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("u").alias(node_id), "label")

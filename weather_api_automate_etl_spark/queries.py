@@ -531,6 +531,7 @@ def _load_extensions() -> None:
         queries_ext,
         queries_mlprep,
         queries_statml,
+        queries_wave4,
     )
 
 
@@ -599,6 +600,20 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_rfm_segments",
     "q_embedding_covariance",
     "q_pca_project",
+)
+
+#: Round-5 additions that arrived AFTER the 50-entry window filled (the
+#: third wave consumed the last free slots). They hold local-oracle green
+#: rows from tools/check_oracle.py this round; round 6's window must open
+#: with them (the same hand-off every round has used — pinned by
+#: test_queries_registry, which allows exactly this set to sit outside
+#: the window unverified).
+ROUND6_PENDING: tuple[str, ...] = (
+    "q_label_propagation",
+    "q_trailing_median",
+    "q_seasonal_baseline",
+    "q_concurrency",
+    "q_cusum_changepoint",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
