@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q_bigram_logprob",      # zip_with bigrams + two vocab-keyed count joins
     "q_basket_pairs",        # order-keyed self-join + part-keyed marginals
     "q_cms_frequency",       # fixed-size sketch build + broadcast probe
+    "q_label_propagation",   # checkpointed fixed-round community loop
+    "q_cusum_changepoint",   # per-type ordered running sum + argmax window
 ]
 
 

@@ -28,8 +28,13 @@ def test_query_runs(spark, name):
         )
     n = df.count()
     # violation-style and threshold queries may legitimately be empty;
-    # everything else must produce rows at sf0.001
-    may_be_empty = {"q_minhash_pairs", "q_ngram_jaccard", "q_neardup_cosine"}
+    # everything else must produce rows at sf0.001. The triangle/LPA pair
+    # queries inherit q_minhash_pairs' emptiness (no candidate pairs on a
+    # tiny/regenerated fixture is a legitimate outcome, not a bug)
+    may_be_empty = {
+        "q_minhash_pairs", "q_ngram_jaccard", "q_neardup_cosine",
+        "q_triangle_count", "q_label_propagation",
+    }
     if name not in may_be_empty:
         assert n > 0, f"{name} returned 0 rows"
 

@@ -157,3 +157,42 @@ def test_bm25_no_self_join(spark):
     plan = _plan(textops.bm25_scores(docs, ["spark", "join"]))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """At 100 TB a selective dim filter should also prune the FACT scan
+    before its shuffle — Spark's runtime bloom-filter injection does
+    exactly that once the sizes clear its thresholds. Pin that the
+    engine's session (AQE on, runtime filters at defaults) actually
+    injects `might_contain` on the fact side of a shuffle join; the
+    thresholds are runtime confs, lowered here to make a test-size
+    fixture cross them, and restored after."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(0, 200_000).withColumn("k", F.col("id") % 10_000).write.parquet(
+            str(tmp_path / "fact")
+        )
+        spark.range(0, 10_000).withColumn("flag", F.col("id") % 50).write.parquet(
+            str(tmp_path / "dim")
+        )
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("flag") == 3)
+        plan = _plan(fact.join(dim, fact.k == dim.id))
+        assert "might_contain" in plan, (
+            "runtime bloom filter was not injected on the fact side"
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -258,3 +258,95 @@ def test_autocorr_sign_on_crafted_series(spark):
     }
     assert r[1] > 0.9
     assert r[2] < -0.9
+
+
+# ---------------------------------------------------------------------------
+# differential tests: the new family against pandas/NumPy references
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_median_matches_pandas_rolling(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+    vals = rng.uniform(-50, 50, 60).round(3)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=1, ts=base + dt.timedelta(minutes=i),
+                value=float(v))
+            for i, v in enumerate(vals)
+        ]
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-7, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(lo + (hi - lo) * F.lit(0.5))
+    got = {
+        r["event_id"]: r["m"]
+        for r in df.select("event_id", F.round(med, 6).alias("m")).collect()
+    }
+    want = pd.Series(vals).rolling(8, min_periods=1).median()
+    for i in range(60):
+        assert math.isclose(got[i], round(want[i], 6), abs_tol=1e-6)
+
+
+def test_autocorr_matches_numpy_corrcoef(spark):
+    import datetime as dt
+
+    rng = np.random.RandomState(11)
+    base = dt.datetime(2024, 1, 1)
+    vals = np.cumsum(rng.uniform(-1, 1, 80))  # a random walk: r near 1
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=1, ts=base + dt.timedelta(minutes=i),
+                value=float(v))
+            for i, v in enumerate(vals)
+        ]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    p = df.select(
+        F.col("value").alias("x"), F.lag("value").over(w).alias("xp")
+    ).filter(F.col("xp").isNotNull())
+    m = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("xp").alias("sy"),
+        F.sum(F.col("x") * F.col("xp")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).alias("syy"),
+    ).head()
+    n, sx, sy = m["n"], m["sx"], m["sy"]
+    got = (n * m["sxy"] - sx * sy) / math.sqrt(
+        (n * m["sxx"] - sx * sx) * (n * m["syy"] - sy * sy)
+    )
+    want = np.corrcoef(vals[1:], vals[:-1])[0, 1]
+    assert math.isclose(got, want, abs_tol=1e-9)
+
+
+def test_cms_matches_exact_when_width_is_ample(spark):
+    # width >> vocabulary: no collisions are expected in ANY hash row, so
+    # the estimate must EQUAL the exact count — the sketch's collision
+    # term is provably the only error source
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma " * (i + 1)) for i in range(6)]
+    )
+    rows = textops.count_min_frequencies(
+        df, depth=4, width=65536, min_count=1
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] == r["cnt"], f"{r['term']}: collision at width 65536"

@@ -224,6 +224,12 @@ def pca_fit(
     cov_rows = covariance_matrix(df, vec_col, dim=d).collect()
     cov = np.zeros((d, d))
     for r in cov_rows:
+        if r["cov"] is None:
+            # covariance is NULL only when n <= 1 (the guarded n−1
+            # division) — eigh over NaNs would "succeed" with garbage
+            raise ValueError(
+                "pca_fit needs at least 2 vectors (covariance undefined)"
+            )
         cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
     # mean vector: one tiny aggregate over the exploded dims
     mu_rows = (

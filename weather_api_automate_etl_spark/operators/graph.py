@@ -219,7 +219,12 @@ def label_propagation(
     """
     if rounds < 1:
         raise ValueError(f"invalid rounds={rounds}: need >= 1")
-    und = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # drop self-loops: a node voting for its own label through a loop
+    # edge would bias every round (candidate-pair inputs are a<b clean,
+    # but arbitrary edge lists aren't)
+    und = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
     sym = (
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)
