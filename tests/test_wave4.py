@@ -187,3 +187,86 @@ def test_cusum_finds_constructed_shift(spark):
         .head()[0]
     )
     assert peak == 29, f"CUSUM peak at {peak}, expected the last pre-shift point"
+
+
+# ---------------------------------------------------------------------------
+# wave 5: fuzzy match, freshness, skew profile, cumulative distinct
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_match_blocks_and_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_brand="A", p_name="goldenrod lace"),
+            Row(p_partkey=2, p_brand="A", p_name="goldenrod lacy"),   # dist 1
+            Row(p_partkey=3, p_brand="A", p_name="completely different thing"),
+            Row(p_partkey=4, p_brand="B", p_name="goldenrod lace"),   # other block
+        ]
+    )
+    a = df.select(F.col("p_partkey").alias("p1"), "p_brand",
+                  F.col("p_name").alias("name_a"))
+    b = df.select(F.col("p_partkey").alias("p2"), "p_brand",
+                  F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    pairs = (
+        a.join(b, "p_brand")
+        .filter(F.col("p1") < F.col("p2"))
+        .filter(dist <= 10)
+        .select("p1", "p2", dist.alias("d"))
+        .collect()
+    )
+    assert [(r["p1"], r["p2"], r["d"]) for r in pairs] == [(1, 2, 1)], (
+        "only the near-identical same-block pair may match: "
+        "cross-block twins and far names must be excluded"
+    )
+
+
+def test_cumulative_distinct_hand_case(spark):
+    base = dt.datetime(2024, 1, 1)
+    seq = ["a", "b", "a", "c", "b", "d"]
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=1, event_type=e,
+                ts=base + dt.timedelta(minutes=i))
+            for i, e in enumerate(seq)
+        ]
+    )
+    wf = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = {
+        r["event_id"]: r["n"]
+        for r in df.select(
+            "event_id",
+            F.sum(
+                F.when(F.row_number().over(wf) == 1, 1).otherwise(0)
+            ).over(ws).alias("n"),
+        ).collect()
+    }
+    assert [out[i] for i in range(6)] == [1, 2, 2, 3, 3, 4]
+
+
+def test_skew_profile_flags_known_hot_key(spark):
+    rows = [Row(event_id=i, user_id=99) for i in range(80)] + [
+        Row(event_id=100 + i, user_id=i % 10) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    c = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").cast("double").alias("total"),
+                F.expr("percentile(cnt, 0.5)").alias("med"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    top = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .head()
+    )
+    assert top["user_id"] == 99
+    assert top["cnt"] == 80
+    assert top["cnt"] / top["total"] == 0.8
+    assert top["cnt"] / top["med"] == 40.0  # hot key is 40x the median key

@@ -532,6 +532,7 @@ def _load_extensions() -> None:
         queries_mlprep,
         queries_statml,
         queries_wave4,
+        queries_wave5,
     )
 
 
@@ -614,6 +615,10 @@ ROUND6_PENDING: tuple[str, ...] = (
     "q_seasonal_baseline",
     "q_concurrency",
     "q_cusum_changepoint",
+    "q_fuzzy_match",
+    "q_freshness",
+    "q_skew_profile",
+    "q_cumulative_distinct",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

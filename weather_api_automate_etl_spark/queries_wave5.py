@@ -1,0 +1,225 @@
+"""Round-5 fifth-wave queries: blocked fuzzy matching (entity
+resolution), data-freshness checks, join-key skew profiling, and
+cumulative-distinct windows.
+
+Same registry/oracle conventions as queries_ext.py. Registered in
+ROUND6_PENDING (queries.py): local-oracle green this round, queued for
+round 6's driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from weather_api_automate_etl_spark.queries import query, t
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy match (entity resolution on dirty names)
+# ---------------------------------------------------------------------------
+
+# threshold 2 on the fixture's two-word names: exact-duplicate and
+# near-identical names match; the bulk of in-block pairs (d >= 3 — a
+# different word) do not. d=10 would accept ~every in-block pair here.
+_FUZZY_MAX_DIST = 2
+
+
+@query(
+    "q_fuzzy_match",
+    oracle=f"""
+    SELECT a.p_partkey AS p1, b.p_partkey AS p2, a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    """,
+    tags=("dedup", "joins", "text"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching inside brand blocks: part-name pairs within
+    Levenshtein distance 10 — the entity-resolution primitive (dirty
+    catalog/vendor/customer names) that exact and shingle dedup both
+    miss. BLOCKED on the brand key so the quadratic pair set is per-block
+    only (the LSH-bucket discipline — never all-pairs across the
+    catalog; with no natural block, LSH over name shingles provides
+    one). ``levenshtein`` is the JVM built-in — unit-cost edit distance,
+    identical on both engines — evaluated only inside blocks."""
+    part = t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("p1"),
+        "p_brand",
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("p2"),
+        "p_brand",
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("p1") < F.col("p2"))
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select("p1", "p2", "p_brand", dist.cast("int").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# data freshness (staleness per stream, relative to the corpus watermark)
+# ---------------------------------------------------------------------------
+
+_STALE_AFTER_S = 3600
+
+
+@query(
+    "q_freshness",
+    oracle=f"""
+    WITH g AS (SELECT max(CAST(ts AS TIMESTAMP)) AS gmax FROM events),
+    last AS (
+      SELECT event_type, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT l.event_type, l.last_ts, l.n_events,
+           CAST(date_diff('second', l.last_ts, g.gmax) AS BIGINT)
+             AS lag_seconds,
+           date_diff('second', l.last_ts, g.gmax) > {_STALE_AFTER_S}
+             AS is_stale
+    FROM last l, g
+    """,
+    tags=("quality", "timeseries", "agg"),
+)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness: each event_type's last event time, its lag
+    behind the corpus watermark (the global max — wall clock would make
+    the check non-reproducible), and a staleness flag at 1 h — the
+    data-quality monitor that catches a silently dead upstream before a
+    day of marts build on stale partitions. Two map-side-combined
+    aggregates and a 1-row broadcast; second-granularity lag floors
+    identically on both engines."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    last = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    lag = F.unix_timestamp("gmax") - F.unix_timestamp("last_ts")
+    return last.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "last_ts",
+        "n_events",
+        lag.cast("long").alias("lag_seconds"),
+        (lag > _STALE_AFTER_S).alias("is_stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profile (the diagnostic that motivates the salted family)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOP_K = 10
+
+
+@query(
+    "q_skew_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                   quantile_cont(cnt, 0.5) AS med FROM c)
+    SELECT CAST(rnk AS INTEGER) AS rnk, user_id, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt / total, 6) AS share,
+           ROUND(cnt / med, 6) AS x_median
+    FROM (
+      SELECT c.user_id, c.cnt, t.total, t.med,
+             row_number() OVER (ORDER BY c.cnt DESC, c.user_id ASC) AS rnk
+      FROM c, tot t
+    )
+    WHERE rnk <= {_SKEW_TOP_K}
+    """,
+    tags=("agg", "quality"),
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic for a join/aggregation key: the top-10 heaviest
+    user_ids with their share of all rows and their multiple of the
+    median key size — the measurement that decides whether the salted
+    join/agg path (operators/skew.py) is worth its extra shuffle. One
+    key-cardinality count aggregate; the ranking window runs over the
+    COUNT table, not the rows, and top-k of a key-cardinality frame is
+    WindowGroupLimit-pruned (the global window is over key counts —
+    metadata relative to the fact table — with the limit pushed into
+    each partition before the single-partition rank)."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.expr("percentile(cnt, 0.5)").alias("med"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SKEW_TOP_K)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("med"), 6).alias("x_median"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct (running count of kinds seen per series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS tss,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY CAST(ts AS TIMESTAMP),
+                                                   event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY tss, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_types_so_far
+    FROM f
+    """,
+    tags=("windows", "timeseries"),
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct event_types each user has seen — the
+    exploration/breadth signal (feature onboarding, catalog coverage)
+    that a naive COUNT(DISTINCT) OVER would need full-history state for.
+    The first-seen trick makes it two plain windows: flag each (user,
+    type)'s first occurrence (one window keyed by user+type), then a
+    running sum of flags per user — O(1) state per row, both windows
+    partitioned, no distinct-set accumulation anywhere."""
+    ev = t(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(wf) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(ws).cast("long").alias("n_types_so_far"),
+    )
