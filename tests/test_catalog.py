@@ -44,3 +44,40 @@ def test_materialize_table_full_refresh(spark):
     cat.materialize_table(df2, "mart_demo")  # full refresh replaces
     assert [r.x for r in spark.table(name).collect()] == [9]
     spark.sql("DROP TABLE IF EXISTS default.mart_demo")
+
+
+def test_sql_macros_register_and_inline(spark):
+    """The dbt-macro SQL UDF surface: registered functions must agree with
+    the functions/core.py expressions AND inline into the plan (no Python
+    boundary — a SQL UDF is an expression substitution)."""
+    from weather_api_automate_etl_spark.sources.catalog import register_sql_macros
+
+    names = register_sql_macros(spark)
+    assert {"pg_dow", "pg_hour", "surrogate_key2", "weather_category",
+            "quantity_bucket"} <= set(names)
+    row = spark.sql(
+        """
+        SELECT pg_dow(TIMESTAMP '2024-01-07 10:30:00') AS dow,
+               pg_hour(TIMESTAMP '2024-01-07 10:30:00') AS hr,
+               surrogate_key2('paris', NULL) AS sk,
+               weather_category('Sunny with rain') AS cat,
+               quantity_bucket(10.0) AS b
+        """
+    ).head()
+    assert row["dow"] == 0  # 2024-01-07 is a Sunday; Postgres dow 0=Sunday
+    assert row["hr"] == 10
+    # dbt_utils sentinel + '-' separator, byte-exact vs functions/core.py
+    import hashlib
+
+    assert row["sk"] == hashlib.md5(
+        b"paris-_dbt_utils_surrogate_key_null_"
+    ).hexdigest()
+    assert row["cat"] == "Clear"  # branch order: sunny wins over rain
+    assert row["b"] == "Cold"  # inclusive upper bound
+    plan = (
+        spark.sql("SELECT pg_dow(TIMESTAMP '2024-01-07 10:30:00')")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    # idempotent: CREATE OR REPLACE registers cleanly twice
+    register_sql_macros(spark)

@@ -619,6 +619,7 @@ ROUND6_PENDING: tuple[str, ...] = (
     "q_freshness",
     "q_skew_profile",
     "q_cumulative_distinct",
+    "q_sql_macros",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (

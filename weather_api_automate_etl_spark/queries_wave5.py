@@ -36,7 +36,7 @@ _FUZZY_MAX_DIST = 2
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy name matching inside brand blocks: part-name pairs within
-    Levenshtein distance 10 — the entity-resolution primitive (dirty
+    Levenshtein distance 2 — the entity-resolution primitive (dirty
     catalog/vendor/customer names) that exact and shingle dedup both
     miss. BLOCKED on the brand key so the quadratic pair set is per-block
     only (the LSH-bucket discipline — never all-pairs across the
@@ -222,4 +222,56 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.sum("first_seen").over(ws).cast("long").alias("n_types_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL macro surface (the dbt-macro migration path for raw-SQL users)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_macros",
+    oracle="""
+    SELECT event_id,
+           CAST(date_part('dow', CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+           CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+           md5(concat_ws('-',
+               coalesce(event_type, '_dbt_utils_surrogate_key_null_'),
+               coalesce(CAST(user_id AS VARCHAR),
+                        '_dbt_utils_surrogate_key_null_'))) AS sk,
+           CASE WHEN value < 0 THEN 'Freezing'
+                WHEN value BETWEEN 0  AND 10 THEN 'Cold'
+                WHEN value BETWEEN 11 AND 20 THEN 'Mild'
+                WHEN value BETWEEN 21 AND 30 THEN 'Warm'
+                ELSE 'Hot' END AS bucket
+    FROM events
+    """,
+    tags=("relational", "sql"),
+)
+def q_sql_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-macro migration path completed for raw-SQL users: the
+    reference's macros (Postgres dow/hour, dbt_utils surrogate key,
+    range bucketing) are installed as Spark SQL UDFs
+    (sources/catalog.py::register_sql_macros — CREATE FUNCTION … RETURN
+    expr, which INLINES into the plan: no Python boundary, pinned in
+    test_catalog) and this query calls them from plain SQL over the
+    registered views. The oracle runs the HAND-EXPANDED expressions —
+    macro call ≡ expansion is exactly the dbt contract."""
+    from weather_api_automate_etl_spark.sources.catalog import (
+        register_sql_macros,
+    )
+    from weather_api_automate_etl_spark.sources.tables import register_testdata
+
+    register_testdata(spark, sf_dir)
+    register_sql_macros(spark)
+    return spark.sql(
+        """
+        SELECT event_id,
+               pg_dow(ts) AS dow,
+               pg_hour(ts) AS hr,
+               surrogate_key2(event_type, CAST(user_id AS STRING)) AS sk,
+               quantity_bucket(value) AS bucket
+        FROM events
+        """
     )

@@ -91,3 +91,60 @@ class Catalog:
             },
             indent=2,
         )
+
+
+#: The reference's dbt-macro surface as Spark SQL UDFs (CREATE FUNCTION …
+#: RETURN <expr>): raw-SQL users get the same semantics-trap-correct
+#: building blocks the DataFrame API exposes via functions/core.py —
+#: Postgres day-of-week (0=Sunday), dbt_utils surrogate keys (sentinel +
+#: '-' separator + md5), the ordered ILIKE recode, and inclusive range
+#: bucketing. SQL UDFs inline into the plan (no BatchEvalPython — pinned
+#: by test_catalog), so using them costs nothing over hand-expanding.
+_SQL_MACROS: tuple[tuple[str, str], ...] = (
+    (
+        "pg_dow",
+        "CREATE OR REPLACE TEMPORARY FUNCTION pg_dow(ts TIMESTAMP) "
+        "RETURNS INT RETURN CAST(dayofweek(ts) - 1 AS INT)",
+    ),
+    (
+        "pg_hour",
+        "CREATE OR REPLACE TEMPORARY FUNCTION pg_hour(ts TIMESTAMP) "
+        "RETURNS INT RETURN CAST(hour(ts) AS INT)",
+    ),
+    (
+        "surrogate_key2",
+        "CREATE OR REPLACE TEMPORARY FUNCTION surrogate_key2"
+        "(a STRING, b STRING) RETURNS STRING RETURN "
+        "md5(concat_ws('-', coalesce(a, '_dbt_utils_surrogate_key_null_'), "
+        "coalesce(b, '_dbt_utils_surrogate_key_null_')))",
+    ),
+    (
+        "weather_category",
+        "CREATE OR REPLACE TEMPORARY FUNCTION weather_category(d STRING) "
+        "RETURNS STRING RETURN CASE "
+        "WHEN contains(lower(d), 'sunny') THEN 'Clear' "
+        "WHEN contains(lower(d), 'rain') THEN 'Rain' "
+        "WHEN contains(lower(d), 'cloud') THEN 'Cloudy' "
+        "ELSE trim(d) END",
+    ),
+    (
+        "quantity_bucket",
+        "CREATE OR REPLACE TEMPORARY FUNCTION quantity_bucket(q DOUBLE) "
+        "RETURNS STRING RETURN CASE "
+        "WHEN q < 0 THEN 'Freezing' "
+        "WHEN q BETWEEN 0 AND 10 THEN 'Cold' "
+        "WHEN q BETWEEN 11 AND 20 THEN 'Mild' "
+        "WHEN q BETWEEN 21 AND 30 THEN 'Warm' "
+        "ELSE 'Hot' END",
+    ),
+)
+
+
+def register_sql_macros(spark: SparkSession) -> list[str]:
+    """Install the reference's macro surface as session-scoped SQL UDFs
+    and return the registered names. Idempotent (CREATE OR REPLACE);
+    call once per session before handing raw-SQL users the views from
+    ``sources.tables.register_testdata``."""
+    for _, ddl in _SQL_MACROS:
+        spark.sql(ddl)
+    return [name for name, _ in _SQL_MACROS]
