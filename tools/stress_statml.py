@@ -16,6 +16,9 @@ actually grows:
   per-copy structure, so basket-pair GROUPS scale while per-order
   fan-out stays bounded (the realistic growth profile for the
   order-keyed self-join).
+- part: shifted keys + per-copy brand salt — block COUNT grows 20x
+  while per-block size stays bounded (new vendors bring new catalogs),
+  the axis a BLOCKED fuzzy join must scale along.
 
 Usage: python tools/stress_statml.py [N]. Results recorded in
 SCALING.md; re-run after touching count_min_frequencies /
@@ -136,6 +139,24 @@ def event_ops() -> dict:
     return {"mad_outliers": mad, "autocorr_lag1": autocorr}
 
 
+def fuzzy(part: DataFrame) -> DataFrame:
+    a = part.select(
+        F.col("p_partkey").alias("p1"), "p_brand",
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("p2"), "p_brand",
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("p1") < F.col("p2"))
+        .filter(dist <= 2)
+        .select("p1", "p2", dist.alias("d"))
+    )
+
+
 def basket(li: DataFrame) -> DataFrame:
     b = li.select("l_orderkey", "l_partkey").distinct()
     n = b.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
@@ -183,15 +204,36 @@ def main() -> None:
         .repartition(32)
         .localCheckpoint()
     )
+    # parts: shift keys AND salt the brand per copy — new vendors bring
+    # new catalogs, so block COUNT grows with the corpus while per-block
+    # size stays bounded (the realistic axis for a BLOCKED pair join; an
+    # unsalted brand would grow each block 20x and the pair set 400x,
+    # which is precisely the failure mode blocking exists to prevent)
+    part = load_table(spark, SF_DIR, "part")
+    big_part = (
+        replicate_shifted(part, n, {"p_partkey": 100_000_000})
+        .withColumn(
+            "p_brand",
+            F.concat(
+                F.col("p_brand"),
+                F.lit("#"),
+                ((F.col("p_partkey") / F.lit(100_000_000)).cast("int")).cast(
+                    "string"
+                ),
+            ),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
     print(
         f"docs {docs.count():,}->{big_docs.count():,}  "
         f"emb {emb.count():,}->{big_emb.count():,}  "
         f"events {ev.count():,}->{big_ev.count():,}  "
         f"lineitem {li.count():,}->{big_li.count():,}"
     )
-    for label, d, e, v, l in (
-        ("sf0.1", docs, emb, ev, li),
-        (f"{n}x", big_docs, big_emb, big_ev, big_li),
+    for label, d, e, v, l, pt in (
+        ("sf0.1", docs, emb, ev, li, part),
+        (f"{n}x", big_docs, big_emb, big_ev, big_li, big_part),
     ):
         print(f"--- {label}")
         for name, fn in doc_ops().items():
@@ -201,6 +243,7 @@ def main() -> None:
         for name, fn in event_ops().items():
             bench(name, fn, v)
         bench("basket_pairs", basket, l)
+        bench("fuzzy_match (blocked)", fuzzy, pt)
 
 
 if __name__ == "__main__":
