@@ -57,8 +57,8 @@ def test_sql_macros_register_and_inline(spark):
             "quantity_bucket"} <= set(names)
     row = spark.sql(
         """
-        SELECT pg_dow(TIMESTAMP '2024-01-07 10:30:00') AS dow,
-               pg_hour(TIMESTAMP '2024-01-07 10:30:00') AS hr,
+        SELECT pg_dow(TIMESTAMP_NTZ '2024-01-07 10:30:00') AS dow,
+               pg_hour(TIMESTAMP_NTZ '2024-01-07 10:30:00') AS hr,
                surrogate_key2('paris', NULL) AS sk,
                weather_category('Sunny with rain') AS cat,
                quantity_bucket(10.0) AS b
@@ -75,7 +75,7 @@ def test_sql_macros_register_and_inline(spark):
     assert row["cat"] == "Clear"  # branch order: sunny wins over rain
     assert row["b"] == "Cold"  # inclusive upper bound
     plan = (
-        spark.sql("SELECT pg_dow(TIMESTAMP '2024-01-07 10:30:00')")
+        spark.sql("SELECT pg_dow(TIMESTAMP_NTZ '2024-01-07 10:30:00')")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan

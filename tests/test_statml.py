@@ -17,7 +17,9 @@ from tests.conftest import SF_SMALL
 from weather_api_automate_etl_spark.operators import (
     corpus,
     embeddings as emb_ops,
+    stats,
     textops,
+    timeseries,
 )
 from weather_api_automate_etl_spark.sources.tables import load_table
 
@@ -201,19 +203,16 @@ def test_mad_flags_survive_extreme_outlier(spark):
     df = spark.createDataFrame(
         [Row(event_id=i, event_type="t", value=v) for i, v in enumerate(vals)]
     )
-    med = df.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    out = {
+        r["event_id"]: r
+        for r in stats.mad_robust_z(
+            df, "event_type", "value", keep_cols=("event_id",)
+        ).collect()
+    }
+    assert out[9]["is_outlier"], "the 1000 spike must flag"
+    assert not any(out[i]["is_outlier"] for i in range(9)), (
+        "MAD fences must not be dragged by the outlier's magnitude"
     )
-    mad = (
-        df.join(F.broadcast(med), "event_type")
-        .groupBy("event_type", "med")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
-        .head()
-    )
-    z_outlier = 0.6745 * (1000 - mad["med"]) / mad["mad"]
-    z_inlier = 0.6745 * (12 - mad["med"]) / mad["mad"]
-    assert abs(z_outlier) > 3.5
-    assert abs(z_inlier) < 3.5
 
 
 def test_autocorr_sign_on_crafted_series(spark):
@@ -229,31 +228,11 @@ def test_autocorr_sign_on_crafted_series(spark):
         rows.append(Row(event_id=100 + i, user_id=2,
                         ts=base + dt.timedelta(minutes=i),
                         value=float(1 if i % 2 else -1)))
-    df = spark.createDataFrame(rows)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    p = df.select(
-        "user_id", F.col("value").alias("x"), F.lag("value").over(w).alias("xp")
-    ).filter(F.col("xp").isNotNull())
-    m = p.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"), F.sum("xp").alias("sy"),
-        F.sum(F.col("x") * F.col("xp")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("xp") * F.col("xp")).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     r = {
-        row["user_id"]: row["r"]
-        for row in m.select(
-            "user_id",
-            (
-                (n * F.col("sxy") - sx * sy)
-                / F.sqrt(
-                    (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
-                )
-            ).alias("r"),
+        row["user_id"]: row["autocorr_lag1"]
+        for row in stats.autocorr_lag1(
+            spark.createDataFrame(rows), "user_id", "value",
+            ("ts", "event_id"),
         ).collect()
     }
     assert r[1] > 0.9
@@ -280,23 +259,12 @@ def test_trailing_median_matches_pandas_rolling(spark):
             for i, v in enumerate(vals)
         ]
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(-7, 0)
-    )
-    arr = F.array_sort(F.collect_list("value").over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, (n / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2).cast("int") + 1)
-    med = F.when(
-        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
-    ).otherwise(lo + (hi - lo) * F.lit(0.5))
     got = {
-        r["event_id"]: r["m"]
-        for r in df.select("event_id", F.round(med, 6).alias("m")).collect()
+        r["event_id"]: r["trailing_median"]
+        for r in timeseries.trailing_median(
+            df, "user_id", "value", ("ts", "event_id"),
+            window_rows=8, keep_cols=("event_id",),
+        ).collect()
     }
     want = pd.Series(vals).rolling(8, min_periods=1).median()
     for i in range(60):
@@ -316,25 +284,12 @@ def test_autocorr_matches_numpy_corrcoef(spark):
             for i, v in enumerate(vals)
         ]
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    p = df.select(
-        F.col("value").alias("x"), F.lag("value").over(w).alias("xp")
-    ).filter(F.col("xp").isNotNull())
-    m = p.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"), F.sum("xp").alias("sy"),
-        F.sum(F.col("x") * F.col("xp")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("xp") * F.col("xp")).alias("syy"),
-    ).head()
-    n, sx, sy = m["n"], m["sx"], m["sy"]
-    got = (n * m["sxy"] - sx * sy) / math.sqrt(
-        (n * m["sxx"] - sx * sx) * (n * m["syy"] - sy * sy)
-    )
+    got = stats.autocorr_lag1(
+        df, "user_id", "value", ("ts", "event_id")
+    ).head()["autocorr_lag1"]
     want = np.corrcoef(vals[1:], vals[:-1])[0, 1]
-    assert math.isclose(got, want, abs_tol=1e-9)
+    # the operator rounds to 6dp for oracle parity
+    assert math.isclose(got, round(want, 6), abs_tol=1e-6)
 
 
 def test_cms_matches_exact_when_width_is_ample(spark):
@@ -350,3 +305,25 @@ def test_cms_matches_exact_when_width_is_ample(spark):
     assert rows
     for r in rows:
         assert r["est_cnt"] == r["cnt"], f"{r['term']}: collision at width 65536"
+
+
+def test_autocorr_constant_series_is_null_not_nan(spark):
+    """A constant series has zero variance; sum-order cancellation can
+    leave the n*sxx - sx^2 term at a tiny NEGATIVE float, where a bare
+    sqrt is NaN on Spark and a hard error on DuckDB. The clamped moment
+    recipe (stats._pearson_from_moments) must yield NULL."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=1,
+                ts=base + dt.timedelta(minutes=i), value=0.1)
+            for i in range(50)
+        ]
+    )
+    row = stats.autocorr_lag1(df, "user_id", "value", ("ts", "event_id")).head()
+    assert row["n_pairs"] == 49
+    assert row["autocorr_lag1"] is None, (
+        f"constant series must be NULL, got {row['autocorr_lag1']}"
+    )

@@ -11,7 +11,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import Row, Window, functions as F
 
-from weather_api_automate_etl_spark.operators import graph
+from weather_api_automate_etl_spark.operators import dedup, graph, stats, timeseries
 
 
 # ---------------------------------------------------------------------------
@@ -85,19 +85,13 @@ def test_trailing_median_shrugs_off_spike(spark):
             for i, v in enumerate(vals)
         ]
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(-7, 0)
-    )
-    arr = F.array_sort(F.collect_list("value").over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, (n / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2).cast("int") + 1)
-    med = F.when(
-        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
-    ).otherwise(lo + (hi - lo) * F.lit(0.5))
-    out = {r["event_id"]: r["m"] for r in df.select("event_id", med.alias("m")).collect()}
+    out = {
+        r["event_id"]: r["trailing_median"]
+        for r in timeseries.trailing_median(
+            df, "user_id", "value", ("ts", "event_id"),
+            window_rows=8, keep_cols=("event_id",),
+        ).collect()
+    }
     # the spike row itself and every later row still report the inlier level
     for i in range(len(vals)):
         assert out[i] == 10.0, f"median at {i} dragged by the spike: {out[i]}"
@@ -120,31 +114,15 @@ def test_concurrency_counts_known_overlap(spark):
         Row(event_id=4, event_type="B", ts=base, value=60.0),
         Row(event_id=5, event_type="B", ts=base + dt.timedelta(seconds=60), value=60.0),
     ]
-    iv = spark.createDataFrame(rows).select(
-        "event_id",
-        "event_type",
-        F.col("ts").alias("s"),
-        (
-            F.col("ts")
-            + F.expr("make_dt_interval(0, 0, 0, greatest(1.0, floor(value)))")
-        ).alias("e"),
-    )
-    pts = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
-    )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("t").asc(), F.col("delta").desc()
-    )
-    peak = {
-        r["event_type"]: r["peak"]
-        for r in pts.select("event_type", F.sum("delta").over(w).alias("load"))
-        .groupBy("event_type")
-        .agg(F.max("load").alias("peak"))
-        .collect()
+    out = {
+        r["event_type"]: r
+        for r in timeseries.concurrency_peak(
+            spark.createDataFrame(rows), "event_type", "ts", "value"
+        ).collect()
     }
-    assert peak == {"A": 3, "B": 2}
+    assert out["A"]["peak_concurrency"] == 3
+    assert out["B"]["peak_concurrency"] == 2
+    assert out["A"]["n_intervals"] == 3 and out["B"]["n_intervals"] == 2
 
 
 # ---------------------------------------------------------------------------
@@ -162,31 +140,15 @@ def test_cusum_finds_constructed_shift(spark):
             value=0.0 if i < 30 else 5.0)
         for i in range(60)
     ]
-    ev = spark.createDataFrame(rows)
-    s = ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mu"),
-        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    out = timeseries.cusum_changepoint(
+        spark.createDataFrame(rows), "event_type", "value",
+        ("ts", "event_id"), "event_id",
+    ).head()
+    assert out["n_events"] == 60
+    assert out["change_event_id"] == 29, (
+        f"CUSUM peak at {out['change_event_id']}, expected the last "
+        "pre-shift point"
     )
-    wsum = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = ev.join(F.broadcast(s), "event_type").select(
-        "event_id",
-        F.round(
-            F.sum(
-                (F.col("value") - F.col("mu")) / F.when(F.col("sd") != 0, F.col("sd"))
-            ).over(wsum),
-            6,
-        ).alias("cusum"),
-    )
-    peak = (
-        c.orderBy(F.abs(F.col("cusum")).desc(), F.col("event_id").asc())
-        .select("event_id")
-        .head()[0]
-    )
-    assert peak == 29, f"CUSUM peak at {peak}, expected the last pre-shift point"
 
 
 # ---------------------------------------------------------------------------
@@ -203,19 +165,10 @@ def test_fuzzy_match_blocks_and_threshold(spark):
             Row(p_partkey=4, p_brand="B", p_name="goldenrod lace"),   # other block
         ]
     )
-    a = df.select(F.col("p_partkey").alias("p1"), "p_brand",
-                  F.col("p_name").alias("name_a"))
-    b = df.select(F.col("p_partkey").alias("p2"), "p_brand",
-                  F.col("p_name").alias("name_b"))
-    dist = F.levenshtein("name_a", "name_b")
-    pairs = (
-        a.join(b, "p_brand")
-        .filter(F.col("p1") < F.col("p2"))
-        .filter(dist <= 10)
-        .select("p1", "p2", dist.alias("d"))
-        .collect()
-    )
-    assert [(r["p1"], r["p2"], r["d"]) for r in pairs] == [(1, 2, 1)], (
+    pairs = dedup.fuzzy_match_blocked(
+        df, "p_partkey", "p_brand", "p_name", max_dist=10
+    ).collect()
+    assert [(r["p1"], r["p2"], r["dist"]) for r in pairs] == [(1, 2, 1)], (
         "only the near-identical same-block pair may match: "
         "cross-block twins and far names must be excluded"
     )
@@ -231,21 +184,10 @@ def test_cumulative_distinct_hand_case(spark):
             for i, e in enumerate(seq)
         ]
     )
-    wf = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts"), F.col("event_id")
-    )
-    ws = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     out = {
-        r["event_id"]: r["n"]
-        for r in df.select(
-            "event_id",
-            F.sum(
-                F.when(F.row_number().over(wf) == 1, 1).otherwise(0)
-            ).over(ws).alias("n"),
+        r["event_id"]: r["n_types_so_far"]
+        for r in timeseries.cumulative_distinct(
+            df, "user_id", "event_type", ("ts", "event_id"), "event_id"
         ).collect()
     }
     assert [out[i] for i in range(6)] == [1, 2, 2, 3, 3, 4]
@@ -256,17 +198,7 @@ def test_skew_profile_flags_known_hot_key(spark):
         Row(event_id=100 + i, user_id=i % 10) for i in range(20)
     ]
     df = spark.createDataFrame(rows)
-    c = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = c.agg(F.sum("cnt").cast("double").alias("total"),
-                F.expr("percentile(cnt, 0.5)").alias("med"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
-    top = (
-        c.crossJoin(F.broadcast(tot))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .head()
-    )
-    assert top["user_id"] == 99
-    assert top["cnt"] == 80
-    assert top["cnt"] / top["total"] == 0.8
-    assert top["cnt"] / top["med"] == 40.0  # hot key is 40x the median key
+    top = stats.skew_profile(df, "user_id", top_k=1).head()
+    assert top["rnk"] == 1 and top["user_id"] == 99 and top["cnt"] == 80
+    assert top["share"] == 0.8
+    assert top["x_median"] == 40.0  # hot key is 40x the median key

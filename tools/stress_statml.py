@@ -37,7 +37,9 @@ from tools.stress_corpus import bench, replicate_embeddings
 from tools.stress_mlprep import replicate_docs_tokensalt
 from weather_api_automate_etl_spark.operators import (
     corpus,
+    dedup,
     embeddings as emb_ops_mod,
+    stats,
     textops,
 )
 from weather_api_automate_etl_spark.session import get_spark
@@ -89,97 +91,24 @@ def emb_ops() -> dict:
 
 
 def event_ops() -> dict:
-    # registry callables take (spark, sf_dir) and can't see the stressed
-    # frame; both queries are thin wrappers, so re-express them directly
-
-    def mad(ev):
-        med = ev.groupBy("event_type").agg(
-            F.expr("percentile(value, 0.5)").alias("med")
-        )
-        mad_t = (
-            ev.join(F.broadcast(med), "event_type")
-            .groupBy("event_type", "med")
-            .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
-        )
-        z = (
-            F.lit(0.6745)
-            * (F.col("value") - F.col("med"))
-            / F.when(F.col("mad") != 0, F.col("mad"))
-        )
-        return ev.join(F.broadcast(mad_t), "event_type").select(
-            "event_id", (F.abs(z) > 3.5).alias("is_outlier")
-        )
-
-    def autocorr(ev):
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-        p = ev.select(
-            "user_id",
-            F.col("value").alias("x"),
-            F.lag("value").over(w).alias("xp"),
-        ).filter(F.col("xp").isNotNull())
-        m = p.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("xp").alias("sy"),
-            F.sum(F.col("x") * F.col("xp")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("xp") * F.col("xp")).alias("syy"),
-        )
-        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-        den = F.sqrt(
-            (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
-        )
-        return m.select(
-            "user_id",
-            ((n * F.col("sxy") - sx * sy) / F.when(den != 0, den)).alias("r"),
-        )
-
-    return {"mad_outliers": mad, "autocorr_lag1": autocorr}
+    return {
+        "mad_outliers": lambda ev: stats.mad_robust_z(
+            ev, "event_type", "value", keep_cols=("event_id",)
+        ),
+        "autocorr_lag1": lambda ev: stats.autocorr_lag1(
+            ev, "user_id", "value", ("ts", "event_id")
+        ),
+    }
 
 
 def fuzzy(part: DataFrame) -> DataFrame:
-    a = part.select(
-        F.col("p_partkey").alias("p1"), "p_brand",
-        F.col("p_name").alias("name_a"),
-    )
-    b = part.select(
-        F.col("p_partkey").alias("p2"), "p_brand",
-        F.col("p_name").alias("name_b"),
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, "p_brand")
-        .filter(F.col("p1") < F.col("p2"))
-        .filter(dist <= 2)
-        .select("p1", "p2", dist.alias("d"))
+    return dedup.fuzzy_match_blocked(
+        part, "p_partkey", "p_brand", "p_name", max_dist=2
     )
 
 
 def basket(li: DataFrame) -> DataFrame:
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    n = b.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
-    m = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a2 = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    p = (
-        b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-        .join(a2, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= 2)
-    )
-    return (
-        p.join(m.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1")
-        .join(m.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "p1", "p2", "c_ab",
-            (F.col("n_orders") * F.col("c_ab")
-             / (F.col("c1").cast("double") * F.col("c2"))).alias("lift"),
-        )
-    )
+    return stats.basket_pairs(li, "l_orderkey", "l_partkey")
 
 
 def main() -> None:

@@ -403,7 +403,9 @@ def blocklist_filter(
         raise ValueError("empty blocklist: pass at least one term")
     bl = F.array(*[F.lit(t) for t in terms])
     ts = F.filter(tokens(text_col), lambda t: t != "")
-    hits = F.array(F.filter(ts, lambda t: F.array_contains(bl, t)))[0]
+    # used three times below — codegen subexpression elimination dedups
+    # the filter within the single projection
+    hits = F.filter(ts, lambda t: F.array_contains(bl, t))
     return df.select(
         F.col(id_col),
         F.size(hits).cast("int").alias("n_hits"),

@@ -738,3 +738,43 @@ def embedding_neardup_pairs_vectorized(
         .groupBy("__blk")
         .applyInPandas(pairs_fn, schema=f"id_a {id_type}, id_b {id_type}")
     )
+
+
+def fuzzy_match_blocked(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy name matching inside blocks: row pairs whose ``name_col``
+    Levenshtein distance is ≤ ``max_dist`` — the entity-resolution
+    primitive (dirty catalog/vendor/customer names) that exact and
+    shingle dedup both miss. BLOCKED on ``block_col`` so the quadratic
+    pair set is per-block only (the LSH-bucket discipline — never
+    all-pairs; with no natural block, LSH over name shingles provides
+    one). ``levenshtein`` is the JVM built-in, evaluated only on
+    in-block pairs. Input is repartitioned to the session parallelism
+    first: the probe side of the (typically broadcast) block join
+    inherits SCAN partitioning, and a single-file table would otherwise
+    enumerate every pair on one core (measured 20× wall-time parity in
+    SCALING.md's fifth-wave table).
+
+    Returns ``(p1, p2, block_col, dist)`` with ``p1 < p2``.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    a = df.select(
+        F.col(key_col).alias("p1"), block_col, F.col(name_col).alias("name_a")
+    )
+    b = df.select(
+        F.col(key_col).alias("p2"), block_col, F.col(name_col).alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, block_col)
+        .filter(F.col("p1") < F.col("p2"))
+        .filter(dist <= max_dist)
+        .select("p1", "p2", block_col, dist.cast("int").alias("dist"))
+    )

@@ -116,21 +116,14 @@ def _vector_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def covariance_matrix(df: DataFrame, vec_col: str, dim: int | None = None) -> DataFrame:
-    """Sample covariance matrix of an embedding column as the upper
-    triangle ``(i, j, cov)`` with ``i <= j`` — the input to PCA/whitening
-    and the correlation screen feature pipelines run before training.
-
-    Shape at 100 TB — the mergeable-moments pattern at its purest: each
-    partition reduces to ONE augmented Gram matrix ``[x,1]ᵀ[x,1]`` (a
-    (d+1)² double array holding Σxxᵀ, Σx and n in one accumulator) via an
-    Arrow-batched NumPy gemm; partials merge by elementwise sum (a
-    (d+1)²·n_partitions-row aggregate, metadata-scale), and the covariance
-    derives from the merged sums alone. The corpus is scanned exactly
-    once; nothing row-scale ever shuffles. Per-batch gemm keeps the
-    Python-side work vectorized (the codecs.py discipline).
-    """
-    d = dim or _vector_dim(df, vec_col)
+def _merged_gram(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """The shared distributed pass behind covariance/PCA: each partition
+    reduces to ONE augmented Gram matrix ``[x,1]ᵀ[x,1]`` (a (d+1)² double
+    array holding Σxxᵀ, Σx and n in one accumulator) via an Arrow-batched
+    NumPy gemm; partials merge by elementwise sum (a
+    (d+1)²·n_partitions-row aggregate, metadata-scale). ONE corpus scan;
+    nothing row-scale ever shuffles. Returns the merged ``(idx, g)``
+    frame with ``idx = i·(d+1) + j``."""
     w = d + 1
 
     def gram_partial(batches):
@@ -141,24 +134,42 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int | None = None) -> Da
         for pdf in batches:
             if not len(pdf):
                 continue
+            # validate per-vector BEFORE np.stack so a ragged batch
+            # raises the documented contract error, not numpy's
+            # shape-mismatch (batch-layout-dependent — review finding)
+            bad = {len(v) for v in pdf[vec_col]} - {d}
+            if bad:
+                raise ValueError(
+                    f"ragged vectors: expected dim {d}, got {sorted(bad)[0]}"
+                )
             x = np.stack(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
-            if x.shape[1] != d:
-                raise ValueError(
-                    f"ragged vectors: expected dim {d}, got {x.shape[1]}"
-                )
             aug = np.hstack([x, np.ones((x.shape[0], 1))])
             acc += aug.T @ aug
         yield pd.DataFrame({"g": [acc.ravel().tolist()]})
 
-    merged = (
+    return (
         df.select(vec_col)
         .mapInPandas(gram_partial, "g array<double>")
         .select(F.posexplode("g").alias("idx", "v"))
         .groupBy("idx")
         .agg(F.sum("v").alias("g"))
     )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int | None = None) -> DataFrame:
+    """Sample covariance matrix of an embedding column as the upper
+    triangle ``(i, j, cov)`` with ``i <= j`` — the input to PCA/whitening
+    and the correlation screen feature pipelines run before training.
+
+    Shape at 100 TB — the mergeable-moments pattern at its purest (see
+    ``_merged_gram``): the covariance derives from the merged sums
+    alone; the final arithmetic runs over metadata-scale frames.
+    """
+    d = dim or _vector_dim(df, vec_col)
+    w = d + 1
+    merged = _merged_gram(df, vec_col, d)
     # split the merged frame into moments: n (corner), sums (last column),
     # and raw second moments — all metadata-scale ((d+1)² rows total)
     n_row = merged.filter(F.col("idx") == d * w + d).select(
@@ -210,10 +221,13 @@ def pca_fit(
     convention — eigenvectors are otherwise sign-ambiguous across LAPACK
     builds).
 
-    The distributed work is exactly ``covariance_matrix`` (one corpus scan
-    → mergeable Gram partials); the eigendecomposition itself runs on the
-    driver over the d×d matrix — d is feature-width (64…4096), never
-    corpus-scale, so this is a microseconds-size `eigh`, the same
+    The distributed work is ONE ``_merged_gram`` corpus scan — the
+    augmented Gram already holds Σx (last column) and n (corner), so the
+    mean vector costs nothing extra (the round-5 review finding: the
+    previous version re-scanned the corpus for μ). Covariance and mean
+    both derive driver-side from the collected (d+1)² sums; the
+    eigendecomposition runs on the driver over the d×d matrix — d is
+    feature-width (64…4096), never corpus-scale, the same
     metadata-at-the-driver boundary as the IVF probe list.
     """
     import numpy as np
@@ -221,26 +235,21 @@ def pca_fit(
     d = dim or _vector_dim(df, vec_col)
     if not 1 <= k <= d:
         raise ValueError(f"invalid k={k} for dim {d}")
-    cov_rows = covariance_matrix(df, vec_col, dim=d).collect()
-    cov = np.zeros((d, d))
-    for r in cov_rows:
-        if r["cov"] is None:
-            # covariance is NULL only when n <= 1 (the guarded n−1
-            # division) — eigh over NaNs would "succeed" with garbage
-            raise ValueError(
-                "pca_fit needs at least 2 vectors (covariance undefined)"
-            )
-        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
-    # mean vector: one tiny aggregate over the exploded dims
-    mu_rows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.avg("val").alias("mu"))
-        .collect()
-    )
-    mu = np.zeros(d)
-    for r in mu_rows:
-        mu[r["pos"]] = r["mu"]
+    w = d + 1
+    g = np.zeros((w, w))
+    for r in _merged_gram(df, vec_col, d).collect():
+        g[r["idx"] // w, r["idx"] % w] = r["g"]
+    n = g[d, d]
+    if n < 2:
+        raise ValueError(
+            "pca_fit needs at least 2 vectors (covariance undefined)"
+        )
+    sums = g[:d, d]
+    mu = sums / n
+    # sample covariance from the merged moments, rounded to 6dp exactly
+    # like covariance_matrix's distributed twin (same eigh input either way)
+    cov = np.round((g[:d, :d] - np.outer(sums, sums) / n) / (n - 1), 6)
+    cov = (cov + cov.T) / 2  # symmetrize the rounded matrix
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T.copy()  # (k, d)

@@ -102,3 +102,40 @@ def relationship_violation_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def freshness(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    stale_after_s: int = 3600,
+) -> DataFrame:
+    """Per-stream freshness: each group's last event time, its lag
+    behind the corpus watermark (the global max — wall clock would make
+    the check non-reproducible), and a staleness flag — the data-quality
+    monitor that catches a silently dead upstream before a day of marts
+    builds on stale partitions. Two map-side-combined aggregates and a
+    1-row broadcast. The lag is a WALL-CLOCK second-boundary count:
+    both ends are date_trunc'd to the second and diffed with
+    ``timestampdiff`` — NOT an epoch subtraction (on TIMESTAMP_NTZ,
+    ``unix_timestamp`` round-trips through the session timezone and
+    diverges across DST transitions — the round-5 review finding), and
+    NOT a bare ``timestampdiff`` (which truncates ELAPSED time where
+    SQL engines' date_diff counts boundary crossings; truncating both
+    ends first makes the two identical)."""
+    g = df.agg(F.max(ts_col).alias("gmax"))
+    last = df.groupBy(group_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    lag = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', last_ts),"
+        " date_trunc('second', gmax))"
+    )
+    return last.crossJoin(F.broadcast(g)).select(
+        group_col,
+        "last_ts",
+        "n_events",
+        lag.cast("long").alias("lag_seconds"),
+        (lag > stale_after_s).alias("is_stale"),
+    )

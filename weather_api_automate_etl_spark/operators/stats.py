@@ -1,0 +1,281 @@
+"""Statistical / segmentation operators: robust outlier flags, series
+autocorrelation, RFM scoring, binned quantile normalization, join-key
+skew profiling, and market-basket association pairs.
+
+Every function is DataFrame-in → DataFrame-out so the contract queries,
+the pytest differential tests, and the 20× stress harness all exercise
+the SAME expression tree (the duplication the round-5 review flagged).
+
+Engine-parity disciplines shared with queries_ext.py: quantile stats
+round to 6 before any comparison or division; subtractive-cancellation
+moment terms clamp at zero before sqrt (a constant series must yield
+NULL, not a NaN on one engine and a hard sqrt-of-negative error on the
+other); NULLIF-style guards on every division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def mad_robust_z(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    keep_cols: tuple[str, ...] = (),
+    k: float = 0.6745,
+    fence: float = 3.5,
+) -> DataFrame:
+    """Median-absolute-deviation robust z-scores per group
+    (k·(x − med)/MAD, flag |z| > fence) — the outlier gate that survives
+    heavy-tailed distributions where mean/std z-scores and IQR fences
+    drift. Two group aggregates (median, then median of absolute
+    residuals — the second pass is inherent to MAD) with the
+    group-cardinality stats broadcast back; the flag compares the
+    ROUNDED z so it can't flip on a last-ulp quantile difference."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    mad = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col, "med")
+        .agg(F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad"))
+    )
+    z = F.round(
+        F.lit(k)
+        * (F.col(value_col) - F.col("med"))
+        / F.when(F.col("mad") != 0, F.col("mad")),
+        6,
+    )
+    return df.join(F.broadcast(mad), group_col).select(
+        *keep_cols,
+        group_col,
+        value_col,
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        z.alias("robust_z"),
+        (F.abs(z) > fence).alias("is_outlier"),
+    )
+
+
+#: relative variance floor: ``n·sxx − sx²`` below this fraction of its
+#: ``n·sxx`` magnitude is pure sum-order cancellation noise (double ulp is
+#: ~1e-16 relative), not signal. A sign-agnostic ABSOLUTE clamp is not
+#: enough: for a constant series the noise can land tiny-POSITIVE, where
+#: noise/√(noise·noise) "computes" a garbage r ≈ ±1 that differs between
+#: engines. Below the relative floor BOTH engines yield NULL regardless of
+#: the noise's sign or magnitude.
+VAR_REL_EPS = 1e-12
+
+
+def _guarded_var(raw: Column, n: Column, sum_sq: Column) -> Column:
+    """The raw variance term, or NULL when it is cancellation noise
+    (``raw ≤ ε·n·Σx²``). Strictly positive when non-null, so downstream
+    sqrt/divide need no further zero guards — NULL just propagates."""
+    return F.when(raw > F.lit(VAR_REL_EPS) * n * sum_sq, raw)
+
+
+def _pearson_from_moments(
+    n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
+) -> Column:
+    """Pearson r from the five mergeable moment sums, cancellation-safe
+    via the relative variance floor (see ``VAR_REL_EPS``): constant and
+    numerically-constant series yield NULL on every engine."""
+    var_x = _guarded_var(n * sxx - sx * sx, n, sxx)
+    var_y = _guarded_var(n * syy - sy * sy, n, syy)
+    return (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    series_col: str,
+    value_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Lag-1 autocorrelation of each series (Pearson r of (xₜ, xₜ₋₁)
+    pairs) — the is-this-noise-or-trend screen before forecasting or
+    anomaly baselines. One per-series window shuffle forms the lag
+    pairs, then closed-form moments (five mergeable sums) — never a
+    second pass or a position self-join. Constant series yield NULL."""
+    w = Window.partitionBy(series_col).orderBy(*[F.col(c) for c in order_cols])
+    p = (
+        df.select(
+            series_col,
+            F.col(value_col).alias("x"),
+            F.lag(value_col).over(w).alias("xp"),
+        )
+        .filter(F.col("xp").isNotNull())
+    )
+    m = p.groupBy(series_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("xp").alias("sy"),
+        F.sum(F.col("x") * F.col("xp")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).alias("syy"),
+    )
+    r = _pearson_from_moments(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    return m.select(
+        series_col,
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(r, 6).alias("autocorr_lag1"),
+    )
+
+
+def rfm_scores(
+    df: DataFrame, key_col: str, date_col: str, amount_col: str
+) -> DataFrame:
+    """RFM segmentation: recency (days since last order, relative to the
+    table's max date), frequency, monetary per key, each scored 1–4 by
+    GLOBAL quartile boundaries (recency inverted — recent = 4). The
+    boundaries come from ONE aggregate broadcast back as a single row —
+    never a global ntile, whose unpartitioned window is the
+    single-partition sort this repo bans on key-cardinality frames.
+    Boundaries and monetary round before comparison (the anomaly_iqr
+    fence discipline)."""
+    cust = df.groupBy(key_col).agg(
+        F.max(date_col).alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum(amount_col), 2).alias("monetary"),
+    )
+    mx = df.agg(F.max(date_col).alias("maxd"))
+    base = cust.crossJoin(F.broadcast(mx)).select(
+        key_col,
+        F.datediff("maxd", "last_order").cast("int").alias("recency"),
+        F.col("freq").cast("long").alias("freq"),
+        "monetary",
+    )
+    q = base.agg(
+        *[
+            F.round(F.expr(f"percentile({col}, {p})"), 6).alias(f"{a}{i}")
+            for col, a in (("recency", "r"), ("freq", "f"), ("monetary", "m"))
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, a: str) -> Column:
+        hits = sum(
+            (F.col(col) > F.col(f"{a}{i}")).cast("int") for i in (1, 2, 3)
+        )
+        return (4 - hits) if a == "r" else (1 + hits)
+
+    return base.crossJoin(F.broadcast(q)).select(
+        key_col,
+        "recency",
+        "freq",
+        "monetary",
+        score("recency", "r").cast("int").alias("r_score"),
+        score("freq", "f").cast("int").alias("f_score"),
+        score("monetary", "m").cast("int").alias("m_score"),
+    )
+
+
+def quantile_normalize_binned(
+    df: DataFrame, id_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Binned quantile normalization across groups: each row's
+    within-group percent_rank (deterministic (value, id) tie-break) maps
+    through the GLOBAL value distribution's percentile table — the
+    cross-group alignment that makes value thresholds mean the same
+    thing for every group. Per-group windows stay partitioned; the
+    global percentile table is ONE aggregate broadcast back as 101 rows
+    (swap percentile→percentile_approx past executor-sort scale). Bin
+    rounding is half-up via floor(x + 0.5) for engine parity."""
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    binned = df.select(
+        id_col,
+        group_col,
+        value_col,
+        F.floor(F.percent_rank().over(w) * 100 + 0.5).cast("int").alias("bin"),
+    )
+    pcts = ", ".join(str(i / 100.0) for i in range(101))
+    qt = (
+        df.agg(F.expr(f"percentile({value_col}, array({pcts}))").alias("qs"))
+        .select(F.posexplode("qs").alias("bin", "qv"))
+        .select(F.col("bin").cast("int").alias("bin"), "qv")
+    )
+    return binned.join(F.broadcast(qt), "bin").select(
+        id_col,
+        group_col,
+        value_col,
+        "bin",
+        F.round("qv", 6).alias("normalized"),
+    )
+
+
+def skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Hot-key diagnostic for a join/aggregation key: the top-k heaviest
+    keys with their share of all rows and their multiple of the median
+    key size — the measurement that decides whether the salted
+    join/agg path (operators/skew.py) is worth its extra shuffle. The
+    ranking window runs over the key-COUNT table (key-cardinality,
+    collapsed by map-side partials), and ``row_number <= k`` becomes
+    WindowGroupLimit — per-partition top-k before the single-partition
+    merge."""
+    c = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.expr("percentile(cnt, 0.5)").alias("med"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            key_col,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("med"), 6).alias("x_median"),
+        )
+    )
+
+
+def basket_pairs(
+    df: DataFrame, basket_col: str, item_col: str, min_support: int = 2
+) -> DataFrame:
+    """Market-basket association pairs: support count, confidence
+    P(p2|p1) and lift for every item pair co-occurring in at least
+    ``min_support`` baskets — the co-occurrence mining shape
+    (recommendations, co-purchase graphs). The self-join is keyed on the
+    BASKET (fan-out quadratic only in basket size, which is bounded —
+    never all-pairs across items); marginals join item-keyed
+    (item-cardinality tables, deliberately NOT broadcast at catalog
+    scale); the basket total is a 1-row broadcast."""
+    b = df.select(basket_col, item_col).distinct()
+    n = b.agg(F.countDistinct(basket_col).cast("double").alias("n_orders"))
+    m = b.groupBy(item_col).agg(F.count(F.lit(1)).alias("c"))
+    a2 = b.select(F.col(basket_col).alias("ok"), F.col(item_col).alias("p2"))
+    p = (
+        b.select(F.col(basket_col).alias("ok"), F.col(item_col).alias("p1"))
+        .join(a2, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_support)
+    )
+    m1 = m.select(F.col(item_col).alias("p1"), F.col("c").alias("c1"))
+    m2 = m.select(F.col(item_col).alias("p2"), F.col("c").alias("c2"))
+    return (
+        p.join(m1, "p1")
+        .join(m2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(F.col("c_ab") / F.col("c1").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_orders")
+                * F.col("c_ab")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )

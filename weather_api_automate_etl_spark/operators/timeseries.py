@@ -1,0 +1,221 @@
+"""Time-series detection operators: trailing rolling median, seasonal
+(dow × hour) baseline residuals, sweep-line interval concurrency, CUSUM
+change-point localization, and cumulative-distinct windows.
+
+DataFrame-in → DataFrame-out so the contract queries, the pytest
+differential tests, and the stress harness all exercise the SAME
+expression tree. Per-series windows are always PARTITIONED — none of
+these ever sorts a global timeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from weather_api_automate_etl_spark.functions.core import pg_dow, pg_hour
+
+
+def trailing_median(
+    df: DataFrame,
+    series_col: str,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    window_rows: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Trailing median of each series' last ``window_rows`` observations
+    — the robust smoothing baseline (EWMA's outlier-immune sibling: one
+    wild value shifts an EWMA for the whole decay tail but leaves the
+    rolling median untouched). Spark has no percentile window over a
+    moving frame, so the frame is collected per row (one window shuffle
+    on the series key, frame bounded at ``window_rows``), sorted, and
+    interpolated with the exact ``lo + (hi − lo)·0.5`` form
+    quantile_cont uses — spelled identically so even the last-ulp
+    arithmetic matches a windowed-quantile_cont oracle."""
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(value_col).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(lo + (hi - lo) * F.lit(0.5))
+    return df.select(
+        *keep_cols,
+        series_col,
+        value_col,
+        F.round(med, 6).alias("trailing_median"),
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Seasonal-naive baseline per (group, day-of-week, hour) with
+    per-row residuals — the first-order seasonality model anomaly
+    alerting diffs against before reaching for real forecasting. Uses
+    the reference's Postgres calendar semantics (dow 0=Sunday). The
+    baseline table is (groups × 7 × 24) rows — one map-side-combined
+    aggregate broadcast back; baselines round BEFORE the residual
+    subtraction so residuals can't flip on aggregation-order ulps."""
+    base = df.select(
+        *keep_cols,
+        group_col,
+        value_col,
+        pg_dow(ts_col).alias("dow"),
+        pg_hour(ts_col).alias("hr"),
+    )
+    b = base.groupBy(group_col, "dow", "hr").agg(
+        F.round(F.avg(value_col), 6).alias("baseline")
+    )
+    return base.join(F.broadcast(b), [group_col, "dow", "hr"]).select(
+        *keep_cols,
+        group_col,
+        value_col,
+        "dow",
+        "hr",
+        "baseline",
+        F.round(F.col(value_col) - F.col("baseline"), 6).alias("residual"),
+    )
+
+
+def concurrency_peak(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    duration_s_col: str,
+) -> DataFrame:
+    """Peak interval concurrency per group by the classic sweep line:
+    each row spans [start, start + max(1, ⌊duration⌋) seconds); +1/−1
+    boundary points, a running sum in time order, max of the running
+    load. The running sum uses the DEFAULT window frame (RANGE …CURRENT
+    ROW): all peers of a timestamp are included together, so the load at
+    a tie is order-independent; starts sort before ends (delta DESC), so
+    touching intervals count as overlapping. One window shuffle
+    partitioned by the group — never a global timeline sort."""
+    iv = df.select(
+        group_col,
+        F.col(start_col).alias("s"),
+        (
+            F.col(start_col)
+            + F.expr(
+                f"make_dt_interval(0, 0, 0, greatest(1.0, floor({duration_s_col})))"
+            )
+        ).alias("e"),
+    )
+    pts = iv.select(
+        group_col, F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(group_col, F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    )
+    cum = pts.select(group_col, F.sum("delta").over(w).alias("load"))
+    return cum.groupBy(group_col).agg(
+        F.max("load").cast("int").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    id_col: str,
+) -> DataFrame:
+    """CUSUM mean-shift detection per group: running sum of standardized
+    residuals in time order; the change point is the row where |CUSUM|
+    peaks (ties → earliest). Group mean/stddev round to 6 BEFORE
+    standardizing (aggregation-order ulps stop at the rounding), and the
+    argmax reads the ROUNDED cusum with the order-column tie-break — the
+    last-ulp-proof argmax recipe. One stats aggregate broadcast back +
+    one per-group ordered running sum + one argmax window, all on the
+    same key."""
+    s = df.groupBy(group_col).agg(
+        F.round(F.avg(value_col), 6).alias("mu"),
+        F.round(F.stddev_samp(value_col), 6).alias("sd"),
+    )
+    order = [F.col(c) for c in order_cols]
+    # order columns may include the id itself — don't select it twice
+    extra_order = [c for c in order_cols if c not in (id_col, group_col)]
+    wsum = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = df.join(F.broadcast(s), group_col).select(
+        id_col,
+        group_col,
+        *extra_order,
+        F.round(
+            F.sum(
+                (F.col(value_col) - F.col("mu"))
+                / F.when(F.col("sd") != 0, F.col("sd"))
+            ).over(wsum),
+            6,
+        ).alias("cusum"),
+    )
+    wpick = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("cusum")).desc(), *order
+    )
+    picked = c.withColumn("rn", F.row_number().over(wpick))
+    agg = c.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.abs(F.col("cusum"))).alias("max_abs_cusum"),
+    )
+    return agg.join(
+        picked.filter(F.col("rn") == 1).select(
+            group_col, F.col(id_col).alias("change_event_id")
+        ),
+        group_col,
+    ).select(
+        group_col,
+        F.col("n_events").cast("long").alias("n_events"),
+        "max_abs_cusum",
+        "change_event_id",
+    )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    series_col: str,
+    kind_col: str,
+    order_cols: tuple[str, ...],
+    id_col: str,
+) -> DataFrame:
+    """Running count of distinct kinds each series has seen — the
+    exploration/breadth signal that a naive COUNT(DISTINCT) OVER would
+    need full-history state for. The first-seen trick makes it two plain
+    windows: flag each (series, kind)'s first occurrence (one window
+    keyed by series+kind), then a running sum of flags per series —
+    O(1) state per row, both windows partitioned, no distinct-set
+    accumulation anywhere."""
+    order = [F.col(c) for c in order_cols]
+    extra_order = [c for c in order_cols if c not in (id_col, series_col)]
+    wf = Window.partitionBy(series_col, kind_col).orderBy(*order)
+    ws = (
+        Window.partitionBy(series_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = df.select(
+        id_col,
+        series_col,
+        *extra_order,
+        F.when(F.row_number().over(wf) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return f.select(
+        id_col,
+        series_col,
+        F.sum("first_seen").over(ws).cast("long").alias("n_types_so_far"),
+    )

@@ -199,17 +199,18 @@ def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
-             AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
-                        * sx) / n, 6) AS intercept,
-           ROUND((n * sxy - sx * sy)
-                 / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
-                 6) AS corr_xy,
-           ROUND(POWER(n * sxy - sx * sy, 2)
-                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
-             AS r2
-    FROM m
+           ROUND((n * sxy - sx * sy) / vx, 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / vx * sx) / n, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) / SQRT(vx * vy), 6) AS corr_xy,
+           ROUND(POWER(n * sxy - sx * sy, 2) / (vx * vy), 6) AS r2
+    FROM (
+      SELECT *,
+             CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
+                  THEN n * sxx - sx * sx END AS vx,
+             CASE WHEN n * syy - sy * sy > 1e-12 * n * syy
+                  THEN n * syy - sy * sy END AS vy
+      FROM m
+    )
     """,
     tags=("agg", "mlprep"),
 )
@@ -238,22 +239,24 @@ def q_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    from weather_api_automate_etl_spark.operators.stats import _guarded_var
+
     cov_n = n * sxy - sx * sy
-    var_x = n * sxx - sx * sx
-    var_y = n * syy - sy * sy
-    # NULLIF guards (the q_zscore discipline): degenerate groups — constant
-    # x or y — yield NULL on both engines instead of an ANSI div-by-zero
-    slope = cov_n / F.when(var_x != 0, var_x)
-    denom = F.sqrt(var_x * var_y)
+    # relative-floor variance guards (stats.VAR_REL_EPS): a constant-x or
+    # constant-y group's variance term is sum-order cancellation noise of
+    # EITHER sign — an absolute clamp still lets tiny-positive noise
+    # "compute" garbage ±1 correlations that differ between engines.
+    # Below the floor both engines yield NULL (the review finding).
+    var_x = _guarded_var(n * sxx - sx * sx, n, sxx)
+    var_y = _guarded_var(n * syy - sy * sy, n, syy)
+    slope = cov_n / var_x
     return m.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(cov_n / F.when(denom != 0, denom), 6).alias("corr_xy"),
-        F.round(
-            F.pow(cov_n, 2) / F.when(var_x * var_y != 0, var_x * var_y), 6
-        ).alias("r2"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_xy"),
+        F.round(F.pow(cov_n, 2) / (var_x * var_y), 6).alias("r2"),
     )
 
 

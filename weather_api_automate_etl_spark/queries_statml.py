@@ -13,12 +13,11 @@ are currency-grade), explicit BIGINT/INTEGER casts where DuckDB widens.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
-
-from weather_api_automate_etl_spark.functions.text import tokens
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from weather_api_automate_etl_spark.operators import (
     corpus,
     embeddings as emb_ops,
+    stats,
     textops,
 )
 from weather_api_automate_etl_spark.queries import query, t
@@ -168,31 +167,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the flag compares the ROUNDED z on both engines so it can't
     flip on a last-ulp quantile difference (the anomaly_iqr
     discipline)."""
-    ev = t(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type", "med")
-        .agg(
-            F.expr("percentile(abs(value - med), 0.5)").alias("mad")
-        )
-    )
-    z = F.round(
-        F.lit(0.6745)
-        * (F.col("value") - F.col("med"))
-        / F.when(F.col("mad") != 0, F.col("mad")),
-        6,
-    )
-    return ev.join(F.broadcast(mad), "event_type").select(
-        "event_id",
+    return stats.mad_robust_z(
+        t(spark, sf_dir, "events"),
         "event_type",
         "value",
-        F.round("med", 6).alias("med"),
-        F.round("mad", 6).alias("mad"),
-        z.alias("robust_z"),
-        (F.abs(z) > 3.5).alias("is_outlier"),
+        keep_cols=("event_id",),
     )
 
 
@@ -218,7 +197,10 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
            ROUND((n * sxy - sx * sy)
-                 / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 / SQRT((CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
+                              THEN n * sxx - sx * sx END)
+                        * (CASE WHEN n * syy - sy * sy > 1e-12 * n * syy
+                                THEN n * syy - sy * sy END)),
                  6) AS autocorr_lag1
     FROM m
     """,
@@ -232,33 +214,8 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe (five mergeable sums, NULLIF-guarded) — never a second pass
     or a self-join on positions. Constant series yield NULL (zero
     variance) on both engines."""
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    p = (
-        t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.col("value").alias("x"),
-            F.lag("value").over(w).alias("xp"),
-        )
-        .filter(F.col("xp").isNotNull())
-    )
-    m = p.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("xp").alias("sy"),
-        F.sum(F.col("x") * F.col("xp")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("xp") * F.col("xp")).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return m.select(
-        "user_id",
-        n.cast("long").alias("n_pairs"),
-        F.round(
-            (n * sxy - sx * sy) / F.when(denom != 0, denom), 6
-        ).alias("autocorr_lag1"),
+    return stats.autocorr_lag1(
+        t(spark, sf_dir, "events"), "user_id", "value", ("ts", "event_id")
     )
 
 
@@ -305,26 +262,8 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     as 101 rows (swap percentile→percentile_approx past executor-sort
     scale — the q_winsorize note). Half-up bin rounding is spelled
     floor(x + 0.5) on both engines."""
-    docs = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    binned = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.floor(F.percent_rank().over(w) * 100 + 0.5).cast("int").alias("bin"),
-    )
-    pcts = ", ".join(str(i / 100.0) for i in range(101))
-    qt = (
-        docs.agg(F.expr(f"percentile(n_chars, array({pcts}))").alias("qs"))
-        .select(F.posexplode("qs").alias("bin", "qv"))
-        .select(F.col("bin").cast("int").alias("bin"), "qv")
-    )
-    return binned.join(F.broadcast(qt), "bin").select(
-        "doc_id",
-        "source",
-        "n_chars",
-        "bin",
-        F.round("qv", 6).alias("normalized"),
+    return stats.quantile_normalize_binned(
+        t(spark, sf_dir, "documents"), "doc_id", "source", "n_chars"
     )
 
 
@@ -401,43 +340,8 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across parts); marginals join part-keyed (part-cardinality tables,
     deliberately NOT broadcast at catalog scale); the order total is a
     1-row broadcast."""
-    li = t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    n = b.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
-    )
-    m = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a2 = b.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
-    )
-    p = (
-        b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-        .join(a2, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= 2)
-    )
-    m1 = m.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
-    m2 = m.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
-    return (
-        p.join(m1, "p1")
-        .join(m2, "p2")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "p1",
-            "p2",
-            F.col("c_ab").cast("long").alias("c_ab"),
-            F.round(F.col("c_ab") / F.col("c1").cast("double"), 6).alias(
-                "confidence"
-            ),
-            F.round(
-                F.col("n_orders")
-                * F.col("c_ab")
-                / (F.col("c1").cast("double") * F.col("c2")),
-                6,
-            ).alias("lift"),
-        )
+    return stats.basket_pairs(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
     )
 
 
@@ -494,41 +398,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group; a customer-cardinality frame has no such key).
     Boundaries and monetary are rounded before comparison on both
     engines (the anomaly_iqr fence discipline)."""
-    orders = t(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("freq"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
-    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
-    base = cust.crossJoin(F.broadcast(mx)).select(
-        "o_custkey",
-        F.datediff("maxd", "last_order").cast("int").alias("recency"),
-        F.col("freq").cast("long").alias("freq"),
-        "monetary",
-    )
-    q = base.agg(
-        *[
-            F.round(F.expr(f"percentile({col}, {p})"), 6).alias(f"{a}{i}")
-            for col, a in (("recency", "r"), ("freq", "f"), ("monetary", "m"))
-            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
-        ]
-    )
-
-    def score(col: str, a: str) -> Column:
-        hits = sum(
-            (F.col(col) > F.col(f"{a}{i}")).cast("int") for i in (1, 2, 3)
-        )
-        return (4 - hits) if a == "r" else (1 + hits)
-
-    return base.crossJoin(F.broadcast(q)).select(
-        "o_custkey",
-        "recency",
-        "freq",
-        "monetary",
-        score("recency", "r").cast("int").alias("r_score"),
-        score("freq", "f").cast("int").alias("f_score"),
-        score("monetary", "m").cast("int").alias("m_score"),
+    return stats.rfm_scores(
+        t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice"
     )
 
 

@@ -11,10 +11,9 @@ open round 6's window for driver rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from weather_api_automate_etl_spark.functions.core import pg_dow, pg_hour
-from weather_api_automate_etl_spark.operators import dedup, graph
+from weather_api_automate_etl_spark.operators import dedup, graph, timeseries
 from weather_api_automate_etl_spark.queries import query, t
 from weather_api_automate_etl_spark.queries_ext import _MINHASH_SIG_SQL
 
@@ -114,23 +113,13 @@ def q_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically so even the last-ulp arithmetic matches the oracle's
     windowed quantile_cont. Frames are per-user — never a global
     sort."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(-(_MED_W - 1), 0)
-    )
-    arr = F.array_sort(F.collect_list("value").over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, (n / 2).cast("int"))
-    hi = F.element_at(arr, (n / 2).cast("int") + 1)
-    med = F.when(
-        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
-    ).otherwise(lo + (hi - lo) * F.lit(0.5))
-    return t(spark, sf_dir, "events").select(
-        "event_id",
+    return timeseries.trailing_median(
+        t(spark, sf_dir, "events"),
         "user_id",
         "value",
-        F.round(med, 6).alias("trailing_median"),
+        ("ts", "event_id"),
+        window_rows=_MED_W,
+        keep_cols=("event_id",),
     )
 
 
@@ -170,24 +159,12 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (types × 7 × 24) rows — one map-side-combined aggregate broadcast
     back onto the stream; baselines round before the residual subtraction
     so residuals can't flip on aggregation-order ulps."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_id",
+    return timeseries.seasonal_baseline(
+        t(spark, sf_dir, "events"),
         "event_type",
+        "ts",
         "value",
-        pg_dow("ts").alias("dow"),
-        pg_hour("ts").alias("hr"),
-    )
-    b = ev.groupBy("event_type", "dow", "hr").agg(
-        F.round(F.avg("value"), 6).alias("baseline")
-    )
-    return ev.join(F.broadcast(b), ["event_type", "dow", "hr"]).select(
-        "event_id",
-        "event_type",
-        "value",
-        "dow",
-        "hr",
-        "baseline",
-        F.round(F.col("value") - F.col("baseline"), 6).alias("residual"),
+        keep_cols=("event_id",),
     )
 
 
@@ -233,27 +210,8 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ends (delta DESC), so touching intervals count as
     overlapping. One window shuffle partitioned by event_type — never a
     global timeline sort."""
-    iv = t(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.col("ts").alias("s"),
-        (
-            F.col("ts")
-            + F.expr("make_dt_interval(0, 0, 0, greatest(1.0, floor(value)))")
-        ).alias("e"),
-    )
-    pts = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
-    )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("t").asc(), F.col("delta").desc()
-    )
-    cum = pts.select("event_type", F.sum("delta").over(w).alias("load"))
-    return cum.groupBy("event_type").agg(
-        F.max("load").cast("int").alias("peak_concurrency"),
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    return timeseries.concurrency_peak(
+        t(spark, sf_dir, "events"), "event_type", "ts", "value"
     )
 
 
@@ -309,47 +267,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one per-type ordered running sum (partitioned — never global).
     Spark takes the argmax via a row_number window on the same keys the
     oracle's arg_min tuple encodes."""
-    ev = t(spark, sf_dir, "events")
-    s = ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mu"),
-        F.round(F.stddev_samp("value"), 6).alias("sd"),
-    )
-    wsum = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = (
-        ev.join(F.broadcast(s), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "ts",
-            F.round(
-                F.sum(
-                    (F.col("value") - F.col("mu"))
-                    / F.when(F.col("sd") != 0, F.col("sd"))
-                ).over(wsum),
-                6,
-            ).alias("cusum"),
-        )
-    )
-    wpick = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("cusum")).desc(), F.col("ts").asc(), F.col("event_id").asc()
-    )
-    picked = c.withColumn("rn", F.row_number().over(wpick))
-    agg = c.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max(F.abs(F.col("cusum"))).alias("max_abs_cusum"),
-    )
-    return agg.join(
-        picked.filter(F.col("rn") == 1).select(
-            "event_type", F.col("event_id").alias("change_event_id")
-        ),
+    return timeseries.cusum_changepoint(
+        t(spark, sf_dir, "events"),
         "event_type",
-    ).select(
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        "max_abs_cusum",
-        "change_event_id",
+        "value",
+        ("ts", "event_id"),
+        "event_id",
     )

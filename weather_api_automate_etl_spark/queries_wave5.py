@@ -9,8 +9,9 @@ round 6's driver window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
+from weather_api_automate_etl_spark.operators import dedup, quality, stats, timeseries
 from weather_api_automate_etl_spark.queries import query, t
 
 # ---------------------------------------------------------------------------
@@ -43,23 +44,12 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog; with no natural block, LSH over name shingles provides
     one). ``levenshtein`` is the JVM built-in — unit-cost edit distance,
     identical on both engines — evaluated only inside blocks."""
-    part = t(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("p1"),
+    return dedup.fuzzy_match_blocked(
+        t(spark, sf_dir, "part"),
+        "p_partkey",
         "p_brand",
-        F.col("p_name").alias("name_a"),
-    )
-    b = part.select(
-        F.col("p_partkey").alias("p2"),
-        "p_brand",
-        F.col("p_name").alias("name_b"),
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, "p_brand")
-        .filter(F.col("p1") < F.col("p2"))
-        .filter(dist <= _FUZZY_MAX_DIST)
-        .select("p1", "p2", "p_brand", dist.cast("int").alias("dist"))
+        "p_name",
+        max_dist=_FUZZY_MAX_DIST,
     )
 
 
@@ -96,19 +86,9 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     day of marts build on stale partitions. Two map-side-combined
     aggregates and a 1-row broadcast; second-granularity lag floors
     identically on both engines."""
-    ev = t(spark, sf_dir, "events")
-    g = ev.agg(F.max("ts").alias("gmax"))
-    last = ev.groupBy("event_type").agg(
-        F.max("ts").alias("last_ts"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
-    lag = F.unix_timestamp("gmax") - F.unix_timestamp("last_ts")
-    return last.crossJoin(F.broadcast(g)).select(
-        "event_type",
-        "last_ts",
-        "n_events",
-        lag.cast("long").alias("lag_seconds"),
-        (lag > _STALE_AFTER_S).alias("is_stale"),
+    return quality.freshness(
+        t(spark, sf_dir, "events"), "event_type", "ts",
+        stale_after_s=_STALE_AFTER_S,
     )
 
 
@@ -149,24 +129,8 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit-pruned (the global window is over key counts —
     metadata relative to the fact table — with the limit pushed into
     each partition before the single-partition rank)."""
-    ev = t(spark, sf_dir, "events")
-    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = c.agg(
-        F.sum("cnt").cast("double").alias("total"),
-        F.expr("percentile(cnt, 0.5)").alias("med"),
-    )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
-    return (
-        c.crossJoin(F.broadcast(tot))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _SKEW_TOP_K)
-        .select(
-            F.col("rnk").cast("int").alias("rnk"),
-            "user_id",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
-            F.round(F.col("cnt") / F.col("med"), 6).alias("x_median"),
-        )
+    return stats.skew_profile(
+        t(spark, sf_dir, "events"), "user_id", top_k=_SKEW_TOP_K
     )
 
 
@@ -203,25 +167,12 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     type)'s first occurrence (one window keyed by user+type), then a
     running sum of flags per user — O(1) state per row, both windows
     partitioned, no distinct-set accumulation anywhere."""
-    ev = t(spark, sf_dir, "events")
-    wf = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts"), F.col("event_id")
-    )
-    ws = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    f = ev.select(
-        "event_id",
+    return timeseries.cumulative_distinct(
+        t(spark, sf_dir, "events"),
         "user_id",
-        "ts",
-        F.when(F.row_number().over(wf) == 1, 1).otherwise(0).alias("first_seen"),
-    )
-    return f.select(
+        "event_type",
+        ("ts", "event_id"),
         "event_id",
-        "user_id",
-        F.sum("first_seen").over(ws).cast("long").alias("n_types_so_far"),
     )
 
 

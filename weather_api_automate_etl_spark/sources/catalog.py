@@ -100,15 +100,18 @@ class Catalog:
 #: '-' separator + md5), the ordered ILIKE recode, and inclusive range
 #: bucketing. SQL UDFs inline into the plan (no BatchEvalPython — pinned
 #: by test_catalog), so using them costs nothing over hand-expanding.
+#: Timestamp params are TIMESTAMP_NTZ: the fixture's ts columns are NTZ,
+#: and an LTZ param would insert an NTZ→LTZ cast through the session
+#: timezone that shifts DST-gap wall times (the round-5 review finding).
 _SQL_MACROS: tuple[tuple[str, str], ...] = (
     (
         "pg_dow",
-        "CREATE OR REPLACE TEMPORARY FUNCTION pg_dow(ts TIMESTAMP) "
+        "CREATE OR REPLACE TEMPORARY FUNCTION pg_dow(ts TIMESTAMP_NTZ) "
         "RETURNS INT RETURN CAST(dayofweek(ts) - 1 AS INT)",
     ),
     (
         "pg_hour",
-        "CREATE OR REPLACE TEMPORARY FUNCTION pg_hour(ts TIMESTAMP) "
+        "CREATE OR REPLACE TEMPORARY FUNCTION pg_hour(ts TIMESTAMP_NTZ) "
         "RETURNS INT RETURN CAST(hour(ts) AS INT)",
     ),
     (
