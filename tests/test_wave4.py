@@ -202,3 +202,70 @@ def test_skew_profile_flags_known_hot_key(spark):
     assert top["rnk"] == 1 and top["user_id"] == 99 and top["cnt"] == 80
     assert top["share"] == 0.8
     assert top["x_median"] == 40.0  # hot key is 40x the median key
+
+
+# ---------------------------------------------------------------------------
+# wave 6: zipf fit, burstiness, gini
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_separates_natural_from_uniform(spark):
+    from weather_api_automate_etl_spark.operators import textops
+
+    # source Z: Zipf-ish frequencies (freq ~ 1/rank); source U: uniform
+    words = [f"w{i}" for i in range(20)]
+    zipf_text = " ".join(
+        " ".join([w] * max(1, 40 // (i + 1))) for i, w in enumerate(words)
+    )
+    uni_text = " ".join(" ".join([w] * 5) for w in words)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, source="Z", text=zipf_text),
+         Row(doc_id=2, source="U", text=uni_text)]
+    )
+    out = {r["source"]: r for r in textops.zipf_fit(df, "source").collect()}
+    assert out["Z"]["slope"] < -0.8, f"Zipfian slope {out['Z']['slope']}"
+    # a perfectly uniform spectrum is numerically constant in ln(freq):
+    # the relative variance floor must yield NULL, not garbage
+    assert out["U"]["slope"] is None or out["U"]["slope"] > -0.2
+    assert out["Z"]["r2"] > 0.8
+
+
+def test_burstiness_sign_on_crafted_streams(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: perfectly periodic (gap 60s) -> B = -1 (sigma 0)... sigma=0
+    # gives B = (0-60)/(0+60) = -1
+    for i in range(20):
+        rows.append(Row(event_id=i, user_id=1,
+                        ts=base + dt.timedelta(seconds=60 * i)))
+    # user 2: bursty — 10 events in one second, then an hour gap, repeated
+    t = base
+    eid = 100
+    for burst in range(4):
+        for j in range(10):
+            rows.append(Row(event_id=eid, user_id=2,
+                            ts=t + dt.timedelta(seconds=j)))
+            eid += 1
+        t += dt.timedelta(hours=1)
+    out = {
+        r["user_id"]: r
+        for r in timeseries.burstiness(
+            spark.createDataFrame(rows), "user_id", "ts", ("ts", "event_id")
+        ).collect()
+    }
+    assert out[1]["burstiness"] == -1.0, "periodic stream must be B = -1"
+    assert out[2]["burstiness"] > 0.5, f"bursty stream B {out[2]['burstiness']}"
+
+
+def test_gini_equal_vs_concentrated(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="EQ", n_chars=100) for i in range(10)]
+        + [Row(doc_id=100 + i, source="CONC", n_chars=1) for i in range(9)]
+        + [Row(doc_id=200, source="CONC", n_chars=10_000)]
+    )
+    out = {
+        r["source"]: r["gini"]
+        for r in stats.gini_by_group(df, "source", "n_chars", "doc_id").collect()
+    }
+    assert out["EQ"] == 0.0
+    assert out["CONC"] > 0.85, f"concentrated stratum gini {out['CONC']}"

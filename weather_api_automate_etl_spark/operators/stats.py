@@ -8,9 +8,10 @@ the SAME expression tree (the duplication the round-5 review flagged).
 
 Engine-parity disciplines shared with queries_ext.py: quantile stats
 round to 6 before any comparison or division; subtractive-cancellation
-moment terms clamp at zero before sqrt (a constant series must yield
-NULL, not a NaN on one engine and a hard sqrt-of-negative error on the
-other); NULLIF-style guards on every division.
+moment terms pass the RELATIVE variance floor (``VAR_REL_EPS``) before
+sqrt/divide — a constant series must yield NULL on every engine, not a
+NaN, a sqrt-of-negative hard error, or a garbage ±1 from tiny-positive
+noise; NULLIF-style guards on every remaining division.
 """
 
 from __future__ import annotations
@@ -278,4 +279,35 @@ def basket_pairs(
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def gini_by_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Gini coefficient of ``value_col``'s distribution within each group
+    (0 = perfectly equal, →1 = one row holds everything) — the
+    inequality screen (doc-length concentration per source, revenue
+    concentration per segment) that flags collapsed or boilerplate-
+    dominated strata before they skew a mixture. Uses the sorted-rank
+    identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with a deterministic
+    (value, id) tie-break; the rank window and both aggregates are keyed
+    on the group — never a global sort. Zero-total groups yield NULL."""
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).cast("double").alias("x"),
+        F.row_number().over(w).cast("double").alias("i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    g = (2 * six - (n + 1) * sx) / F.when(n * sx != 0, n * sx)
+    return agg.select(
+        group_col,
+        n.cast("long").alias("n_rows"),
+        F.round(g, 6).alias("gini"),
     )

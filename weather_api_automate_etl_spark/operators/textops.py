@@ -8,7 +8,7 @@ aggregates, in which case it's one map-side-combined hash aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from weather_api_automate_etl_spark.functions.core import round_half_up_via_double
 from weather_api_automate_etl_spark.functions.text import (
@@ -779,4 +779,61 @@ def bigram_logprob(
             ),
             "avg_logprob",
         )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law fit of each group's token frequency spectrum: OLS of
+    ln(freq) on ln(rank) over the group's vocabulary — natural language
+    sits near slope −1; templated/boilerplate strata flatten (few
+    dominant tokens) and random-token spam steepens toward 0 from a
+    near-uniform spectrum. The corpus-health screen run per source
+    before mixing. One token-count aggregate (vocabulary-sized), a
+    group-partitioned rank window over the COUNT table (never the token
+    stream), then the closed-form moment recipe with the relative
+    variance floor (stats.VAR_REL_EPS). Groups with a single distinct
+    token yield NULL slope."""
+    from weather_api_automate_etl_spark.operators.stats import _guarded_var
+
+    tok = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    pts = counts.select(
+        group_col,
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x = _guarded_var(n * sxx - sx * sx, n, sxx)
+    var_y = _guarded_var(n * syy - sy * sy, n, syy)
+    slope = cov_n / var_x
+    return m.select(
+        group_col,
+        n.cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(cov_n, 2) / (var_x * var_y), 6
+        ).alias("r2"),
     )

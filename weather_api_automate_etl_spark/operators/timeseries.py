@@ -219,3 +219,50 @@ def cumulative_distinct(
         series_col,
         F.sum("first_seen").over(ws).cast("long").alias("n_types_so_far"),
     )
+
+
+def burstiness(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Goh–Barabási burstiness of each series' inter-arrival times:
+    B = (σ − μ)/(σ + μ) over the gaps between consecutive events —
+    −1 for a perfectly periodic stream, ≈0 for Poisson arrivals, →1 for
+    extreme bursts. The traffic-shape diagnostic behind rate-limit and
+    capacity decisions. Gaps are wall-clock second-boundary counts
+    (the quality.freshness recipe — DST-proof on TIMESTAMP_NTZ); one
+    per-series lag window plus one moment aggregate. Series with fewer
+    than 2 gaps, or with zero σ+μ, yield NULL."""
+    w = Window.partitionBy(series_col).orderBy(*[F.col(c) for c in order_cols])
+    gaps = (
+        df.select(
+            series_col,
+            F.col(ts_col).alias("t"),
+            F.lag(ts_col).over(w).alias("tp"),
+        )
+        .filter(F.col("tp").isNotNull())
+        .select(
+            series_col,
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', tp),"
+                " date_trunc('second', t))"
+            ).cast("double").alias("gap"),
+        )
+    )
+    m = gaps.groupBy(series_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("mu"),
+        F.round(F.stddev_samp("gap"), 6).alias("sigma"),
+    )
+    b = (F.col("sigma") - F.col("mu")) / F.when(
+        F.col("sigma") + F.col("mu") != 0, F.col("sigma") + F.col("mu")
+    )
+    return m.select(
+        series_col,
+        "n_gaps",
+        "mu",
+        "sigma",
+        F.round(b, 6).alias("burstiness"),
+    )

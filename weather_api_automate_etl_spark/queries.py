@@ -533,6 +533,7 @@ def _load_extensions() -> None:
         queries_statml,
         queries_wave4,
         queries_wave5,
+        queries_wave6,
     )
 
 
@@ -620,6 +621,9 @@ ROUND6_PENDING: tuple[str, ...] = (
     "q_skew_profile",
     "q_cumulative_distinct",
     "q_sql_macros",
+    "q_zipf_fit",
+    "q_burstiness",
+    "q_gini_sources",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
