@@ -9,7 +9,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import Row, Window, functions as F
+from pyspark.sql import Row
 
 from weather_api_automate_etl_spark.operators import dedup, graph, stats, timeseries
 

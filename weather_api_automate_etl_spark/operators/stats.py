@@ -60,20 +60,53 @@ def mad_robust_z(
 
 
 #: relative variance floor: ``n·sxx − sx²`` below this fraction of its
-#: ``n·sxx`` magnitude is pure sum-order cancellation noise (double ulp is
-#: ~1e-16 relative), not signal. A sign-agnostic ABSOLUTE clamp is not
-#: enough: for a constant series the noise can land tiny-POSITIVE, where
-#: noise/√(noise·noise) "computes" a garbage r ≈ ±1 that differs between
-#: engines. Below the relative floor BOTH engines yield NULL regardless of
-#: the noise's sign or magnitude.
-VAR_REL_EPS = 1e-12
+#: ``n·sxx`` magnitude is pure sum-order cancellation noise, not signal.
+#: A sign-agnostic ABSOLUTE clamp is not enough: for a constant series the
+#: noise can land tiny-POSITIVE, where noise/√(noise·noise) "computes" a
+#: garbage r ≈ ±1 that differs between engines. Below the relative floor
+#: BOTH engines yield NULL regardless of the noise's sign or magnitude.
+#: 1e-14 sits ~100× above the double noise floor (~1e-16 relative) while
+#: preserving large-offset series (mean ≫ std) whose variance term still
+#: carries real significant digits — a 1e-12 floor was measured to NULL
+#: those (the round-5 second-review finding).
+VAR_REL_EPS = 1e-14
 
 
-def _guarded_var(raw: Column, n: Column, sum_sq: Column) -> Column:
+def guarded_var(raw: Column, n: Column, sum_sq: Column) -> Column:
     """The raw variance term, or NULL when it is cancellation noise
-    (``raw ≤ ε·n·Σx²``). Strictly positive when non-null, so downstream
-    sqrt/divide need no further zero guards — NULL just propagates."""
+    (``raw ≤ ε·n·Σx²`` — see ``VAR_REL_EPS``). Strictly positive when
+    non-null, so downstream sqrt/divide need no further zero guards —
+    NULL just propagates. Public: the OLS/Pearson family across modules
+    shares this one definition."""
     return F.when(raw > F.lit(VAR_REL_EPS) * n * sum_sq, raw)
+
+
+def round0(col: Column, scale: int) -> Column:
+    """``round(col, scale) + 0.0`` — IEEE −0.0 + 0.0 = +0.0, so an
+    AGGREGATED near-zero quantity whose cancellation noise has
+    engine-dependent sign can't hash-differ as '-0.0' vs '0.0' (the
+    covariance_matrix discipline). Row-local arithmetic doesn't need
+    this: identical inputs give identical signs on every engine."""
+    return F.round(col, scale) + F.lit(0.0)
+
+
+def ols_from_moments(
+    n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
+) -> tuple[Column, Column, Column, Column]:
+    """Closed-form OLS of y on x from the five mergeable moment sums:
+    ``(slope, intercept, corr_xy, r2)``, all UNROUNDED. Variance terms
+    pass the relative floor (``guarded_var``) so degenerate x or y yields
+    NULL everywhere, never NaN / hard sqrt errors / garbage ±1. The one
+    definition behind q_linreg_by_group, zipf_fit, and the Pearson
+    family."""
+    cov_n = n * sxy - sx * sy
+    var_x = guarded_var(n * sxx - sx * sx, n, sxx)
+    var_y = guarded_var(n * syy - sy * sy, n, syy)
+    slope = cov_n / var_x
+    intercept = (sy - slope * sx) / n
+    corr = cov_n / F.sqrt(var_x * var_y)
+    r2 = F.pow(cov_n, 2) / (var_x * var_y)
+    return slope, intercept, corr, r2
 
 
 def _pearson_from_moments(
@@ -82,9 +115,7 @@ def _pearson_from_moments(
     """Pearson r from the five mergeable moment sums, cancellation-safe
     via the relative variance floor (see ``VAR_REL_EPS``): constant and
     numerically-constant series yield NULL on every engine."""
-    var_x = _guarded_var(n * sxx - sx * sx, n, sxx)
-    var_y = _guarded_var(n * syy - sy * sy, n, syy)
-    return (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+    return ols_from_moments(n, sx, sy, sxy, sxx, syy)[2]
 
 
 def autocorr_lag1(
@@ -122,7 +153,7 @@ def autocorr_lag1(
     return m.select(
         series_col,
         F.col("n").cast("long").alias("n_pairs"),
-        F.round(r, 6).alias("autocorr_lag1"),
+        round0(r, 6).alias("autocorr_lag1"),
     )
 
 
@@ -309,5 +340,5 @@ def gini_by_group(
     return agg.select(
         group_col,
         n.cast("long").alias("n_rows"),
-        F.round(g, 6).alias("gini"),
+        round0(g, 6).alias("gini"),
     )

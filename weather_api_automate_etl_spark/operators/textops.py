@@ -785,7 +785,6 @@ def bigram_logprob(
 def zipf_fit(
     df: DataFrame,
     group_col: str,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Zipf-law fit of each group's token frequency spectrum: OLS of
@@ -795,10 +794,14 @@ def zipf_fit(
     near-uniform spectrum. The corpus-health screen run per source
     before mixing. One token-count aggregate (vocabulary-sized), a
     group-partitioned rank window over the COUNT table (never the token
-    stream), then the closed-form moment recipe with the relative
-    variance floor (stats.VAR_REL_EPS). Groups with a single distinct
+    stream), then stats.ols_from_moments (relative variance floor —
+    degenerate spectra yield NULL; round0 on the aggregated near-zero-able
+    outputs kills the −0.0 hash hazard). Groups with a single distinct
     token yield NULL slope."""
-    from weather_api_automate_etl_spark.operators.stats import _guarded_var
+    from weather_api_automate_etl_spark.operators.stats import (
+        ols_from_moments,
+        round0,
+    )
 
     tok = df.select(
         F.col(group_col), F.explode(tokens(text_col)).alias("term")
@@ -822,18 +825,14 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    cov_n = n * sxy - sx * sy
-    var_x = _guarded_var(n * sxx - sx * sx, n, sxx)
-    var_y = _guarded_var(n * syy - sy * sy, n, syy)
-    slope = cov_n / var_x
+    slope, intercept, _, r2 = ols_from_moments(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
     return m.select(
         group_col,
-        n.cast("long").alias("n_vocab"),
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(
-            F.pow(cov_n, 2) / (var_x * var_y), 6
-        ).alias("r2"),
+        F.col("n").cast("long").alias("n_vocab"),
+        round0(slope, 6).alias("slope"),
+        round0(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
     )

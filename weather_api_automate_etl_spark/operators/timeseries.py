@@ -256,6 +256,8 @@ def burstiness(
         F.round(F.avg("gap"), 6).alias("mu"),
         F.round(F.stddev_samp("gap"), 6).alias("sigma"),
     )
+    from weather_api_automate_etl_spark.operators.stats import round0
+
     b = (F.col("sigma") - F.col("mu")) / F.when(
         F.col("sigma") + F.col("mu") != 0, F.col("sigma") + F.col("mu")
     )
@@ -264,5 +266,7 @@ def burstiness(
         "n_gaps",
         "mu",
         "sigma",
-        F.round(b, 6).alias("burstiness"),
+        # round0: σ−μ is an aggregated near-zero-able quantity (Poisson
+        # streams sit at B ≈ 0) — the −0.0 hash hazard
+        round0(b, 6).alias("burstiness"),
     )

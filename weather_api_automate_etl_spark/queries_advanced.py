@@ -199,15 +199,16 @@ def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-           ROUND((n * sxy - sx * sy) / vx, 6) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / vx * sx) / n, 6) AS intercept,
-           ROUND((n * sxy - sx * sy) / SQRT(vx * vy), 6) AS corr_xy,
+           ROUND((n * sxy - sx * sy) / vx, 6) + 0.0 AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / vx * sx) / n, 6) + 0.0
+             AS intercept,
+           ROUND((n * sxy - sx * sy) / SQRT(vx * vy), 6) + 0.0 AS corr_xy,
            ROUND(POWER(n * sxy - sx * sy, 2) / (vx * vy), 6) AS r2
     FROM (
       SELECT *,
-             CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
+             CASE WHEN n * sxx - sx * sx > 1e-14 * n * sxx
                   THEN n * sxx - sx * sx END AS vx,
-             CASE WHEN n * syy - sy * sy > 1e-12 * n * syy
+             CASE WHEN n * syy - sy * sy > 1e-14 * n * syy
                   THEN n * syy - sy * sy END AS vy
       FROM m
     )
@@ -239,24 +240,22 @@ def q_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    from weather_api_automate_etl_spark.operators.stats import _guarded_var
+    from weather_api_automate_etl_spark.operators.stats import (
+        ols_from_moments,
+        round0,
+    )
 
-    cov_n = n * sxy - sx * sy
-    # relative-floor variance guards (stats.VAR_REL_EPS): a constant-x or
-    # constant-y group's variance term is sum-order cancellation noise of
-    # EITHER sign — an absolute clamp still lets tiny-positive noise
-    # "compute" garbage ±1 correlations that differ between engines.
-    # Below the floor both engines yield NULL (the review finding).
-    var_x = _guarded_var(n * sxx - sx * sx, n, sxx)
-    var_y = _guarded_var(n * syy - sy * sy, n, syy)
-    slope = cov_n / var_x
+    # stats.ols_from_moments: relative-floor variance guards (degenerate
+    # groups NULL on both engines, never NaN/garbage ±1) — and round0 on
+    # the aggregated near-zero-able outputs (−0.0 hash hazard)
+    slope, intercept, corr, r2 = ols_from_moments(n, sx, sy, sxy, sxx, syy)
     return m.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_xy"),
-        F.round(F.pow(cov_n, 2) / (var_x * var_y), 6).alias("r2"),
+        round0(slope, 6).alias("slope"),
+        round0(intercept, 6).alias("intercept"),
+        round0(corr, 6).alias("corr_xy"),
+        F.round(r2, 6).alias("r2"),
     )
 
 

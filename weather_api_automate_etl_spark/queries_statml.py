@@ -197,11 +197,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
            ROUND((n * sxy - sx * sy)
-                 / SQRT((CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
+                 / SQRT((CASE WHEN n * sxx - sx * sx > 1e-14 * n * sxx
                               THEN n * sxx - sx * sx END)
-                        * (CASE WHEN n * syy - sy * sy > 1e-12 * n * syy
+                        * (CASE WHEN n * syy - sy * sy > 1e-14 * n * syy
                                 THEN n * syy - sy * sy END)),
-                 6) AS autocorr_lag1
+                 6) + 0.0 AS autocorr_lag1
     FROM m
     """,
     tags=("timeseries", "windows", "agg"),

@@ -46,14 +46,15 @@ from weather_api_automate_etl_spark.queries_ext import _TOKENS_SQL
       FROM pts GROUP BY source
     )
     SELECT source, CAST(n AS BIGINT) AS n_vocab,
-           ROUND((n * sxy - sx * sy) / vx, 6) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / vx * sx) / n, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) / vx, 6) + 0.0 AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / vx * sx) / n, 6) + 0.0
+             AS intercept,
            ROUND(POWER(n * sxy - sx * sy, 2) / (vx * vy), 6) AS r2
     FROM (
       SELECT *,
-             CASE WHEN n * sxx - sx * sx > 1e-12 * n * sxx
+             CASE WHEN n * sxx - sx * sx > 1e-14 * n * sxx
                   THEN n * sxx - sx * sx END AS vx,
-             CASE WHEN n * syy - sy * sy > 1e-12 * n * syy
+             CASE WHEN n * syy - sy * sy > 1e-14 * n * syy
                   THEN n * syy - sy * sy END AS vy
       FROM m
     )
@@ -96,7 +97,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g GROUP BY user_id
     )
     SELECT user_id, n_gaps, mu, sigma,
-           ROUND((sigma - mu) / NULLIF(sigma + mu, 0), 6) AS burstiness
+           ROUND((sigma - mu) / NULLIF(sigma + mu, 0), 6) + 0.0 AS burstiness
     FROM m
     """,
     tags=("timeseries", "agg"),
@@ -134,7 +135,7 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r GROUP BY source
     )
     SELECT source, CAST(n AS BIGINT) AS n_rows,
-           ROUND((2 * six - (n + 1) * sx) / NULLIF(n * sx, 0), 6) AS gini
+           ROUND((2 * six - (n + 1) * sx) / NULLIF(n * sx, 0), 6) + 0.0 AS gini
     FROM m
     """,
     tags=("corpus", "agg", "quality"),
