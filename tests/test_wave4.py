@@ -269,3 +269,62 @@ def test_gini_equal_vs_concentrated(spark):
     }
     assert out["EQ"] == 0.0
     assert out["CONC"] > 0.85, f"concentrated stratum gini {out['CONC']}"
+
+
+# ---------------------------------------------------------------------------
+# DST regression: wall-clock semantics under a non-UTC session
+# ---------------------------------------------------------------------------
+
+
+def test_freshness_lag_is_wall_clock_across_dst(spark):
+    """2024-03-10 01:30 -> 03:30 America/New_York spans the spring-forward
+    gap: epoch difference is 3600 s but WALL-CLOCK difference is 7200 s.
+    freshness must report the wall-clock lag regardless of session tz
+    (the round-5 review finding: unix_timestamp on TIMESTAMP_NTZ
+    round-trips the session zone and would report 3600)."""
+    from weather_api_automate_etl_spark.operators import quality
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql(
+            """
+            SELECT * FROM VALUES
+              ('a', TIMESTAMP_NTZ '2024-03-10 01:30:00'),
+              ('b', TIMESTAMP_NTZ '2024-03-10 03:30:00')
+            AS t(stream, ts)
+            """
+        )
+        out = {
+            r["stream"]: r
+            for r in quality.freshness(df, "stream", "ts",
+                                       stale_after_s=3600).collect()
+        }
+        assert out["a"]["lag_seconds"] == 7200, (
+            f"wall-clock lag must be 7200s, got {out['a']['lag_seconds']} "
+            "(3600 would mean the lag went through the session timezone)"
+        )
+        assert out["a"]["is_stale"] and not out["b"]["is_stale"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_sql_macro_pg_hour_ntz_in_dst_gap(spark):
+    """pg_hour's param is TIMESTAMP_NTZ: 02:30 on the US spring-forward
+    date is a NONEXISTENT New-York local time — an LTZ param would
+    resolve it through the session zone to 03:30 and answer 3, the
+    review-flagged divergence from the naive-timestamp oracle."""
+    from weather_api_automate_etl_spark.sources.catalog import register_sql_macros
+
+    register_sql_macros(spark)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        row = spark.sql(
+            "SELECT pg_hour(TIMESTAMP_NTZ '2024-03-10 02:30:00') AS hr,"
+            "       pg_dow(TIMESTAMP_NTZ '2024-03-10 02:30:00') AS dow"
+        ).head()
+        assert row["hr"] == 2, f"NTZ hour must be 2 (naive), got {row['hr']}"
+        assert row["dow"] == 0  # 2024-03-10 is a Sunday
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
