@@ -328,3 +328,79 @@ def test_sql_macro_pg_hour_ntz_in_dst_gap(spark):
         assert row["dow"] == 0  # 2024-03-10 is a Sunday
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ---------------------------------------------------------------------------
+# wave 7: A/B readout and first-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_ab_assignment_deterministic_and_aa_null_effect(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # A/A test: values independent of the hash split -> |z| must be small
+    df = spark.createDataFrame(
+        [Row(user_id=i, value=float(v))
+         for i, v in enumerate(rng.normal(50, 5, 4000))]
+    )
+    r1 = stats.ab_test_welch(df, "user_id", "value").head()
+    r2 = stats.ab_test_welch(df, "user_id", "value").head()
+    assert r1 == r2, "hash assignment must be replayable"
+    assert abs(r1["z"]) < 3.0, f"A/A test found an effect: z={r1['z']}"
+    assert r1["n_a"] + r1["n_b"] == 4000
+    # a different salt re-randomizes the split
+    r3 = stats.ab_test_welch(df, "user_id", "value", salt="exp2").head()
+    assert (r3["n_a"], r3["n_b"]) != (r1["n_a"], r1["n_b"])
+
+
+def test_ab_detects_constructed_effect(spark):
+    # craft a true arm effect by first reading the assignment, then
+    # setting value = 10 + 5*arm — z must be overwhelming and positive
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 2000).select(F.col("id").alias("user_id"))
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % 2
+    )
+    df = base.select(
+        "user_id",
+        (F.lit(10.0) + F.lit(5.0) * arm
+         + (F.col("user_id") % 7).cast("double") / 10).alias("value"),
+    )
+    r = stats.ab_test_welch(df, "user_id", "value").head()
+    assert r["z"] > 20, f"constructed +5 effect must dominate: z={r['z']}"
+    assert 0.4 < r["rel_lift"] < 0.6
+
+
+def test_first_touch_attribution_hand_case(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: ad -> purchase (converted, first touch 'ad')
+    # user 2: email -> view (not converted, first touch 'email')
+    # user 3: ad -> view (not converted, first touch 'ad')
+    # user 4: purchase only (converted, first touch 'purchase')
+    seqs = {1: ["ad", "purchase"], 2: ["email", "view"],
+            3: ["ad", "view"], 4: ["purchase"]}
+    eid = 0
+    for uid, kinds in seqs.items():
+        for j, k in enumerate(kinds):
+            rows.append(Row(event_id=eid, user_id=uid, event_type=k,
+                            ts=base + dt.timedelta(minutes=j)))
+            eid += 1
+    out = {
+        r["first_touch"]: r
+        for r in stats.first_touch_conversion(
+            spark.createDataFrame(rows), "user_id", "event_type",
+            ("ts", "event_id"), target="purchase",
+        ).collect()
+    }
+    assert out["ad"]["n_units"] == 2 and out["ad"]["n_converted"] == 1
+    assert out["ad"]["conversion_rate"] == 0.5
+    assert out["email"]["n_converted"] == 0
+    assert out["purchase"]["conversion_rate"] == 1.0

@@ -342,3 +342,100 @@ def gini_by_group(
         n.cast("long").alias("n_rows"),
         round0(g, 6).alias("gini"),
     )
+
+
+def ab_test_welch(
+    df: DataFrame, unit_col: str, value_col: str, salt: str = "exp1"
+) -> DataFrame:
+    """Deterministic A/B assignment + Welch z-test in one pass: units
+    hash-split 50/50 (salted md5 — replayable, engine-portable, no RNG
+    state; a unit keeps its arm across reruns and engines), then the
+    two arms' means are compared with the unequal-variance z statistic
+    z = (μ_B − μ_A)/√(s²_A/n_A + s²_B/n_B) and relative lift — the
+    experimentation readout every product pipeline ends in. ONE
+    conditional aggregate produces both arms' moments (map-side
+    combined, 1-row output); means/stddevs round to 6 before the z
+    arithmetic so the statistic derives from hash-stable inputs, and
+    the aggregated near-zero-able z/lift normalize −0.0 (round0)."""
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(unit_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    v = F.col(value_col)
+    m = df.select(arm.alias("arm"), v.alias("v")).agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+        F.round(F.avg(F.when(F.col("arm") == 0, F.col("v"))), 6).alias("mean_a"),
+        F.round(F.avg(F.when(F.col("arm") == 1, F.col("v"))), 6).alias("mean_b"),
+        F.round(
+            F.stddev_samp(F.when(F.col("arm") == 0, F.col("v"))), 6
+        ).alias("sd_a"),
+        F.round(
+            F.stddev_samp(F.when(F.col("arm") == 1, F.col("v"))), 6
+        ).alias("sd_b"),
+    )
+    se = F.sqrt(
+        F.col("sd_a") * F.col("sd_a") / F.col("n_a")
+        + F.col("sd_b") * F.col("sd_b") / F.col("n_b")
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "sd_a",
+        "sd_b",
+        round0(
+            (F.col("mean_b") - F.col("mean_a")) / F.when(se != 0, se), 6
+        ).alias("z"),
+        round0(
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.when(F.col("mean_a") != 0, F.col("mean_a")),
+            6,
+        ).alias("rel_lift"),
+    )
+
+
+def first_touch_conversion(
+    df: DataFrame,
+    unit_col: str,
+    kind_col: str,
+    order_cols: tuple[str, ...],
+    target: str,
+) -> DataFrame:
+    """First-touch attribution: each unit's FIRST event kind (its
+    acquisition channel) against whether the unit ever reached the
+    ``target`` kind — conversion counts and rate per first-touch
+    channel, the question every funnel report starts with. One
+    unit-keyed window picks the first touch, one unit-keyed aggregate
+    flags conversion, then a channel-cardinality rollup; nothing joins
+    at event scale. Rate is an aggregated near-zero-able double
+    (round0)."""
+    w = Window.partitionBy(unit_col).orderBy(*[F.col(c) for c in order_cols])
+    per_unit = (
+        df.select(
+            unit_col,
+            F.col(kind_col).alias("kind"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy(unit_col)
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("kind"))).alias("first_touch"),
+            F.max((F.col("kind") == target).cast("int")).alias("converted"),
+        )
+    )
+    return per_unit.groupBy("first_touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        round0(
+            F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+    )

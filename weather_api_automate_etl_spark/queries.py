@@ -534,6 +534,7 @@ def _load_extensions() -> None:
         queries_wave4,
         queries_wave5,
         queries_wave6,
+        queries_wave7,
     )
 
 
@@ -624,6 +625,8 @@ ROUND6_PENDING: tuple[str, ...] = (
     "q_zipf_fit",
     "q_burstiness",
     "q_gini_sources",
+    "q_ab_lift",
+    "q_first_touch",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
