@@ -327,3 +327,15 @@ def test_autocorr_constant_series_is_null_not_nan(spark):
     assert row["autocorr_lag1"] is None, (
         f"constant series must be NULL, got {row['autocorr_lag1']}"
     )
+
+
+def test_covariance_null_vector_raises_contract_error(spark):
+    with pytest.raises(Exception, match="null embedding vector"):
+        emb_ops.covariance_matrix(
+            spark.createDataFrame(
+                [Row(vec_id=1, v=[1.0, 2.0]), Row(vec_id=2, v=None)],
+                "vec_id long, v array<double>",
+            ),
+            "v",
+            dim=2,
+        ).collect()

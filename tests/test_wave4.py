@@ -404,3 +404,25 @@ def test_first_touch_attribution_hand_case(spark):
     assert out["ad"]["conversion_rate"] == 0.5
     assert out["email"]["n_converted"] == 0
     assert out["purchase"]["conversion_rate"] == 1.0
+
+
+def test_trailing_median_null_leading_value_yields_null_not_crash(spark):
+    """A series whose first value is NULL has an EMPTY first frame
+    (collect_list skips NULLs): the median must be NULL for that row —
+    not an INVALID_INDEX_OF_ZERO crash (third-review finding)."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(event_id=0, user_id=1, ts=base, value=None),
+         Row(event_id=1, user_id=1, ts=base + dt.timedelta(minutes=1),
+             value=7.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["trailing_median"]
+        for r in timeseries.trailing_median(
+            df, "user_id", "value", ("ts", "event_id"),
+            window_rows=8, keep_cols=("event_id",),
+        ).collect()
+    }
+    assert out[0] is None
+    assert out[1] == 7.0

@@ -125,3 +125,17 @@ def temperature_category(temperature: Column | str) -> Column:
         [(None, 0, "Freezing"), (0, 10, "Cold"), (11, 20, "Mild"), (21, 30, "Warm")],
         otherwise="Hot",
     )
+
+
+def salted_hash64(col: Column | str, salt: str = "") -> Column:
+    """The engine-parity hash primitive: ``conv(md5(salt || col)[:8],
+    16, 10)`` as a long in [0, 2³²) — deterministic, engine-portable
+    (DuckDB twin: ``CAST(concat('0x', substr(md5(...), 1, 8)) AS
+    UBIGINT)``), no RNG state. One definition for every salted
+    hash-assignment site (A/B arms, count-min rows, sampling
+    thresholds); a drifted copy of this recipe silently breaks oracle
+    parity, so don't re-spell it inline."""
+    key = _col(col).cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")

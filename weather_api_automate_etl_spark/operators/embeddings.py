@@ -134,9 +134,11 @@ def _merged_gram(df: DataFrame, vec_col: str, d: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            # validate per-vector BEFORE np.stack so a ragged batch
-            # raises the documented contract error, not numpy's
-            # shape-mismatch (batch-layout-dependent — review finding)
+            # validate per-vector BEFORE np.stack so ragged/null batches
+            # raise the documented contract error, not numpy's
+            # shape-mismatch or len(None) (batch-layout-dependent)
+            if any(v is None for v in pdf[vec_col]):
+                raise ValueError("null embedding vector in input")
             bad = {len(v) for v in pdf[vec_col]} - {d}
             if bad:
                 raise ValueError(

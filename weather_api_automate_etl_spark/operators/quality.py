@@ -123,11 +123,13 @@ def freshness(
     NOT a bare ``timestampdiff`` (which truncates ELAPSED time where
     SQL engines' date_diff counts boundary crossings; truncating both
     ends first makes the two identical)."""
-    g = df.agg(F.max(ts_col).alias("gmax"))
     last = df.groupBy(group_col).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+    # watermark from the group aggregate (metadata-scale), NOT a second
+    # full scan of the fact stream — max-of-maxes is the same value
+    g = last.agg(F.max("last_ts").alias("gmax"))
     lag = F.expr(
         "timestampdiff(SECOND, date_trunc('second', last_ts),"
         " date_trunc('second', gmax))"

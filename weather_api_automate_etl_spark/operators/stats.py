@@ -33,7 +33,14 @@ def mad_robust_z(
     drift. Two group aggregates (median, then median of absolute
     residuals — the second pass is inherent to MAD) with the
     group-cardinality stats broadcast back; the flag compares the
-    ROUNDED z so it can't flip on a last-ulp quantile difference."""
+    ROUNDED z so it can't flip on a last-ulp quantile difference.
+
+    Contract: a group whose MAD is 0 (more than half its values tie —
+    common for counts/low-cardinality metrics) has NO defined robust z:
+    every row gets NULL robust_z and NULL is_outlier, on both engines.
+    Callers needing a verdict there should fall back to the IQR fence
+    (q_anomaly_iqr) or mean-AD; silently flagging everything (or
+    nothing) would be worse than the explicit NULL."""
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("med")
     )
@@ -173,7 +180,9 @@ def rfm_scores(
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum(amount_col), 2).alias("monetary"),
     )
-    mx = df.agg(F.max(date_col).alias("maxd"))
+    # watermark from the key aggregate (exchange-reused, metadata-scale),
+    # not a second full scan of the fact table (third-review finding)
+    mx = cust.agg(F.max("last_order").alias("maxd"))
     base = cust.crossJoin(F.broadcast(mx)).select(
         key_col,
         F.datediff("maxd", "last_order").cast("int").alias("recency"),
@@ -357,18 +366,9 @@ def ab_test_welch(
     combined, 1-row output); means/stddevs round to 6 before the z
     arithmetic so the statistic derives from hash-stable inputs, and
     the aggregated near-zero-able z/lift normalize −0.0 (round0)."""
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}:"), F.col(unit_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
+    from weather_api_automate_etl_spark.functions.core import salted_hash64
+
+    arm = salted_hash64(F.col(unit_col), f"{salt}:") % 2
     v = F.col(value_col)
     m = df.select(arm.alias("arm"), v.alias("v")).agg(
         F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),

@@ -667,21 +667,14 @@ def count_min_frequencies(
         F.col("term") != ""
     )
 
+    from weather_api_automate_etl_spark.functions.core import salted_hash64
+
     def bucket_structs(term: Column) -> Column:
         return F.array(
             *[
                 F.struct(
                     F.lit(i).alias("h"),
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{i}:"), term)), 1, 8
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        % width
-                    ).cast("int").alias("b"),
+                    (salted_hash64(term, f"{i}:") % width).cast("int").alias("b"),
                 )
                 for i in range(depth)
             ]

@@ -41,9 +41,12 @@ def trailing_median(
     n = F.size(arr)
     lo = F.element_at(arr, (n / 2).cast("int"))
     hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    # n > 0 guard: collect_list skips NULLs, so an all-null frame is
+    # EMPTY — element_at(arr, 0) would raise INVALID_INDEX_OF_ZERO where
+    # the windowed-quantile oracle returns NULL (third-review finding)
     med = F.when(
         n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
-    ).otherwise(lo + (hi - lo) * F.lit(0.5))
+    ).when(n > 0, lo + (hi - lo) * F.lit(0.5))
     return df.select(
         *keep_cols,
         series_col,

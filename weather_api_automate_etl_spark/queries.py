@@ -603,19 +603,24 @@ ROUND5_WINDOW_HEAD: tuple[str, ...] = (
     "q_rfm_segments",
     "q_embedding_covariance",
     "q_pca_project",
-)
-
-#: Round-5 additions that arrived AFTER the 50-entry window filled (the
-#: third wave consumed the last free slots). They hold local-oracle green
-#: rows from tools/check_oracle.py this round; round 6's window must open
-#: with them (the same hand-off every round has used — pinned by
-#: test_queries_registry, which allows exactly this set to sit outside
-#: the window unverified).
-ROUND6_PENDING: tuple[str, ...] = (
+    # -- round-5 fourth wave (promoted into the window: the head had 42
+    # -- entries, leaving 4 driver slots wasted on r1-r4-green overflow —
+    # -- the round-5 third-review finding) ---------------------------------
     "q_label_propagation",
     "q_trailing_median",
     "q_seasonal_baseline",
     "q_concurrency",
+)
+
+#: Round-5 additions that arrived AFTER the 50-entry window filled
+#: (waves 4-7 outgrew it; the first four wave-4 entries were promoted
+#: into the head when a recount found 4 free slots). They hold
+#: local-oracle green rows from tools/check_oracle.py this round at
+#: sf0.001/0.01/0.1 plus hostile sweeps; round 6's window must open with
+#: them (the same hand-off every round has used — pinned by
+#: test_queries_registry, which allows exactly this set to sit outside
+#: the window unverified).
+ROUND6_PENDING: tuple[str, ...] = (
     "q_cusum_changepoint",
     "q_fuzzy_match",
     "q_freshness",
@@ -634,7 +639,8 @@ PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     # registration-order overflow; only never-verified queries need
     # window placement)
     # -- §2 core sentinels (driver-green r1-r4; regression canaries). The
-    # -- 46-entry round-5 head leaves exactly 4 prefix slots: the
+    # -- 46-entry round-5 head (42 + 4 promoted wave-4) leaves exactly 4
+    # -- prefix slots: the
     # -- semantics-trap sentinels (ILIKE branch order, Postgres dow,
     # -- dbt_utils md5 sentinel) and the ingest family keep them — every
     # -- other core entry rides the overflow on its multi-round green rows

@@ -131,6 +131,12 @@ _SQL_MACROS: tuple[tuple[str, str], ...] = (
         "ELSE trim(d) END",
     ),
     (
+        # NB: reproduces the reference's inclusive-BETWEEN recode
+        # byte-for-byte (stg_weather.sql:27-33, §2 op 15) INCLUDING its
+        # integer-oriented band gaps — a fractional value in (10,11),
+        # (20,21) or (30,31) falls through to the ELSE branch exactly as
+        # it would in the reference. Fidelity over smoothness: q_range_-
+        # bucket's oracle pins the same semantics on l_quantity.
         "quantity_bucket",
         "CREATE OR REPLACE TEMPORARY FUNCTION quantity_bucket(q DOUBLE) "
         "RETURNS STRING RETURN CASE "
