@@ -371,8 +371,11 @@ def ab_test_welch(
     arm = salted_hash64(F.col(unit_col), f"{salt}:") % 2
     v = F.col(value_col)
     m = df.select(arm.alias("arm"), v.alias("v")).agg(
-        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_a"),
-        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_b"),
+        # count non-NULL values per arm (not rows): mean/stddev skip NULLs,
+        # so n must too or the s²/n terms understate the variance (the
+        # round-5 advice finding)
+        F.count(F.when(F.col("arm") == 0, F.col("v"))).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, F.col("v"))).cast("long").alias("n_b"),
         F.round(F.avg(F.when(F.col("arm") == 0, F.col("v"))), 6).alias("mean_a"),
         F.round(F.avg(F.when(F.col("arm") == 1, F.col("v"))), 6).alias("mean_b"),
         F.round(

@@ -33,8 +33,8 @@ _AB_SALT = "exp1"
       FROM events
     ),
     m AS (
-      SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
-             CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+      SELECT CAST(count(CASE WHEN arm = 0 THEN v END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN arm = 1 THEN v END) AS BIGINT) AS n_b,
              ROUND(avg(CASE WHEN arm = 0 THEN v END), 6) AS mean_a,
              ROUND(avg(CASE WHEN arm = 1 THEN v END), 6) AS mean_b,
              ROUND(stddev_samp(CASE WHEN arm = 0 THEN v END), 6) AS sd_a,
