@@ -2359,15 +2359,69 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_pagerank_converged", oracle=None, tags=("dedup", "graph"))
+def _pagerank_converged_oracle(tolerance: str = "1.0e-6") -> str:
+    """Convergence-mode PageRank as a DuckDB RECURSIVE CTE — the working
+    table carries (src, rank, delta, round); each recursion step is one
+    power iteration, and the step only fires while the PREVIOUS round's
+    Σ|Δrank| is ≥ tolerance, which replicates operators/graph.py::pagerank's
+    stop rule exactly (step, then break when the just-computed movement is
+    below ε). The oracle therefore derives its OWN round count from the
+    data — no unrolled fixed-round CTE, no SF-dependent constant."""
+    nr = f"""(1.0e0 - 0.85e0) / (SELECT n FROM nn)
+           + 0.85e0 * (COALESCE(c.mass, 0.0e0)
+                       + (SELECT COALESCE(SUM({{t}}.rank), 0.0e0) FROM r {{t}}
+                          WHERE {{t}}.src NOT IN (SELECT src FROM deg))
+                         / (SELECT n FROM nn))"""
+    return (
+        _MINHASH_SIG_SQL.replace("WITH base", "WITH RECURSIVE base", 1)
+        + f"""
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    r(src, rank, delta, i) AS (
+      SELECT doc_id, 1.0e0 / (SELECT n FROM nn), 1.0e9, 0 FROM documents
+      UNION ALL
+      SELECT d.doc_id,
+             {nr.format(t="t2")} AS rank,
+             ABS({nr.format(t="t3")} - t0.rank) AS delta,
+             t0.i + 1
+      FROM documents d
+      JOIN r t0 ON t0.src = d.doc_id
+      LEFT JOIN (
+        SELECT e.dst, SUM(t1.rank / dg.degree) AS mass
+        FROM edges e JOIN deg dg USING (src) JOIN r t1 ON t1.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = d.doc_id
+      WHERE (SELECT SUM(t4.delta) FROM r t4) >= {tolerance}
+    )
+    SELECT src AS doc_id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_n
+    FROM r WHERE i = (SELECT MAX(i) FROM r)
+    """
+    )
+
+
+@query(
+    "q_pagerank_converged",
+    oracle=_pagerank_converged_oracle(),
+    tags=("dedup", "graph"),
+)
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shaped PageRank: iterate until Σ|Δrank| < 1e-6 instead of
     a fixed round count (operators/graph.py::pagerank tolerance mode, CC's
     probe discipline — one 1-row aggregate per round, no extra join). The
-    round count is data-dependent, so there is no fixed-CTE SQL twin:
-    rows-only driver check, with the quantitative gates (mass conservation,
-    probe monotone to ε, agreement with a long fixed run) in
-    tests/test_dedup_similarity.py."""
+    round count is data-dependent, so the oracle is a RECURSIVE CTE that
+    applies the SAME stop rule and derives the same round count from the
+    data (upgraded from rows-only, the round-5 advice item); the
+    quantitative gates (mass conservation, probe monotone to ε, agreement
+    with a long fixed run) stay in tests/test_dedup_similarity.py."""
     from weather_api_automate_etl_spark.operators import graph
 
     docs = t(spark, sf_dir, "documents")
