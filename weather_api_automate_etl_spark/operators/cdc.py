@@ -63,6 +63,83 @@ def snapshot_diff(
     )
 
 
+def merge_into(
+    mart: DataFrame,
+    updates: DataFrame,
+    key: str,
+    with_provenance: bool = False,
+) -> DataFrame:
+    """MERGE / upsert (update-else-insert): every ``updates`` row wins over
+    the mart row with the same key; mart keys absent from the updates pass
+    through untouched. The production alternative to the reference's
+    full-refresh materialization (/root/reference/dbt/dbt_project.yml:29-32
+    rebuilds the whole mart per run) — at 100 TB the mart is maintained by
+    key-upsert, not rebuilt.
+
+    Shape: ONE left-anti join of the mart against the update keys, then a
+    union — the updates side of a continuous pipeline is orders of
+    magnitude smaller than the mart, so the anti-join broadcasts (AQE picks
+    this up from the update batch's runtime size); no shuffle ever touches
+    the full mart. Composed with ``merge_into_partitioned`` the anti-join
+    additionally runs only over the partitions the batch touches.
+
+    ``with_provenance=True`` appends a ``merge_action`` column
+    ('updated' / 'inserted' / 'carried'): updates are classified by one
+    broadcast-able semi/anti pass over the mart's key column. Column sets
+    of both inputs must match (enforced by unionByName).
+    """
+    upd_keys = updates.select(F.col(key)).distinct()
+    carried = mart.join(upd_keys, key, "left_anti")
+    if not with_provenance:
+        return carried.unionByName(updates)
+    mart_keys = mart.select(F.col(key)).distinct()
+    updated = updates.join(mart_keys, key, "left_semi").withColumn(
+        "merge_action", F.lit("updated")
+    )
+    inserted = updates.join(mart_keys, key, "left_anti").withColumn(
+        "merge_action", F.lit("inserted")
+    )
+    return (
+        carried.withColumn("merge_action", F.lit("carried"))
+        .unionByName(updated)
+        .unionByName(inserted)
+    )
+
+
+def merge_into_partitioned(
+    spark,
+    mart_path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+) -> list:
+    """Physical MERGE into a partitioned parquet mart, rewriting ONLY the
+    partitions the update batch touches.
+
+    1. the batch's partition values (metadata-scale — a daily batch touches
+       a handful of dates) prune the mart scan;
+    2. ``merge_into`` resolves the upsert inside those partitions only;
+    3. dynamic partition overwrite replaces exactly those partitions — the
+       untouched ones are never read or written.
+
+    Updates must land in their OWN partition (an update may not move a row
+    across partitions — same contract as Hive/Delta dynamic overwrite).
+    Returns the touched partition values (driver-side, metadata-scale).
+    """
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = spark.read.parquet(mart_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = merge_into(current, updates.select(*current.columns), key)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(mart_path)
+    )
+    return touched
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,

@@ -535,6 +535,7 @@ def _load_extensions() -> None:
         queries_wave5,
         queries_wave6,
         queries_wave7,
+        queries_wave8,
     )
 
 
