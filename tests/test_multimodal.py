@@ -139,11 +139,13 @@ def test_decode_image_sniffs_magic_and_rejects_unknown():
     assert np.array_equal(codecs.decode_image(codecs.encode_ppm(px)), px)
     assert np.array_equal(codecs.decode_image(codecs.encode_bmp(px)), px)
     assert np.array_equal(codecs.decode_image(codecs.encode_png(px)), px)
-    # JPEG now routes to the real decoder (rejecting garbage loudly);
-    # unknown magics remain the documented plug point
+    # JPEG and GIF route to the real decoders (rejecting garbage loudly);
+    # magics beyond the pure-NumPy set remain the documented plug point
+    # (PIL when installed, NotImplementedError otherwise — see
+    # test_unknown_magic_without_pil_raises_not_implemented)
     with _pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0....")
-    with _pytest.raises(NotImplementedError, match="magic"):
+    with _pytest.raises(ValueError):
         codecs.decode_image(b"GIF89a....")
 
 
@@ -561,3 +563,155 @@ def test_avi_audio_strl_before_video_strl_and_wav_frame_alignment():
     _struct.pack_into("<I", wav2, fmt_at + 8 + 4, 0)
     with _pytest.raises(ValueError, match="sample rate"):
         codecs.decode_wav(bytes(wav2))
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (round-6: pure-stdlib variable-width LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_known_vector_decodes():
+    """The canonical 35-byte single-white-pixel GIF89a (an independent,
+    hand-assembled stream — NOT produced by our encoder) pins the decoder
+    against the spec: LSB-first bit order, clear/EOI codes, GCT lookup."""
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    known = bytes.fromhex(
+        "474946383961010001008000"  # header + 1x1 screen, GCT of 2
+        "00ffffff000000"            # bg/aspect + GCT: white, black
+        "2c000000000100010000"      # image descriptor 1x1
+        "0202440100"                # mcs=2, data block [44 01]
+        "3b"
+    )
+    arr = codecs.decode_gif(known)
+    assert arr.shape == (1, 1, 3) and (arr == 255).all()
+    assert (codecs.decode_image(known) == arr).all()
+
+
+def test_gif_roundtrip_fuzz_width_bumps_and_table_clear():
+    """Round-trip across palette sizes and rasters chosen to cross every
+    LZW regime: 3-bit codes only, one width bump, growth to 12 bits, and a
+    table-full mid-stream CLEAR (90*120 random 256-color pixels emit >4096
+    codes). Also pins the KwKwK special case via long single-color runs."""
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    rng = np.random.RandomState(7)
+    for ncol, shape in [(2, (3, 4)), (4, (7, 9)), (16, (32, 33)),
+                        (256, (64, 80)), (256, (90, 120))]:
+        pal = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(ncol)]
+        idx = rng.randint(0, ncol, shape).astype(np.uint8)
+        dec = codecs.decode_gif(codecs.encode_gif(idx, pal))
+        assert (dec == np.array(pal, dtype=np.uint8)[idx]).all(), (ncol, shape)
+    # KwKwK + run-length table growth: constant raster with one odd pixel
+    idx = np.zeros((50, 77), dtype=np.uint8)
+    idx[0, 0] = 1
+    pal = [(10, 20, 30), (200, 100, 50)]
+    dec = codecs.decode_gif(codecs.encode_gif(idx, pal))
+    assert (dec == np.array(pal, dtype=np.uint8)[idx]).all()
+
+
+def test_gif_interlaced_and_local_color_table():
+    """Foreign-stream features our encoder never writes: a 4-pass
+    interlaced raster and a local color table overriding the global one —
+    built by hand (re-packing a non-interlaced stream's rows into pass
+    order) so the decoder's de-interlace mapping is pinned independently."""
+    import struct
+
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    h, w = 9, 4
+    # display raster: row index encoded in the red channel via palette id
+    idx = np.tile(np.arange(h, dtype=np.uint8)[:, None], (1, w))
+    pal = [(i * 10, 0, 0) for i in range(16)]
+    # pass order for h=9: rows 0,8 | 4 | 2,6 | 1,3,5,7
+    pass_rows = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    stored = idx[pass_rows]
+    plain = codecs.encode_gif(stored, pal)
+    # rewrite: move palette to a LOCAL color table and set the interlace bit
+    depth = 4  # 16 entries
+    gct_len = 3 * (1 << depth)
+    # plain layout: 6 header + 7 screen + GCT + 10 image descriptor + data
+    data_part = plain[13 + gct_len + 10 :]
+    gct = plain[13 : 13 + gct_len]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x00, 0, 0)  # no GCT
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | 0x40 | (depth - 1)
+    )  # LCT + interlace
+    out += gct
+    out += data_part
+    arr = codecs.decode_gif(bytes(out))
+    assert arr.shape == (h, w, 3)
+    assert [int(r) for r in arr[:, 0, 0]] == [i * 10 for i in range(h)]
+
+
+def test_gif_encode_rejections():
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    with _pytest.raises(ValueError, match="index raster"):
+        codecs.encode_gif(np.zeros((2, 2, 3), dtype=np.uint8), [(0, 0, 0)])
+    with _pytest.raises(ValueError, match="beyond the palette"):
+        codecs.encode_gif(np.full((2, 2), 3, dtype=np.uint8), [(0, 0, 0)])
+    payload = codecs.encode_gif(np.zeros((8, 8), dtype=np.uint8), [(1, 2, 3)])
+    with _pytest.raises(ValueError, match="truncated"):
+        codecs.decode_gif(payload[:-6])
+
+
+def test_gif_spark_pipeline_stats(spark):
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+    stats = multimodal.image_stats(
+        multimodal.documents_as_gif_assets(docs)
+    ).collect()
+    assert len(stats) == 40
+    for r in stats:
+        d = r.asset_id
+        assert r.media_type == "image/gif"
+        assert (r.width, r.height) == (d % 9 + 2, d % 6 + 2)
+        assert r.first_px_r == 255 - d % 256
+        assert r.first_px_b == 255 - d * 7 % 256
+
+
+def test_pil_plug_point_decodes_foreign_media():
+    """The WebP/TIFF seam: with Pillow installed, decode_image must route
+    unknown magics through PIL; without it (this container), the
+    documented NotImplementedError fires — asserted in
+    test_gif_encode_rejections' sibling below."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    img = Image.fromarray(np.full((5, 7, 3), 99, dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="WEBP", lossless=True)
+    arr = codecs.decode_image(buf.getvalue())
+    assert arr.shape == (5, 7, 3) and (arr == 99).all()
+
+
+def test_unknown_magic_without_pil_raises_not_implemented():
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL installed: the fallback path decodes instead")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="plug in PIL/ffmpeg"):
+        codecs.decode_image(b"RIFF0000WEBPVP8 ")

@@ -26,6 +26,11 @@ Formats (public specs):
 - WAV (RIFF/WAVE): chunk walk, uncompressed PCM-16 only.
 - AVI (RIFF 'AVI '): hdrl/strl/movi walk, uncompressed 24-bpp DIB
   frames only; strf is bound to the 'vids' strh within its strl.
+- GIF (GIF87a/89a): logical screen descriptor, global/local color
+  tables, extension-block skip, variable-width LSB-first LZW with
+  CLEAR/EOI handling, width growth to 12 bits, table-full clears, and
+  4-pass de-interlace. Decode returns the FIRST frame as RGB; encode
+  writes a single-frame GIF89a from an explicit (indices, palette) pair.
 """
 
 from __future__ import annotations
@@ -954,6 +959,222 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GIF (GIF87a / GIF89a) — variable-width LZW
+# ---------------------------------------------------------------------------
+#
+# LZW width discipline (derived from the stream invariant, test-pinned by
+# the round-trip fuzz in tests/test_multimodal.py): the decoder's string
+# table runs one entry BEHIND the encoder's at the same stream position
+# (the decoder adds its entry only after reading the NEXT code), so
+#   decoder: after adding an entry, bump width when size == 1 << width
+#   encoder: after adding an entry, bump width when size == (1 << width) + 1
+# and the encoder emits CLEAR when its table hits 4096 (the decoder's
+# then-4095-entry table never fills, but a deferred-clear guard is kept
+# for foreign streams). Bit packing is LSB-first per the spec.
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (GIF LZW bit order — the JPEG writer above is
+    MSB-first, so the two are intentionally separate)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _gif_lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _LsbBitWriter()
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    size = eoi + 1
+    bw.write(clear, width)
+    seq = [int(v) for v in indices.ravel()]
+    prev = seq[0]
+    for k in seq[1:]:
+        if (prev, k) in table:
+            prev = table[(prev, k)]
+            continue
+        bw.write(prev, width)
+        table[(prev, k)] = size
+        size += 1
+        if size == (1 << width) + 1 and width < 12:
+            width += 1
+        if size == 4096:
+            bw.write(clear, width)
+            table.clear()
+            size = eoi + 1
+            width = min_code_size + 1
+        prev = k
+    bw.write(prev, width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def _gif_lzw_decompress(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([i]) for i in range(clear)]
+    table = roots + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: int | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = roots + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError(f"GIF: LZW code {code} out of range")
+            out += entry
+            if len(table) < 4096:  # deferred-clear guard
+                table.append(table[prev] + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        prev = code
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: list[tuple[int, int, int]]) -> bytes:
+    """Single-frame GIF89a from an explicit (H, W) index raster and its
+    palette (≤256 RGB triples). The palette is written as the global color
+    table padded to a power of two; indices compress with real
+    variable-width LZW."""
+    if indices.ndim != 2:
+        raise ValueError("encode_gif expects an (H, W) index raster")
+    if not 0 < len(palette) <= 256:
+        raise ValueError("GIF palette must have 1..256 entries")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("index raster references colors beyond the palette")
+    h, w = indices.shape
+    depth = 1
+    while (1 << depth) < len(palette):
+        depth += 1
+    gct = bytearray()
+    for i in range(1 << depth):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07), 0, 0)
+    out += gct
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    mcs = max(2, depth)
+    out.append(mcs)
+    data = _gif_lzw_compress(indices.astype(np.uint8), mcs)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to an (H, W, 3) RGB array.
+    Handles global and local color tables, extension blocks, table-full
+    streams, and interlaced rasters; transparency is ignored (the palette
+    color shows through) — animation composition is out of scope."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = np.frombuffer(payload[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
+        pos += n
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer before any image
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            ct = np.frombuffer(payload[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
+            pos += n
+        if ct is None:
+            raise ValueError("GIF: no color table in scope")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated data sub-blocks")
+            ln = payload[pos]
+            if not ln:
+                break
+            if pos + 1 + ln > len(payload):
+                raise ValueError("GIF: truncated data sub-blocks")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decompress(bytes(data), mcs, w * h).reshape(h, w)
+        if ipacked & 0x40:  # 4-pass interlace
+            deinter = np.empty_like(idx)
+            rows = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            deinter[rows] = idx
+            idx = deinter
+        return ct[idx]
+    raise ValueError("GIF: no image descriptor found")
+
+
+# ---------------------------------------------------------------------------
 # Shared ops
 # ---------------------------------------------------------------------------
 
@@ -963,19 +1184,35 @@ DECODERS = {
     b"BM": decode_bmp,
     PNG_SIG[:2]: decode_png,
     b"\xff\xd8": decode_jpeg,
+    b"GI": decode_gif,
 }
 
 
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Optional PIL plug point for media beyond the pure-NumPy set
+    (WebP/TIFF/…): used only when Pillow is importable — the container
+    ships without it, so this path is exercised by a skip-marked test."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — optional dependency
+
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff magic bytes and decode; raises NotImplementedError for media
-    this pure-NumPy path cannot handle (GIF/WebP/TIFF/… need a real codec
-    lib — that is the documented plug point in sources/multimodal.py)."""
+    """Sniff magic bytes and decode with the pure-NumPy codecs; for media
+    beyond them (WebP/TIFF/…) fall back to PIL when it is installed, else
+    raise NotImplementedError — the documented plug point in
+    sources/multimodal.py."""
     dec = DECODERS.get(bytes(payload[:2]))
-    if dec is None:
+    if dec is not None:
+        return dec(payload)
+    try:
+        return _pil_decode(payload)
+    except ImportError:
         raise NotImplementedError(
             f"no pure-NumPy decoder for magic {bytes(payload[:2])!r}; plug in PIL/ffmpeg"
-        )
-    return dec(payload)
+        ) from None
 
 
 def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

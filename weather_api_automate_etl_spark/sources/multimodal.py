@@ -107,6 +107,45 @@ def documents_as_image_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
 
 
+def documents_as_gif_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL single-frame GIF89a payloads deterministically from
+    document columns (the palette-indexed sibling of
+    documents_as_image_assets): width = doc_id%9+2, height = doc_id%6+2, a
+    2-color palette — fill (doc_id%256, doc_id*5%256, doc_id*11%256) with
+    pixel (0,0) inverted-style (255-doc_id%256, 255-n_chars%256,
+    255-doc_id*7%256) — so the LZW round-trip, color-table lookup, and
+    raster order are all pinned by SQL-predictable stats. Long single-color
+    runs grow the LZW string table across a code-width bump, so the
+    variable-width path runs in-pipeline, not just in unit fuzz."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                w, h = d % 9 + 2, d % 6 + 2
+                fill = (d % 256, d * 5 % 256, d * 11 % 256)
+                first = (255 - d % 256, 255 - n % 256, 255 - d * 7 % 256)
+                idx = np.zeros((h, w), dtype=np.uint8)
+                idx[0, 0] = 1
+                payloads.append(codecs.encode_gif(idx, [fill, first]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["image/gif"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+
+
 def documents_as_png_assets(documents: DataFrame) -> DataFrame:
     """Synthesize REAL PNG payloads deterministically from document columns
     (mirror of documents_as_image_assets for the PNG path).
