@@ -622,6 +622,35 @@ def test_compression_ratio_orders_redundancy(spark):
     assert got[2] > 0.5
 
 
+def test_compression_ratio_bucket_is_version_robust(spark, docs):
+    """The decile bucket is the version-portable contract (round-5 advice
+    item): (a) bucket == floor(ratio*10)/10 exactly; (b) regime anchors —
+    repeated text buckets to 0.0, incompressible text to >= 0.5 — hold for
+    ANY deflate implementation, not just this zlib build; (c) buckets are
+    insensitive to the compression level for the overwhelming share of
+    real documents (level 6 vs 9 on the fixture corpus)."""
+    import math
+    import zlib
+
+    out = textops.compression_ratio(docs).collect()
+    for r in out:
+        assert r.ratio_bucket == math.floor(r.ratio * 10) / 10
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    same_bucket = 0
+    for r in out:
+        b = texts[r.doc_id].encode("utf-8")
+        lvl9 = math.floor(round(len(zlib.compress(b, 9)) / len(b), 6) * 10) / 10
+        same_bucket += lvl9 == r.ratio_bucket
+    assert same_bucket / len(out) >= 0.95
+    anchors = spark.createDataFrame(
+        [Row(doc_id=1, text="spam ham " * 240),
+         Row(doc_id=2, text="9f8e7d6c5b4a" * 2)]  # short: header dominates
+    )
+    got = {r.doc_id: r.ratio_bucket for r in
+           textops.compression_ratio(anchors).collect()}
+    assert got[1] == 0.0 and got[2] >= 0.5
+
+
 # ---------------------------------------------------------------------------
 # the FULL ANN lifecycle: k-means codebook → assignment → bucketed store
 # → partition-pruned probe → recall vs the exact baseline

@@ -421,13 +421,21 @@ def compression_ratio(
     never a Python-worker crash); empty text gets raw_bytes 0 and a null
     ratio (a 0-byte doc has no meaningful compressibility).
 
+    Alongside the raw ratio, ``ratio_bucket`` = floor(ratio·10)/10 — the
+    version-robust readout a filtering config should threshold on: madler
+    zlib's level-6 deflate output has been byte-stable for decades, but
+    the CONTRACT only promises the decile (tests pin bucket agreement
+    across compression levels and the regime anchors: repeated text ≪ 1,
+    incompressible text ≈ 1).
+
     Arrow-batched ``mapInPandas`` — the bytes never leave the executor,
     each batch is one vectorized pass; zero shuffle, scan-speed."""
     import pandas as pd  # noqa: F401
 
-    out_schema = f"{id_col} long, raw_bytes long, ratio double"
+    out_schema = f"{id_col} long, raw_bytes long, ratio double, ratio_bucket double"
 
     def fn(batches):
+        import math
         import zlib
 
         import pandas as pd
@@ -444,8 +452,17 @@ def compression_ratio(
                 else None
                 for b, r in zip(enc, raw)
             ]
+            bucket = [
+                math.floor(x * 10) / 10 if x is not None else None
+                for x in ratio
+            ]
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "raw_bytes": raw, "ratio": ratio}
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw,
+                    "ratio": ratio,
+                    "ratio_bucket": bucket,
+                }
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)

@@ -783,9 +783,12 @@ def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_compression_ratio", tags=("text", "quality"))
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (operators/textops.py::
-    compression_ratio) — rows-only by necessity (no SQL twin for
-    deflate); bounds + monotonicity invariants live in
-    tests/test_mlprep.py, the q_kmeans discipline for non-SQL ops."""
+    compression_ratio) — rows-only by necessity (no SQL twin for deflate,
+    and DuckDB 1.0 ships no gzip() to compare against); the output now
+    carries the version-robust decile ``ratio_bucket`` next to the raw
+    ratio, and tests/test_mlprep.py pins bucket=floor(ratio*10)/10,
+    regime anchors, and cross-level bucket stability (the round-5 advice
+    upgrade), plus the original bounds/monotonicity invariants."""
     return textops.compression_ratio(t(spark, sf_dir, "documents"))
 
 
