@@ -81,16 +81,18 @@ def _driver_verified() -> set[str]:
 
 
 def test_priority_prefix_covers_every_family():
-    """External verification records exactly the first ~50 registry entries
-    per round; rounds 1-3 drove 102 of 103 distinct queries green. Pin
-    round 5's evidence strategy: the window opens with every query no prior
-    round verified (derived from the CORRECTNESS files themselves, so this
-    test self-maintains as queries are added), keeps the §2 core and one
-    representative per family inside the window, and everything outside the
-    window already holds a green driver row."""
+    """External verification records exactly the first 50 registry entries
+    per round; rounds 1-5 drove every query except the round-5 hand-off
+    and the rows-only residue green. Pin round 6's evidence strategy: the
+    window opens with every query no prior round verified (derived from
+    the CORRECTNESS files themselves, so this test self-maintains as
+    evidence lands), keeps the §2 core sentinels and one representative
+    per family inside the window, backfills stalest-driver-row-first, and
+    everything outside the window already holds a green driver row (or is
+    explicitly queued in ROUND7_PENDING for the next hand-off)."""
     from weather_api_automate_etl_spark.queries import (
-        ROUND5_WINDOW_HEAD,
-        ROUND6_PENDING,
+        ROUND6_WINDOW_HEAD,
+        ROUND7_PENDING,
         queries,
     )
 
@@ -99,21 +101,19 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND5_WINDOW_HEAD)
-    assert names[:k] == list(ROUND5_WINDOW_HEAD)
-    # the window holds 50 entries; the fourth wave arrived after it filled
-    # and is explicitly queued for round 6's window instead
-    assert unverified <= set(ROUND5_WINDOW_HEAD) | set(ROUND6_PENDING), (
-        "every never-driver-verified query must open the round-5 window "
-        "(or be explicitly queued in ROUND6_PENDING): "
-        f"missing {unverified - set(ROUND5_WINDOW_HEAD) - set(ROUND6_PENDING)}"
+    k = len(ROUND6_WINDOW_HEAD)
+    assert k == 50, "the driver records exactly the first 50 entries"
+    assert names[:k] == list(ROUND6_WINDOW_HEAD)
+    assert unverified <= set(ROUND6_WINDOW_HEAD) | set(ROUND7_PENDING), (
+        "every never-driver-verified query must open the round-6 window "
+        "(or be explicitly queued in ROUND7_PENDING): "
+        f"missing {unverified - set(ROUND6_WINDOW_HEAD) - set(ROUND7_PENDING)}"
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
-    # the 46-entry unverified head leaves 4 prefix slots: the
     # semantics-trap sentinels (ILIKE branch order, Postgres dow, dbt_utils
-    # md5 sentinel) and the ingest family keep them; every other §2 core
-    # entry rides overflow on its r1-r4 green rows
+    # md5 sentinel) and the ingest family hold fixed prefix slots; every
+    # other §2 core entry rides overflow on its green rows
     core = {
         "q_case_ilike", "q_date_parts", "q_surrogate_key", "q_ingest_smoke",
     }
@@ -122,8 +122,8 @@ def test_priority_prefix_covers_every_family():
                    "multimodal", "ingest"):
         assert family in tags_in_prefix, f"family {family!r} missing from prefix"
     # everything outside the window must already be driver-verified, save
-    # the explicitly-queued round-6 hand-off set
-    outside = set(names[50:]) - verified - set(ROUND6_PENDING)
+    # the explicitly-queued round-7 hand-off set
+    outside = set(names[50:]) - verified - set(ROUND7_PENDING)
     assert not outside, (
         f"queries outside the window lack prior driver rows: {outside}"
     )

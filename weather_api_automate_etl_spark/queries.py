@@ -540,88 +540,23 @@ def _load_extensions() -> None:
 
 
 # Priority order for the registry as exposed to the driver. External
-# verification may only sample a prefix of the registry (rounds 1-3 each
-# recorded exactly the first 50 entries), so window placement is evidence
-# strategy: the union of per-round CORRECTNESS files should converge on the
-# whole registry. Rounds 1-3 drove 102 of 103 distinct queries green; the
-# round-4 window opens with the one remaining gap (q_approx_stats, whose
-# array-typed percentile column crashed the r3 canonicalizer and is now
-# split into scalar columns) plus every round-4 addition, then backfills
-# with the §2 core and one representative per family so any window still
-# samples every capability. Anything registered but unlisted is appended in
-# registration order (new queries are never silently dropped);
-# test_queries_registry asserts every listed name is actually registered.
+# verification records exactly the first 50 registry entries per round, so
+# window placement is evidence strategy: the union of per-round CORRECTNESS
+# files should converge on the whole registry. Rounds 1-5 drove 157 of the
+# 161 r5-era queries green (the residue being the 4 rows-only by-nature
+# entries); the round-6 window opens with everything that has never held a
+# green driver row — the 11-query round-5 hand-off, the rows-only residue
+# (q_pagerank_converged now upgraded to a recursive-CTE hash oracle), and
+# the round-6 additions — then keeps the four semantics-trap/core sentinels
+# and backfills stalest-driver-row-first (r1 rows, then the two stalest r2
+# rows, q_streaming_join doubling as the streaming family representative).
+# Anything registered but unlisted is appended in registration order (new
+# queries are never silently dropped); test_queries_registry asserts every
+# listed name is registered, that the head is exactly the prefix, and that
+# nothing unverified sits outside the head except ROUND7_PENDING.
 
-#: queries with no green CORRECTNESS_r01–r04 row plus every round-5
-#: addition — round 5's window must open with these (pinned by
-#: test_queries_registry, which derives the unverified set from the
-#: CORRECTNESS files themselves).
-ROUND5_WINDOW_HEAD: tuple[str, ...] = (
-    # -- rows-only / red in r1-r4, since upgraded or by-nature approximate -
-    "q_approx_stats",          # oracle added post-r4 (scalarized + exact SQL)
-    "q_sketch_union",          # oracle added post-r4 (exact distinct twin)
-    "q_pagerank_converged",    # no_oracle by nature (iteration count)
-    "q_kmeans",                # no_oracle by nature (Lloyd iterations)
-    # -- post-r4 additions (no driver row yet by construction) -------------
-    "q_kmeans_fixed",
-    "q_multimodal_decode_jpeg",
-    "q_streaming_file_sink",
-    "q_streaming_dedup_sink",
-    # -- round-5 additions --------------------------------------------------
-    "q_dup_span_removal",
-    "q_tfidf_top_terms",
-    "q_token_entropy",
-    "q_semdedup_survivors",
-    "q_train_shuffle",
-    "q_embedding_quantize",
-    "q_embedding_standardize",
-    "q_ann_ivf_bucketed",
-    "q_intradoc_repeats",
-    "q_curriculum_order",
-    "q_corpus_pipeline",
-    "q_neardup_cosine_vectorized",
-    "q_streaming_corpus_clean",
-    "q_holdout_split",
-    "q_compression_ratio",
-    "q_hashing_vectorizer",
-    "q_heavy_hitters",
-    "q_pmi_pairs",
-    # -- round-5 second wave ------------------------------------------------
-    "q_ewma",
-    "q_anomaly_iqr",
-    "q_ntile_bucket",
-    "q_linreg_by_group",
-    "q_triangle_count",
-    "q_pack_sequences",
-    # -- round-5 third wave (stat/ML family) ---------------------------------
-    "q_cms_frequency",
-    "q_bigram_logprob",
-    "q_mad_outliers",
-    "q_autocorr",
-    "q_quantile_normalize",
-    "q_blocklist_filter",
-    "q_basket_pairs",
-    "q_rfm_segments",
-    "q_embedding_covariance",
-    "q_pca_project",
-    # -- round-5 fourth wave (promoted into the window: the head had 42
-    # -- entries, leaving 4 driver slots wasted on r1-r4-green overflow —
-    # -- the round-5 third-review finding) ---------------------------------
-    "q_label_propagation",
-    "q_trailing_median",
-    "q_seasonal_baseline",
-    "q_concurrency",
-)
-
-#: Round-5 additions that arrived AFTER the 50-entry window filled
-#: (waves 4-7 outgrew it; the first four wave-4 entries were promoted
-#: into the head when a recount found 4 free slots). They hold
-#: local-oracle green rows from tools/check_oracle.py this round at
-#: sf0.001/0.01/0.1 plus hostile sweeps; round 6's window must open with
-#: them (the same hand-off every round has used — pinned by
-#: test_queries_registry, which allows exactly this set to sit outside
-#: the window unverified).
-ROUND6_PENDING: tuple[str, ...] = (
+ROUND6_WINDOW_HEAD: tuple[str, ...] = (
+    # -- never driver-verified: the round-5 hand-off (local-green in r5) --
     "q_cusum_changepoint",
     "q_fuzzy_match",
     "q_freshness",
@@ -633,23 +568,62 @@ ROUND6_PENDING: tuple[str, ...] = (
     "q_gini_sources",
     "q_ab_lift",
     "q_first_touch",
-)
-
-PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
-    # (round-4 window entries — all driver-green in r4 — now ride in
-    # registration-order overflow; only never-verified queries need
-    # window placement)
-    # -- §2 core sentinels (driver-green r1-r4; regression canaries). The
-    # -- 46-entry round-5 head (42 + 4 promoted wave-4) leaves exactly 4
-    # -- prefix slots: the
-    # -- semantics-trap sentinels (ILIKE branch order, Postgres dow,
-    # -- dbt_utils md5 sentinel) and the ingest family keep them — every
-    # -- other core entry rides the overflow on its multi-round green rows
+    # -- rows-only residue, re-opened for driver evidence ------------------
+    "q_pagerank_converged",    # upgraded: recursive-CTE convergence oracle
+    "q_kmeans",                # no_oracle by nature (Lloyd iterations)
+    "q_pca_project",           # no_oracle by nature (eigh)
+    "q_compression_ratio",     # no_oracle by nature (deflate); decile added
+    # -- round-6 additions --------------------------------------------------
+    "q_merge_upsert",
+    "q_ann_recall",
+    "q_multimodal_decode_gif",
+    # -- §2 core sentinels (semantics traps + the ingest family) -----------
     "q_case_ilike",
     "q_date_parts",
     "q_surrogate_key",
-    "q_ingest_smoke",  # REST ingest — the only ingest-tagged query
-    # -- overflow (all driver-green in r1-r4) ------------------------------
+    "q_ingest_smoke",
+    # -- backfill, stalest driver row first (all last green in r1) ---------
+    "q_stratified_sample",
+    "q_cube",
+    "q_conditional_agg",
+    "q_salted_agg",
+    "q_window_distribution",
+    "q_date_arithmetic",
+    "q_gap_fill",
+    "q_forward_fill",
+    "q_argmax",
+    "q_ratio_to_total",
+    "q_histogram",
+    "q_wordcount",
+    "q_scalar_subquery",
+    "q_grouping_sets",
+    "q_hopping_windows",
+    "q_linear_interpolate",
+    "q_time_weighted_avg",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_union_by_name",
+    "q_unpivot",
+    "q_period_over_period",
+    "q_dedup_keep_latest",
+    "q_trailing_window",
+    "q_event_transitions",
+    "q_zscore",
+    # -- stalest r2 rows; q_streaming_join = streaming family rep ----------
+    "q_minhash_signature",
+    "q_streaming_join",
+)
+
+#: Round-6 additions that arrive AFTER the 50-entry window fills (none at
+#: window-construction time; new waves land here with local-oracle green
+#: and open round 7's window — the hand-off discipline every round has
+#: used, pinned by test_queries_registry).
+ROUND7_PENDING: tuple[str, ...] = ()
+
+PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (
+    # overflow: riding their green driver rows from earlier rounds, in
+    # roughly freshness order — rounds record only the 50-entry prefix,
+    # so placement here is documentation, not evidence
     "q_range_bucket",
     "q_quality_filter",
     "q_groupby_minmax_count",
@@ -663,24 +637,19 @@ PRIORITY_ORDER: tuple[str, ...] = ROUND5_WINDOW_HEAD + (
     "q_string_normalize",
     "q_distinct",
     "q_lineage_cols",
-    # -- one representative per extension family. NB the window head has
-    # -- grown: entries at the END of this block may now sit past row 50 —
-    # -- fine only while they hold old green driver rows AND their family
-    # -- tag also appears earlier (test_queries_registry enforces both) -
-    "q_dedup_exact",              # dedup: exact
-    "q_minhash_pairs",            # dedup: LSH candidate pairs
-    "q_topk_similarity",          # similarity: brute-force top-k
-    "q_knn_join",                 # similarity: blocked k-NN join
-    "q_text_tokens",              # text analysis
-    "q_event_windows",            # event-time windows
-    "q_streaming_event_windows",  # streaming twin
-    "q_multimodal_decode",        # multimodal: non-stub PPM/BMP decode
-    # -- remaining families (overflow; all driver-green in r1/r2) ----------
-    "q_snapshot_diff",   # CDC
-    "q_asof_join",       # time-series joins
-    "q_salted_join",     # skew mitigation
-    "q_sql_interface",   # raw-SQL frontend
-    "q_array_agg",       # non-scalar output canonicalization
+    "q_dedup_exact",
+    "q_minhash_pairs",
+    "q_topk_similarity",
+    "q_knn_join",
+    "q_text_tokens",
+    "q_event_windows",
+    "q_streaming_event_windows",
+    "q_multimodal_decode",
+    "q_snapshot_diff",
+    "q_asof_join",
+    "q_salted_join",
+    "q_sql_interface",
+    "q_array_agg",
 )
 
 

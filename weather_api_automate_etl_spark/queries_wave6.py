@@ -4,8 +4,8 @@ per-source Gini inequality of document lengths — the corpus-health and
 traffic-shape diagnostics run before mixing or capacity decisions.
 
 Same registry/oracle conventions as queries_ext.py. Registered in
-ROUND6_PENDING (queries.py): local-oracle green this round, queued for
-round 6's driver window.
+the round-6 window head (queries.py): local-oracle green in round 5,
+handed to round 6's driver window.
 """
 
 from __future__ import annotations

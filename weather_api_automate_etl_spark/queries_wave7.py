@@ -3,8 +3,8 @@
 experimentation / funnel-reporting surface.
 
 Same registry/oracle conventions as queries_ext.py. Registered in
-ROUND6_PENDING (queries.py): local-oracle green this round, queued for
-round 6's driver window.
+the round-6 window head (queries.py): local-oracle green in round 5,
+handed to round 6's driver window.
 """
 
 from __future__ import annotations
