@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "q_cms_frequency",       # fixed-size sketch build + broadcast probe
     "q_label_propagation",   # checkpointed fixed-round community loop
     "q_cusum_changepoint",   # per-type ordered running sum + argmax window
+    # round-6 additions
+    "q_merge_upsert",        # anti-join upsert vs the full-refresh baseline
+    "q_ann_recall",          # exact scatter + probed scan + semi-join recall
+    "q_e2e_weather_pipeline",  # the WHOLE reference DAG incl. parquet writes
 ]
 
 

@@ -618,7 +618,9 @@ ROUND6_WINDOW_HEAD: tuple[str, ...] = (
 #: window-construction time; new waves land here with local-oracle green
 #: and open round 7's window — the hand-off discipline every round has
 #: used, pinned by test_queries_registry).
-ROUND7_PENDING: tuple[str, ...] = ()
+ROUND7_PENDING: tuple[str, ...] = (
+    "q_e2e_weather_pipeline",
+)
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (
     # overflow: riding their green driver rows from earlier rounds, in

@@ -199,3 +199,104 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = multimodal.documents_as_gif_assets(t(spark, sf_dir, "documents"))
     return multimodal.image_stats(assets)
+
+# ---------------------------------------------------------------------------
+# EP1 end-to-end: the full reference DAG as ONE driver-checkable query
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e2e_weather_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM (VALUES
+        ('Paris',    'Country0', 13, 'Light rain',    11, 31, 1011),
+        ('London',   'Country2', -2, 'Sunny',         18, 18,  998),
+        ('New York', 'Country2',  9, 'Light rain',    51, 31, 1011),
+        ('Tokyo',    'Country2', 36, 'Sunny',         34, 14, 1034),
+        ('Sydney',   'Country6', 16, 'Sunny',         36, 36, 1016),
+        ('Berlin',   'Country2', 45, 'Light rain',     4,  4,  984),
+        ('Madrid',   'Country5', 34, 'Partly cloudy', 93, 33, 1033)
+      ) AS t(city, country, temperature, weather_description,
+             humidity, wind_speed, pressure)
+    ),
+    stg AS (
+      SELECT trim(upper(city)) AS city_clean,
+             trim(upper(country)) AS country_clean,
+             CAST(temperature AS INTEGER) AS temperature,
+             CAST(humidity AS INTEGER) AS humidity,
+             CAST(wind_speed AS INTEGER) AS wind_speed,
+             CAST(pressure AS INTEGER) AS pressure,
+             CASE WHEN weather_description ILIKE '%sunny%' THEN 'Clear'
+                  WHEN weather_description ILIKE '%rain%'  THEN 'Rain'
+                  WHEN weather_description ILIKE '%cloud%' THEN 'Cloudy'
+                  ELSE trim(weather_description) END AS weather_category,
+             CASE WHEN temperature < 0 THEN 'Freezing'
+                  WHEN temperature BETWEEN 0  AND 10 THEN 'Cold'
+                  WHEN temperature BETWEEN 11 AND 20 THEN 'Mild'
+                  WHEN temperature BETWEEN 21 AND 30 THEN 'Warm'
+                  ELSE 'Hot' END AS temperature_category,
+             TIMESTAMP '2026-01-01' AS extracted_at
+      FROM base
+      WHERE temperature IS NOT NULL AND temperature BETWEEN -50 AND 60
+    )
+    SELECT md5(concat_ws('-',
+             coalesce(CAST(city_clean AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+             coalesce(CAST(country_clean AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+           )) AS location_key,
+           city_clean AS city,
+           country_clean AS country,
+           temperature, temperature_category, weather_category,
+           humidity, wind_speed, pressure,
+           CAST(extracted_at AS DATE) AS extraction_date,
+           CAST(date_part('hour', extracted_at) AS INTEGER) AS extraction_hour,
+           CAST(date_part('dow',  extracted_at) AS INTEGER) AS day_of_week,
+           CAST(1 AS BIGINT) AS total_observations
+    FROM stg
+    """,
+    tags=("ingest", "pipeline"),
+)
+def q_e2e_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference DAG
+    (/root/reference/dags/weatherstack_full_pipeline.py:25-172) as one
+    driver-checkable run: distributed fetch → JSON decode/error routing →
+    raw append → staging view → staging quality gates → dim/fct mart
+    writes (dynamic-partition parquet) → mart quality gates → star join
+    readback (plans/pipeline.py::WeatherPipeline, run_stages fail-fast).
+    ``pin_extracted_at`` pins lineage timestamps to the batch interval, so
+    every mart cell is a pure function of the deterministic offline
+    fetcher and the oracle re-derives the fct⋈dim readout declaratively —
+    the EP1 trace that was previously only unit-tested per stage. The
+    sf0.1 composition with the corpus pipeline (fail-fast ordering +
+    wall-time bound) lives in tests/test_e2e_pipeline.py."""
+    import datetime as dt
+    import tempfile
+
+    from weather_api_automate_etl_spark.operators import marts
+    from weather_api_automate_etl_spark.plans.pipeline import WeatherPipeline
+
+    base = tempfile.mkdtemp(prefix="e2e_weather_")
+    pipe = WeatherPipeline(
+        spark,
+        raw_path=f"{base}/raw",
+        marts_path=f"{base}/marts",
+        pin_extracted_at=True,
+    )
+    pipe.run(dt.datetime(2026, 1, 1))
+    fct = spark.read.parquet(f"{base}/marts/fct_weather_observations")
+    dim = spark.read.parquet(f"{base}/marts/dim_locations")
+    return marts.join_observations(fct, dim).select(
+        "location_key",
+        "city",
+        "country",
+        "temperature",
+        "temperature_category",
+        "weather_category",
+        "humidity",
+        "wind_speed",
+        "pressure",
+        "extraction_date",
+        "extraction_hour",
+        "day_of_week",
+        "total_observations",
+    )
