@@ -139,3 +139,27 @@ def salted_hash64(col: Column | str, salt: str = "") -> Column:
     if salt:
         key = F.concat(F.lit(salt), key)
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 8) -> Column:
+    """Morton / Z-order key: interleave the low ``bits`` bits of two
+    already-quantized dimensions — the multi-dimensional clustering key
+    behind Delta/Iceberg OPTIMIZE ZORDER. Rows sorted (or range-
+    partitioned) by this key are simultaneously clustered in BOTH
+    dimensions, so min/max file statistics prune selective predicates on
+    either one — single-column sorting gives that for one dimension only.
+
+    Pure integer arithmetic (shift-mask-or unrolled per bit), identical in
+    any engine; inputs must already be in [0, 2^bits)."""
+    from pyspark.sql import functions as F
+
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(xc.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(yc.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return key

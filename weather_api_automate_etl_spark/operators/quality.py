@@ -141,3 +141,51 @@ def freshness(
         lag.cast("long").alias("lag_seconds"),
         (lag > stale_after_s).alias("is_stale"),
     )
+
+
+def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """One-pass data profile — per column: row count, null count, exact
+    distinct count, min and max (stringified for a uniform schema) — the
+    first query anyone runs against an unfamiliar 100 TB table.
+
+    ONE aggregate computes every statistic (the not_null_violation_counts
+    discipline: N columns never means N scans); the per-column rows are
+    then unpivoted from the single aggregate row with explode, which is
+    metadata-scale. min/max aggregate in the column's NATIVE type (never
+    lexicographically over strings) and stringify after, doubles rounded
+    to 6 first so the strings are engine-portable."""
+    from pyspark.sql import types as T
+
+    def _s(agg_col, c: str):
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            agg_col = F.round(agg_col, 6)
+        return agg_col.cast("string")
+
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            _s(F.min(F.col(c)), c).alias(f"__min_{c}"),
+            _s(F.max(F.col(c)), c).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    packed = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"__n_{c}").cast("long").alias("n_rows"),
+                        F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                        F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    )
+    return packed.select("p.*")

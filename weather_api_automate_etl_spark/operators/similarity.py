@@ -392,6 +392,62 @@ def knn_join(
     )
 
 
+def hard_negative_pairs(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining: for every anchor vector, the top-``k`` most
+    cosine-similar vectors with a DIFFERENT label — the pairs a contrastive
+    /embedding trainer needs most (near-misses across the class boundary),
+    and the standard companion to the dedup/similarity family in a
+    training-data pipeline.
+
+    Same 100 TB shape as knn_join: map-only hyperplane-LSH buckets block
+    the candidate space, one bucket equi-join (never all-pairs), the
+    label-inequality filter rides the join condition so cross-label
+    candidates are the only rows materialized, then exact cosine + per-
+    anchor window top-k. Deterministic (ROUND + id tie-break) and fully
+    SQL-expressible."""
+    from pyspark.sql.window import Window
+
+    bucket = lsh_bucket_expr(vec_col, dim, n_planes)
+    a = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        F.col(vec_col).alias("_avec"),
+        bucket.alias("bucket"),
+    )
+    b = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_blbl"),
+        F.col(vec_col).alias("_bvec"),
+        bucket.alias("bucket"),
+    )
+    scored = a.join(
+        b, (a["bucket"] == b["bucket"]) & (a["_albl"] != b["_blbl"])
+    ).select(
+        "anchor_id",
+        F.col(id_col).alias("negative_id"),
+        F.round(
+            cosine_similarity(F.col("_avec"), F.col("_bvec")), round_digits
+        ).alias("score"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", "negative_id", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def nearest_centroid(
     df: DataFrame,
     centroids: DataFrame,

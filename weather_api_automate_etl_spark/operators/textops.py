@@ -846,3 +846,78 @@ def zipf_fit(
         round0(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-character pair frequencies over whitespace tokens — the
+    inner statistic of BPE tokenizer training (each training round merges
+    the most frequent pair). Pure array expressions: token split, per-token
+    2-char windows via substring-transform, ONE explode, one count
+    aggregate — corpus-linear, no joins."""
+    toks = F.explode(tokens(text_col)).alias("tok")
+    pairs = F.expr(
+        "transform(sequence(1, greatest(length(tok) - 1, 0)), i -> substring(tok, i, 2))"
+    )
+    return (
+        df.select(F.col(id_col), toks)
+        .filter(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_merge_once(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    placeholder: str = "",
+    top_n: int = 10,
+) -> DataFrame:
+    """ONE BPE training round, end to end: count adjacent-char pairs, pick
+    the most frequent (ties to the lexicographically smallest pair — the
+    deterministic rule), apply the merge by substituting a fresh symbol,
+    then return the top-``top_n`` pair counts of the MERGED corpus with
+    the round-1 winner attached.
+
+    The winning pair is a 1-row broadcast joined onto the token stream
+    (never a driver constant baked into the plan, so the lineage is fully
+    declarative and the merge loop can be unrolled without recompiling);
+    ``replace`` applies it corpus-wide in one map pass. The sequential
+    left-to-right merge order of reference BPE and this simultaneous
+    non-overlapping substitution agree except on self-overlapping pairs
+    ('aa' in 'aaa') — the documented, deterministic difference."""
+    top = (
+        bpe_pair_counts(df, id_col, text_col)
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("merge_pair"))
+    )
+    toks = F.explode(tokens(text_col)).alias("tok")
+    merged = (
+        df.select(toks)
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.replace(
+                F.col("tok"), F.col("merge_pair"), F.lit(placeholder)
+            ).alias("tok"),
+            "merge_pair",
+        )
+    )
+    pairs = F.expr(
+        "transform(sequence(1, greatest(length(tok) - 1, 0)), i -> substring(tok, i, 2))"
+    )
+    counted = (
+        merged.filter(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"), "merge_pair")
+        .groupBy("pair", "merge_pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("merge_pair", "pair", "n", F.col("rk").cast("int").alias("rk"))
+    )

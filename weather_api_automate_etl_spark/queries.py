@@ -536,6 +536,7 @@ def _load_extensions() -> None:
         queries_wave6,
         queries_wave7,
         queries_wave8,
+        queries_wave9,
     )
 
 
@@ -620,6 +621,12 @@ ROUND6_WINDOW_HEAD: tuple[str, ...] = (
 #: used, pinned by test_queries_registry).
 ROUND7_PENDING: tuple[str, ...] = (
     "q_e2e_weather_pipeline",
+    "q_profile_table",
+    "q_zorder_layout",
+    "q_bpe_pair_counts",
+    "q_bpe_merge",
+    "q_hard_negatives",
+    "q_ann_recall_kmeans",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (

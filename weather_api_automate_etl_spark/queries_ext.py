@@ -1644,16 +1644,17 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmf_assign(cents_cte: str) -> str:
+def _kmf_assign(cents_cte: str, src: str = "embeddings") -> str:
     """One Lloyd assignment as DuckDB SQL against a centroid CTE — the
     exact twin of similarity.nearest_centroid (rounded cosine, ties to the
-    lowest list id)."""
+    lowest list id). ``src`` names the vector table/CTE (queries_wave9's
+    recall query runs the loop over a corpus CTE)."""
     dot_ec = _DOT_SQL.format(a="e.embedding", b="c.centroid")
     dot_ee = _DOT_SQL.format(a="e.embedding", b="e.embedding")
     dot_cc = _DOT_SQL.format(a="c.centroid", b="c.centroid")
     return f"""
       SELECT e.vec_id, c.list_id
-      FROM embeddings e CROSS JOIN {cents_cte} c
+      FROM {src} e CROSS JOIN {cents_cte} c
       QUALIFY row_number() OVER (
         PARTITION BY e.vec_id
         ORDER BY ROUND({dot_ec} / (sqrt({dot_ee}) * sqrt({dot_cc})), 6) DESC,
@@ -1662,7 +1663,7 @@ def _kmf_assign(cents_cte: str) -> str:
     """
 
 
-def _kmf_update(assign_cte: str, prev_cte: str) -> str:
+def _kmf_update(assign_cte: str, prev_cte: str, src: str = "embeddings") -> str:
     """One Lloyd mean-update as DuckDB SQL: elementwise AVG per assigned
     list, components clamped to 6 digits, empty clusters carried forward
     from the previous codebook — the twin of similarity.centroids_by plus
@@ -1672,7 +1673,7 @@ def _kmf_update(assign_cte: str, prev_cte: str) -> str:
       FROM {prev_cte} p LEFT JOIN (
         SELECT list_id, list(ROUND(m, 6) ORDER BY i) AS centroid FROM (
           SELECT a.list_id, i, AVG(CAST(e.embedding[i] AS DOUBLE)) AS m
-          FROM embeddings e
+          FROM {src} e
           JOIN {assign_cte} a USING (vec_id),
           UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
           GROUP BY a.list_id, i
