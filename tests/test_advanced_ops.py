@@ -155,3 +155,26 @@ def test_anomaly_iqr_flags_only_fence_breakers(spark, monkeypatch):
     assert not any(got[i].is_outlier for i in range(1, 12))
     # fences derive from quartiles of the full column (outlier included)
     assert got[1].lo == got[99].lo and got[1].hi == got[99].hi
+
+
+def test_k_core_peels_chains_keeps_cliques(spark):
+    """Triangle {1,2,3} with a pendant path 3-4-5: the 2-core must keep
+    exactly the triangle (each vertex at core-degree 2). Node 5 peels in
+    round 1, node 4 only becomes a violator AFTER 5 is gone — a genuine
+    multi-round fixpoint, not a single filter."""
+    from weather_api_automate_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.core_degree for r in graph.k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3: the triangle itself dissolves (no vertex has 3 in-core neighbors)
+    assert graph.k_core(edges, k=3).count() == 0
+
+
+def test_k_core_empty_graph(spark):
+    from weather_api_automate_etl_spark.operators import graph
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert graph.k_core(edges, k=2).count() == 0

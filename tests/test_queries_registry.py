@@ -33,7 +33,7 @@ def test_query_runs(spark, name):
     # tiny/regenerated fixture is a legitimate outcome, not a bug)
     may_be_empty = {
         "q_minhash_pairs", "q_ngram_jaccard", "q_neardup_cosine",
-        "q_triangle_count", "q_label_propagation",
+        "q_triangle_count", "q_label_propagation", "q_kcore",
     }
     if name not in may_be_empty:
         assert n > 0, f"{name} returned 0 rows"

@@ -249,3 +249,42 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select(F.col("u").alias(node_id), "label")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_id: str = "doc_id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: repeatedly remove ALL
+    nodes whose degree in the remaining subgraph is < k, until none
+    violate. The standard graph-cleanup pass over a near-dup pair graph —
+    the k-core separates dense template/boilerplate families from chains
+    and stragglers that LSH noise strings together (CC alone cannot).
+
+    Synchronous removal makes the fixpoint order-independent, hence
+    deterministic and oracle-able (the DuckDB twin runs the same peeling
+    as a recursive CTE). Same loop discipline as pagerank/CC: the edge
+    list is checkpointed per round so lineage never stacks, each round is
+    one degree aggregate + two semi-joins, and the stop probe is the
+    violator count (a 1-row aggregate). Returns (node_id, core_degree)
+    for surviving nodes — degree measured inside the final core."""
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        n_bad = deg.filter(F.col("degree") < k).count()
+        if n_bad == 0:
+            return deg.select(F.col("src").alias(node_id), F.col("degree").alias("core_degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src")
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not reach a fixpoint within {max_rounds} rounds")

@@ -537,6 +537,7 @@ def _load_extensions() -> None:
         queries_wave7,
         queries_wave8,
         queries_wave9,
+        queries_wave10,
     )
 
 
@@ -627,6 +628,9 @@ ROUND7_PENDING: tuple[str, ...] = (
     "q_bpe_merge",
     "q_hard_negatives",
     "q_ann_recall_kmeans",
+    "q_streaming_merge_sink",
+    "q_kcore",
+    "q_preagg_reuse",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (

@@ -58,12 +58,29 @@ def stream_to_table(
             f"stream_to_table supports append/complete, not {output_mode!r} "
             "(update-mode deltas would duplicate keys across batch partitions)"
         )
-    write_batch = batch_writer(path, output_mode)
+    run_foreach_batch(
+        stream_df,
+        batch_writer(path, output_mode),
+        checkpoint_dir,
+        query_name,
+        output_mode=output_mode,
+        timeout_s=timeout_s,
+    )
 
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    write_batch,
+    checkpoint_dir: str,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_s: float = 120.0,
+) -> None:
+    """The shared foreachBatch drain skeleton: stop leftover same-name
+    queries (deregistration is ASYNC after awaitTermination — racing it
+    trips Spark's concurrent-checkpoint guard), start with availableNow,
+    raise on timeout rather than returning a partial sink."""
     spark = stream_df.sparkSession
-    # a previous drain of the same name/checkpoint deregisters ASYNC after
-    # awaitTermination returns — stop leftovers and wait them out, or the
-    # new start trips Spark's concurrent-checkpoint-usage guard
     deadline = time.monotonic() + 10.0
     while time.monotonic() < deadline:
         same = [a for a in spark.streams.active if a.name == query_name]
@@ -83,3 +100,53 @@ def stream_to_table(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream {query_name!r} did not drain within {timeout_s}s")
+
+
+def stream_merge_into_mart(
+    stream_df: DataFrame,
+    mart_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    key: str,
+    partition_col: str,
+    order_cols: tuple[str, ...],
+    timeout_s: float = 120.0,
+) -> None:
+    """Streaming MERGE: every micro-batch upserts into a partitioned
+    parquet mart — the continuously-maintained-mart production pattern
+    (foreachBatch + operators/cdc.py::merge_into_partitioned), and the
+    streaming twin of the batch q_merge_upsert.
+
+    Each batch is first reduced to its latest row per key (``order_cols``
+    descending — merge_into requires unique update keys), then merged
+    partition-pruned: only the partitions the batch touches are read or
+    rewritten. The merge is IDEMPOTENT — re-upserting the same rows
+    rewrites identical content — which is exactly what makes checkpoint
+    replay after a crash safe (the at-least-once batch redelivery lands
+    the same mart state, the streaming/sinks.py module contract)."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from weather_api_automate_etl_spark.operators import cdc
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not os.path.exists(mart_path):
+            latest.write.partitionBy(partition_col).parquet(mart_path)
+        else:
+            cdc.merge_into_partitioned(
+                batch_df.sparkSession, mart_path, latest, key, partition_col
+            )
+
+    run_foreach_batch(
+        stream_df, write_batch, checkpoint_dir, query_name,
+        output_mode="update", timeout_s=timeout_s,
+    )
