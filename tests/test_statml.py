@@ -339,3 +339,37 @@ def test_covariance_null_vector_raises_contract_error(spark):
             "v",
             dim=2,
         ).collect()
+
+
+def test_pca_power_project_agrees_with_eigh(spark, emb):
+    """The fixed-round power iteration must land on (±) the eigh top
+    component — at 100 rounds the (λ2/λ1)^t residual is < 1e-3 even on
+    the fixture's narrow spectral gap (λ2/λ1 ≈ 0.93). Also pins
+    determinism across repartitionings (the gram partials merge
+    associatively; more rounds only CONTRACT perturbations, so the
+    fixed-round hash discipline is iteration-count-safe)."""
+    import numpy as np
+
+    from weather_api_automate_etl_spark.operators import embeddings as emb_ops
+
+    power = {
+        r.vec_id: r.pc1
+        for r in emb_ops.pca_power_project(emb, "embedding", rounds=100).collect()
+    }
+    mean, comps, _ = emb_ops.pca_fit(emb, "embedding", k=1)
+    rows = emb.select("vec_id", "embedding").collect()
+    eigh_scores = {
+        r.vec_id: float((np.asarray(r.embedding) - mean) @ comps[0]) for r in rows
+    }
+    ids = sorted(power)
+    a = np.array([power[i] for i in ids])
+    b = np.array([eigh_scores[i] for i in ids])
+    corr = float(np.corrcoef(a, b)[0, 1])
+    assert abs(corr) > 0.9999, corr
+    again = {
+        r.vec_id: r.pc1
+        for r in emb_ops.pca_power_project(
+            emb.repartition(13), "embedding", rounds=100
+        ).collect()
+    }
+    assert again == power

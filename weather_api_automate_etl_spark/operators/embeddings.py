@@ -297,3 +297,52 @@ def pca_project(
         for comp in comps
     ]
     return df.select(F.col(id_col), F.array(*projs).alias("proj"))
+
+
+def pca_power_project(
+    df: DataFrame, vec_col: str, rounds: int = 40, dim: int | None = None
+) -> DataFrame:
+    """Projection onto the TOP principal axis via fixed-round power
+    iteration — the hash-oracle-able member of the PCA family (pca_fit's
+    full eigh is not SQL-expressible; a fixed number of v ← Cv/‖Cv‖
+    steps is, as a recursive CTE, the q_pagerank_converged discipline).
+
+    Determinism without convergence assumptions: BOTH engines run exactly
+    ``rounds`` identical steps from the same start (1/√d ones vector) over
+    the same round-6-clamped covariance (covariance_matrix's exact twin),
+    so the axes agree to summation-order ulps regardless of the spectral
+    gap; the axis is clamped to 6 digits before projecting, making the
+    map-only projection bit-stable. Scale shape: ONE _merged_gram corpus
+    scan; the iteration runs driver-side on the d×d matrix (metadata
+    scale, the pca_fit boundary); the projection is a broadcast-literal
+    dot product — no second scan, no shuffle."""
+    import numpy as np
+
+    d = dim or _vector_dim(df, vec_col)
+    w = d + 1
+    g = np.zeros((w, w))
+    for r in _merged_gram(df, vec_col, d).collect():
+        g[r["idx"] // w, r["idx"] % w] = r["g"]
+    n = g[d, d]
+    if n < 2:
+        raise ValueError("pca_power_project needs at least 2 vectors")
+    sums = g[:d, d]
+    mu = np.round(sums / n, 6)
+    cov = np.round((g[:d, :d] - np.outer(sums, sums) / n) / (n - 1), 6)
+    cov = np.triu(cov) + np.triu(cov, 1).T  # mirror the rounded upper triangle
+    v = np.ones(d) / np.sqrt(float(d))
+    for _ in range(rounds):
+        v = cov @ v
+        v = v / np.sqrt(float(v @ v))
+    v = np.round(v, 6)
+    offset = float(mu @ v)
+    from weather_api_automate_etl_spark.functions.vectors import dot_product
+
+    axis = F.array(*[F.lit(float(c)) for c in v])
+    return df.select(
+        "vec_id",
+        (
+            F.round(dot_product(F.col(vec_col), axis) - F.lit(offset), 6)
+            + F.lit(0.0)
+        ).alias("pc1"),
+    )

@@ -153,7 +153,10 @@ def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     then unpivoted from the single aggregate row with explode, which is
     metadata-scale. min/max aggregate in the column's NATIVE type (never
     lexicographically over strings) and stringify after, doubles rounded
-    to 6 first so the strings are engine-portable."""
+    to 6 first so the strings are engine-portable. The exact
+    count_distinct is the one shuffle-expand in the plan — at true 100 TB
+    swap it for approx_count_distinct (HLL++, mergeable, no expand); the
+    rest of the profile is pure map-side combine either way."""
     from pyspark.sql import types as T
 
     def _s(agg_col, c: str):

@@ -631,6 +631,7 @@ ROUND7_PENDING: tuple[str, ...] = (
     "q_streaming_merge_sink",
     "q_kcore",
     "q_preagg_reuse",
+    "q_pca_power_project",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (

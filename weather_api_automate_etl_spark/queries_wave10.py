@@ -197,3 +197,77 @@ def q_preagg_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_value"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# top-axis PCA projection via fixed-round power iteration (hash-oracle-able)
+# ---------------------------------------------------------------------------
+
+_POWER_ROUNDS = 100
+
+
+def _pca_power_oracle(rounds: int = _POWER_ROUNDS) -> str:
+    return f"""
+    WITH RECURSIVE x AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS xv
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    cov_ut AS (
+      SELECT a.i, b.i AS j,
+             ROUND((SUM(a.xv * b.xv) - SUM(a.xv) * SUM(b.xv) / COUNT(*))
+                   / NULLIF(COUNT(*) - 1, 0), 6) + 0.0 AS cov
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT i, j, cov FROM cov_ut
+      UNION ALL SELECT j, i, cov FROM cov_ut WHERE i <> j
+    ),
+    dims AS (SELECT DISTINCT i FROM cov_ut),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM dims),
+    r(i, v, t) AS (
+      SELECT i, 1.0e0 / sqrt((SELECT d FROM nd)), 0 FROM dims
+      UNION ALL
+      SELECT m.i,
+             m.mv / (SELECT sqrt(SUM(m2.mv * m2.mv)) FROM (
+               SELECT c2.i, SUM(c2.cov * t2.v) AS mv
+               FROM cov c2 JOIN r t2 ON t2.i = c2.j GROUP BY c2.i
+             ) m2),
+             (SELECT MAX(t3.t) FROM r t3) + 1
+      FROM (
+        SELECT c.i, SUM(c.cov * t1.v) AS mv
+        FROM cov c JOIN r t1 ON t1.i = c.j GROUP BY c.i
+      ) m
+      WHERE (SELECT MAX(t4.t) FROM r t4) < {rounds}
+    ),
+    axis AS (SELECT i, ROUND(v, 6) AS v FROM r WHERE t = {rounds}),
+    mu AS (SELECT i, ROUND(AVG(xv), 6) AS m FROM x GROUP BY i)
+    SELECT x.vec_id,
+           ROUND(SUM(x.xv * axis.v) - (SELECT SUM(m2.m * a2.v)
+                                       FROM mu m2 JOIN axis a2 USING (i)), 6)
+             + 0.0 AS pc1
+    FROM x JOIN axis USING (i)
+    GROUP BY x.vec_id
+    """
+
+
+@query(
+    "q_pca_power_project",
+    oracle=_pca_power_oracle(),
+    tags=("similarity", "mlprep"),
+)
+def q_pca_power_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-axis projection via FIXED-ROUND power iteration
+    (operators/embeddings.py::pca_power_project) — the hash-oracle-able
+    member of the PCA family (q_pca_project's full eigh stays rows-only;
+    this query gives the family exact cross-engine evidence). Both
+    engines run exactly 100 v ← Cv/‖Cv‖ steps from the same 1/√d start
+    over the same round-6-clamped covariance — determinism needs no
+    convergence assumption — and the axis is clamped to 6 digits before
+    the map-only broadcast-literal projection. The oracle runs the same
+    iteration as a recursive CTE over the (i, j, cov) matrix."""
+    from weather_api_automate_etl_spark.operators import embeddings as emb_ops
+
+    return emb_ops.pca_power_project(
+        t(spark, sf_dir, "embeddings"), "embedding", rounds=_POWER_ROUNDS
+    )
