@@ -921,3 +921,61 @@ def bpe_merge_once(
         .filter(F.col("rk") <= top_n)
         .select("merge_pair", "pair", "n", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def bpe_merge_rounds(
+    df: DataFrame,
+    n_rounds: int,
+    placeholders: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The BPE tokenizer-training LOOP: ``n_rounds`` merge rounds, each
+    picking the corpus's most frequent adjacent pair (ties to the
+    lexicographically smallest) and substituting the round's fresh symbol
+    (``placeholders[r]``) corpus-wide before the next count. Returns the
+    learned merge table ``(round, merge_pair)`` — the artifact a tokenizer
+    trainer actually persists.
+
+    Declarative unrolling (the bpe_merge_once discipline at depth): each
+    round is one count aggregate plus a 1-row broadcast of the winner
+    joined back onto the token stream — n_rounds aggregates total, no
+    driver-side corpus state, every winner stays a column until the end
+    so Catalyst sees ONE lineage."""
+    if len(placeholders) < n_rounds:
+        raise ValueError("need one distinct placeholder symbol per round")
+    pairs_of = (
+        "transform(sequence(1, greatest(length(tok) - 1, 0)), i -> substring(tok, i, 2))"
+    )
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    winners = []
+    for r in range(n_rounds):
+        counted = (
+            toks.filter(F.length("tok") >= 2)
+            .select(F.explode(F.expr(pairs_of)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = (
+            counted.orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias(f"__w{r}"))
+        )
+        winners.append(top)
+        toks = toks.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("tok"), F.col(f"__w{r}"), F.lit(placeholders[r])
+            ).alias("tok")
+        )
+    table = winners[0].select(
+        F.lit(0).cast("int").alias("round"),
+        F.col("__w0").alias("merge_pair"),
+    )
+    for r in range(1, n_rounds):
+        table = table.unionByName(
+            winners[r].select(
+                F.lit(r).cast("int").alias("round"),
+                F.col(f"__w{r}").alias("merge_pair"),
+            )
+        )
+    return table

@@ -538,6 +538,7 @@ def _load_extensions() -> None:
         queries_wave8,
         queries_wave9,
         queries_wave10,
+        queries_wave11,
     )
 
 
@@ -632,6 +633,9 @@ ROUND7_PENDING: tuple[str, ...] = (
     "q_kcore",
     "q_preagg_reuse",
     "q_pca_power_project",
+    "q_late_events",
+    "q_bpe_merge_table",
+    "q_mode_by_group",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (

@@ -1,0 +1,178 @@
+"""Round-6 eleventh-wave queries: watermark/late-data accounting (the
+batch twin of streaming eviction semantics), the multi-round BPE merge
+table, and per-group mode — filling the remaining everyday-surface gaps.
+
+Same registry/oracle conventions as queries_ext.py. Registered in
+ROUND7_PENDING (queries.py): local-oracle green this round, queued for
+round 7's driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from weather_api_automate_etl_spark.queries import query, t
+from weather_api_automate_etl_spark.queries_wave9 import _BPE_PAIRS_SQL
+
+# ---------------------------------------------------------------------------
+# late-data accounting — the batch twin of streaming watermark eviction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_late_events",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             MAX(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN hwm IS NULL OR ts >= hwm THEN 1 END) AS BIGINT)
+             AS n_on_time,
+           CAST(COUNT(CASE WHEN ts < hwm
+                            AND ts + INTERVAL 10 MINUTE >= hwm THEN 1 END)
+                AS BIGINT) AS n_late_accepted,
+           CAST(COUNT(CASE WHEN ts + INTERVAL 10 MINUTE < hwm THEN 1 END)
+                AS BIGINT) AS n_dropped
+    FROM arr GROUP BY event_type
+    """,
+    tags=("timeseries", "streaming", "windows"),
+)
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting against a per-stream high-water mark — the
+    BATCH derivation of what a 10-minute streaming watermark would do to
+    this data: events are replayed in arrival order (event_id) per
+    event_type, the running max event-time is the watermark source, and
+    each event classifies as on-time (advances or equals the HWM), late
+    but within the 10-minute tolerance (accepted, state still open), or
+    beyond it (dropped at eviction). Classification is pure interval
+    comparison — no epoch extraction, so the TIMESTAMP_NTZ ns-precision
+    fixture can't diverge across engines (the DST/date_diff trap from the
+    round-5 notes). The capacity-planning readout before choosing a
+    production watermark delay. Per-type windows, never a global order."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max("ts").over(w)
+    tol = F.expr("INTERVAL 10 MINUTE")
+    arr = ev.select(
+        "event_type",
+        "ts",
+        hwm.alias("hwm"),
+    )
+    on_time = F.col("hwm").isNull() | (F.col("ts") >= F.col("hwm"))
+    dropped = (F.col("ts") + tol) < F.col("hwm")
+    return arr.groupBy("event_type").agg(
+        F.count(F.when(on_time, 1)).cast("long").alias("n_on_time"),
+        F.count(F.when(~on_time & ~dropped, 1)).cast("long").alias("n_late_accepted"),
+        F.count(F.when(dropped, 1)).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the BPE merge TABLE — three training rounds
+# ---------------------------------------------------------------------------
+
+#: one fresh private-use symbol per round (absent from fixture text —
+#: pinned by tests/test_wave9.py for the first; same block for the rest)
+_BPE_SYMBOLS = ""
+
+
+def _bpe_table_oracle(n_rounds: int = 3) -> str:
+    ctes = [_BPE_PAIRS_SQL.rstrip()]
+    prev_tok = "tok"
+    selects = []
+    for r in range(n_rounds):
+        src_pairs = (
+            "pairs" if r == 0
+            else f"""(
+      SELECT unnest([substr(tok, i, 2) FOR i IN range(1, len(tok))]) AS pair
+      FROM {prev_tok} WHERE len(tok) >= 2
+    )"""
+        )
+        ctes.append(f"""
+    w{r} AS (
+      SELECT pair FROM (
+        SELECT pair, COUNT(*) AS n FROM {src_pairs} GROUP BY pair
+      ) ORDER BY n DESC, pair LIMIT 1
+    )""")
+        next_tok = f"m{r}"
+        ctes.append(f"""
+    {next_tok} AS (
+      SELECT replace(tok, (SELECT pair FROM w{r}),
+                     chr({ord(_BPE_SYMBOLS[r])})) AS tok
+      FROM {prev_tok}
+    )""")
+        prev_tok = next_tok
+        selects.append(
+            f"SELECT CAST({r} AS INTEGER) AS round, "
+            f"(SELECT pair FROM w{r}) AS merge_pair"
+        )
+    return ",".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+@query("q_bpe_merge_table", oracle=_bpe_table_oracle(), tags=("text",))
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE training rounds end to end (operators/textops.py::
+    bpe_merge_rounds): the learned merge table (round, merge_pair) — the
+    artifact a tokenizer trainer persists. Each round is one count
+    aggregate + a 1-row broadcast winner substituted corpus-wide before
+    the next count; the oracle unrolls the same three rounds as CTEs.
+    Round r's winner depends on rounds < r having been applied, so any
+    drift in the merge application surfaces as a different later
+    winner."""
+    from weather_api_automate_etl_spark.operators import textops
+
+    return textops.bpe_merge_rounds(
+        t(spark, sf_dir, "documents"), n_rounds=3, placeholders=_BPE_SYMBOLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group mode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mode_by_group",
+    oracle="""
+    SELECT event_type, hour, n FROM (
+      SELECT event_type,
+             CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY COUNT(*) DESC,
+               CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INTEGER)
+             ) AS rk
+      FROM events GROUP BY 1, 2
+    ) WHERE rk = 1
+    """,
+    tags=("agg", "windows"),
+)
+def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent hour-of-day per event type, ties to
+    the lowest hour — the deterministic rule): count-then-argmax via a
+    group-keyed WindowGroupLimit top-1 over the 24-row-per-group
+    aggregate — never a value-keyed shuffle of raw events beyond the
+    count itself. The everyday 'what's the typical X per group' query."""
+    from weather_api_automate_etl_spark.functions.core import pg_hour
+
+    counted = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", pg_hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hour"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "hour", "n")
+    )
