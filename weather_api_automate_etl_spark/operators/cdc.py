@@ -208,3 +208,17 @@ def scd2_apply(
     return history.select(
         key, *compare_cols, "valid_from", "valid_to"
     ).unionByName(keep_current).unionByName(closed).unionByName(opened)
+
+
+def scd2_asof(dim: DataFrame, at_ts) -> DataFrame:
+    """Point-in-time lookup over a type-2 dimension: the rows that were
+    current AS OF ``at_ts`` — ``valid_from <= t`` and (open, or closed
+    strictly after t). The query that makes SCD2 history worth storing
+    (reproduce any past report / join facts against the dimension state
+    of their own day). A pure filter: partition-prunable when the dim is
+    stored partitioned on valid_from months, no join, no window."""
+    ts = F.lit(at_ts).cast("timestamp_ntz")
+    return dim.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    )

@@ -636,6 +636,8 @@ ROUND7_PENDING: tuple[str, ...] = (
     "q_late_events",
     "q_bpe_merge_table",
     "q_mode_by_group",
+    "q_scd2_asof",
+    "q_schema_evolution",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (

@@ -176,3 +176,83 @@ def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("event_type", "hour", "n")
     )
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time (time travel over the type-2 dimension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_asof",
+    oracle="""
+    WITH oldv AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM oldv
+    """,
+    tags=("cdc",),
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF lookup over the q_scd2 dimension at 2024-03-01 — BETWEEN the
+    seed batch (2024-01-01) and the update batch (2024-06-01), so every
+    row of the seed's current slice is returned (including rows the later
+    batch closed: time travel must see through subsequent changes) while
+    the 2023 history rows, closed before the probe instant, are excluded.
+    That makes the expected state exactly the 'oldv' slice — an oracle an
+    independent reader can verify by inspection. operators/cdc.py::
+    scd2_asof is a pure filter: partition-prunable, no join."""
+    from weather_api_automate_etl_spark.operators import cdc
+    from weather_api_automate_etl_spark.queries_analytics import q_scd2
+
+    dim = q_scd2(spark, sf_dir)
+    return cdc.scd2_asof(dim, "2024-03-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution on the lake (mergeSchema read)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("cdc", "layout"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: a v1 writer lands (key, price), a
+    later v2 writer adds o_orderstatus; ``mergeSchema`` reads both
+    generations as ONE table with NULLs where v1 predates the column —
+    the append-only evolution contract every long-lived dataset relies
+    on. The footer-merge cost is why production tables pin the schema in
+    the catalog instead (sources/catalog.py) — this query pins that the
+    read path itself is correct when they don't."""
+    import shutil
+    import tempfile
+
+    orders = t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{base}/gen=1")
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").parquet(f"{base}/gen=2")
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{base}/gen=1", f"{base}/gen=2")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
