@@ -196,3 +196,61 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_into_is_single_anti_join_no_mart_shuffle(spark):
+    """merge_into's plan: the mart side reaches the union through ONE
+    join (left-anti against the update keys) and no Exchange sits between
+    the mart scan and that join when the update side broadcasts — the
+    'no shuffle ever touches the full mart' SCALING.md claim."""
+    from weather_api_automate_etl_spark.operators import cdc
+
+    mart = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    updates = mart.limit(10)
+    plan = _plan(cdc.merge_into(mart, F.broadcast(updates), "o_orderkey"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_no_cartesian_label_filter_in_join(spark):
+    """The bucket equi-join carries the label-inequality predicate as its
+    join condition — never a cartesian, and cross-label filtering happens
+    AT the join, not after materializing same-label pairs."""
+    from weather_api_automate_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(
+        similarity.hard_negative_pairs(emb, "embedding", "label", dim=64, k=3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "NOT (_albl" in plan or "NOT (label" in plan.replace("#", "") or (
+        "_albl" in plan and "_blbl" in plan
+    )
+
+
+def test_zorder_key_stays_in_codegen(spark):
+    """The Morton interleave is pure JVM arithmetic: no BatchEvalPython,
+    and the projection sits inside a WholeStageCodegen span."""
+    from weather_api_automate_etl_spark.functions.core import zorder_key
+
+    df = spark.range(100).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") % 16).alias("y")
+    )
+    plan = _plan(df.select(zorder_key("x", "y", 8).alias("z")))
+    assert "BatchEvalPython" not in plan
+    # executedPlan marks codegen stages with "*(n)" prefixes
+    assert plan.lstrip().startswith("*(")
+    assert "shiftleft" in plan  # the interleave compiled to JVM intrinsics
+
+
+def test_profile_table_is_one_aggregate(spark):
+    """N profiled columns must cost ONE scan: exactly one parquet scan
+    node in the plan (the expand for count_distinct rides the same
+    scan)."""
+    from weather_api_automate_etl_spark.operators import quality
+
+    orders = load_table(spark, SF, "orders")
+    plan = _plan(
+        quality.profile_table(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+    )
+    assert plan.count("Scan parquet") == 1
