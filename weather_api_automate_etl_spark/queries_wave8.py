@@ -9,7 +9,6 @@ round-6 window head (queries.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from weather_api_automate_etl_spark.queries import query, t
 from weather_api_automate_etl_spark.queries_ext import _DOT_SQL

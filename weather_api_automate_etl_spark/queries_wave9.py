@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weather_api_automate_etl_spark.queries import query, t
 from weather_api_automate_etl_spark.queries_ext import (
-    _DOT_SQL,
     _TOKENS_SQL,
     _kmf_assign,
     _kmf_update,
