@@ -90,3 +90,35 @@ def test_mode_by_group_tie_breaks_low(spark):
         .collect()
     }
     assert got == {"a": (1, 2), "b": (5, 1)}  # tie 3 vs 1 -> lowest hour
+
+
+def test_fellegi_sunter_weights_rank_fields(spark):
+    """A balance+name match with segment mismatch must outscore a
+    segment-only match — the field-weighting point of FS over a flat
+    distance; NULL fields compare as plain disagreement, never NULL."""
+    from pyspark.sql import functions as F
+
+    from weather_api_automate_etl_spark.operators import dedup as dedup_ops
+
+    a = spark.createDataFrame(
+        [(1, "ann", "AUTO", 10.0), (2, "bob", "BIKE", 20.0)],
+        "k long, name string, seg string, bal double",
+    )
+    b = spark.createDataFrame(
+        [(101, "ann", "BIKE", 10.0),   # name+bal agree, seg differs
+         (102, "zed", "BIKE", None)],  # only seg agrees (bal NULL)
+        "ck long, name string, seg string, bal double",
+    )
+    fields = [("name", 10.0, -5.0), ("seg", 2.0, -4.0), ("bal", 9.0, -3.0)]
+    got = {
+        (r.k, r.ck): r.score
+        for r in dedup_ops.fellegi_sunter_link(
+            a.withColumn("blk", F.lit(1)),
+            b.withColumn("blk", F.lit(1)),
+            "k", "ck", ["blk"], fields,
+        ).collect()
+    }
+    assert got[(1, 101)] == 10.0 - 4.0 + 9.0   # 15.0
+    assert got[(2, 102)] == -5.0 + 2.0 - 3.0   # -6.0 (NULL bal = disagree)
+    assert got[(1, 102)] == -5.0 - 4.0 - 3.0   # all fields differ
+    assert got[(1, 101)] > got[(2, 101)] > got[(1, 102)]

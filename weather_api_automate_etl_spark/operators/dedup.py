@@ -778,3 +778,57 @@ def fuzzy_match_blocked(
         .filter(dist <= max_dist)
         .select("p1", "p2", block_col, dist.cast("int").alias("dist"))
     )
+
+
+def fellegi_sunter_link(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    block_cols: Sequence[str],
+    fields: Sequence[tuple[str, float, float]],
+    min_score: float | None = None,
+) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter 1969): blocked
+    candidate pairs scored by summed per-field log-likelihood weights —
+    agreement on field i contributes log2(m_i/u_i), disagreement
+    log2((1−m_i)/(1−u_i)) — the principled upgrade over a single edit
+    distance (fuzzy_match_blocked) when fields have very different
+    discriminating power (an account-balance match is worth far more
+    than a market-segment match). ``fields`` is (column, w_agree,
+    w_disagree) with the weights precomputed from the m/u probabilities
+    — estimating m/u (EM over the match/unmatch mixture) is upstream
+    model fitting, not engine work.
+
+    Same 100 TB shape as every ER operator here: the quadratic explosion
+    is contained by the block equi-join (never all-pairs); the score is a
+    pure per-pair column expression; NULL-safe equality (eqNullSafe) so a
+    missing field compares as a normal disagreement, never a NULL score.
+    Returns (key_a, key_b, score) filtered to score ≥ min_score."""
+    av = a.select(
+        F.col(key_a),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+        *[F.col(f).alias(f"__a_{f}") for f, _, _ in fields],
+    )
+    bv = b.select(
+        F.col(key_b),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        *[F.col(f).alias(f"__b_{f}") for f, _, _ in fields],
+    )
+    cond = None
+    for c in block_cols:
+        eq = F.col(f"__ba_{c}") == F.col(f"__bb_{c}")
+        cond = eq if cond is None else cond & eq
+    score = None
+    for f, w_agree, w_disagree in fields:
+        term = F.when(
+            F.col(f"__a_{f}").eqNullSafe(F.col(f"__b_{f}")),
+            F.lit(float(w_agree)),
+        ).otherwise(F.lit(float(w_disagree)))
+        score = term if score is None else score + term
+    out = av.join(bv, cond).select(
+        key_a, key_b, F.round(score, 6).alias("score")
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= float(min_score))
+    return out

@@ -638,6 +638,7 @@ ROUND7_PENDING: tuple[str, ...] = (
     "q_mode_by_group",
     "q_scd2_asof",
     "q_schema_evolution",
+    "q_fellegi_sunter",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (

@@ -256,3 +256,97 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+# ---------------------------------------------------------------------------
+# probabilistic record linkage (Fellegi–Sunter)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: per-field (m, u) probabilities → log2 likelihood weights, shared
+#: verbatim between the Spark expression and the oracle SQL so both
+#: engines sum the identical double literals
+_FS_MU = {
+    "c_name": (0.99, 0.0005),
+    "c_mktsegment": (0.95, 0.2),
+    "c_acctbal": (0.9, 0.001),
+}
+_FS_WEIGHTS = {
+    f: (
+        round(_math.log2(m / u), 6),
+        round(_math.log2((1.0 - m) / (1.0 - u)), 6),
+    )
+    for f, (m, u) in _FS_MU.items()
+}
+_FS_MIN_SCORE = 0.0
+
+
+def _fs_oracle() -> str:
+    # e0-suffixed literals parse as DOUBLE (bare decimals become DECIMAL in
+    # DuckDB, which would stringify with trailing zeros and break the hash)
+    terms = " + ".join(
+        f"(CASE WHEN a.{f} IS NOT DISTINCT FROM b.{f} "
+        f"THEN {w_agree!r}e0 ELSE {w_dis!r}e0 END)"
+        for f, (w_agree, w_dis) in _FS_WEIGHTS.items()
+    )
+    return f"""
+    WITH a AS (SELECT * FROM customer),
+    b AS (
+      SELECT c_custkey + 5000000 AS cand_key,
+             CASE WHEN c_custkey % 11 = 0 THEN c_name || '*' ELSE c_name END
+               AS c_name,
+             c_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 128.0
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'PERTURBED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT a.c_custkey, b.cand_key, ROUND({terms}, 6) AS score
+    FROM a JOIN b
+      ON a.c_nationkey = b.c_nationkey
+     AND floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)
+    WHERE ROUND({terms}, 6) >= {_FS_MIN_SCORE}
+    """
+
+
+@query("q_fellegi_sunter", oracle=_fs_oracle(), tags=("dedup", "joins"))
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/dedup.py::
+    fellegi_sunter_link): customers linked against a deterministically
+    perturbed copy (every 11th name starred, every 5th balance shifted by
+    an IEEE-exact +128, every 7th segment replaced), blocked on
+    (nation, ⌊balance/1000⌋), scored by summed log2(m/u) field weights —
+    a balance match outweighs a segment match 4×, which is the point of
+    FS over single-distance matching. Pairs whose balance perturbation
+    crosses a block boundary are missed — honest blocking recall, the
+    multi-pass-blocking motivation. Weights are literals shared between
+    both engines, so the sums are bit-identical."""
+    from weather_api_automate_etl_spark.operators import dedup as dedup_ops
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    b = cust.select(
+        (k + 5000000).alias("cand_key"),
+        F.when(k % 11 == 0, F.concat(F.col("c_name"), F.lit("*")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        F.when(k % 5 == 0, F.col("c_acctbal") + F.lit(128.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(k % 7 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    a = cust.withColumn("__blk", F.floor(F.col("c_acctbal") / 1000))
+    bb = b.withColumn("__blk", F.floor(F.col("c_acctbal") / 1000))
+    return dedup_ops.fellegi_sunter_link(
+        a,
+        bb,
+        "c_custkey",
+        "cand_key",
+        block_cols=["c_nationkey", "__blk"],
+        fields=[(f, w[0], w[1]) for f, w in _FS_WEIGHTS.items()],
+        min_score=_FS_MIN_SCORE,
+    )
