@@ -380,3 +380,16 @@ def test_merge_into_partitioned_rewrites_only_touched_partition(spark, tmp_path)
         (1, 10.0, "d1"), (2, 99.0, "d1"), (9, 90.0, "d1"),
         (3, 30.0, "d2"), (4, 40.0, "d2"),
     }
+
+
+def test_merge_into_partitioned_empty_batch_is_noop(spark, tmp_path):
+    import os
+
+    from weather_api_automate_etl_spark.operators import cdc
+
+    path = str(tmp_path / "mart")
+    spark.createDataFrame([(1, 1.0, "d1")], "k long, v double, p string").write.partitionBy("p").parquet(path)
+    before = sorted(os.listdir(os.path.join(path, "p=d1")))
+    empty = spark.createDataFrame([], "k long, v double, p string")
+    assert cdc.merge_into_partitioned(spark, path, empty, "k", "p") == []
+    assert sorted(os.listdir(os.path.join(path, "p=d1"))) == before

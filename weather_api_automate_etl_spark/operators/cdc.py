@@ -127,6 +127,8 @@ def merge_into_partitioned(
     Returns the touched partition values (driver-side, metadata-scale).
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not touched:
+        return []  # empty batch: touch nothing (streaming replay edge)
     current = spark.read.parquet(mart_path).filter(
         F.col(partition_col).isin(touched)
     )
