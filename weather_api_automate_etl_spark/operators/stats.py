@@ -442,3 +442,45 @@ def first_touch_conversion(
             F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
         ).alias("conversion_rate"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the canonical 'does X depend on Y' readout (event type vs
+    hour, segment vs region, experiment arm vs outcome).
+
+    One count aggregate builds the contingency table; the FULL r×c grid
+    (including zero cells, which the groupBy alone would drop but the
+    statistic requires) comes from crossing the two distinct-value sets —
+    both category-cardinality, broadcast, metadata-scale; margins join
+    back onto the grid the same way. Returns ONE row:
+    (chi2, dof, n_obs). Expected counts e = row·col/n; χ² = Σ (o−e)²/e
+    over all cells, rounded to 6 (sum order is engine-dependent in the
+    last ulp)."""
+    obs = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    counts = obs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = counts.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_tot = counts.groupBy("b").agg(F.sum("o").alias("cb"))
+    n_row = counts.agg(F.sum("o").cast("double").alias("n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(counts, ["a", "b"], "left")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("o"), F.lit(0)).cast("double").alias("o"),
+            (F.col("ra") * F.col("cb") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    term = (F.col("o") - F.col("e")) ** 2 / F.col("e")
+    return grid.agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        ((F.count_distinct("a") - 1) * (F.count_distinct("b") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.max("n").cast("long").alias("n_obs"),
+    )

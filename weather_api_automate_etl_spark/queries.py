@@ -639,6 +639,7 @@ ROUND7_PENDING: tuple[str, ...] = (
     "q_scd2_asof",
     "q_schema_evolution",
     "q_fellegi_sunter",
+    "q_chi_square",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (

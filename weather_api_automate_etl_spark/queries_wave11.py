@@ -350,3 +350,49 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields=[(f, w[0], w[1]) for f, w in _FS_WEIGHTS.items()],
         min_score=_FS_MIN_SCORE,
     )
+
+# ---------------------------------------------------------------------------
+# chi-square independence test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a,
+             CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INTEGER) AS b
+      FROM events
+    ),
+    counts AS (SELECT a, b, COUNT(*) AS o FROM obs GROUP BY a, b),
+    ra AS (SELECT a, SUM(o) AS ra FROM counts GROUP BY a),
+    cb AS (SELECT b, SUM(o) AS cb FROM counts GROUP BY b),
+    nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM counts),
+    grid AS (
+      SELECT ra.a, cb.b,
+             CAST(COALESCE(c.o, 0) AS DOUBLE) AS o,
+             ra.ra * cb.cb / (SELECT n FROM nn) AS e
+      FROM ra CROSS JOIN cb LEFT JOIN counts c ON c.a = ra.a AND c.b = cb.b
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+             AS dof,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n_obs
+    FROM grid
+    """,
+    tags=("agg", "analytics"),
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and
+    hour-of-day (operators/stats.py::chi_square_independence) — the
+    canonical categorical-dependence readout. The full r×c grid including
+    zero cells is crossed from the two category sets (metadata-scale,
+    broadcast) because the statistic requires expected counts for
+    UNOBSERVED cells too — the bug a naive groupBy-only version hides."""
+    from weather_api_automate_etl_spark.functions.core import pg_hour
+    from weather_api_automate_etl_spark.operators import stats
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", pg_hour("ts").alias("hour")
+    )
+    return stats.chi_square_independence(ev, "event_type", "hour")
