@@ -805,6 +805,13 @@ def fellegi_sunter_link(
     pure per-pair column expression; NULL-safe equality (eqNullSafe) so a
     missing field compares as a normal disagreement, never a NULL score.
     Returns (key_a, key_b, score) filtered to score ≥ min_score."""
+    if not block_cols:
+        raise ValueError(
+            "fellegi_sunter_link requires blocking columns — an unblocked "
+            "linkage is an all-pairs cartesian, which never survives scale"
+        )
+    if not fields:
+        raise ValueError("fellegi_sunter_link requires at least one field")
     av = a.select(
         F.col(key_a),
         *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
