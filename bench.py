@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "q_merge_upsert",        # anti-join upsert vs the full-refresh baseline
     "q_ann_recall",          # exact scatter + probed scan + semi-join recall
     "q_e2e_weather_pipeline",  # the WHOLE reference DAG incl. parquet writes
+    "q_profile_table",       # one-scan N-column profile (count_distinct expand)
+    "q_zorder_layout",       # codegen bit-interleave + 64-group rollup
+    "q_hard_negatives",      # LSH-blocked cross-label pair join + top-k
+    "q_fellegi_sunter",      # blocked probabilistic linkage scoring
 ]
 
 

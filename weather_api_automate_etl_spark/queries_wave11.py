@@ -9,6 +9,8 @@ round 7's driver window.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -260,8 +262,6 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # probabilistic record linkage (Fellegi–Sunter)
 # ---------------------------------------------------------------------------
-
-import math as _math
 
 #: per-field (m, u) probabilities → log2 likelihood weights, shared
 #: verbatim between the Spark expression and the oracle SQL so both
