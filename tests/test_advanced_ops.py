@@ -178,3 +178,21 @@ def test_k_core_empty_graph(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert graph.k_core(edges, k=2).count() == 0
+
+
+def test_k_core_long_chain_converges(spark):
+    """Round-6 advice regression: a 120-node path is the adversarial shape
+    for synchronous peeling (only the two endpoints strip per round, so
+    the fixpoint needs ~n/2 rounds — the old fixed max_rounds=50 raised a
+    spurious RuntimeError). The data-derived budget must let it reach the
+    legitimately empty 2-core; an explicit stricter budget still raises."""
+    import pytest
+
+    from weather_api_automate_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    assert graph.k_core(edges, k=2).count() == 0
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        graph.k_core(edges, k=2, max_rounds=5)

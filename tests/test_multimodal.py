@@ -664,6 +664,15 @@ def test_gif_encode_rejections():
     payload = codecs.encode_gif(np.zeros((8, 8), dtype=np.uint8), [(1, 2, 3)])
     with _pytest.raises(ValueError, match="truncated"):
         codecs.decode_gif(payload[:-6])
+    # round-6 advice: degenerate shapes and a corrupt first LZW code must
+    # surface as the codec's documented ValueError, never IndexError
+    for empty in ((0, 4), (4, 0)):
+        with _pytest.raises(ValueError, match="empty index raster"):
+            codecs.encode_gif(np.zeros(empty, dtype=np.uint8), [(0, 0, 0)])
+    with _pytest.raises(ValueError, match="out of range"):
+        # first code in the entropy stream = 7 (LSB-first), a non-root,
+        # non-clear value beyond the fresh table for min_code_size=2
+        codecs._gif_lzw_decompress(bytes([0b00000111]), 2, 4)
 
 
 def test_gif_spark_pipeline_stats(spark):

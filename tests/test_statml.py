@@ -373,3 +373,24 @@ def test_pca_power_project_agrees_with_eigh(spark, emb):
         ).collect()
     }
     assert again == power
+
+
+def test_chi_square_ignores_null_categories(spark):
+    """Round-6 advice: NULL categories previously entered margins and n
+    (groupBy keeps NULL groups) while the null-unsafe grid join zeroed
+    their observed cells, inflating chi2 and desyncing dof. The test pins
+    the fix: rows with a NULL in either column contribute NOTHING — the
+    statistic over a frame with NULL rows equals the statistic over the
+    same frame with those rows dropped, and for independent balanced data
+    chi2 is exactly 0 (any phantom (0-e)^2/e term would break that)."""
+    from weather_api_automate_etl_spark.operators import stats
+
+    base = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)]
+    with_nulls = base + [(None, "u"), ("x", None), (None, None)]
+    df = spark.createDataFrame(with_nulls, "a string, b string")
+    got = stats.chi_square_independence(df, "a", "b").collect()[0]
+    clean = stats.chi_square_independence(
+        spark.createDataFrame(base, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert (got.chi2, got.dof, got.n_obs) == (clean.chi2, clean.dof, clean.n_obs)
+    assert got.chi2 == 0.0 and got.dof == 1 and got.n_obs == 20

@@ -125,14 +125,27 @@ def merge_into_partitioned(
     Updates must land in their OWN partition (an update may not move a row
     across partitions — same contract as Hive/Delta dynamic overwrite).
     Returns the touched partition values (driver-side, metadata-scale).
-    """
+
+    The merged frame is MATERIALIZED (localCheckpoint) before the write:
+    the merge reads ``mart_path`` and the dynamic overwrite rewrites the
+    same path, and a lazy plan would make the write's input depend on the
+    files it is deleting — safe only by the accident of staging order and
+    Spark-version-sensitive (round-6 advice). Checkpointing decouples the
+    read from the overwrite: the touched partitions are fully read and
+    pinned to executor-local storage before the first byte is staged. The
+    checkpointed slice is batch-scale (touched partitions only), not
+    mart-scale. The swap itself stays non-atomic at the filesystem level —
+    the table-format ledger (Delta/Iceberg) is the production answer; this
+    operator is the Hive-layout primitive underneath."""
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not touched:
         return []  # empty batch: touch nothing (streaming replay edge)
     current = spark.read.parquet(mart_path).filter(
         F.col(partition_col).isin(touched)
     )
-    merged = merge_into(current, updates.select(*current.columns), key)
+    merged = merge_into(
+        current, updates.select(*current.columns), key
+    ).localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -257,7 +257,7 @@ def k_core(
     id_a: str = "id_a",
     id_b: str = "id_b",
     node_id: str = "doc_id",
-    max_rounds: int = 50,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """k-core decomposition by synchronous peeling: repeatedly remove ALL
     nodes whose degree in the remaining subgraph is < k, until none
@@ -271,10 +271,23 @@ def k_core(
     list is checkpointed per round so lineage never stacks, each round is
     one degree aggregate + two semi-joins, and the stop probe is the
     violator count (a 1-row aggregate). Returns (node_id, core_degree)
-    for surviving nodes — degree measured inside the final core."""
+    for surviving nodes — degree measured inside the final core.
+
+    The round budget is derived from the DATA, not a constant: every
+    non-terminal round removes at least one node (else the violator count
+    is 0 and the loop returns), so node count + 1 bounds the rounds for
+    ANY graph — including the adversarial chain shape, where synchronous
+    peeling strips only the two endpoints per round and needs ~n/2 rounds
+    (a fixed default of 50 raised a spurious RuntimeError on a 120-node
+    path; round-6 advice). Pass ``max_rounds`` only to impose a stricter
+    external budget; the fixpoint itself cannot run past the derived cap,
+    so hitting it means the loop is genuinely broken."""
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).localCheckpoint(eager=True)
+    if max_rounds is None:
+        # +1: the final no-violator probe round removes nothing
+        max_rounds = sym.select("src").distinct().count() + 1
     for _ in range(max_rounds):
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         n_bad = deg.filter(F.col("degree") < k).count()

@@ -458,8 +458,17 @@ def chi_square_independence(
     back onto the grid the same way. Returns ONE row:
     (chi2, dof, n_obs). Expected counts e = row·col/n; χ² = Σ (o−e)²/e
     over all cells, rounded to 6 (sum order is engine-dependent in the
-    last ulp)."""
-    obs = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    last ulp).
+
+    NULL categories are excluded up front — standard contingency-table
+    practice, and the only consistent choice here: a NULL category would
+    enter the margins and n (groupBy keeps NULL groups) while the
+    null-unsafe grid join zeroed its observed cells, inflating χ² with
+    phantom (0−e)²/e terms and desynchronizing dof's count_distinct
+    (which ignores NULL) from the grid (round-6 advice)."""
+    obs = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
     counts = obs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
     row_tot = counts.groupBy("a").agg(F.sum("o").alias("ra"))
     col_tot = counts.groupBy("b").agg(F.sum("o").alias("cb"))

@@ -363,6 +363,7 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS a,
              CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INTEGER) AS b
       FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
     ),
     counts AS (SELECT a, b, COUNT(*) AS o FROM obs GROUP BY a, b),
     ra AS (SELECT a, SUM(o) AS ra FROM counts GROUP BY a),

@@ -269,33 +269,42 @@ def q_e2e_weather_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 composition with the corpus pipeline (fail-fast ordering +
     wall-time bound) lives in tests/test_e2e_pipeline.py."""
     import datetime as dt
+    import shutil
     import tempfile
 
     from weather_api_automate_etl_spark.operators import marts
     from weather_api_automate_etl_spark.plans.pipeline import WeatherPipeline
 
+    # q_schema_evolution's hygiene (round-6 advice): the returned frame is
+    # checkpointed so it no longer depends on the mart files, and the
+    # working directory is removed before returning — no stranded mart
+    # copies across bench/correctness sweeps
     base = tempfile.mkdtemp(prefix="e2e_weather_")
-    pipe = WeatherPipeline(
-        spark,
-        raw_path=f"{base}/raw",
-        marts_path=f"{base}/marts",
-        pin_extracted_at=True,
-    )
-    pipe.run(dt.datetime(2026, 1, 1))
-    fct = spark.read.parquet(f"{base}/marts/fct_weather_observations")
-    dim = spark.read.parquet(f"{base}/marts/dim_locations")
-    return marts.join_observations(fct, dim).select(
-        "location_key",
-        "city",
-        "country",
-        "temperature",
-        "temperature_category",
-        "weather_category",
-        "humidity",
-        "wind_speed",
-        "pressure",
-        "extraction_date",
-        "extraction_hour",
-        "day_of_week",
-        "total_observations",
-    )
+    try:
+        pipe = WeatherPipeline(
+            spark,
+            raw_path=f"{base}/raw",
+            marts_path=f"{base}/marts",
+            pin_extracted_at=True,
+        )
+        pipe.run(dt.datetime(2026, 1, 1))
+        fct = spark.read.parquet(f"{base}/marts/fct_weather_observations")
+        dim = spark.read.parquet(f"{base}/marts/dim_locations")
+        out = marts.join_observations(fct, dim).select(
+            "location_key",
+            "city",
+            "country",
+            "temperature",
+            "temperature_category",
+            "weather_category",
+            "humidity",
+            "wind_speed",
+            "pressure",
+            "extraction_date",
+            "extraction_hour",
+            "day_of_week",
+            "total_observations",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1057,6 +1057,12 @@ def _gif_lzw_decompress(data: bytes, min_code_size: int, n_pixels: int) -> np.nd
         if code == eoi:
             break
         if prev is None:
+            # first code after SOI/clear must already be in the table (a
+            # root); a corrupt stream can put any 12-bit value here, which
+            # must surface as the codec's documented ValueError, not an
+            # IndexError (round-6 advice)
+            if code >= len(table):
+                raise ValueError(f"GIF: LZW code {code} out of range")
             out += table[code]
         else:
             if code < len(table):
@@ -1081,6 +1087,10 @@ def encode_gif(indices: np.ndarray, palette: list[tuple[int, int, int]]) -> byte
     variable-width LZW."""
     if indices.ndim != 2:
         raise ValueError("encode_gif expects an (H, W) index raster")
+    if indices.size == 0:
+        # (0, W)/(H, 0) rasters have no first pixel for the LZW seed and
+        # no legal GIF representation — reject up front (round-6 advice)
+        raise ValueError("encode_gif: empty index raster")
     if not 0 < len(palette) <= 256:
         raise ValueError("GIF palette must have 1..256 entries")
     if int(indices.max(initial=0)) >= len(palette):
