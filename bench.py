@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "q_zorder_layout",       # codegen bit-interleave + 64-group rollup
     "q_hard_negatives",      # LSH-blocked cross-label pair join + top-k
     "q_fellegi_sunter",      # blocked probabilistic linkage scoring
+    # round-7 additions
+    "q_profile_table_approx",  # same profile, HLL sketches — no Expand (pair
+                               # with q_profile_table to read the saving)
 ]
 
 

@@ -308,3 +308,36 @@ def test_cluster_survivors_keep_longest(spark):
            for r in dedup.cluster_survivors(docs, pairs).collect()}
     # cluster {1,2,3}: longest is tie 2/3 -> lowest id 2; singletons survive
     assert got == {(1, 2, 3), (4, 4, 1), (5, 5, 1)}
+
+
+def test_kmeans_fit_clamped_is_partition_invariant(spark):
+    """clamp_digits pins the whole convergence loop to round-6 centroid
+    representatives, so the fit — codebook, round count, stop flag — must
+    be IDENTICAL regardless of input partitioning (the property the
+    q_kmeans recursive-CTE oracle relies on; unclamped fits only promise
+    this up to last-ulp drift)."""
+    from weather_api_automate_etl_spark.operators import similarity
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [10.0 + (i % 7) * 0.3, (i % 5) * 0.1, 1.0]))
+        rows.append((100 + i, [(i % 5) * 0.1, 10.0 + (i % 7) * 0.3, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def fit(df):
+        cents, rounds, conv = similarity.kmeans_fit(
+            df, k=2, max_iter=10, tol=1e-6, clamp_digits=6
+        )
+        return (
+            sorted((r.list_id, tuple(r.centroid)) for r in cents.collect()),
+            rounds,
+            conv,
+        )
+
+    a = fit(emb.coalesce(1))
+    b = fit(emb.repartition(17))
+    assert a == b
+    # every component is exactly its round-6 representative
+    for _, cent in a[0]:
+        for x in cent:
+            assert x == round(x, 6)

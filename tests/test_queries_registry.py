@@ -82,17 +82,19 @@ def _driver_verified() -> set[str]:
 
 def test_priority_prefix_covers_every_family():
     """External verification records exactly the first 50 registry entries
-    per round; rounds 1-5 drove every query except the round-5 hand-off
-    and the rows-only residue green. Pin round 6's evidence strategy: the
-    window opens with every query no prior round verified (derived from
-    the CORRECTNESS files themselves, so this test self-maintains as
-    evidence lands), keeps the §2 core sentinels and one representative
-    per family inside the window, backfills stalest-driver-row-first, and
-    everything outside the window already holds a green driver row (or is
-    explicitly queued in ROUND7_PENDING for the next hand-off)."""
+    per round; rounds 1-6 drove every query green except the round-6
+    hand-off (the former ROUND7_PENDING) and the rows-only residue. Pin
+    round 7's evidence strategy: the window opens with every query no
+    prior round verified (derived from the CORRECTNESS files themselves,
+    so this test self-maintains as evidence lands), keeps the §2 core
+    sentinels and one representative per family inside the window,
+    backfills stalest-driver-row-first (all r2 rows + the four stalest r3
+    rows), and everything outside the window already holds a green driver
+    row (or is explicitly queued in ROUND8_PENDING for the next
+    hand-off)."""
     from weather_api_automate_etl_spark.queries import (
-        ROUND6_WINDOW_HEAD,
-        ROUND7_PENDING,
+        ROUND7_WINDOW_HEAD,
+        ROUND8_PENDING,
         queries,
     )
 
@@ -101,13 +103,13 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND6_WINDOW_HEAD)
+    k = len(ROUND7_WINDOW_HEAD)
     assert k == 50, "the driver records exactly the first 50 entries"
-    assert names[:k] == list(ROUND6_WINDOW_HEAD)
-    assert unverified <= set(ROUND6_WINDOW_HEAD) | set(ROUND7_PENDING), (
-        "every never-driver-verified query must open the round-6 window "
-        "(or be explicitly queued in ROUND7_PENDING): "
-        f"missing {unverified - set(ROUND6_WINDOW_HEAD) - set(ROUND7_PENDING)}"
+    assert names[:k] == list(ROUND7_WINDOW_HEAD)
+    assert unverified <= set(ROUND7_WINDOW_HEAD) | set(ROUND8_PENDING), (
+        "every never-driver-verified query must open the round-7 window "
+        "(or be explicitly queued in ROUND8_PENDING): "
+        f"missing {unverified - set(ROUND7_WINDOW_HEAD) - set(ROUND8_PENDING)}"
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
@@ -122,8 +124,8 @@ def test_priority_prefix_covers_every_family():
                    "multimodal", "ingest"):
         assert family in tags_in_prefix, f"family {family!r} missing from prefix"
     # everything outside the window must already be driver-verified, save
-    # the explicitly-queued round-7 hand-off set
-    outside = set(names[50:]) - verified - set(ROUND7_PENDING)
+    # the explicitly-queued round-8 hand-off set
+    outside = set(names[50:]) - verified - set(ROUND8_PENDING)
     assert not outside, (
         f"queries outside the window lack prior driver rows: {outside}"
     )

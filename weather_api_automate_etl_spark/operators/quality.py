@@ -143,21 +143,40 @@ def freshness(
     )
 
 
-def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
-    """One-pass data profile — per column: row count, null count, exact
-    distinct count, min and max (stringified for a uniform schema) — the
-    first query anyone runs against an unfamiliar 100 TB table.
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str],
+    distinct_mode: str = "exact",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass data profile — per column: row count, null count, distinct
+    count, min and max (stringified for a uniform schema) — the first
+    query anyone runs against an unfamiliar 100 TB table.
 
     ONE aggregate computes every statistic (the not_null_violation_counts
     discipline: N columns never means N scans); the per-column rows are
     then unpivoted from the single aggregate row with explode, which is
     metadata-scale. min/max aggregate in the column's NATIVE type (never
     lexicographically over strings) and stringify after, doubles rounded
-    to 6 first so the strings are engine-portable. The exact
-    count_distinct is the one shuffle-expand in the plan — at true 100 TB
-    swap it for approx_count_distinct (HLL++, mergeable, no expand); the
-    rest of the profile is pure map-side combine either way."""
+    to 6 first so the strings are engine-portable.
+
+    ``distinct_mode`` picks the cardinality estimator — the one choice
+    that changes the PLAN, not just the answer:
+
+    - ``"exact"``: ``count_distinct``. Catalyst plans one Expand per
+      profiled column (each input row replicated N_cols times into the
+      shuffle) — exact, but the shuffle grows multiplicatively with the
+      column count; the right default up to mid-scale.
+    - ``"approx"``: ``approx_count_distinct`` (HLL++, relative standard
+      deviation ``rsd``). Sketches are fixed-size and mergeable, so the
+      whole profile collapses to pure map-side combine + a k-row final
+      merge — NO Expand, NO data-sized shuffle; the 100 TB path. The
+      estimate's error bound is pinned in tests/test_wave12.py, and the
+      Expand-vs-sketch cost delta is measured in SCALING.md."""
     from pyspark.sql import types as T
+
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError(f"distinct_mode must be exact|approx, got {distinct_mode!r}")
 
     def _s(agg_col, c: str):
         if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
@@ -166,10 +185,15 @@ def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
 
     aggs = []
     for c in columns:
+        nd = (
+            F.count_distinct(F.col(c))
+            if distinct_mode == "exact"
+            else F.approx_count_distinct(F.col(c), rsd)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            nd.alias(f"__nd_{c}"),
             _s(F.min(F.col(c)), c).alias(f"__min_{c}"),
             _s(F.max(F.col(c)), c).alias(f"__max_{c}"),
         ]

@@ -132,6 +132,7 @@ def kmeans_fit(
     k: int = 8,
     max_iter: int = 10,
     tol: float = 1e-4,
+    clamp_digits: int | None = None,
 ) -> tuple[DataFrame, int, bool]:
     """Lloyd's k-means as a distributed loop — the IVF index BUILD step
     (``centroids_by`` + ``nearest_centroid`` are its two halves; this
@@ -174,7 +175,14 @@ def kmeans_fit(
       (converged=True) or after ``max_iter`` rounds (converged=False —
       returned, not raised: a partially-converged codebook is still a
       usable IVF quantizer, unlike a non-converged connected-components
-      labeling).
+      labeling),
+    - ``clamp_digits`` (the kmeans_fixed_rounds discipline) rounds every
+      centroid component half-away-from-zero to that many digits after
+      init and after each update, and measures movement on the clamped
+      values. With it set, the WHOLE convergence loop — round count,
+      stop decision, final codebook, and occupancy — is bit-reproducible
+      against an independent engine (q_kmeans's recursive-CTE DuckDB
+      twin); unset keeps the raw-double production path.
     """
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
@@ -195,8 +203,23 @@ def kmeans_fit(
         .select("list_id", "centroid")
         .collect()
     )
+    if clamp_digits is not None:
+        p = 10.0 ** clamp_digits
+
+        def _clamp(x: float) -> float:
+            # half away from zero on the scaled double — the same
+            # arithmetic as DuckDB's ROUND(double) and the decimal
+            # semantics of Spark's F.round, so all three engines clamp a
+            # given double to the same representative
+            t = x * p
+            return (math.floor(t + 0.5) if t >= 0 else math.ceil(t - 0.5)) / p
+    else:
+        _clamp = lambda x: x  # noqa: E731
     # codebook as a driver list indexed by list_id (k·d doubles)
-    cents = [list(r["centroid"]) for r in sorted(init_rows, key=lambda r: r["list_id"])]
+    cents = [
+        [_clamp(c) for c in r["centroid"]]
+        for r in sorted(init_rows, key=lambda r: r["list_id"])
+    ]
     dim = len(cents[0]) if cents else 0
     converged = False
     rounds = 0
@@ -216,7 +239,7 @@ def kmeans_fit(
         # carry an emptied cluster's previous centroid forward (it
         # contributes 0 movement — genuinely unmoved)
         new_cents = [
-            [s / counts[j] for s in sums[j]] if counts[j] else cents[j]
+            [_clamp(s / counts[j]) for s in sums[j]] if counts[j] else cents[j]
             for j in range(len(cents))
         ]
         moved = sum(

@@ -539,89 +539,31 @@ def _load_extensions() -> None:
         queries_wave9,
         queries_wave10,
         queries_wave11,
+        queries_wave12,
     )
 
 
 # Priority order for the registry as exposed to the driver. External
 # verification records exactly the first 50 registry entries per round, so
 # window placement is evidence strategy: the union of per-round CORRECTNESS
-# files should converge on the whole registry. Rounds 1-5 drove 157 of the
-# 161 r5-era queries green (the residue being the 4 rows-only by-nature
-# entries); the round-6 window opens with everything that has never held a
-# green driver row — the 11-query round-5 hand-off, the rows-only residue
-# (q_pagerank_converged now upgraded to a recursive-CTE hash oracle), and
-# the round-6 additions — then keeps the four semantics-trap/core sentinels
-# and backfills stalest-driver-row-first (r1 rows, then the two stalest r2
-# rows, q_streaming_join doubling as the streaming family representative).
+# files should converge on the whole registry. Rounds 1-6 drove 172 of the
+# 193 r6-era queries green; the round-7 window opens with the full 18-query
+# round-6 hand-off (ROUND7_PENDING, judge-pre-verified at sf0.01), the
+# no-oracle residue with its two NEW hash upgrades sitting beside it
+# (q_kmeans now carries a convergence-gated recursive-CTE oracle;
+# q_compression_fixed is the constructed-payload deflate twin), the two
+# wave-12 additions, the four semantics-trap/core sentinels, and then
+# backfills stalest-driver-row-first: ALL 18 remaining r2-era rows plus the
+# four stalest r3 rows (q_streaming_stateful doubling as the streaming
+# family representative AND the round-6 bench watch item). The 19 remaining
+# r3-era rows open round 8's rotation (see ROUND8_PENDING note).
 # Anything registered but unlisted is appended in registration order (new
 # queries are never silently dropped); test_queries_registry asserts every
 # listed name is registered, that the head is exactly the prefix, and that
-# nothing unverified sits outside the head except ROUND7_PENDING.
+# nothing unverified sits outside the head except ROUND8_PENDING.
 
-ROUND6_WINDOW_HEAD: tuple[str, ...] = (
-    # -- never driver-verified: the round-5 hand-off (local-green in r5) --
-    "q_cusum_changepoint",
-    "q_fuzzy_match",
-    "q_freshness",
-    "q_skew_profile",
-    "q_cumulative_distinct",
-    "q_sql_macros",
-    "q_zipf_fit",
-    "q_burstiness",
-    "q_gini_sources",
-    "q_ab_lift",
-    "q_first_touch",
-    # -- rows-only residue, re-opened for driver evidence ------------------
-    "q_pagerank_converged",    # upgraded: recursive-CTE convergence oracle
-    "q_kmeans",                # no_oracle by nature (Lloyd iterations)
-    "q_pca_project",           # no_oracle by nature (eigh)
-    "q_compression_ratio",     # no_oracle by nature (deflate); decile added
-    # -- round-6 additions --------------------------------------------------
-    "q_merge_upsert",
-    "q_ann_recall",
-    "q_multimodal_decode_gif",
-    # -- §2 core sentinels (semantics traps + the ingest family) -----------
-    "q_case_ilike",
-    "q_date_parts",
-    "q_surrogate_key",
-    "q_ingest_smoke",
-    # -- backfill, stalest driver row first (all last green in r1) ---------
-    "q_stratified_sample",
-    "q_cube",
-    "q_conditional_agg",
-    "q_salted_agg",
-    "q_window_distribution",
-    "q_date_arithmetic",
-    "q_gap_fill",
-    "q_forward_fill",
-    "q_argmax",
-    "q_ratio_to_total",
-    "q_histogram",
-    "q_wordcount",
-    "q_scalar_subquery",
-    "q_grouping_sets",
-    "q_hopping_windows",
-    "q_linear_interpolate",
-    "q_time_weighted_avg",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_union_by_name",
-    "q_unpivot",
-    "q_period_over_period",
-    "q_dedup_keep_latest",
-    "q_trailing_window",
-    "q_event_transitions",
-    "q_zscore",
-    # -- stalest r2 rows; q_streaming_join = streaming family rep ----------
-    "q_minhash_signature",
-    "q_streaming_join",
-)
-
-#: Round-6 additions that arrive AFTER the 50-entry window fills (none at
-#: window-construction time; new waves land here with local-oracle green
-#: and open round 7's window — the hand-off discipline every round has
-#: used, pinned by test_queries_registry).
-ROUND7_PENDING: tuple[str, ...] = (
+ROUND7_WINDOW_HEAD: tuple[str, ...] = (
+    # -- never driver-verified: the round-6 hand-off (ROUND7_PENDING) ------
     "q_e2e_weather_pipeline",
     "q_profile_table",
     "q_zorder_layout",
@@ -640,9 +582,59 @@ ROUND7_PENDING: tuple[str, ...] = (
     "q_schema_evolution",
     "q_fellegi_sunter",
     "q_chi_square",
+    # -- the (former) no-oracle residue and its round-7 hash evidence ------
+    "q_kmeans",                # UPGRADED r7: convergence-gated recursive-CTE oracle
+    "q_kmeans_fixed",          # fresh triple-pass row beside it (r6 verdict task 4)
+    "q_pca_project",           # no_oracle by nature (eigh); hash twin q_pca_power_project above
+    "q_compression_ratio",     # no_oracle by nature (corpus text is not SF-stable)
+    "q_compression_fixed",     # NEW r7: constructed-payload deflate hash twin
+    "q_profile_table_approx",  # NEW r7: rows-only by nature (HLL estimate)
+    # -- §2 core sentinels (semantics traps + the ingest family) -----------
+    "q_case_ilike",
+    "q_date_parts",
+    "q_surrogate_key",
+    "q_ingest_smoke",
+    # -- backfill, stalest driver row first: all 18 remaining r2 rows ------
+    "q_ann_ivf",
+    "q_char_ngrams",
+    "q_dedup_clusters",
+    "q_embedding_norm",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_lsh_buckets",
+    "q_minhash_jaccard_estimate",
+    "q_multimodal_meta",
+    "q_neardup_cosine",
+    "q_neardup_lsh",
+    "q_ngram_jaccard",
+    "q_quality_score",
+    "q_session_windows",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_token_count",
+    "q_window_rank",
+    # -- four stalest r3 rows; q_streaming_stateful = streaming family rep
+    # AND the round-6 bench watch item ------------------------------------
+    "q_streaming_stateful",
+    "q_bm25",
+    "q_centroid_assign",
+    "q_moving_avg",
 )
 
-PRIORITY_ORDER: tuple[str, ...] = ROUND6_WINDOW_HEAD + (
+#: Round-7 additions that arrive AFTER the 50-entry window fills. Empty at
+#: window-construction time: both wave-12 queries fit inside the head. New
+#: waves land here with local-oracle green and open round 8's window —
+#: together with the stale-row rotation: after this round's 18 hand-off
+#: rows land, the stalest evidence is the 19 remaining r3-era rows
+#: (q_cluster_survivors, q_dup_shingles, q_multimodal_resize[_real],
+#: q_pagerank, q_percentiles, q_pivot, q_repetition, q_rollup, q_scd2,
+#: q_semi_anti_join, q_set_ops, q_source_mix, q_stats_moments,
+#: q_streaming_sessions, q_test_relationships, q_text_chunks,
+#: q_weighted_sample, q_pack_estimate) — they must open round 8's head
+#: before any turns four rounds old.
+ROUND8_PENDING: tuple[str, ...] = ()
+
+PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (
     # overflow: riding their green driver rows from earlier rounds, in
     # roughly freshness order — rounds record only the 50-entry prefix,
     # so placement here is documentation, not evidence
