@@ -690,7 +690,7 @@ def test_gif_spark_pipeline_stats(spark):
 
 
 def test_pil_plug_point_decodes_foreign_media():
-    """The WebP/TIFF seam: with Pillow installed, decode_image must route
+    """The WebP/exotic-TIFF seam: with Pillow installed, decode_image must route
     unknown magics through PIL; without it (this container), the
     documented NotImplementedError fires — asserted in
     test_gif_encode_rejections' sibling below."""
@@ -724,3 +724,103 @@ def test_unknown_magic_without_pil_raises_not_implemented():
         pass
     with _pytest.raises(NotImplementedError, match="plug in PIL/ffmpeg"):
         codecs.decode_image(b"RIFF0000WEBPVP8 ")
+
+
+def test_tiff_roundtrip_fuzz_all_structural_combos():
+    """Every structural degree of freedom the TIFF codec claims: both byte
+    orders × none/PackBits × single/multi-strip layouts, random rasters
+    plus run-heavy ones (real replicate runs through PackBits)."""
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    rng = np.random.RandomState(7)
+    for trial in range(25):
+        h, w = rng.randint(1, 17), rng.randint(1, 17)
+        arr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        if trial % 3 == 0:
+            arr[:, : w // 2] = 77
+        for pb in (False, True):
+            for be in (False, True):
+                for rps in (None, 1, 2, 5):
+                    enc = codecs.encode_tiff(
+                        arr, packbits=pb, rows_per_strip=rps, big_endian=be
+                    )
+                    dec = codecs.decode_tiff(enc)
+                    assert dec.shape == (h, w, 3)
+                    assert (dec == arr).all(), (trial, pb, be, rps)
+    # decode_image dispatch routes both magics
+    arr = (np.arange(2 * 3 * 3).reshape(2, 3, 3) % 256).astype(np.uint8)
+    assert (codecs.decode_image(codecs.encode_tiff(arr)) == arr).all()
+    assert (
+        codecs.decode_image(codecs.encode_tiff(arr, big_endian=True)) == arr
+    ).all()
+
+
+def test_tiff_grayscale_photometrics_and_rejections():
+    """Foreign-encoder coverage the roundtrip can't reach: hand-built
+    grayscale TIFFs for both min-is-black and min-is-white photometrics,
+    plus the documented ValueError rejections."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    g = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+
+    def gray_tiff(photometric: int) -> bytes:
+        bo = "<"
+
+        def entry(tag, typ, count, value):
+            if typ == 3 and count == 1:
+                return struct.pack(f"{bo}HHIHH", tag, typ, count, value, 0)
+            return struct.pack(f"{bo}HHII", tag, typ, count, value)
+
+        n = 8
+        data_off = 8 + 2 + n * 12 + 4
+        ifd = struct.pack(f"{bo}H", n)
+        ifd += entry(256, 3, 1, 2) + entry(257, 3, 1, 2)
+        ifd += entry(258, 3, 1, 8) + entry(259, 3, 1, 1)
+        ifd += entry(262, 3, 1, photometric) + entry(273, 4, 1, data_off)
+        ifd += entry(277, 3, 1, 1) + entry(279, 4, 1, 4)
+        ifd += struct.pack(f"{bo}I", 0)
+        return struct.pack(f"{bo}2sHI", b"II", 42, 8) + ifd + g.tobytes()
+
+    d1 = codecs.decode_tiff(gray_tiff(1))  # min-is-black
+    assert (d1[:, :, 0] == g).all() and (d1[:, :, 2] == g).all()
+    d0 = codecs.decode_tiff(gray_tiff(0))  # min-is-white inverts
+    assert (d0[:, :, 0] == 255 - g).all()
+
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        codecs.decode_tiff(b"XX\x00\x00\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="truncated header"):
+        codecs.decode_tiff(b"II\x00\x00")
+    with _pytest.raises(ValueError, match="truncated IFD"):
+        codecs.decode_tiff(b"II*\x00\x08\x00\x00\x00")
+    with _pytest.raises(ValueError, match="empty raster"):
+        codecs.encode_tiff(np.zeros((0, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="expects an"):
+        codecs.encode_tiff(np.zeros((2, 2), dtype=np.uint8))
+    # file-level truncation surfaces at the strip bound, stream-level
+    # corruption inside the RLE decoder itself
+    ok = codecs.encode_tiff(np.full((3, 3, 3), 9, dtype=np.uint8), packbits=True)
+    with _pytest.raises(ValueError, match="strip out of bounds"):
+        codecs.decode_tiff(ok[:-2])
+    with _pytest.raises(ValueError, match="PackBits stream truncated"):
+        codecs._packbits_decompress(b"\x05abc", 6)
+
+
+def test_tiff_spark_pipeline_stats(spark):
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+    stats = multimodal.image_stats(
+        multimodal.documents_as_tiff_assets(docs)
+    ).collect()
+    assert len(stats) == 40
+    for r in stats:
+        d = r.asset_id
+        assert r.media_type == "image/tiff"
+        assert (r.width, r.height) == (d % 10 + 2, d % 7 + 2)
+        assert r.first_px_r == 255 - d % 256
+        assert r.first_px_b == 255 - d * 13 % 256

@@ -621,18 +621,21 @@ ROUND7_WINDOW_HEAD: tuple[str, ...] = (
     "q_moving_avg",
 )
 
-#: Round-7 additions that arrive AFTER the 50-entry window fills. Empty at
-#: window-construction time: both wave-12 queries fit inside the head. New
-#: waves land here with local-oracle green and open round 8's window —
-#: together with the stale-row rotation: after this round's 18 hand-off
-#: rows land, the stalest evidence is the 19 remaining r3-era rows
+#: Round-7 additions that arrive AFTER the 50-entry window fills (the
+#: first two wave-12 queries landed before the head froze and sit inside
+#: it; q_multimodal_decode_tiff arrived after). New waves land here with
+#: local-oracle green and open round 8's window — together with the
+#: stale-row rotation: after this round's 18 hand-off rows land, the
+#: stalest evidence is the 19 remaining r3-era rows
 #: (q_cluster_survivors, q_dup_shingles, q_multimodal_resize[_real],
 #: q_pagerank, q_percentiles, q_pivot, q_repetition, q_rollup, q_scd2,
 #: q_semi_anti_join, q_set_ops, q_source_mix, q_stats_moments,
 #: q_streaming_sessions, q_test_relationships, q_text_chunks,
 #: q_weighted_sample, q_pack_estimate) — they must open round 8's head
 #: before any turns four rounds old.
-ROUND8_PENDING: tuple[str, ...] = ()
+ROUND8_PENDING: tuple[str, ...] = (
+    "q_multimodal_decode_tiff",
+)
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (
     # overflow: riding their green driver rows from earlier rounds, in

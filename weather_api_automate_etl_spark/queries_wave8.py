@@ -192,7 +192,7 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     with width growth, palette lookup — and reduce to location- and
     value-sensitive stats via the shared decode_image dispatch
     (image_stats). The oracle predicts every stat from the generation
-    parameters; WebP/TIFF beyond the pure-NumPy set route through the
+    parameters; WebP and exotic TIFF beyond the pure-NumPy set route through the
     optional PIL plug point (codecs._pil_decode, skip-marked test)."""
     from weather_api_automate_etl_spark.sources import multimodal
 

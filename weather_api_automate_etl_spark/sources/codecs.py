@@ -1185,6 +1185,230 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# TIFF (baseline 6.0: both byte orders, strips, none/PackBits compression)
+# ---------------------------------------------------------------------------
+
+
+def _packbits_compress(row: bytes) -> bytes:
+    """Apple PackBits (TIFF spec §9) over one row: replicate runs of ≥3
+    become (257-n, byte); everything else rides literal runs ≤128."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(row[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def _packbits_decompress(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("TIFF: PackBits stream truncated")
+        h = data[pos]
+        pos += 1
+        if h < 128:  # literal run of h+1 bytes
+            if pos + h + 1 > len(data):
+                raise ValueError("TIFF: PackBits stream truncated")
+            out += data[pos : pos + h + 1]
+            pos += h + 1
+        elif h > 128:  # replicate next byte 257-h times
+            if pos >= len(data):
+                raise ValueError("TIFF: PackBits stream truncated")
+            out += bytes([data[pos]]) * (257 - h)
+            pos += 1
+        # h == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("TIFF: PackBits output overruns the strip size")
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Baseline TIFF 6.0 from an (H, W, 3) uint8 RGB raster: one IFD,
+    8-bit chunky RGB, strip layout (``rows_per_strip`` rows per strip,
+    default single-strip), Compression 1 (none) or 32773 (PackBits, each
+    row compressed independently per spec §9), and either byte order —
+    so every structural degree of freedom the decoder handles exists in
+    encoder output too."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_tiff expects an (H, W, 3) raster")
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_tiff expects uint8 samples")
+    h, w, _ = pixels.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_tiff: empty raster")
+    bo = ">" if big_endian else "<"
+    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+    strips = []
+    for y0 in range(0, h, rps):
+        raw_rows = pixels[y0 : y0 + rps]
+        if packbits:
+            strips.append(
+                b"".join(_packbits_compress(r.tobytes()) for r in raw_rows)
+            )
+        else:
+            strips.append(raw_rows.tobytes())
+    n_strips = len(strips)
+    # layout: header(8) | IFD | bits[6] | offsets[4n] | counts[4n] | data
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    bits_off = 8 + ifd_size
+    # single-strip offsets/counts fit inline in their IFD slots; the
+    # external arrays exist only for multi-strip layouts
+    off_arr_off = bits_off + 6
+    cnt_arr_off = off_arr_off + (4 * n_strips if n_strips > 1 else 0)
+    data_off = cnt_arr_off + (4 * n_strips if n_strips > 1 else 0)
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # SHORT values pack into the low 2 bytes of the 4-byte slot,
+        # which is the FIRST 2 bytes little-endian but the LAST 2 big-
+        # endian-left-justified per spec — pack as two shorts to be exact
+        if typ == 3 and count == 1:
+            return struct.pack(f"{bo}HHIHH", tag, typ, count, value, 0)
+        return struct.pack(f"{bo}HHII", tag, typ, count, value)
+
+    strip_off_val = offsets[0] if n_strips == 1 else off_arr_off
+    strip_cnt_val = len(strips[0]) if n_strips == 1 else cnt_arr_off
+    ifd = struct.pack(f"{bo}H", n_entries)
+    ifd += entry(256, 3, 1, w)                       # ImageWidth
+    ifd += entry(257, 3, 1, h)                       # ImageLength
+    ifd += entry(258, 3, 3, bits_off)                # BitsPerSample → array
+    ifd += entry(259, 3, 1, 32773 if packbits else 1)  # Compression
+    ifd += entry(262, 3, 1, 2)                       # Photometric: RGB
+    ifd += entry(273, 4, n_strips, strip_off_val)    # StripOffsets
+    ifd += entry(277, 3, 1, 3)                       # SamplesPerPixel
+    ifd += entry(278, 3, 1, rps)                     # RowsPerStrip
+    ifd += entry(279, 4, n_strips, strip_cnt_val)    # StripByteCounts
+    ifd += struct.pack(f"{bo}I", 0)                  # next IFD
+    out = struct.pack(f"{bo}2sHI", b"MM" if big_endian else b"II", 42, 8)
+    out += ifd
+    out += struct.pack(f"{bo}HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += struct.pack(f"{bo}{n_strips}I", *offsets)
+        out += struct.pack(f"{bo}{n_strips}I", *[len(s) for s in strips])
+    return out + b"".join(strips)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF bytes → (h, w, 3) uint8 RGB. Reads either byte
+    order, multi-strip layouts, SHORT or LONG tag storage, Compression 1
+    (none) and 32773 (PackBits), photometric RGB (chunky) and 8-bit
+    grayscale (expanded to RGB). Outside that subset (tiles, planar,
+    LZW/deflate, non-8-bit) raises ValueError — the documented plug
+    point stays for exotic TIFF."""
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("TIFF: truncated header")
+    magic, ifd_off = struct.unpack_from(f"{bo}HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"TIFF: bad magic {magic}")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF: truncated IFD offset")
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
+    if ifd_off + 2 + n_entries * 12 + 4 > len(payload):
+        raise ValueError("TIFF: truncated IFD")
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def values(typ: int, count: int, slot_off: int) -> list[int]:
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF: unsupported tag type {typ}")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if size * count <= 4:
+            base = slot_off
+        else:
+            (base,) = struct.unpack_from(f"{bo}I", payload, slot_off)
+            if base + size * count > len(payload):
+                raise ValueError("TIFF: tag value array out of bounds")
+        return list(struct.unpack_from(f"{bo}{count}{fmt}", payload, base))
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, off)
+        tags[tag] = values(typ, count, off + 8)
+    try:
+        w, h = tags[256][0], tags[257][0]
+        strip_offs, strip_cnts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF: missing required tag {e}") from None
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF: only 8-bit samples supported, got {bits}")
+    if compression not in (1, 32773):
+        raise ValueError(f"TIFF: unsupported compression {compression}")
+    if (photometric, spp) not in ((2, 3), (1, 1), (0, 1)):
+        raise ValueError(
+            f"TIFF: unsupported photometric/samples ({photometric}, {spp})"
+        )
+    if len(strip_offs) != len(strip_cnts):
+        raise ValueError("TIFF: StripOffsets/StripByteCounts length mismatch")
+    rps = tags.get(278, [h])[0] or h
+    raw = bytearray()
+    for i, (so, sc) in enumerate(zip(strip_offs, strip_cnts)):
+        if so + sc > len(payload):
+            raise ValueError("TIFF: strip out of bounds")
+        strip = payload[so : so + sc]
+        n_rows = min(rps, h - i * rps)
+        if n_rows <= 0:
+            raise ValueError("TIFF: more strips than image rows")
+        if compression == 32773:
+            raw += _packbits_decompress(strip, n_rows * w * spp)
+        else:
+            if sc != n_rows * w * spp:
+                raise ValueError("TIFF: strip byte count mismatch")
+            raw += strip
+    if len(raw) != h * w * spp:
+        raise ValueError("TIFF: assembled strips do not cover the raster")
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        gray = arr[:, :, 0]
+        if photometric == 0:  # min-is-white
+            gray = 255 - gray
+        arr = np.stack([gray] * 3, axis=2)
+    return arr
+
+
+# ---------------------------------------------------------------------------
 # Shared ops
 # ---------------------------------------------------------------------------
 
@@ -1195,12 +1419,14 @@ DECODERS = {
     PNG_SIG[:2]: decode_png,
     b"\xff\xd8": decode_jpeg,
     b"GI": decode_gif,
+    b"II": decode_tiff,
+    b"MM": decode_tiff,
 }
 
 
 def _pil_decode(payload: bytes) -> np.ndarray:
     """Optional PIL plug point for media beyond the pure-NumPy set
-    (WebP/TIFF/…): used only when Pillow is importable — the container
+    (WebP, exotic TIFF — tiles/LZW, …): used only when Pillow is importable — the container
     ships without it, so this path is exercised by a skip-marked test."""
     import io
 
@@ -1211,7 +1437,7 @@ def _pil_decode(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff magic bytes and decode with the pure-NumPy codecs; for media
-    beyond them (WebP/TIFF/…) fall back to PIL when it is installed, else
+    beyond them (WebP, exotic TIFF, …) fall back to PIL when it is installed, else
     raise NotImplementedError — the documented plug point in
     sources/multimodal.py."""
     dec = DECODERS.get(bytes(payload[:2]))

@@ -146,6 +146,52 @@ def documents_as_gif_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
 
 
+def documents_as_tiff_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL baseline-TIFF payloads deterministically from
+    document columns (the strip-layout sibling of documents_as_gif_assets):
+    width = doc_id%10+2, height = doc_id%7+2, fill color (doc_id%256,
+    n_chars%256, doc_id*13%256) with pixel (0,0) inverted. The encoder
+    parameters rotate over the format's structural degrees of freedom so
+    every decoder path runs IN-PIPELINE, not just in unit fuzz: PackBits
+    compression for odd doc_id (the solid fill makes real replicate runs),
+    big-endian byte order when doc_id%5==0, and a 2-row multi-strip
+    layout when doc_id%3==0 (external StripOffsets/ByteCounts arrays)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                w, h = d % 10 + 2, d % 7 + 2
+                fill = (d % 256, n % 256, d * 13 % 256)
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[:, :] = fill
+                arr[0, 0] = tuple(255 - v for v in fill)
+                payloads.append(
+                    codecs.encode_tiff(
+                        arr,
+                        packbits=d % 2 == 1,
+                        rows_per_strip=2 if d % 3 == 0 else None,
+                        big_endian=d % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["image/tiff"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+
+
 def documents_as_png_assets(documents: DataFrame) -> DataFrame:
     """Synthesize REAL PNG payloads deterministically from document columns
     (mirror of documents_as_image_assets for the PNG path).
