@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     # round-7 additions
     "q_profile_table_approx",  # same profile, HLL sketches — no Expand (pair
                                # with q_profile_table to read the saving)
+    "q_bloom_prune",           # literal-bitmap codegen prefilter + exact semi join
 ]
 
 

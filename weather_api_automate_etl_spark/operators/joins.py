@@ -151,3 +151,102 @@ def range_join_small(
     v = facts[value_col]
     cond = (v >= ranges[lo_col]) & (v < ranges[hi_col])
     return facts.join(F.broadcast(ranges), cond, how)
+
+
+def bloom_filter_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Build a Bloom filter over a key column as a driver-side bitmap of
+    64-bit words — the compact semi-join-reduction side of
+    ``bloom_prune_join``.
+
+    Bit positions are ``xxhash64(key, seed) mod m`` for ``num_hashes``
+    seeds, computed DISTRIBUTED (posexplode over the seed array, distinct,
+    one word-index aggregate of OR-ed word masks); the driver only ever
+    receives ≤ m/64 (word, bits) rows — filter metadata, the same payload
+    class as a broadcast-join hash table but bitwise-compact (m=2^16 →
+    8 KiB regardless of key count). This is the pattern Spark's own
+    runtime row-level Bloom pruning uses internally; building it as an
+    operator makes it available where the optimizer can't inject it (a
+    pre-filtered build side, cross-job reuse, or a sink-side manifest).
+
+    False-positive rate ≈ (1 - e^(-k·n/m))^k; with the defaults and
+    n=1000 keys ≈ 2e-5. False negatives are impossible — the contract
+    ``bloom_prune_join`` relies on."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be in 1..16, got {num_hashes}")
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    words = (
+        keys.select(F.col(key_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .select(
+            F.explode(
+                F.transform(
+                    seeds,
+                    lambda s: F.pmod(F.xxhash64(F.col("__k"), s), F.lit(num_bits)),
+                )
+            ).alias("__bit")
+        )
+        .distinct()
+        .groupBy((F.col("__bit") / 64).cast("long").alias("__word"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("__bit") % 64).cast("int"),
+                )
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["__word"]] = r["__bits"]
+    return bitmap
+
+
+def bloom_prune_join(
+    facts: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join ``facts`` to the ``keys`` set with a Bloom pre-filter:
+    the 100 TB join-reduction pattern when the key set is too large to
+    broadcast exactly but its BITMAP is metadata-sized.
+
+    Phase 1 prunes the fact scan with a pure column expression — all
+    ``num_hashes`` probe bits tested against the literal bitmap inside
+    whole-stage codegen (F.forall over the seed array; no shuffle, no
+    Python) — eliminating the overwhelming majority of non-matching rows
+    before any join machinery runs. Phase 2 is the EXACT left-semi join
+    on the survivors, so Bloom false positives are removed and the result
+    is bit-identical to the plain semi join (the property q_bloom_prune's
+    DuckDB oracle checks); false negatives cannot occur by construction.
+    At scale phase 2's shuffle moves only the pruned survivor set —
+    fp-rate · |facts| excess rows instead of |facts|."""
+    bitmap = bloom_filter_build(keys, key_col, num_bits, num_hashes)
+    lit_bitmap = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+
+    def bit_set(s: F.Column) -> F.Column:
+        pos = F.pmod(F.xxhash64(F.col(key_col), s), F.lit(num_bits))
+        word = F.get(lit_bitmap, (pos / 64).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    pruned = facts.filter(
+        F.col(key_col).isNotNull() & F.forall(seeds, bit_set)
+    )
+    return pruned.join(
+        keys.select(F.col(key_col)).distinct(), key_col, "left_semi"
+    )

@@ -635,6 +635,7 @@ ROUND7_WINDOW_HEAD: tuple[str, ...] = (
 #: before any turns four rounds old.
 ROUND8_PENDING: tuple[str, ...] = (
     "q_multimodal_decode_tiff",
+    "q_bloom_prune",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (

@@ -185,3 +185,49 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = multimodal.documents_as_tiff_assets(t(spark, sf_dir, "documents"))
     return multimodal.image_stats(assets)
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (the compact semi-join reduction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bloom_prune",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal >= 5000.0
+    )
+    GROUP BY l_suppkey
+    """,
+    tags=("joins", "agg"),
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/joins.py::bloom_prune_join): the
+    fact scan is pre-filtered by a literal 8 KiB bitmap of the (runtime-
+    filtered) supplier key set — all probe bits tested inside whole-stage
+    codegen, no shuffle, no Python — then the exact left-semi join runs on
+    the survivors only. Bit-identical to the plain semi join (false
+    positives removed by phase 2, false negatives impossible), which is
+    exactly what the oracle checks; what changes at 100 TB is the shuffle
+    volume, which drops from |facts| to the survivor count. This is the
+    user-level form of Spark's runtime row-level Bloom pruning, available
+    where the optimizer can't inject it (pre-filtered build sides,
+    cross-job filter reuse, sink-side manifests)."""
+    from weather_api_automate_etl_spark.operators import joins
+
+    line = t(spark, sf_dir, "lineitem")
+    keys = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 5000.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return joins.bloom_prune_join(line, keys, "l_suppkey").groupBy(
+        "l_suppkey"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
