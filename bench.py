@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_profile_table_approx",  # same profile, HLL sketches — no Expand (pair
                                # with q_profile_table to read the saving)
     "q_bloom_prune",           # literal-bitmap codegen prefilter + exact semi join
+    "q_ledger_merge",          # atomic manifest swap: partition-granular merge
 ]
 
 

@@ -135,8 +135,10 @@ def merge_into_partitioned(
     pinned to executor-local storage before the first byte is staged. The
     checkpointed slice is batch-scale (touched partitions only), not
     mart-scale. The swap itself stays non-atomic at the filesystem level —
-    the table-format ledger (Delta/Iceberg) is the production answer; this
-    operator is the Hive-layout primitive underneath."""
+    the table-format ledger is the production answer; this operator is the
+    Hive-layout primitive underneath, and ``sources/ledger.py`` provides
+    the atomic manifest-swap upgrade (immutable data dirs + rename-
+    committed partition mapping, q_ledger_merge)."""
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not touched:
         return []  # empty batch: touch nothing (streaming replay edge)

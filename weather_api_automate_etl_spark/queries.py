@@ -636,6 +636,7 @@ ROUND7_WINDOW_HEAD: tuple[str, ...] = (
 ROUND8_PENDING: tuple[str, ...] = (
     "q_multimodal_decode_tiff",
     "q_bloom_prune",
+    "q_ledger_merge",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (

@@ -231,3 +231,89 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+# ---------------------------------------------------------------------------
+# Atomic-ledger MERGE (the manifest/snapshot model under mart maintenance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ledger_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y') AS o_year
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, o_year
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_year
+      FROM base WHERE o_orderkey % 10 != 3
+      UNION ALL
+      SELECT o_orderkey + 6000000, o_totalprice * 0.5, '2999'
+      FROM base WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY o_year
+    """,
+    tags=("cdc", "ledger"),
+)
+def q_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned MERGE through the atomic snapshot ledger
+    (sources/ledger.py): init writes the year-partitioned orders mart as
+    an immutable data dir + manifest v1; a deterministic update batch
+    (every 10th key repriced +100 in its own partition, every 100th key
+    re-inserted under a fresh key into the brand-new '2999' partition)
+    commits v2 by REWRITING ONLY THE TOUCHED PARTITIONS into a new dir
+    and atomically republishing the partition→dir mapping; the readback
+    plans from the v2 manifest and aggregates per partition. Upgrades
+    merge_into_partitioned's in-place dynamic overwrite (checkpoint-
+    guarded but non-atomic) to the Delta-model swap: readers see v1 or
+    v2, never a mix — crash-wedge and time-travel proofs live in
+    tests/test_ledger.py. The +100.0/*0.5 arithmetic is IEEE-exact; only
+    the per-partition SUM needs round(2)."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            "o_year",
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + F.lit(6000000)).alias("o_orderkey"),
+                (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+                F.lit("2999").alias("o_year"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="ledger_mart_")
+    try:
+        ledger.ledger_write(spark, base, path, "o_year")
+        ledger.ledger_merge(spark, path, updates, "o_orderkey")
+        out = (
+            ledger.ledger_read(spark, path)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
