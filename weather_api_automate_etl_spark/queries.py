@@ -623,7 +623,8 @@ ROUND7_WINDOW_HEAD: tuple[str, ...] = (
 
 #: Round-7 additions that arrive AFTER the 50-entry window fills (the
 #: first two wave-12 queries landed before the head froze and sit inside
-#: it; q_multimodal_decode_tiff arrived after). New waves land here with
+#: it; the TIFF decode, Bloom-prune, and ledger-merge queries arrived
+#: after — each local-oracle green at all three SFs). New waves land here with
 #: local-oracle green and open round 8's window — together with the
 #: stale-row rotation: after this round's 18 hand-off rows land, the
 #: stalest evidence is the 19 remaining r3-era rows

@@ -18,6 +18,16 @@ discipline:
   profile and the plan shape (no Expand) are pinned in
   tests/test_wave12.py, and the Expand-vs-sketch cost delta is measured
   in SCALING.md.
+
+Plus the three post-window round-7 additions (ROUND8_PENDING):
+
+- ``q_multimodal_decode_tiff``: the baseline-TIFF codec end-to-end
+  (both byte orders, multi-strip, PackBits) with a generation-parameter
+  oracle;
+- ``q_bloom_prune``: Bloom-filter join pruning — bitmap build + codegen
+  probe + exact semi join, oracle = the plain semi join it must equal;
+- ``q_ledger_merge``: partitioned MERGE through the atomic snapshot
+  ledger (sources/ledger.py), oracle = the declarative merged state.
 """
 
 from __future__ import annotations
