@@ -82,6 +82,7 @@ BENCH_QUERIES = [
                                # with q_profile_table to read the saving)
     "q_bloom_prune",           # literal-bitmap codegen prefilter + exact semi join
     "q_ledger_merge",          # atomic manifest swap: partition-granular merge
+    "q_ledger_skip",           # manifest zone-map pruning + stats-pruned scan
 ]
 
 

@@ -57,10 +57,12 @@ def test_merge_rewrites_only_touched_partitions_and_matches_merge_into(
     m2 = ledger._read_manifest(path, 2)
     # untouched partitions keep their original directory; touched + new
     # ones point at exactly one fresh directory
-    assert m2["partitions"]["2000"] == m1["partitions"]["2000"]
-    assert m2["partitions"]["2002"] == m1["partitions"]["2002"]
-    assert m2["partitions"]["2001"] != m1["partitions"]["2001"]
-    assert m2["partitions"]["2999"] == m2["partitions"]["2001"]
+    d1 = {pv: e["dir"] for pv, e in m1["partitions"].items()}
+    d2 = {pv: e["dir"] for pv, e in m2["partitions"].items()}
+    assert d2["2000"] == d1["2000"]
+    assert d2["2002"] == d1["2002"]
+    assert d2["2001"] != d1["2001"]
+    assert d2["2999"] == d2["2001"]
     # state equivalence vs the in-memory merge of the whole table
     from weather_api_automate_etl_spark.operators.cdc import merge_into
 
@@ -123,7 +125,10 @@ def test_vacuum_retention_drops_old_versions_and_unreferenced_dirs(
     deleted = ledger.ledger_vacuum(path, keep_versions=1)
     assert len(deleted) == 1 and deleted[0].startswith("data-")
     assert _snapshot(spark, path) == latest
-    live = set(ledger._read_manifest(path, 4)["partitions"].values())
+    live = {
+        e["dir"]
+        for e in ledger._read_manifest(path, 4)["partitions"].values()
+    }
     on_disk = {n for n in os.listdir(path) if n.startswith("data-")}
     assert on_disk == live
 
@@ -133,3 +138,83 @@ def test_empty_update_batch_is_a_noop_version(spark, mart):
     empty = spark.createDataFrame([], "k long, price double, year string")
     assert ledger.ledger_merge(spark, path, empty, "k") == 1
     assert ledger._manifest_versions(path) == [1]
+
+
+def test_ledger_plan_and_scan_prune_by_stats(tmp_path, spark):
+    """Zone-map skipping: per-partition min/max on a NON-partition column
+    prunes exactly the partitions whose range cannot intersect the
+    predicate, and the pruned scan is bit-identical to filtering the full
+    snapshot. The price column is made partition-correlated (year k%3 →
+    disjoint price bands) so pruning has something to prove."""
+    rows = [
+        (k, float(1000 * (k % 3) + k), str(2000 + k % 3)) for k in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, year string")
+    path = str(tmp_path / "mart")
+    ledger.ledger_write(spark, df, path, "year", stats_cols=["price"])
+    # band [1000, 1999] lives entirely in year 2001
+    assert ledger.ledger_plan(path, "price", 1000.0, 1999.0) == ["2001"]
+    # a straddling band keeps both candidates
+    assert ledger.ledger_plan(path, "price", 900.0, 2100.0) == ["2001", "2002"]
+    got = sorted(
+        (r.k, r.price, r.year)
+        for r in ledger.ledger_scan(spark, path, "price", 1000.0, 1999.0).collect()
+    )
+    want = sorted(
+        (r.k, r.price, r.year)
+        for r in ledger.ledger_read(spark, path)
+        .filter(F.col("price").between(1000.0, 1999.0))
+        .collect()
+    )
+    assert got == want and got
+    # an impossible band plans to nothing and scans to an empty frame
+    assert ledger.ledger_plan(path, "price", 90000.0, 99999.0) == []
+    assert ledger.ledger_scan(spark, path, "price", 90000.0, 99999.0).count() == 0
+    # string/temporal stats compare lexicographically (ISO order)
+    with pytest.raises(ValueError, match="no stats"):
+        ledger.ledger_plan(path, "k", 0, 1)
+
+
+def test_ledger_merge_refreshes_stats(tmp_path, spark):
+    df = spark.createDataFrame(
+        [(k, float(k), "2000") for k in range(10)],
+        "k long, price double, year string",
+    )
+    path = str(tmp_path / "mart")
+    ledger.ledger_write(spark, df, path, "year", stats_cols=["price"])
+    up = spark.createDataFrame([(3, 500.0, "2000")], "k long, price double, year string")
+    ledger.ledger_merge(spark, path, up, "k")
+    s = ledger._read_manifest(path, 2)["partitions"]["2000"]["stats"]["price"]
+    assert s["max"] == 500.0 and s["min"] == 0.0
+    assert ledger._read_manifest(path, 2)["partitions"]["2000"]["rows"] == 10
+
+
+def test_ledger_compact_one_file_per_partition_same_state(tmp_path, spark):
+    """OPTIMIZE: after several merges a partition accumulates files;
+    compaction rewrites it to exactly one file, the snapshot is
+    bit-identical, and the pre-compaction version stays readable."""
+    df = spark.createDataFrame(
+        [(k, float(k), str(2000 + k % 2)) for k in range(20)],
+        "k long, price double, year string",
+    ).repartition(4)  # multiple files per partition from the start
+    path = str(tmp_path / "mart")
+    ledger.ledger_write(spark, df, path, "year", stats_cols=["price"])
+    before = _snapshot(spark, path)
+    m1 = ledger._read_manifest(path, 1)
+
+    def files_of(m, pv):
+        pdir = os.path.join(
+            path, m["partitions"][pv]["dir"], f"year={pv}"
+        )
+        return [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+
+    assert len(files_of(m1, "2000")) > 1  # the small-files problem exists
+    v = ledger.ledger_compact(spark, path)
+    assert v == 2
+    m2 = ledger._read_manifest(path, 2)
+    for pv in ("2000", "2001"):
+        assert len(files_of(m2, pv)) == 1
+    assert _snapshot(spark, path) == before
+    assert _snapshot(spark, path, version=1) == before  # time travel intact
+    # nothing left to compact → version unchanged
+    assert ledger.ledger_compact(spark, path) == 2

@@ -638,6 +638,7 @@ ROUND8_PENDING: tuple[str, ...] = (
     "q_multimodal_decode_tiff",
     "q_bloom_prune",
     "q_ledger_merge",
+    "q_ledger_skip",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (

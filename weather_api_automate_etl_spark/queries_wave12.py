@@ -27,7 +27,10 @@ Plus the three post-window round-7 additions (ROUND8_PENDING):
 - ``q_bloom_prune``: Bloom-filter join pruning — bitmap build + codegen
   probe + exact semi join, oracle = the plain semi join it must equal;
 - ``q_ledger_merge``: partitioned MERGE through the atomic snapshot
-  ledger (sources/ledger.py), oracle = the declarative merged state.
+  ledger (sources/ledger.py), oracle = the declarative merged state;
+- ``q_ledger_skip``: manifest zone-map data skipping — per-partition
+  min/max stats prune a date-range scan to the two intersecting years,
+  oracle = the unpruned declarative filter.
 """
 
 from __future__ import annotations
@@ -318,6 +321,67 @@ def q_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger.ledger_merge(spark, path, updates, "o_orderkey")
         out = (
             ledger.ledger_read(spark, path)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "q_ledger_skip",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                          AND TIMESTAMP '1997-06-30 23:59:59'
+    GROUP BY o_year
+    """,
+    tags=("cdc", "ledger", "layout"),
+)
+def q_ledger_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping through the ledger (sources/ledger.py::
+    ledger_plan/ledger_scan): the year-partitioned orders mart records
+    per-partition min/max of o_orderdate (a NON-partition column) in its
+    manifest at write time; a date-range scan then prunes every partition
+    whose recorded range cannot intersect the predicate — pure driver-side
+    JSON arithmetic, no directory listing, no Spark job — and reads only
+    the survivors (1996/1997 here) before applying the exact filter. The
+    oracle is the unpruned declarative filter, so any skipping defect
+    (over-pruning a matching partition, boundary comparison) breaks the
+    hash; pruning exactness on crafted disjoint bands is pinned in
+    tests/test_ledger.py. This is the mechanism that lets a 2-day query
+    touch 2 of ~3000 daily partitions at 100 TB when the predicate column
+    correlates with, but is not, the partition key."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    path = tempfile.mkdtemp(prefix="ledger_skip_")
+    try:
+        ledger.ledger_write(
+            spark, base, path, "o_year", stats_cols=["o_orderdate"]
+        )
+        lo, hi = "1996-03-01 00:00:00", "1997-06-30 23:59:59"
+        assert ledger.ledger_plan(path, "o_orderdate", lo, hi) == [
+            "1996", "1997",
+        ], "stats pruning must keep exactly the two intersecting years"
+        out = (
+            ledger.ledger_scan(spark, path, "o_orderdate", lo, hi)
             .groupBy("o_year")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -1,5 +1,5 @@
-"""Minimal snapshot-manifest table ledger — the atomicity layer under
-partitioned-mart maintenance.
+"""Minimal snapshot-manifest table ledger — the atomicity + data-skipping
+layer under partitioned-mart maintenance.
 
 ``merge_into_partitioned`` (operators/cdc.py) is the Hive-layout
 primitive: correct, partition-pruned, but its dynamic overwrite swaps
@@ -14,9 +14,10 @@ Stores", VLDB 2020):
 - data files are IMMUTABLE: every write lands in a fresh ``data-<uuid>``
   directory; nothing is ever modified or deleted by a writer;
 - the table state is a MANIFEST (``_ledger/v<N>.json``) mapping each
-  partition value to the directory that owns its current files, plus the
-  partition column's dtype so readers restore types deterministically
-  instead of relying on path inference;
+  partition value to an entry ``{dir, rows, stats}`` — the directory that
+  owns its current files, its row count, and optional per-column min/max
+  statistics — plus the partition column's dtype so readers restore types
+  deterministically instead of relying on path inference;
 - commits are a single atomic ``os.rename`` of a temp manifest into
   place (POSIX rename atomicity — the same primitive single-writer Delta
   relies on for its JSON commits). Readers resolve the newest manifest
@@ -27,16 +28,26 @@ Stores", VLDB 2020):
   untouched partitions are never read, written, or exposed to risk
   (upgrading merge_into_partitioned's best-effort checkpoint discipline
   to an actual atomic swap);
+- the per-partition STATS enable manifest-level data skipping
+  (``ledger_plan``/``ledger_scan``): a predicate on any stats-tracked
+  column prunes every partition whose [min, max] cannot intersect it —
+  the zone-map mechanism under Delta/Iceberg/Snowflake readers, and the
+  reason a date-range query over a date-correlated column touches 2 of
+  3000 partitions without the column being the partition key;
+- ``ledger_compact`` is OPTIMIZE: rewrite chosen partitions' accumulated
+  small files into one file per partition in a fresh directory and
+  commit — readers never block, the small-files problem every
+  append/merge-heavy table develops is fixed by a background writer;
 - old versions stay readable (time travel / stale-reader safety) until
   ``vacuum`` drops manifests beyond a retention count and deletes data
   directories no retained manifest references.
 
 Scale shape: the manifest is PARTITION-granular — O(live partitions)
 JSON, metadata-scale (a 100 TB mart at daily grain is a few thousand
-entries), never O(files) driver state; data moves only for touched
-partitions; readers plan directly from the manifest (no directory
-listing of the whole table — the object-store win the ledger design
-exists for).
+entries), never O(files) driver state; stats add two scalars per tracked
+column per partition; data moves only for touched partitions; readers
+plan directly from the manifest (no directory listing of the whole
+table — the object-store win the ledger design exists for).
 """
 
 from __future__ import annotations
@@ -46,10 +57,17 @@ import os
 import shutil
 import tempfile
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _LEDGER_DIR = "_ledger"
+
+#: numeric Spark dtypes whose stats are stored (and compared) as floats;
+#: everything else is stored stringified and compared lexicographically,
+#: which is order-preserving for the types it is offered for (timestamps
+#: and dates stringify as ISO-8601; plain strings compare as themselves)
+_NUM_KINDS = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
 
 
 def _manifest_versions(path: str) -> list[int]:
@@ -98,37 +116,112 @@ def _commit(path: str, manifest: dict, version: int) -> None:
         raise
 
 
+def _partition_stats(
+    df: DataFrame, partition_col: str, stats_cols: Sequence[str]
+) -> dict[str, dict]:
+    """Per-partition (rows, min/max per stats col) in ONE batch-scale
+    aggregate — the write-side cost of data skipping. Numeric columns
+    store floats; temporal/string columns store their ISO/string form
+    (order-preserving for lexicographic pruning)."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    kinds: dict[str, str] = {}
+    for c in stats_cols:
+        dt = df.schema[c].dataType.simpleString()
+        kinds[c] = "num" if dt.startswith(_NUM_KINDS) else "str"
+        mn, mx = F.min(F.col(c)), F.max(F.col(c))
+        if kinds[c] == "num":
+            aggs += [mn.cast("double").alias(f"__mn_{c}"),
+                     mx.cast("double").alias(f"__mx_{c}")]
+        else:
+            aggs += [mn.cast("string").alias(f"__mn_{c}"),
+                     mx.cast("string").alias(f"__mx_{c}")]
+    rows = (
+        df.groupBy(F.col(partition_col).cast("string").alias("__pv"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        stats = {
+            c: {"min": r[f"__mn_{c}"], "max": r[f"__mx_{c}"], "kind": kinds[c]}
+            for c in stats_cols
+        }
+        out[r["__pv"]] = {"rows": r["__rows"], "stats": stats}
+    return out
+
+
 def _write_data_dir(
-    df: DataFrame, path: str, partition_col: str
-) -> tuple[str, list[str]]:
-    """Write one immutable partitioned data directory; return its name and
-    the partition values it contains (stringified as in the dir names)."""
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    stats_cols: Sequence[str] = (),
+) -> dict[str, dict]:
+    """Write one immutable partitioned data directory; return the manifest
+    entries it produces: partition value → {dir, rows, stats}."""
     batch = f"data-{uuid.uuid4().hex[:12]}"
     df.write.partitionBy(partition_col).parquet(os.path.join(path, batch))
-    values = []
+    stats = _partition_stats(df, partition_col, stats_cols)
+    entries: dict[str, dict] = {}
     prefix = f"{partition_col}="
     for name in os.listdir(os.path.join(path, batch)):
         if name.startswith(prefix):
-            values.append(name[len(prefix):])
-    return batch, values
+            pv = name[len(prefix):]
+            meta = stats.get(pv, {"rows": None, "stats": {}})
+            entries[pv] = {"dir": batch, **meta}
+    return entries
 
 
 def ledger_write(
-    spark: SparkSession, df: DataFrame, path: str, partition_col: str
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    stats_cols: Sequence[str] = (),
 ) -> int:
     """Initialize (or fully refresh) the table: one immutable data dir
-    holding every partition, one manifest mapping all of them to it.
-    Returns the committed version."""
+    holding every partition, one manifest mapping all of them to it, with
+    per-partition min/max stats for ``stats_cols`` (the skipping index —
+    pick the columns range predicates arrive on). Returns the committed
+    version."""
     dtype = df.schema[partition_col].dataType.simpleString()
-    batch, values = _write_data_dir(df, path, partition_col)
+    entries = _write_data_dir(df, path, partition_col, stats_cols)
     version = (_manifest_versions(path) or [0])[-1] + 1
     manifest = {
         "partition_col": partition_col,
         "partition_dtype": dtype,
-        "partitions": {v: batch for v in values},
+        "stats_cols": list(stats_cols),
+        "partitions": entries,
     }
     _commit(path, manifest, version)
     return version
+
+
+def _resolve(path: str, version: int | None) -> tuple[int, dict]:
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no ledger manifest under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"ledger version v{v} not found (have {versions})")
+    return v, _read_manifest(path, v)
+
+
+def _read_partitions(
+    spark: SparkSession, path: str, m: dict, pvals: Sequence[str]
+) -> DataFrame:
+    pcol = m["partition_col"]
+    by_dir: dict[str, list[str]] = {}
+    for pv in pvals:
+        by_dir.setdefault(m["partitions"][pv]["dir"], []).append(pv)
+    parts = []
+    for d, vals in sorted(by_dir.items()):
+        base = os.path.join(path, d)
+        dirs = [os.path.join(base, f"{pcol}={pv}") for pv in sorted(vals)]
+        parts.append(spark.read.option("basePath", base).parquet(*dirs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(pcol, F.col(pcol).cast(m["partition_dtype"]))
 
 
 def ledger_read(
@@ -139,26 +232,66 @@ def ledger_read(
     owning directory is read once with ``basePath`` so the partition
     column materializes, then the partition dtype recorded at write time
     is restored explicitly (never inferred from path strings)."""
-    versions = _manifest_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no ledger manifest under {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise FileNotFoundError(f"ledger version v{v} not found (have {versions})")
-    m = _read_manifest(path, v)
-    pcol = m["partition_col"]
-    by_dir: dict[str, list[str]] = {}
-    for pval, d in m["partitions"].items():
-        by_dir.setdefault(d, []).append(pval)
-    parts = []
-    for d, pvals in sorted(by_dir.items()):
-        base = os.path.join(path, d)
-        dirs = [os.path.join(base, f"{pcol}={pv}") for pv in sorted(pvals)]
-        parts.append(spark.read.option("basePath", base).parquet(*dirs))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.withColumn(pcol, F.col(pcol).cast(m["partition_dtype"]))
+    _, m = _resolve(path, version)
+    return _read_partitions(spark, path, m, list(m["partitions"]))
+
+
+def ledger_plan(
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> list[str]:
+    """Manifest-level data skipping: the partition values whose recorded
+    [min, max] for ``col`` can intersect [lo, hi] — pure driver-side JSON
+    arithmetic over O(partitions) entries, no filesystem or Spark touch.
+    Partitions written without stats for ``col`` are conservatively kept
+    (skipping may only ever remove provably-empty work)."""
+    _, m = _resolve(path, version)
+    if col not in m.get("stats_cols", []):
+        raise ValueError(
+            f"column {col!r} carries no stats in this ledger "
+            f"(stats_cols={m.get('stats_cols')})"
+        )
+    keep = []
+    for pv, entry in m["partitions"].items():
+        s = entry.get("stats", {}).get(col)
+        if s is None or s["min"] is None or s["max"] is None:
+            keep.append(pv)  # no evidence → cannot skip
+            continue
+        smin, smax = s["min"], s["max"]
+        if s["kind"] == "num":
+            smin, smax, qlo, qhi = float(smin), float(smax), float(lo), float(hi)
+        else:
+            qlo, qhi = str(lo), str(hi)
+        if not (smax < qlo or smin > qhi):
+            keep.append(pv)
+    return sorted(keep)
+
+
+def ledger_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned range scan: read ONLY the partitions ``ledger_plan``
+    keeps, then apply the exact ``col BETWEEN lo AND hi`` predicate — the
+    zone-map read path. Bit-identical to filtering the full snapshot (the
+    q_ledger_skip oracle), touching only the partitions that can match."""
+    v, m = _resolve(path, version)
+    keep = ledger_plan(path, col, lo, hi, version=v)
+    if not keep:
+        return (
+            _read_partitions(spark, path, m, list(m["partitions"]))
+            .filter(F.lit(False))
+        )
+    return _read_partitions(spark, path, m, keep).filter(
+        F.col(col).between(F.lit(lo), F.lit(hi))
+    )
 
 
 def ledger_merge(
@@ -170,12 +303,12 @@ def ledger_merge(
     """Atomic partition-granular MERGE: resolve the upsert inside the
     touched partitions only (operators/cdc.py::merge_into — update rows
     win, untouched rows carry), write the merged partitions as a NEW
-    immutable directory, and commit a manifest with exactly those keys
-    repointed. Readers flip from v<N> to v<N+1> in one rename; a crash at
-    any earlier point leaves v<N> fully intact plus orphans for vacuum.
-    An update batch may introduce NEW partition values — they join the
-    mapping on commit. Returns the committed version (the previous
-    version if the batch is empty)."""
+    immutable directory (with refreshed stats), and commit a manifest
+    with exactly those keys repointed. Readers flip from v<N> to v<N+1>
+    in one rename; a crash at any earlier point leaves v<N> fully intact
+    plus orphans for vacuum. An update batch may introduce NEW partition
+    values — they join the mapping on commit. Returns the committed
+    version (the previous version if the batch is empty)."""
     from weather_api_automate_etl_spark.operators.cdc import merge_into
 
     versions = _manifest_versions(path)
@@ -194,17 +327,67 @@ def ledger_merge(
         return v
     existing = [pv for pv in touched if pv in m["partitions"]]
     if existing:
-        current = ledger_read(spark, path, v).filter(
+        current = _read_partitions(spark, path, m, existing).filter(
             F.col(pcol).cast("string").isin(touched)
         )
         merged = merge_into(current, updates.select(*current.columns), key)
     else:
         merged = updates
-    batch, written = _write_data_dir(merged, path, pcol)
+    entries = _write_data_dir(
+        merged, path, pcol, m.get("stats_cols", [])
+    )
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
-        "partitions": {**m["partitions"], **{pv: batch for pv in written}},
+        "stats_cols": m.get("stats_cols", []),
+        "partitions": {**m["partitions"], **entries},
+    }
+    _commit(path, manifest, v + 1)
+    return v + 1
+
+
+def ledger_compact(
+    spark: SparkSession,
+    path: str,
+    partitions: Sequence[str] | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the chosen partitions (default: every partition
+    whose directory holds more than one data file) into ONE file per
+    partition in a fresh directory and commit — state is bit-identical
+    (pinned in tests), only the file layout changes. Runs as a background
+    writer against live readers: they keep planning from v<N> until the
+    rename. Returns the committed version (unchanged if nothing needs
+    compaction)."""
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no ledger manifest under {path}")
+    v = versions[-1]
+    m = _read_manifest(path, v)
+    pcol = m["partition_col"]
+    if partitions is None:
+        partitions = []
+        for pv, entry in m["partitions"].items():
+            pdir = os.path.join(path, entry["dir"], f"{pcol}={pv}")
+            n_files = sum(
+                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+            if n_files > 1:
+                partitions.append(pv)
+    partitions = [pv for pv in partitions if pv in m["partitions"]]
+    if not partitions:
+        return v
+    current = _read_partitions(spark, path, m, partitions)
+    # hash-partition by the partition column: each value's rows land in
+    # one task, so partitionBy emits exactly one file per partition dir
+    compacted = current.repartition(F.col(pcol))
+    entries = _write_data_dir(
+        compacted, path, pcol, m.get("stats_cols", [])
+    )
+    manifest = {
+        "partition_col": pcol,
+        "partition_dtype": m["partition_dtype"],
+        "stats_cols": m.get("stats_cols", []),
+        "partitions": {**m["partitions"], **entries},
     }
     _commit(path, manifest, v + 1)
     return v + 1
@@ -223,7 +406,9 @@ def ledger_vacuum(path: str, keep_versions: int = 2) -> list[str]:
     keep = versions[-keep_versions:] if keep_versions > 0 else []
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(path, v)["partitions"].values())
+        live.update(
+            e["dir"] for e in _read_manifest(path, v)["partitions"].values()
+        )
     deleted = []
     for name in os.listdir(path):
         if name.startswith("data-") and name not in live:
