@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q_bloom_prune",           # literal-bitmap codegen prefilter + exact semi join
     "q_ledger_merge",          # atomic manifest swap: partition-granular merge
     "q_ledger_skip",           # manifest zone-map pruning + stats-pruned scan
+    "q_streaming_ledger_sink", # exactly-once streaming merge (txn watermark)
 ]
 
 

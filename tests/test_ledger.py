@@ -218,3 +218,37 @@ def test_ledger_compact_one_file_per_partition_same_state(tmp_path, spark):
     assert _snapshot(spark, path, version=1) == before  # time travel intact
     # nothing left to compact → version unchanged
     assert ledger.ledger_compact(spark, path) == 2
+
+
+def test_txn_watermark_makes_replay_a_pure_noop(spark, mart):
+    """The exactly-once handle: a merge carrying an already-applied
+    (app, txn_id) returns the current version without committing anything
+    — no new manifest, no new data dir — and an out-of-order OLDER txn is
+    equally skipped. A different app's watermark is independent."""
+    path, _ = mart
+    up = spark.createDataFrame(
+        [(1, 111.0, "2001")], "k long, price double, year string"
+    )
+    v = ledger.ledger_merge(spark, path, up, "k", txn=("sinkA", 5))
+    assert v == 2
+    dirs_before = {n for n in os.listdir(path) if n.startswith("data-")}
+    state = _snapshot(spark, path)
+    # exact replay of batch 5 and a late arrival of batch 3: both no-ops
+    up2 = spark.createDataFrame(
+        [(1, -999.0, "2001")], "k long, price double, year string"
+    )
+    assert ledger.ledger_merge(spark, path, up2, "k", txn=("sinkA", 5)) == 2
+    assert ledger.ledger_merge(spark, path, up2, "k", txn=("sinkA", 3)) == 2
+    assert {n for n in os.listdir(path) if n.startswith("data-")} == dirs_before
+    assert _snapshot(spark, path) == state
+    assert ledger._read_manifest(path, 2)["txn"] == {"sinkA": 5}
+    # the next batch applies, advancing the watermark
+    assert ledger.ledger_merge(spark, path, up2, "k", txn=("sinkA", 6)) == 3
+    assert ledger._read_manifest(path, 3)["txn"] == {"sinkA": 6}
+    assert _snapshot(spark, path) != state
+    # an independent app is not gated by sinkA's watermark
+    up3 = spark.createDataFrame(
+        [(2, 222.0, "2002")], "k long, price double, year string"
+    )
+    assert ledger.ledger_merge(spark, path, up3, "k", txn=("sinkB", 0)) == 4
+    assert ledger._read_manifest(path, 4)["txn"] == {"sinkA": 6, "sinkB": 0}

@@ -639,6 +639,7 @@ ROUND8_PENDING: tuple[str, ...] = (
     "q_bloom_prune",
     "q_ledger_merge",
     "q_ledger_skip",
+    "q_streaming_ledger_sink",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (

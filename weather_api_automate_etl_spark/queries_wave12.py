@@ -30,7 +30,10 @@ Plus the three post-window round-7 additions (ROUND8_PENDING):
   ledger (sources/ledger.py), oracle = the declarative merged state;
 - ``q_ledger_skip``: manifest zone-map data skipping — per-partition
   min/max stats prune a date-range scan to the two intersecting years,
-  oracle = the unpruned declarative filter.
+  oracle = the unpruned declarative filter;
+- ``q_streaming_ledger_sink``: exactly-once streaming MERGE — the txn
+  watermark rides the same atomic manifest commit as the data, so batch
+  replay is a pure no-op.
 """
 
 from __future__ import annotations
@@ -391,3 +394,69 @@ def q_ledger_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "q_streaming_ledger_sink",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           value,
+           CAST(user_id % 16 AS BIGINT) AS p
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+    ) = 1
+    """,
+    tags=("streaming", "cdc", "ledger"),
+)
+def q_streaming_ledger_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE with exactly-once batch application
+    (streaming/sinks.py::stream_merge_into_ledger): each micro-batch
+    upserts its latest-row-per-user into the atomic snapshot ledger,
+    recording (query, batch_id) in the SAME manifest commit as the data —
+    a replayed batch is a pure no-op, not merely value-idempotent (the
+    txn skip itself is unit-pinned in test_ledger; Spark won't redeliver
+    a checkpoint-committed batch on demand). The drain runs TWICE — the
+    second run stages the fixture as a new file, a genuinely incremental
+    merge under a HIGHER batch id — and the final snapshot must equal
+    keep-latest-per-user over the whole stream, exactly the
+    q_streaming_merge_sink contract upgraded from Hive-layout dynamic
+    overwrite to atomic manifest swap."""
+    import os
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.queries_ext import _staged_event_stream
+    from weather_api_automate_etl_spark.sources import ledger
+    from weather_api_automate_etl_spark.streaming import sinks
+
+    name = "q_streaming_ledger_sink"
+    stage_dir, stream = _staged_event_stream(spark, sf_dir, name)
+    table = tempfile.mkdtemp(prefix=f"{name}_table_")
+    shutil.rmtree(table)  # the sink bootstraps a missing table
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    projected = stream.select(
+        "user_id", "event_id", "ts", "value",
+        (F.col("user_id") % 16).cast("long").alias("p"),
+    )
+    try:
+        sinks.stream_merge_into_ledger(
+            projected, table, ckpt, name,
+            key="user_id", partition_col="p", order_cols=("ts", "event_id"),
+        )
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events_1.parquet")
+        sinks.stream_merge_into_ledger(
+            projected, table, ckpt, name,
+            key="user_id", partition_col="p", order_cols=("ts", "event_id"),
+        )
+        out = ledger.ledger_read(spark, table).select(
+            "user_id", "event_id", "ts", "value",
+            F.col("p").cast("long").alias("p"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(table, ignore_errors=True)

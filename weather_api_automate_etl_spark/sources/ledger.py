@@ -177,12 +177,15 @@ def ledger_write(
     path: str,
     partition_col: str,
     stats_cols: Sequence[str] = (),
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Initialize (or fully refresh) the table: one immutable data dir
     holding every partition, one manifest mapping all of them to it, with
     per-partition min/max stats for ``stats_cols`` (the skipping index —
-    pick the columns range predicates arrive on). Returns the committed
-    version."""
+    pick the columns range predicates arrive on). ``txn=(app_id, txn_id)``
+    records an application transaction watermark in the manifest (the
+    streaming sink's exactly-once handle — see ledger_merge). Returns the
+    committed version."""
     dtype = df.schema[partition_col].dataType.simpleString()
     entries = _write_data_dir(df, path, partition_col, stats_cols)
     version = (_manifest_versions(path) or [0])[-1] + 1
@@ -190,6 +193,7 @@ def ledger_write(
         "partition_col": partition_col,
         "partition_dtype": dtype,
         "stats_cols": list(stats_cols),
+        "txn": {txn[0]: txn[1]} if txn else {},
         "partitions": entries,
     }
     _commit(path, manifest, version)
@@ -299,6 +303,7 @@ def ledger_merge(
     path: str,
     updates: DataFrame,
     key: str,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Atomic partition-granular MERGE: resolve the upsert inside the
     touched partitions only (operators/cdc.py::merge_into — update rows
@@ -307,8 +312,18 @@ def ledger_merge(
     with exactly those keys repointed. Readers flip from v<N> to v<N+1>
     in one rename; a crash at any earlier point leaves v<N> fully intact
     plus orphans for vacuum. An update batch may introduce NEW partition
-    values — they join the mapping on commit. Returns the committed
-    version (the previous version if the batch is empty)."""
+    values — they join the mapping on commit.
+
+    ``txn=(app_id, txn_id)`` is the EXACTLY-ONCE handle (the ledger form
+    of Delta's ``txn`` action): the manifest carries each application's
+    highest applied transaction id, and a merge whose ``txn_id`` is not
+    greater than the recorded watermark returns the current version
+    WITHOUT reading, writing, or committing anything. Structured
+    Streaming's checkpoint gives at-least-once batch REPLAY; recording
+    the batch id in the same atomic commit as the data turns replay into
+    a no-op — stronger than value-idempotence, which still pays the
+    merge I/O on every redelivery. Returns the committed version (the
+    previous version if the batch is empty or already applied)."""
     from weather_api_automate_etl_spark.operators.cdc import merge_into
 
     versions = _manifest_versions(path)
@@ -316,6 +331,8 @@ def ledger_merge(
         raise FileNotFoundError(f"no ledger manifest under {path}")
     v = versions[-1]
     m = _read_manifest(path, v)
+    if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
+        return v  # transaction already applied: replay is a pure no-op
     pcol = m["partition_col"]
     touched = [
         r["__pv"]
@@ -340,6 +357,10 @@ def ledger_merge(
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
         "stats_cols": m.get("stats_cols", []),
+        "txn": {
+            **m.get("txn", {}),
+            **({txn[0]: txn[1]} if txn else {}),
+        },
         "partitions": {**m["partitions"], **entries},
     }
     _commit(path, manifest, v + 1)
@@ -387,6 +408,7 @@ def ledger_compact(
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
         "stats_cols": m.get("stats_cols", []),
+        "txn": m.get("txn", {}),
         "partitions": {**m["partitions"], **entries},
     }
     _commit(path, manifest, v + 1)

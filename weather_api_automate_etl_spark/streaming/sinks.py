@@ -150,3 +150,61 @@ def stream_merge_into_mart(
         stream_df, write_batch, checkpoint_dir, query_name,
         output_mode="update", timeout_s=timeout_s,
     )
+
+
+def stream_merge_into_ledger(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    key: str,
+    partition_col: str,
+    order_cols: tuple[str, ...],
+    stats_cols: tuple[str, ...] = (),
+    timeout_s: float = 120.0,
+) -> None:
+    """Streaming MERGE with EXACTLY-ONCE batch application: every
+    micro-batch upserts into the atomic snapshot ledger
+    (sources/ledger.py), carrying ``(query_name, batch_id)`` as the
+    transaction watermark in the same atomic manifest commit as the data.
+
+    This is one rung above ``stream_merge_into_mart``'s value-idempotence:
+    there a replayed batch RE-RUNS the merge and lands identical bytes;
+    here the ledger sees the already-applied batch id and the replay is a
+    pure no-op — no read, no write, no new version. That is the
+    ``foreachBatch`` + transactional-sink pattern Structured Streaming's
+    own docs prescribe for exactly-once (and the ledger form of Delta's
+    ``txn`` action). Crash safety composes from the two atomic pieces:
+    the checkpoint replays any batch whose manifest commit didn't land,
+    and the manifest commit dedupes any batch whose checkpoint mark
+    didn't."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not os.path.exists(os.path.join(table_path, "_ledger")):
+            ledger.ledger_write(
+                batch_df.sparkSession, latest, table_path, partition_col,
+                stats_cols=stats_cols, txn=(query_name, batch_id),
+            )
+        else:
+            ledger.ledger_merge(
+                batch_df.sparkSession, table_path, latest, key,
+                txn=(query_name, batch_id),
+            )
+
+    run_foreach_batch(
+        stream_df, write_batch, checkpoint_dir, query_name,
+        output_mode="update", timeout_s=timeout_s,
+    )
