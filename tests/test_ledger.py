@@ -252,3 +252,46 @@ def test_txn_watermark_makes_replay_a_pure_noop(spark, mart):
     )
     assert ledger.ledger_merge(spark, path, up3, "k", txn=("sinkB", 0)) == 4
     assert ledger._read_manifest(path, 4)["txn"] == {"sinkA": 6, "sinkB": 0}
+
+
+def test_ledger_delete_scan_path_and_full_partition_removal(spark, mart):
+    """DELETE by bare key set (no partition hint → locate by one semi-join
+    scan): matching rows vanish, partitions without matches keep their
+    original directory untouched, a fully-emptied partition leaves the
+    mapping, and re-deleting the same keys is a version-preserving no-op."""
+    path, df = mart
+    m1 = ledger._read_manifest(path, 1)
+    # year 2002 holds keys 2,5,...,29 (k%3==2); delete ALL of them plus
+    # one key from 2001 → 2002 disappears, 2001 is rewritten, 2000 untouched
+    doomed = [k for k in range(30) if k % 3 == 2] + [1]
+    keys = spark.createDataFrame([(k,) for k in doomed], "k long")
+    v = ledger.ledger_delete(spark, path, keys, "k")
+    assert v == 2
+    m2 = ledger._read_manifest(path, 2)
+    assert "2002" not in m2["partitions"]
+    assert m2["partitions"]["2000"]["dir"] == m1["partitions"]["2000"]["dir"]
+    assert m2["partitions"]["2001"]["dir"] != m1["partitions"]["2001"]["dir"]
+    want = sorted(
+        (r.k, r.price, r.year)
+        for r in df.filter(~F.col("k").isin(doomed)).collect()
+    )
+    assert _snapshot(spark, path) == want
+    assert not any(y == "2002" for _, _, y in _snapshot(spark, path))
+    # idempotent: nothing left to delete → no new version
+    assert ledger.ledger_delete(spark, path, keys, "k") == 2
+    # time travel still shows the pre-delete state
+    assert len(_snapshot(spark, path, version=1)) == 30
+
+
+def test_ledger_delete_partition_hint_and_txn(spark, mart):
+    """With the partition column in the key frame, candidates prune
+    without any scan; the txn watermark dedupes replays exactly as for
+    merge."""
+    path, df = mart
+    keys = spark.createDataFrame([(0, "2000")], "k long, year string")
+    v = ledger.ledger_delete(spark, path, keys, "k", txn=("gdpr", 1))
+    assert v == 2
+    assert len(_snapshot(spark, path)) == 29
+    # replay of the same takedown batch: pure no-op
+    assert ledger.ledger_delete(spark, path, keys, "k", txn=("gdpr", 1)) == 2
+    assert ledger._read_manifest(path, 2)["txn"] == {"gdpr": 1}

@@ -640,6 +640,7 @@ ROUND8_PENDING: tuple[str, ...] = (
     "q_ledger_merge",
     "q_ledger_skip",
     "q_streaming_ledger_sink",
+    "q_ledger_delete",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (

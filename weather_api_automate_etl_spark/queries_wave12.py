@@ -33,7 +33,10 @@ Plus the three post-window round-7 additions (ROUND8_PENDING):
   oracle = the unpruned declarative filter;
 - ``q_streaming_ledger_sink``: exactly-once streaming MERGE — the txn
   watermark rides the same atomic manifest commit as the data, so batch
-  replay is a pure no-op.
+  replay is a pure no-op;
+- ``q_ledger_delete``: row-level takedown sweep — locate matching
+  partitions by one semi-join scan, rewrite only those, commit
+  atomically; oracle = the declarative complement.
 """
 
 from __future__ import annotations
@@ -460,3 +463,56 @@ def q_streaming_ledger_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
+    "q_ledger_delete",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 7 != 0
+    GROUP BY o_year
+    """,
+    tags=("cdc", "ledger", "privacy"),
+)
+def q_ledger_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE through the ledger (sources/ledger.py::
+    ledger_delete) — the takedown / right-to-be-forgotten sweep a
+    training corpus needs: every 7th order key is removed from the
+    year-partitioned mart by bare key set (no partition hint), so the
+    operator runs its honest two-phase shape — ONE semi-join scan
+    locates the partitions that actually contain matches, only those are
+    anti-joined and rewritten, and the new manifest commits atomically.
+    The readback must equal the declarative complement, which is exactly
+    the oracle; partition-pruned hints, full-partition removal, replay
+    idempotence, and txn dedup are pinned in tests/test_ledger.py."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    doomed = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="ledger_delete_")
+    try:
+        ledger.ledger_write(spark, base, path, "o_year")
+        ledger.ledger_delete(spark, path, doomed, "o_orderkey")
+        out = (
+            ledger.ledger_read(spark, path)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

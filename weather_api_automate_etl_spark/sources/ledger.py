@@ -440,3 +440,81 @@ def ledger_vacuum(path: str, keep_versions: int = 2) -> list[str]:
         if v not in keep:
             os.unlink(os.path.join(path, _LEDGER_DIR, f"v{v}.json"))
     return sorted(deleted)
+
+
+def ledger_delete(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: str,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Row-level DELETE through the ledger — the takedown /
+    right-to-be-forgotten path a training-data corpus needs: remove every
+    row matching the key set, atomically, rewriting only the partitions
+    that actually contain matches.
+
+    Locating the matches is the honest cost split (the same split Delta's
+    DELETE makes):
+
+    - if ``keys`` carries the partition column, the candidate set prunes
+      to those partitions with no scan at all;
+    - otherwise ONE semi-join scan of the snapshot finds the (partition,
+      hit) pairs — corpus-linear read, metadata-sized output. The scan is
+      unavoidable without a per-partition membership index; partitions
+      with no hits are never rewritten either way.
+
+    Partitions whose every row is deleted leave the mapping entirely (the
+    readback simply stops planning them). Delete is idempotent by
+    construction — re-deleting absent keys touches nothing — and
+    ``txn`` gives it the same exactly-once replay handle as merge.
+    Returns the committed version (unchanged when nothing matches)."""
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no ledger manifest under {path}")
+    v = versions[-1]
+    m = _read_manifest(path, v)
+    if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
+        return v
+    pcol = m["partition_col"]
+    kdf = keys.select(key).distinct() if pcol not in keys.columns else keys
+    if pcol in keys.columns:
+        candidates = sorted(
+            {
+                r["__pv"]
+                for r in keys.select(
+                    F.col(pcol).cast("string").alias("__pv")
+                ).distinct().collect()
+            }
+            & set(m["partitions"])
+        )
+        kdf = keys.select(key).distinct()
+    else:
+        snap = _read_partitions(spark, path, m, list(m["partitions"]))
+        candidates = sorted(
+            r["__pv"]
+            for r in snap.join(kdf, key, "left_semi")
+            .select(F.col(pcol).cast("string").alias("__pv"))
+            .distinct()
+            .collect()
+        )
+    if not candidates:
+        return v
+    current = _read_partitions(spark, path, m, candidates)
+    kept = current.join(kdf, key, "left_anti")
+    entries = _write_data_dir(kept, path, pcol, m.get("stats_cols", []))
+    remaining = {
+        pv: e for pv, e in m["partitions"].items() if pv not in candidates
+    }
+    manifest = {
+        "partition_col": pcol,
+        "partition_dtype": m["partition_dtype"],
+        "stats_cols": m.get("stats_cols", []),
+        "txn": {
+            **m.get("txn", {}),
+            **({txn[0]: txn[1]} if txn else {}),
+        },
+        "partitions": {**remaining, **entries},
+    }
+    _commit(path, manifest, v + 1)
+    return v + 1
