@@ -481,13 +481,16 @@ def q_ledger_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE through the ledger (sources/ledger.py::
     ledger_delete) — the takedown / right-to-be-forgotten sweep a
     training corpus needs: every 7th order key is removed from the
-    year-partitioned mart by bare key set (no partition hint), so the
-    operator runs its honest two-phase shape — ONE semi-join scan
-    locates the partitions that actually contain matches, only those are
-    anti-joined and rewritten, and the new manifest commits atomically.
-    The readback must equal the declarative complement, which is exactly
-    the oracle; partition-pruned hints, full-partition removal, replay
-    idempotence, and txn dedup are pinned in tests/test_ledger.py."""
+    year-partitioned mart by bare key set (no partition hint). The table
+    is written with the manifest-resident Bloom membership index
+    (``key_index_col``), so the locate phase runs the full scale path:
+    per-partition bitmap probe driver-side → semi-join confirm over the
+    candidates only → anti-join rewrite of exactly the hit partitions →
+    atomic manifest commit. The readback must equal the declarative
+    complement, which is exactly the oracle; index pruning arithmetic,
+    undersized-index correctness, partition-hint and unindexed scan
+    paths, full-partition removal, replay idempotence, and txn dedup are
+    pinned in tests/test_ledger.py."""
     import shutil
     import tempfile
 
@@ -503,7 +506,9 @@ def q_ledger_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
     path = tempfile.mkdtemp(prefix="ledger_delete_")
     try:
-        ledger.ledger_write(spark, base, path, "o_year")
+        ledger.ledger_write(
+            spark, base, path, "o_year", key_index_col="o_orderkey"
+        )
         ledger.ledger_delete(spark, path, doomed, "o_orderkey")
         out = (
             ledger.ledger_read(spark, path)

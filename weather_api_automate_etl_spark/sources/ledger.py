@@ -150,17 +150,74 @@ def _partition_stats(
     return out
 
 
+def _bloom_positions(col: F.Column, num_bits: int, num_hashes: int) -> F.Column:
+    """The k probe-bit positions of a key — xxhash64 with k seeds, the
+    same family operators/joins.py::bloom_filter_build uses. Build and
+    probe both run in Spark, so the hash needs no Python twin."""
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    return F.transform(seeds, lambda s: F.pmod(F.xxhash64(col, s), F.lit(num_bits)))
+
+
+def _partition_blooms(
+    df: DataFrame,
+    partition_col: str,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> dict[str, str]:
+    """Per-partition Bloom bitmap over ``key_col`` as hex strings — the
+    membership index ledger_delete's locate phase prunes with. One
+    distributed pass (explode k positions → distinct → per-(partition,
+    word) OR); the driver receives ≤ partitions·bits/64 word rows."""
+    words = (
+        df.select(
+            F.col(partition_col).cast("string").alias("__pv"),
+            F.explode(
+                _bloom_positions(F.col(key_col), num_bits, num_hashes)
+            ).alias("__bit"),
+        )
+        .distinct()
+        .groupBy("__pv", (F.col("__bit") / 64).cast("long").alias("__word"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("__bit") % 64).cast("int"),
+                )
+            ).alias("__bits")
+        )
+        .collect()
+    )
+    maps: dict[str, list[int]] = {}
+    for r in words:
+        maps.setdefault(r["__pv"], [0] * (num_bits // 64))[r["__word"]] = r["__bits"]
+    return {
+        pv: "".join(f"{w & 0xFFFFFFFFFFFFFFFF:016x}" for w in bm)
+        for pv, bm in maps.items()
+    }
+
+
 def _write_data_dir(
     df: DataFrame,
     path: str,
     partition_col: str,
     stats_cols: Sequence[str] = (),
+    key_index: dict | None = None,
 ) -> dict[str, dict]:
     """Write one immutable partitioned data directory; return the manifest
-    entries it produces: partition value → {dir, rows, stats}."""
+    entries it produces: partition value → {dir, rows, stats[, key_bloom]}."""
     batch = f"data-{uuid.uuid4().hex[:12]}"
     df.write.partitionBy(partition_col).parquet(os.path.join(path, batch))
     stats = _partition_stats(df, partition_col, stats_cols)
+    blooms = (
+        _partition_blooms(
+            df, partition_col, key_index["col"],
+            key_index["bits"], key_index["hashes"],
+        )
+        if key_index
+        else {}
+    )
     entries: dict[str, dict] = {}
     prefix = f"{partition_col}="
     for name in os.listdir(os.path.join(path, batch)):
@@ -168,6 +225,8 @@ def _write_data_dir(
             pv = name[len(prefix):]
             meta = stats.get(pv, {"rows": None, "stats": {}})
             entries[pv] = {"dir": batch, **meta}
+            if pv in blooms:
+                entries[pv]["key_bloom"] = blooms[pv]
     return entries
 
 
@@ -178,21 +237,40 @@ def ledger_write(
     partition_col: str,
     stats_cols: Sequence[str] = (),
     txn: tuple[str, int] | None = None,
+    key_index_col: str | None = None,
+    key_index_bits: int = 1 << 15,
+    key_index_hashes: int = 4,
 ) -> int:
     """Initialize (or fully refresh) the table: one immutable data dir
     holding every partition, one manifest mapping all of them to it, with
     per-partition min/max stats for ``stats_cols`` (the skipping index —
     pick the columns range predicates arrive on). ``txn=(app_id, txn_id)``
     records an application transaction watermark in the manifest (the
-    streaming sink's exactly-once handle — see ledger_merge). Returns the
-    committed version."""
+    streaming sink's exactly-once handle — see ledger_merge).
+
+    ``key_index_col`` adds a per-partition Bloom MEMBERSHIP index over
+    that column (default 2^15 bits ≈ 8 KiB hex per partition in the
+    manifest): ledger_delete's locate phase then prunes candidate
+    partitions from the manifest alone instead of scanning the table.
+    Sizing note: the index is manifest-resident, so bits·partitions is
+    the knob — at thousands of partitions either shrink the bitmap or
+    move the index to a sidecar per data dir (the Delta choice of
+    per-file bloom sidecars). Returns the committed version."""
+    if key_index_bits % 64:
+        raise ValueError(f"key_index_bits must be a multiple of 64, got {key_index_bits}")
     dtype = df.schema[partition_col].dataType.simpleString()
-    entries = _write_data_dir(df, path, partition_col, stats_cols)
+    key_index = (
+        {"col": key_index_col, "bits": key_index_bits, "hashes": key_index_hashes}
+        if key_index_col
+        else None
+    )
+    entries = _write_data_dir(df, path, partition_col, stats_cols, key_index)
     version = (_manifest_versions(path) or [0])[-1] + 1
     manifest = {
         "partition_col": partition_col,
         "partition_dtype": dtype,
         "stats_cols": list(stats_cols),
+        "key_index": key_index,
         "txn": {txn[0]: txn[1]} if txn else {},
         "partitions": entries,
     }
@@ -351,12 +429,13 @@ def ledger_merge(
     else:
         merged = updates
     entries = _write_data_dir(
-        merged, path, pcol, m.get("stats_cols", [])
+        merged, path, pcol, m.get("stats_cols", []), m.get("key_index")
     )
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
         "stats_cols": m.get("stats_cols", []),
+        "key_index": m.get("key_index"),
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
@@ -402,12 +481,13 @@ def ledger_compact(
     # one task, so partitionBy emits exactly one file per partition dir
     compacted = current.repartition(F.col(pcol))
     entries = _write_data_dir(
-        compacted, path, pcol, m.get("stats_cols", [])
+        compacted, path, pcol, m.get("stats_cols", []), m.get("key_index")
     )
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
         "stats_cols": m.get("stats_cols", []),
+        "key_index": m.get("key_index"),
         "txn": m.get("txn", {}),
         "partitions": {**m["partitions"], **entries},
     }
@@ -459,10 +539,13 @@ def ledger_delete(
 
     - if ``keys`` carries the partition column, the candidate set prunes
       to those partitions with no scan at all;
-    - otherwise ONE semi-join scan of the snapshot finds the (partition,
-      hit) pairs — corpus-linear read, metadata-sized output. The scan is
-      unavoidable without a per-partition membership index; partitions
-      with no hits are never rewritten either way.
+    - otherwise, on a table written with ``key_index_col``, the
+      manifest's per-partition Bloom bitmaps prune the candidate set with
+      pure driver arithmetic — no table scan — and one semi-join scan of
+      the CANDIDATES ONLY confirms exact hits (false-positive partitions
+      are confirmed out here, so a no-hit partition is never rewritten);
+    - without an index, ONE semi-join scan of the snapshot finds the
+      (partition, hit) pairs — corpus-linear read, metadata-sized output.
 
     Partitions whose every row is deleted leave the mapping entirely (the
     readback simply stops planning them). Delete is idempotent by
@@ -478,6 +561,7 @@ def ledger_delete(
         return v
     pcol = m["partition_col"]
     kdf = keys.select(key).distinct() if pcol not in keys.columns else keys
+    ki = m.get("key_index")
     if pcol in keys.columns:
         candidates = sorted(
             {
@@ -490,7 +574,35 @@ def ledger_delete(
         )
         kdf = keys.select(key).distinct()
     else:
-        snap = _read_partitions(spark, path, m, list(m["partitions"]))
+        scan_over = list(m["partitions"])
+        if ki is not None and ki["col"] == key:
+            # manifest-resident membership index: keep only partitions
+            # whose Bloom bitmap could contain at least one doomed key —
+            # pure driver arithmetic, no table scan
+            key_rows = kdf.select(
+                _bloom_positions(F.col(key), ki["bits"], ki["hashes"]).alias("__pos")
+            ).collect()
+            key_positions = [tuple(r["__pos"]) for r in key_rows]
+            scan_over = []
+            for pv, entry in m["partitions"].items():
+                hx = entry.get("key_bloom")
+                if hx is None:
+                    scan_over.append(pv)  # unindexed partition: keep
+                    continue
+                words = [
+                    int(hx[i : i + 16], 16) for i in range(0, len(hx), 16)
+                ]
+                if any(
+                    all(words[p // 64] >> (p % 64) & 1 for p in pos)
+                    for pos in key_positions
+                ):
+                    scan_over.append(pv)
+            if not scan_over:
+                return v
+        # exact confirm over the (possibly bloom-pruned) candidates only:
+        # Bloom false positives are confirmed OUT here, so a no-hit
+        # partition is never rewritten
+        snap = _read_partitions(spark, path, m, scan_over)
         candidates = sorted(
             r["__pv"]
             for r in snap.join(kdf, key, "left_semi")
@@ -502,7 +614,9 @@ def ledger_delete(
         return v
     current = _read_partitions(spark, path, m, candidates)
     kept = current.join(kdf, key, "left_anti")
-    entries = _write_data_dir(kept, path, pcol, m.get("stats_cols", []))
+    entries = _write_data_dir(
+        kept, path, pcol, m.get("stats_cols", []), ki
+    )
     remaining = {
         pv: e for pv, e in m["partitions"].items() if pv not in candidates
     }
@@ -510,6 +624,7 @@ def ledger_delete(
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
         "stats_cols": m.get("stats_cols", []),
+        "key_index": ki,
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
