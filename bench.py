@@ -84,7 +84,9 @@ BENCH_QUERIES = [
     "q_ledger_merge",          # atomic manifest swap: partition-granular merge
     "q_ledger_skip",           # manifest zone-map pruning + stats-pruned scan
     "q_streaming_ledger_sink", # exactly-once streaming merge (txn watermark)
-    "q_ledger_delete",         # takedown sweep: locate-by-scan + rewrite hits only
+    "q_ledger_delete",         # takedown sweep: bloom locate + rewrite hits only
+    "q_ledger_cdf",            # manifest-diff-scoped change data feed
+    "q_psi_drift",             # fixed-bin PSI drift gate (two count aggs + grid)
 ]
 
 

@@ -355,3 +355,49 @@ def test_key_index_blooms_prune_delete_candidates(tmp_path, spark):
     # and no scan could have found anything anyway
     ghost = spark.createDataFrame([(10_000_001,)], "k long")
     assert ledger.ledger_delete(spark, path, ghost, "k") == 2
+
+
+def test_ledger_changes_is_the_net_row_delta(spark, mart):
+    """CDF: after a merge that repriced two 2001 keys and inserted a 2999
+    key, changes(v1→v2) must be exactly those three rows with the right
+    classification; the manifest diff scopes the read to the changed
+    partitions only (2000/2002 are untouched entries), 'unchanged' rows
+    inside the rewritten 2001 partition are filtered out, and a
+    self-diff is empty."""
+    path, df = mart
+    updates = spark.createDataFrame(
+        [(1, 999.0, "2001"), (4, 888.0, "2001"), (100, 5.0, "2999")],
+        "k long, price double, year string",
+    )
+    ledger.ledger_merge(spark, path, updates, "k")
+    got = {
+        r.k: (r.change_type, r.price)
+        for r in ledger.ledger_changes(
+            spark, path, "k", ["price"], v_from=1, v_to=2
+        ).collect()
+    }
+    assert got == {1: ("changed", 999.0), 4: ("changed", 888.0),
+                   100: ("added", 5.0)}
+    # delete feed: removing key 100 empties 2999 → classified 'removed'
+    ledger.ledger_delete(
+        spark, path, spark.createDataFrame([(100,)], "k long"), "k"
+    )
+    got = {
+        r.k: r.change_type
+        for r in ledger.ledger_changes(
+            spark, path, "k", ["price"], v_from=2, v_to=3
+        ).collect()
+    }
+    assert got == {100: "removed"}
+    # full-span feed composes both commits
+    got = {
+        r.k: r.change_type
+        for r in ledger.ledger_changes(
+            spark, path, "k", ["price"], v_from=1, v_to=3
+        ).collect()
+    }
+    assert got == {1: "changed", 4: "changed"}
+    # self-diff is empty; inverted order raises
+    assert ledger.ledger_changes(spark, path, "k", ["price"], 2, 2).count() == 0
+    with pytest.raises(ValueError, match="newer"):
+        ledger.ledger_changes(spark, path, "k", ["price"], 3, 1)

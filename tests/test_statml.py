@@ -394,3 +394,45 @@ def test_chi_square_ignores_null_categories(spark):
     ).collect()[0]
     assert (got.chi2, got.dof, got.n_obs) == (clean.chi2, clean.dof, clean.n_obs)
     assert got.chi2 == 0.0 and got.dof == 1 and got.n_obs == 20
+
+
+def test_psi_drift_matches_hand_computation_and_contracts(spark):
+    """PSI against a hand-computed reference on a crafted distribution,
+    plus the contracts: identical distributions give PSI exactly 0, a
+    one-side-empty bin uses the eps floor (finite, large), NULLs are
+    excluded, and bad edges reject."""
+    import math
+
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.operators import stats
+
+    old = spark.createDataFrame(
+        [(float(v),) for v in [1] * 50 + [11] * 30 + [21] * 20], "x double"
+    )
+    new = spark.createDataFrame(
+        [
+            (float(v) if v is not None else None,)
+            for v in [1] * 20 + [11] * 30 + [21] * 50 + [None]
+        ],
+        "x double",
+    )
+    out = {r.bin_id: r for r in stats.psi_drift(old, new, "x", [10.0, 20.0]).collect()}
+    assert (out[0].n_old, out[0].n_new) == (50, 20)
+    assert out[0].p_old == 0.5 and out[0].p_new == 0.2  # NULL excluded
+    want0 = round((0.2 - 0.5) * math.log(0.2 / 0.5), 6)
+    assert out[0].psi_term == want0
+    total = sum(r.psi_term for r in out.values())
+    assert total > 0.25  # decisively shifted
+    # identical sides → every term 0.0
+    same = stats.psi_drift(old, old, "x", [10.0, 20.0]).collect()
+    assert all(r.psi_term == 0.0 for r in same)
+    # bin empty on one side: eps floor keeps the term finite
+    lop = spark.createDataFrame([(30.0,)] * 10, "x double")
+    out2 = {r.bin_id: r for r in stats.psi_drift(old, lop, "x", [10.0, 20.0, 25.0]).collect()}
+    assert out2[3].p_old == 1e-6 and out2[3].p_new == 1.0
+    assert math.isfinite(out2[3].psi_term) and out2[3].psi_term > 10
+    with _pytest.raises(ValueError, match="ascending"):
+        stats.psi_drift(old, new, "x", [20.0, 10.0])
+    with _pytest.raises(ValueError, match="at least one"):
+        stats.psi_drift(old, new, "x", [])

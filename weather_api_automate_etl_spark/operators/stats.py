@@ -16,6 +16,8 @@ noise; NULLIF-style guards on every remaining division.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -492,4 +494,72 @@ def chi_square_independence(
         .cast("long")
         .alias("dof"),
         F.max("n").cast("long").alias("n_obs"),
+    )
+
+
+def psi_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    col: str,
+    edges: Sequence[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate between a training-time feature
+    distribution and what production (or the next corpus crawl) actually
+    serves; the convention is PSI < 0.1 stable, 0.1-0.25 watch, > 0.25
+    shifted.
+
+    Bins are FIXED, caller-supplied edges (never data-derived quantiles:
+    fixed edges make the statistic reproducible across engines and runs,
+    and comparable across time — the same reason range_bucket pins its
+    thresholds). Bin i counts rows with edges[i-1] <= x < edges[i], with
+    open-ended first/last bins; NULLs are excluded (no bin can own them).
+    Each side's proportion is floored at ``eps`` so a bin empty on one
+    side contributes a large-but-finite term instead of ±inf — the
+    standard PSI smoothing. Per bin: (bin_id, n_old, n_new, p_old, p_new,
+    psi_term), all proportions and terms rounded to 6; SUM(psi_term) is
+    the headline number. Two count aggregates + a bins-sized grid join —
+    nothing data-sized shuffles beyond the group-by."""
+    if len(edges) < 1:
+        raise ValueError("psi_drift needs at least one bin edge")
+    if list(edges) != sorted(edges):
+        raise ValueError(f"edges must be ascending, got {list(edges)}")
+    n_bins = len(edges) + 1
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        v = F.col(col)
+        bin_id = sum(
+            (v >= F.lit(float(e))).cast("int") for e in edges
+        )
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(bin_id.alias("bin_id"))
+            .agg(F.count(F.lit(1)).alias(f"n_{alias}"))
+        )
+
+    spark = old_df.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin_id"))
+    o, n = side(old_df, "old"), side(new_df, "new")
+    joined = (
+        grid.join(o, "bin_id", "left")
+        .join(n, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    p_old = F.greatest(F.col("n_old") / F.col("__to"), F.lit(eps))
+    p_new = F.greatest(F.col("n_new") / F.col("__tn"), F.lit(eps))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bin_id",
+        "n_old",
+        "n_new",
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
     )

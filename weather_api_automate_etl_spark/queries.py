@@ -641,6 +641,8 @@ ROUND8_PENDING: tuple[str, ...] = (
     "q_ledger_skip",
     "q_streaming_ledger_sink",
     "q_ledger_delete",
+    "q_ledger_cdf",
+    "q_psi_drift",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (

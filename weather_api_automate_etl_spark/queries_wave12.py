@@ -34,9 +34,14 @@ Plus the three post-window round-7 additions (ROUND8_PENDING):
 - ``q_streaming_ledger_sink``: exactly-once streaming MERGE — the txn
   watermark rides the same atomic manifest commit as the data, so batch
   replay is a pure no-op;
-- ``q_ledger_delete``: row-level takedown sweep — locate matching
-  partitions by one semi-join scan, rewrite only those, commit
-  atomically; oracle = the declarative complement.
+- ``q_ledger_delete``: row-level takedown sweep — Bloom-index locate,
+  rewrite only the hit partitions, commit atomically; oracle = the
+  declarative complement;
+- ``q_ledger_cdf``: change data feed between versions — the manifest
+  diff scopes the read to repointed partitions before the hash-compare
+  classification; oracle = the declarative net delta;
+- ``q_psi_drift``: fixed-bin Population Stability Index — the drift
+  gate between a baseline and a shifted snapshot, per-bin decomposition.
 """
 
 from __future__ import annotations
@@ -521,3 +526,130 @@ def q_ledger_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "q_ledger_cdf",
+    oracle="""
+    SELECT o_orderkey, 'changed' AS change_type,
+           o_totalprice + 100.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey + 6000000, 'added', o_totalprice * 0.5
+    FROM orders WHERE o_orderkey % 100 = 7
+    """,
+    tags=("cdc", "ledger"),
+)
+def q_ledger_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between ledger versions (sources/ledger.py::
+    ledger_changes — the CDF a downstream incremental consumer reads
+    instead of re-scanning the mart): after the deterministic merge
+    batch (every 10th key repriced +100, every 100th re-keyed into the
+    new '2999' partition at half price), changes(v1→v2) must be exactly
+    the net row-level delta with the right classification — which is
+    what the oracle declares. The manifest diff scopes the read to the
+    repointed partitions only before the hash-compare join runs; delete
+    feeds, multi-version composition, and empty self-diffs are pinned in
+    tests/test_ledger.py. The +100.0/*0.5 arithmetic is IEEE-exact, so
+    the doubles hash without rounding."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            "o_year",
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + F.lit(6000000)).alias("o_orderkey"),
+                (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+                F.lit("2999").alias("o_year"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="ledger_cdf_")
+    try:
+        ledger.ledger_write(spark, base, path, "o_year")
+        ledger.ledger_merge(spark, path, updates, "o_orderkey")
+        out = ledger.ledger_changes(
+            spark, path, "o_orderkey", ["o_totalprice"], v_from=1, v_to=2
+        ).select("o_orderkey", "change_type", "o_totalprice")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_PSI_EDGES = (50_000.0, 100_000.0, 150_000.0, 200_000.0, 300_000.0)
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH old_side AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    new_side AS (
+      SELECT o_totalprice * 1.25 AS v FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    edges(e) AS (VALUES {", ".join(f"({e!r})" for e in _PSI_EDGES)}),
+    ob AS (
+      SELECT (SELECT COUNT(*) FROM edges WHERE v >= e) AS bin_id,
+             COUNT(*) AS n_old
+      FROM old_side WHERE v IS NOT NULL GROUP BY 1
+    ),
+    nb AS (
+      SELECT (SELECT COUNT(*) FROM edges WHERE v >= e) AS bin_id,
+             COUNT(*) AS n_new
+      FROM new_side WHERE v IS NOT NULL GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range({len(_PSI_EDGES) + 1})) AS bin_id),
+    j AS (
+      SELECT CAST(g.bin_id AS INTEGER) AS bin_id,
+             CAST(COALESCE(ob.n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(nb.n_new, 0) AS BIGINT) AS n_new
+      FROM grid g LEFT JOIN ob ON ob.bin_id = g.bin_id
+                  LEFT JOIN nb ON nb.bin_id = g.bin_id
+    ),
+    tot AS (SELECT SUM(n_old) AS t_o, SUM(n_new) AS t_n FROM j)
+    SELECT bin_id, n_old, n_new,
+           ROUND(GREATEST(n_old / t_o, 1e-6), 6) AS p_old,
+           ROUND(GREATEST(n_new / t_n, 1e-6), 6) AS p_new,
+           ROUND((GREATEST(n_new / t_n, 1e-6) - GREATEST(n_old / t_o, 1e-6))
+                 * ln(GREATEST(n_new / t_n, 1e-6) / GREATEST(n_old / t_o, 1e-6)),
+                 6) AS psi_term
+    FROM j CROSS JOIN tot
+    """,
+    tags=("agg", "quality", "analytics"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate (operators/stats.py::
+    psi_drift): the distribution of order totals in a simulated
+    repriced-by-25% snapshot against the baseline split, over FIXED bin
+    edges (never data-derived quantiles — fixed edges are what makes PSI
+    reproducible across engines, runs, and time). Emits the full per-bin
+    decomposition (counts, eps-floored proportions, psi terms); the
+    headline Σpsi_term is what a feature-drift monitor thresholds at
+    0.1/0.25. Deliberate drift: a uniform +25% reprice shifts mass up a
+    bin wherever a bin edge falls inside the scaled range, so several
+    terms are decisively non-zero."""
+    from weather_api_automate_etl_spark.operators import stats
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice")
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice") * F.lit(1.25)).alias("o_totalprice")
+    )
+    return stats.psi_drift(old, new, "o_totalprice", list(_PSI_EDGES))
