@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "q_ledger_delete",         # takedown sweep: bloom locate + rewrite hits only
     "q_ledger_cdf",            # manifest-diff-scoped change data feed
     "q_psi_drift",             # fixed-bin PSI drift gate (two count aggs + grid)
+    "q_ks_drift",              # exact two-sample KS over distinct-value ECDFs
+    "q_seasonal_decompose",    # centered-MA trend + phase-mean weekly seasonal
 ]
 
 

@@ -436,3 +436,26 @@ def test_psi_drift_matches_hand_computation_and_contracts(spark):
         stats.psi_drift(old, new, "x", [20.0, 10.0])
     with _pytest.raises(ValueError, match="at least one"):
         stats.psi_drift(old, new, "x", [])
+
+
+def test_ks_two_sample_known_values(spark):
+    from weather_api_automate_etl_spark.operators import stats
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [(float(v) if v is not None else None,) for v in vals], "x double"
+        )
+
+    a = mk([1, 2, 3, 4, 5])
+    b = mk([3, 4, 5, 6, 7])
+    r = stats.ks_two_sample(a, b, "x").collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat) == (5, 5, 0.4)
+    # identical samples → D = 0; disjoint supports → D = 1
+    same = stats.ks_two_sample(a, a, "x").collect()[0]
+    assert same.d_stat == 0.0
+    far = stats.ks_two_sample(a, mk([100, 101]), "x").collect()[0]
+    assert (far.n_b, far.d_stat) == (2, 1.0)
+    # NULLs are excluded, ties grouped before the cumsum
+    withnull = stats.ks_two_sample(mk([1, 1, 2, None]), mk([1, 2, 2]), "x").collect()[0]
+    # F_a = {1: 2/3, 2: 1}, F_b = {1: 1/3, 2: 1} → D = 1/3
+    assert withnull.n_a == 3 and withnull.d_stat == round(1 / 3, 6)

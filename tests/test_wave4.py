@@ -426,3 +426,54 @@ def test_trailing_median_null_leading_value_yields_null_not_crash(spark):
     }
     assert out[0] is None
     assert out[1] == 7.0
+
+
+def test_seasonal_decompose_identity_and_gap_anchoring(spark):
+    """y = trend + seasonal + residual wherever trend is defined; edges
+    (half-window) carry NULLs; the seasonal component is centered (phase
+    effects sum ~0); and the phase is CALENDAR-anchored, so removing a
+    row shifts no other row's phase."""
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)
+    # weekly pattern + slow trend, 28 days
+    rows = [
+        ("s", base + dt.timedelta(days=i), float(10 + i * 0.5 + (i % 7) * 3))
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "sid string, day date, y double")
+    out = {
+        r.day: r
+        for r in timeseries.seasonal_decompose(df, "sid", "day", "y").collect()
+    }
+    assert len(out) == 28
+    for i, (d, r) in enumerate(sorted(out.items())):
+        if i < 3 or i >= 25:  # half-window edges
+            assert r.trend is None and r.seasonal is None and r.residual is None
+        else:
+            assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 2e-6
+    # centered seasonal: the 7 phase effects sum ~0
+    effs = {r.seasonal for r in out.values() if r.seasonal is not None}
+    assert abs(sum(effs)) < 1e-5 and len(effs) == 7
+    # pure weekly pattern (no trend slope) → residuals ~0
+    flat = spark.createDataFrame(
+        [("s", base + dt.timedelta(days=i), float(5 + (i % 7) * 2)) for i in range(21)],
+        "sid string, day date, y double",
+    )
+    fo = timeseries.seasonal_decompose(flat, "sid", "day", "y").collect()
+    assert all(abs(r.residual) < 2e-6 for r in fo if r.residual is not None)
+    # calendar anchoring: drop one middle day — the other rows' phases
+    # (hence seasonal assignments) must be unchanged
+    gap = df.filter(F.col("day") != dt.date(2024, 1, 10))
+    go = {
+        r.day: r.seasonal
+        for r in timeseries.seasonal_decompose(gap, "sid", "day", "y").collect()
+        if r.seasonal is not None
+    }
+    # a defined day keeps landing on its calendar phase: same-phase days
+    # two weeks apart share one seasonal value
+    d1, d2 = dt.date(2024, 1, 12), dt.date(2024, 1, 19)
+    if d1 in go and d2 in go:
+        assert go[d1] == go[d2]
+    with pytest.raises(ValueError, match="period"):
+        timeseries.seasonal_decompose(df, "sid", "day", "y", period=1)

@@ -563,3 +563,46 @@ def psi_drift(
         F.round(p_new, 6).alias("p_new"),
         F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
     )
+
+
+def ks_two_sample(
+    a: DataFrame, b: DataFrame, col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — PSI's nonparametric
+    sibling: D = sup_x |F_a(x) − F_b(x)| over the pooled observed values,
+    which is exact (no binning choice) and detects shape changes PSI's
+    fixed bins can blur.
+
+    Exactly computable distributed: pool the two samples with side tags,
+    ONE count aggregate per distinct value, one cumulative window over
+    the value order (distinct-value cardinality, not row cardinality),
+    then a max. ECDFs are step functions evaluated at the observed
+    points, ties handled by grouping before the cumsum — the textbook
+    definition, identically expressible in SQL (the oracle). NULLs are
+    excluded. Returns ONE row (n_a, n_b, d_stat round-6)."""
+    pooled = a.select(F.col(col).alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb")).unionAll(
+        b.select(F.col(col).alias("v"), F.lit(0).alias("ca"), F.lit(1).alias("cb"))
+    ).filter(F.col("v").isNotNull())
+    per_v = pooled.groupBy("v").agg(
+        F.sum("ca").alias("na_v"), F.sum("cb").alias("nb_v")
+    )
+    # the unpartitioned cumulative window runs over DISTINCT values only
+    # (value-cardinality, not row-cardinality — the same bound the exact
+    # percentile family accepts); totals ride a 1-row broadcast
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        F.sum("na_v").over(w).alias("cum_a"),
+        F.sum("nb_v").over(w).alias("cum_b"),
+    )
+    tot = per_v.agg(
+        F.sum("na_v").cast("double").alias("__na"),
+        F.sum("nb_v").cast("double").alias("__nb"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("cum_a") / F.col("__na") - F.col("cum_b") / F.col("__nb"))),
+            6,
+        ).alias("d_stat"),
+    )

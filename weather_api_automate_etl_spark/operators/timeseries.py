@@ -273,3 +273,99 @@ def burstiness(
         # streams sit at B ≈ 0) — the −0.0 hash hazard
         round0(b, 6).alias("burstiness"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    series_col: str,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition y = trend + seasonal + residual —
+    the classical-decomposition core of STL, expressed entirely in
+    windows and aggregates (no iteration, no loess):
+
+    - TREND: centered ``period``-row moving average per series, defined
+      only where the frame is FULL (edges get NULL trend — a half-window
+      average is a different, biased statistic);
+    - SEASONAL: mean of the detrended values per phase
+      (``datediff mod period``), centered by subtracting the per-series
+      grand mean of the phase effects so the seasonal component sums to
+      ~0 and the trend keeps the level — the standard identifiability
+      convention;
+    - RESIDUAL: what remains; NULL wherever trend is (the decomposition
+      is undefined there, and an explicit NULL beats a silent 0).
+
+    Cross-engine exactness discipline: naive round-6 clamping at every
+    interface FAILS here — the detrended values live on a decimal grid
+    (integer y minus a 6-digit trend), so phase-mean sums land exactly ON
+    .5e-6 rounding boundaries where engine summation order flips the last
+    digit (measured on the events fixture). Instead the phase means are
+    computed from EXACT scaled integers: each detrended value becomes a
+    round-to-nearest ``×1e6`` BIGINT (row-local, deterministic), the
+    per-phase SUM is exact integer arithmetic (order-free), and the mean
+    is a single double division — bit-identical on any engine. Only the
+    phase-count-sized grand-mean average stays a double sum, where the
+    operands are generic (off-grid) doubles and the usual round-6
+    boundary risk is measure-zero. Cost: one per-series window pass + one
+    phase-cardinality aggregate joined back broadcast; phases are
+    ROW-POSITION-free (calendar mod), so a gap in the series shifts
+    nothing."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    half = period // 2
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(date_col)
+        .rowsBetween(-half, period - 1 - half)
+    )
+    y = F.col(value_col)
+    trend = F.when(
+        F.count(value_col).over(w) == period,
+        F.round(F.avg(value_col).over(w), 6),
+    )
+    phase = F.pmod(
+        F.datediff(F.col(date_col), F.to_date(F.lit("1970-01-01"))),
+        F.lit(period),
+    ).cast("int")
+    base = df.select(
+        series_col,
+        F.col(date_col),
+        y.alias("y"),
+        trend.alias("trend"),
+        phase.alias("__phase"),
+    )
+    detr = base.filter(F.col("trend").isNotNull()).select(
+        series_col,
+        "__phase",
+        # row-local exact scaled integer: both engines see the same double
+        # and map it to the same BIGINT
+        F.round((F.col("y") - F.col("trend")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("__d6"),
+    )
+    pm = detr.groupBy(series_col, "__phase").agg(
+        # exact integer sum → ONE double division: order-free, engine-exact
+        (
+            (F.sum("__d6").cast("double") / F.count(F.lit(1)))
+            / F.lit(1e6)
+        ).alias("__pm")
+    )
+    gm = pm.groupBy(series_col).agg(F.avg("__pm").alias("__gm"))
+    seasonal = F.round(F.col("__pm") - F.col("__gm"), 6)
+    eff = pm.join(gm, series_col).select(
+        series_col, "__phase", seasonal.alias("seasonal")
+    )
+    out = base.join(F.broadcast(eff), [series_col, "__phase"], "left")
+    return out.select(
+        series_col,
+        date_col,
+        "y",
+        "trend",
+        F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6),
+        ).alias("residual"),
+    )

@@ -643,6 +643,8 @@ ROUND8_PENDING: tuple[str, ...] = (
     "q_ledger_delete",
     "q_ledger_cdf",
     "q_psi_drift",
+    "q_ks_drift",
+    "q_seasonal_decompose",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (

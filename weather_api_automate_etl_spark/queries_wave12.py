@@ -41,7 +41,12 @@ Plus the three post-window round-7 additions (ROUND8_PENDING):
   diff scopes the read to repointed partitions before the hash-compare
   classification; oracle = the declarative net delta;
 - ``q_psi_drift``: fixed-bin Population Stability Index — the drift
-  gate between a baseline and a shifted snapshot, per-bin decomposition.
+  gate between a baseline and a shifted snapshot, per-bin decomposition;
+- ``q_ks_drift``: exact two-sample Kolmogorov–Smirnov statistic — PSI's
+  nonparametric sibling, ECDF sup-distance over distinct values;
+- ``q_seasonal_decompose``: additive trend/seasonal/residual
+  decomposition of the daily event series (exact scaled-integer phase
+  sums — see the operator's grid-boundary note).
 """
 
 from __future__ import annotations
@@ -653,3 +658,119 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * F.lit(1.25)).alias("o_totalprice")
     )
     return stats.psi_drift(old, new, "o_totalprice", list(_PSI_EDGES))
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH a AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+    ),
+    b AS (
+      SELECT o_totalprice * 1.25 AS v FROM orders
+      WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+    ),
+    p AS (
+      SELECT v, 1 AS ca, 0 AS cb FROM a
+      UNION ALL SELECT v, 0, 1 FROM b
+    ),
+    g AS (SELECT v, SUM(ca) AS na, SUM(cb) AS nb FROM p GROUP BY v),
+    c AS (
+      SELECT SUM(na) OVER (ORDER BY v) AS cum_a,
+             SUM(nb) OVER (ORDER BY v) AS cum_b
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(na) AS DOUBLE) AS n_a,
+             CAST(SUM(nb) AS DOUBLE) AS n_b
+      FROM g
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(cum_a / n_a - cum_b / n_b)), 6) AS d_stat
+    FROM c CROSS JOIN t
+    GROUP BY n_a, n_b
+    """,
+    tags=("agg", "quality", "analytics"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic (operators/stats.py::
+    ks_two_sample) on the same constructed shift as q_psi_drift (baseline
+    split vs +25% reprice): D = sup|F_a − F_b| over the pooled observed
+    values — PSI's nonparametric sibling, exact with no binning choice.
+    The cumulative window runs over distinct VALUES (value-cardinality,
+    not rows); totals ride a 1-row broadcast. Integer-count ratios make
+    the ECDFs bit-identical across engines, so the single-row readout
+    hash-matches with only the final round."""
+    from weather_api_automate_etl_spark.operators import stats
+
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice")
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice") * F.lit(1.25)).alias("o_totalprice")
+    )
+    return stats.ks_two_sample(a, b, "o_totalprice")
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, y,
+             CASE WHEN COUNT(y) OVER w = 7
+                  THEN ROUND(AVG(y) OVER w, 6) END AS trend,
+             CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INTEGER) AS ph
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    pm AS (
+      SELECT event_type, ph,
+             (CAST(SUM(CAST(ROUND((y - trend) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+              / COUNT(*)) / 1e6 AS pmv
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2
+    ),
+    gm AS (SELECT event_type, AVG(pmv) AS gmv FROM pm GROUP BY 1),
+    eff AS (
+      SELECT pm.event_type, ph, ROUND(pmv - gmv, 6) AS seasonal
+      FROM pm JOIN gm USING (event_type)
+    )
+    SELECT t.event_type, t.day, t.y, t.trend,
+           CASE WHEN t.trend IS NOT NULL THEN e.seasonal END AS seasonal,
+           CASE WHEN t.trend IS NOT NULL
+                THEN ROUND(t.y - t.trend - e.seasonal, 6) END AS residual
+    FROM tr t LEFT JOIN eff e
+      ON e.event_type = t.event_type AND e.ph = t.ph
+    """,
+    tags=("timeseries", "windows", "analytics"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series
+    per type (operators/timeseries.py::seasonal_decompose, period 7):
+    y = centered-MA trend + phase-mean weekly seasonal (centered to sum
+    ~0) + residual, with NULL trend/seasonal/residual on the half-window
+    edges where the decomposition is undefined. Every interface is
+    round-6-clamped, so the full window+aggregate pipeline hash-matches
+    the declarative twin; identity (y = t+s+r where defined) and
+    gap-robust phase anchoring are pinned in tests/test_wave4.py."""
+    from weather_api_automate_etl_spark.operators import timeseries
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return timeseries.seasonal_decompose(
+        daily, "event_type", "day", "y", period=7
+    )
