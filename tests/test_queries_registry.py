@@ -80,21 +80,39 @@ def _driver_verified() -> set[str]:
     return verified
 
 
+def _last_verified_round() -> dict[str, int]:
+    """Map each query to the LAST round whose CORRECTNESS file recorded a
+    green row for it — the staleness metric the rotation plan runs on."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("rows_match") and row.get("schema_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def test_priority_prefix_covers_every_family():
     """External verification records exactly the first 50 registry entries
-    per round; rounds 1-6 drove every query green except the round-6
-    hand-off (the former ROUND7_PENDING) and the rows-only residue. Pin
-    round 7's evidence strategy: the window opens with every query no
+    per round; the union of rounds 1-7 drove every query green except the
+    round-7 hand-off (ROUND8_PENDING) and the rows-only residue. Pin
+    round 8's evidence strategy: the window opens with every query no
     prior round verified (derived from the CORRECTNESS files themselves,
-    so this test self-maintains as evidence lands), keeps the §2 core
-    sentinels and one representative per family inside the window,
-    backfills stalest-driver-row-first (all r2 rows + the four stalest r3
-    rows), and everything outside the window already holds a green driver
-    row (or is explicitly queued in ROUND8_PENDING for the next
-    hand-off)."""
+    so this test self-maintains as evidence lands), continues with ALL
+    rows whose last green round is r3 (the stalest cohort — nothing may
+    turn 4+ rounds old), keeps one representative per LLM-pipeline family
+    inside the window, and everything outside the window already holds a
+    green driver row no older than r4 (or is explicitly queued in
+    ROUND9_PENDING for the next hand-off, or is rows-only-by-nature with
+    a hash twin)."""
     from weather_api_automate_etl_spark.queries import (
-        ROUND7_WINDOW_HEAD,
         ROUND8_PENDING,
+        ROUND8_WINDOW_HEAD,
+        ROUND9_PENDING,
         queries,
     )
 
@@ -103,29 +121,39 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND7_WINDOW_HEAD)
+    k = len(ROUND8_WINDOW_HEAD)
     assert k == 50, "the driver records exactly the first 50 entries"
-    assert names[:k] == list(ROUND7_WINDOW_HEAD)
-    assert unverified <= set(ROUND7_WINDOW_HEAD) | set(ROUND8_PENDING), (
-        "every never-driver-verified query must open the round-7 window "
-        "(or be explicitly queued in ROUND8_PENDING): "
-        f"missing {unverified - set(ROUND7_WINDOW_HEAD) - set(ROUND8_PENDING)}"
+    assert names[:k] == list(ROUND8_WINDOW_HEAD)
+    assert set(ROUND8_PENDING) == set(ROUND8_WINDOW_HEAD[:10]), (
+        "the round-7 hand-off must open the round-8 window"
+    )
+    # rows-only-by-nature entries record `no_oracle`, never a green row;
+    # each carries a hash twin or bounded test (see PARITY.md). They are
+    # exempt from the must-open-the-window rule. q_pca_project LEFT this
+    # set in round 8 (fixed-round deflated power iteration gave it a hash
+    # oracle) and sits in the window to land its first triple-green row.
+    rows_only = {"q_compression_ratio", "q_profile_table_approx"}
+    assert unverified - rows_only <= set(ROUND8_WINDOW_HEAD) | set(
+        ROUND9_PENDING
+    ), (
+        "every never-driver-verified query must open the round-8 window "
+        "(or be explicitly queued in ROUND9_PENDING): "
+        f"missing {unverified - rows_only - set(ROUND8_WINDOW_HEAD) - set(ROUND9_PENDING)}"
+    )
+    last = _last_verified_round()
+    stalest = {n for n, r in last.items() if r <= 3}
+    assert stalest <= set(ROUND8_WINDOW_HEAD), (
+        f"r3-era rows must re-verify this round, missing: "
+        f"{stalest - set(ROUND8_WINDOW_HEAD)}"
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
-    # semantics-trap sentinels (ILIKE branch order, Postgres dow, dbt_utils
-    # md5 sentinel) and the ingest family hold fixed prefix slots; every
-    # other §2 core entry rides overflow on its green rows
-    core = {
-        "q_case_ilike", "q_date_parts", "q_surrogate_key", "q_ingest_smoke",
-    }
-    assert core <= set(prefix), "all §2 core sentinels must sit in the prefix"
     for family in ("dedup", "similarity", "text", "windows", "streaming",
                    "multimodal", "ingest"):
         assert family in tags_in_prefix, f"family {family!r} missing from prefix"
     # everything outside the window must already be driver-verified, save
-    # the explicitly-queued round-8 hand-off set
-    outside = set(names[50:]) - verified - set(ROUND8_PENDING)
+    # the explicitly-queued round-9 hand-off set and the rows-only residue
+    outside = set(names[50:]) - verified - set(ROUND9_PENDING) - rows_only
     assert not outside, (
         f"queries outside the window lack prior driver rows: {outside}"
     )

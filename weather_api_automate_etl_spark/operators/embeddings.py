@@ -346,3 +346,79 @@ def pca_power_project(
             + F.lit(0.0)
         ).alias("pc1"),
     )
+
+
+def pca_power_project_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    rounds: int = 100,
+    dim: int | None = None,
+) -> DataFrame:
+    """Projection onto the top-``k`` principal axes via fixed-round power
+    iteration with Hotelling deflation — the multi-component member of the
+    hash-oracle-able PCA family (``pca_power_project`` is the k=1 case;
+    ``pca_fit``'s full eigh stays the non-oracle-able reference path,
+    invariant-pinned in tests).
+
+    Component ``c`` runs exactly ``rounds`` v ← Cv/‖Cv‖ steps from the
+    same 1/√d ones start over the CURRENT matrix, clamps the axis to 6
+    digits, then deflates C ← round(C − λ v̂v̂ᵀ, 6) with the Rayleigh
+    quotient λ = round(v̂ᵀCv̂, 4). Every cross-engine interface is
+    round-clamped: the covariance (6dp, covariance_matrix's twin), each
+    axis (6dp), λ (4dp — the reduction over d² terms gets ~12 orders of
+    magnitude of margin against summation-order ulps), and each deflated
+    matrix entry (6dp, computed as the single multiply-subtract
+    ``cov − (λ·vᵢ)·vⱼ`` in BOTH engines so association order matches the
+    SQL left-fold). Deflation precision does not need to be exact for
+    agreement — both engines only need the SAME matrix, and a λ within
+    5e-5 of the true eigenvalue leaves the next component's spectral gap
+    intact.
+
+    Scale shape: ONE ``_merged_gram`` corpus scan (the same Arrow gemm
+    partials as covariance_matrix); the k·rounds iteration runs
+    driver-side on the d×d matrix (feature-width metadata, the pca_fit
+    boundary); the projection is a single map-only pass with the k·d
+    clamped axes inlined as broadcast literals — no second scan, no
+    shuffle, no Python in the projection path."""
+    import numpy as np
+
+    d = dim or _vector_dim(df, vec_col)
+    if not 1 <= k <= d:
+        raise ValueError(f"invalid k={k} for dim {d}")
+    w = d + 1
+    g = np.zeros((w, w))
+    for r in _merged_gram(df, vec_col, d).collect():
+        g[r["idx"] // w, r["idx"] % w] = r["g"]
+    n = g[d, d]
+    if n < 2:
+        raise ValueError("pca_power_project_k needs at least 2 vectors")
+    sums = g[:d, d]
+    mu = np.round(sums / n, 6)
+    cov = np.round((g[:d, :d] - np.outer(sums, sums) / n) / (n - 1), 6)
+    cov = np.triu(cov) + np.triu(cov, 1).T  # mirror the rounded upper triangle
+    axes: list[np.ndarray] = []
+    for _ in range(k):
+        v = np.ones(d) / np.sqrt(float(d))
+        for _ in range(rounds):
+            v = cov @ v
+            v = v / np.sqrt(float(v @ v))
+        v = np.round(v, 6)
+        axes.append(v)
+        lam = round(float(v @ cov @ v), 4)
+        # entrywise (λ·vᵢ)·vⱼ, matching the oracle's left-assoc product
+        cov = np.round(cov - (lam * v)[:, None] * v[None, :], 6)
+    from weather_api_automate_etl_spark.functions.vectors import dot_product
+
+    cols = [F.col(id_col)]
+    for c, v in enumerate(axes, start=1):
+        offset = float(mu @ v)
+        axis = F.array(*[F.lit(float(x)) for x in v])
+        cols.append(
+            (
+                F.round(dot_product(F.col(vec_col), axis) - F.lit(offset), 6)
+                + F.lit(0.0)
+            ).alias(f"pc{c}")
+        )
+    return df.select(*cols)

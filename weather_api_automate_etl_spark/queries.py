@@ -331,6 +331,7 @@ def q_join_fct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
     """,
+    tags=("ingest",),
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON decode + nested field extraction + coalesce fallback + bad-record
@@ -359,6 +360,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            DATE '2026-01-01' AS extraction_date
     FROM region
     """,
+    tags=("ingest",),
 )
 def q_lineage_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-time lineage columns — extracted_at DEFAULT CURRENT_TIMESTAMP
@@ -546,22 +548,87 @@ def _load_extensions() -> None:
 # Priority order for the registry as exposed to the driver. External
 # verification records exactly the first 50 registry entries per round, so
 # window placement is evidence strategy: the union of per-round CORRECTNESS
-# files should converge on the whole registry. Rounds 1-6 drove 172 of the
-# 193 r6-era queries green; the round-7 window opens with the full 18-query
-# round-6 hand-off (ROUND7_PENDING, judge-pre-verified at sf0.01), the
-# no-oracle residue with its two NEW hash upgrades sitting beside it
-# (q_kmeans now carries a convergence-gated recursive-CTE oracle;
-# q_compression_fixed is the constructed-payload deflate twin), the two
-# wave-12 additions, the four semantics-trap/core sentinels, and then
-# backfills stalest-driver-row-first: ALL 18 remaining r2-era rows plus the
-# four stalest r3 rows (q_streaming_stateful doubling as the streaming
-# family representative AND the round-6 bench watch item). The 19 remaining
-# r3-era rows open round 8's rotation (see ROUND8_PENDING note).
+# files should converge on the whole registry and no green row should turn
+# 4+ rounds stale. Evidence state at round-7 close (regenerated from the
+# tracked CORRECTNESS_r01..r07 files, which test_queries_registry also
+# reads): 192 of 205 registered queries hold a green driver row — 47 last
+# verified r7, 43 r6, 41 r5, 42 r4, 19 r3 — and 13 hold none (the 10
+# ROUND8_PENDING hand-off queries plus the 3 rows-only-by-nature entries,
+# which record `no_oracle` rather than green rows). The round-8 window
+# therefore opens with the full 10-query round-7 hand-off (the ledger
+# capstone + TIFF/Bloom/drift, each local-oracle green at all three SFs),
+# then ALL 19 r3-era rows (the stalest evidence in the union), then a
+# 21-slot backfill drawn from the r4-era cohort chosen to re-verify the
+# §2 reference backbone (ingest/tests/joins/aggs) plus one query per
+# LLM-pipeline family, with q_pca_project taking the final slot on the
+# strength of its round-8 hash-oracle upgrade (fixed-round deflated power
+# iteration — the q_kmeans trick).
 # Anything registered but unlisted is appended in registration order (new
 # queries are never silently dropped); test_queries_registry asserts every
 # listed name is registered, that the head is exactly the prefix, and that
-# nothing unverified sits outside the head except ROUND8_PENDING.
+# nothing unverified sits outside the head except ROUND9_PENDING.
 
+ROUND8_WINDOW_HEAD: tuple[str, ...] = (
+    # -- never driver-verified: the round-7 hand-off (ROUND8_PENDING) ------
+    "q_multimodal_decode_tiff",
+    "q_bloom_prune",
+    "q_ledger_merge",
+    "q_ledger_skip",
+    "q_streaming_ledger_sink",
+    "q_ledger_delete",
+    "q_ledger_cdf",
+    "q_psi_drift",
+    "q_ks_drift",
+    "q_seasonal_decompose",
+    # -- stalest evidence first: ALL 19 remaining r3-era rows --------------
+    "q_cluster_survivors",
+    "q_dup_shingles",
+    "q_multimodal_resize",
+    "q_multimodal_resize_real",
+    "q_pack_estimate",
+    "q_pagerank",
+    "q_percentiles",
+    "q_pivot",
+    "q_repetition",
+    "q_rollup",
+    "q_scd2",
+    "q_semi_anti_join",
+    "q_set_ops",
+    "q_source_mix",
+    "q_stats_moments",
+    "q_streaming_sessions",
+    "q_test_relationships",
+    "q_text_chunks",
+    "q_weighted_sample",
+    # -- 21-slot backfill from the r4 cohort: the §2 reference backbone ----
+    "q_json_extract",
+    "q_lineage_cols",
+    "q_string_normalize",
+    "q_quality_filter",
+    "q_range_bucket",
+    "q_test_unique",
+    "q_test_not_null",
+    "q_test_accepted_values",
+    "q_join_fct_dim",
+    "q_groupby_minmax_count",
+    "q_distinct",
+    "q_pricing_summary",
+    # -- plus one per LLM-pipeline family (all r4-era) ---------------------
+    "q_dedup_exact",
+    "q_minhash_pairs",
+    "q_topk_similarity",
+    "q_knn_join",
+    "q_text_tokens",
+    "q_event_windows",
+    "q_streaming_event_windows",
+    "q_multimodal_decode",
+    # -- round-8 hash upgrade: eigh replaced by fixed-round deflated power
+    # iteration so the projection is recursive-CTE oracle-able ------------
+    "q_pca_project",
+)
+
+# Round-7 window head, retained verbatim for the evidence audit trail (it
+# is the exact 50-entry prefix CORRECTNESS_r07.json recorded).
 ROUND7_WINDOW_HEAD: tuple[str, ...] = (
     # -- never driver-verified: the round-6 hand-off (ROUND7_PENDING) ------
     "q_e2e_weather_pipeline",
@@ -621,19 +688,9 @@ ROUND7_WINDOW_HEAD: tuple[str, ...] = (
     "q_moving_avg",
 )
 
-#: Round-7 additions that arrive AFTER the 50-entry window fills (the
-#: first two wave-12 queries landed before the head froze and sit inside
-#: it; the TIFF decode, Bloom-prune, and ledger-merge queries arrived
-#: after — each local-oracle green at all three SFs). New waves land here with
-#: local-oracle green and open round 8's window — together with the
-#: stale-row rotation: after this round's 18 hand-off rows land, the
-#: stalest evidence is the 19 remaining r3-era rows
-#: (q_cluster_survivors, q_dup_shingles, q_multimodal_resize[_real],
-#: q_pagerank, q_percentiles, q_pivot, q_repetition, q_rollup, q_scd2,
-#: q_semi_anti_join, q_set_ops, q_source_mix, q_stats_moments,
-#: q_streaming_sessions, q_test_relationships, q_text_chunks,
-#: q_weighted_sample, q_pack_estimate) — they must open round 8's head
-#: before any turns four rounds old.
+#: The round-7 hand-off, now fully absorbed into ROUND8_WINDOW_HEAD (its
+#: first ten entries, in this order). Kept as a named tuple because the
+#: registry test and PARITY.md narrate the hand-off mechanism by name.
 ROUND8_PENDING: tuple[str, ...] = (
     "q_multimodal_decode_tiff",
     "q_bloom_prune",
@@ -647,36 +704,25 @@ ROUND8_PENDING: tuple[str, ...] = (
     "q_seasonal_decompose",
 )
 
-PRIORITY_ORDER: tuple[str, ...] = ROUND7_WINDOW_HEAD + (
+#: Round-8 additions that arrive AFTER the 50-entry window froze. New
+#: queries land here local-oracle green and open round 9's window —
+#: together with the stale-row rotation: once round 8's rows land, the
+#: stalest evidence is the 21 remaining r4-era rows (q_array_agg,
+#: q_asof_join, q_decontaminate, q_dedup_incremental, q_group_centroids,
+#: q_interval_join, q_length_hist, q_mixture_sample,
+#: q_multimodal_decode_png, q_multimodal_decode_wav,
+#: q_multimodal_video_frames, q_pack_assign, q_pii_redact, q_quality_gate,
+#: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
+#: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize) —
+#: they must open round 9's head before any turns four rounds old.
+ROUND9_PENDING: tuple[str, ...] = ()
+
+PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
     # overflow: riding their green driver rows from earlier rounds, in
-    # roughly freshness order — rounds record only the 50-entry prefix,
-    # so placement here is documentation, not evidence
-    "q_range_bucket",
-    "q_quality_filter",
-    "q_groupby_minmax_count",
-    "q_join_fct_dim",
-    "q_json_extract",
-    "q_test_unique",
-    "q_test_not_null",
-    "q_test_accepted_values",
-    "q_pricing_summary",
-    "q_top_revenue",
-    "q_string_normalize",
-    "q_distinct",
-    "q_lineage_cols",
-    "q_dedup_exact",
-    "q_minhash_pairs",
-    "q_topk_similarity",
-    "q_knn_join",
-    "q_text_tokens",
-    "q_event_windows",
-    "q_streaming_event_windows",
-    "q_multimodal_decode",
-    "q_snapshot_diff",
-    "q_asof_join",
-    "q_salted_join",
-    "q_sql_interface",
-    "q_array_agg",
+    # freshness order (r7 head first — its rows are the newest) — rounds
+    # record only the 50-entry prefix, so placement here is documentation,
+    # not evidence
+    tuple(n for n in ROUND7_WINDOW_HEAD if n not in ROUND8_WINDOW_HEAD)
 )
 
 

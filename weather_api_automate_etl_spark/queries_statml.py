@@ -439,33 +439,109 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_K = 4
+_PCA_K_ROUNDS = 100
+
+
+def _pca_deflated_oracle(k: int = _PCA_K, rounds: int = _PCA_K_ROUNDS) -> str:
+    """Recursive-CTE twin of ``pca_power_project_k``: k chained fixed-round
+    power iterations with Hotelling deflation over the round-6-clamped
+    covariance. Every non-recursive CTE is MATERIALIZED — without the
+    hint DuckDB 1.0 inlines the cov{c} chain into each recursion step,
+    re-evaluating the WHOLE upstream pyramid (including the previous
+    components' 100-round recursions) per step: exponential work and a
+    fast "too many open files" on the parquet view. The λ/deflation
+    arithmetic mirrors the engine side association-for-association:
+    λ = ROUND(Σ (vᵢ·covᵢⱼ)·vⱼ, 4) and cov' = ROUND(cov − (λ·vᵢ)·vⱼ, 6)."""
+    parts = ["""
+    WITH RECURSIVE x AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS xv
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    cov_ut AS MATERIALIZED (
+      SELECT a.i, b.i AS j,
+             ROUND((SUM(a.xv * b.xv) - SUM(a.xv) * SUM(b.xv) / COUNT(*))
+                   / NULLIF(COUNT(*) - 1, 0), 6) + 0.0 AS cov
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    cov0 AS MATERIALIZED (
+      SELECT i, j, cov FROM cov_ut
+      UNION ALL SELECT j, i, cov FROM cov_ut WHERE i <> j
+    ),
+    dims AS MATERIALIZED (SELECT DISTINCT i FROM cov_ut),
+    nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM dims),
+    mu AS MATERIALIZED (SELECT i, ROUND(AVG(xv), 6) AS m FROM x GROUP BY i)"""]
+    for c in range(k):
+        parts.append(f""",
+    r{c}(i, v, t) AS (
+      SELECT i, 1.0e0 / sqrt((SELECT d FROM nd)), 0 FROM dims
+      UNION ALL
+      SELECT m.i,
+             m.mv / (SELECT sqrt(SUM(m2.mv * m2.mv)) FROM (
+               SELECT c2.i, SUM(c2.cov * t2.v) AS mv
+               FROM cov{c} c2 JOIN r{c} t2 ON t2.i = c2.j GROUP BY c2.i
+             ) m2),
+             (SELECT MAX(t3.t) FROM r{c} t3) + 1
+      FROM (
+        SELECT c.i, SUM(c.cov * t1.v) AS mv
+        FROM cov{c} c JOIN r{c} t1 ON t1.i = c.j GROUP BY c.i
+      ) m
+      WHERE (SELECT MAX(t4.t) FROM r{c} t4) < {rounds}
+    ),
+    axis{c} AS MATERIALIZED (SELECT i, ROUND(v, 6) AS v FROM r{c} WHERE t = {rounds})""")
+        if c < k - 1:
+            parts.append(f""",
+    lam{c} AS MATERIALIZED (
+      SELECT ROUND(SUM((a1.v * c.cov) * a2.v), 4) AS lam
+      FROM cov{c} c
+      JOIN axis{c} a1 ON a1.i = c.i JOIN axis{c} a2 ON a2.i = c.j
+    ),
+    cov{c + 1} AS MATERIALIZED (
+      SELECT c.i, c.j,
+             ROUND(c.cov - ((SELECT lam FROM lam{c}) * a1.v) * a2.v, 6) AS cov
+      FROM cov{c} c
+      JOIN axis{c} a1 ON a1.i = c.i JOIN axis{c} a2 ON a2.i = c.j
+    )""")
+    sels = ",\n           ".join(
+        f"""ROUND(SUM(x.xv * a{c}.v) - (SELECT SUM(m2.m * b.v)
+                                       FROM mu m2 JOIN axis{c} b USING (i)), 6)
+             + 0.0 AS pc{c + 1}""" for c in range(k))
+    joins = " ".join(f"JOIN axis{c} a{c} ON a{c}.i = x.i" for c in range(k))
+    parts.append(f"""
+    SELECT x.vec_id,
+           {sels}
+    FROM x {joins}
+    GROUP BY x.vec_id""")
+    return "".join(parts)
+
+
 @query(
     "q_pca_project",
-    oracle=None,  # eigendecomposition is not SQL-expressible; invariants
-    # (orthonormal components, descending explained variance, projection
-    # variance ≈ eigenvalues) are pinned in tests/test_statml.py — the
-    # q_kmeans discipline
+    oracle=_pca_deflated_oracle(),
     tags=("similarity", "mlprep"),
 )
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 PCA projection of the embedding table
-    (operators/embeddings.py::pca_project): covariance via mergeable
-    Gram partials (q_embedding_covariance), d×d eigh on the DRIVER
-    (feature-width, metadata-scale — the IVF-probe-list boundary),
-    deterministic sign convention (largest-|entry| positive), then a
-    map-only zip_with projection with the (k·d)-double component matrix
-    inlined. Projections serialize to a rounded string for the driver's
-    scalar canonicalizer (q_array_agg discipline)."""
-    proj = emb_ops.pca_project(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8
-    )
-    return proj.select(
+    """Top-4 PCA projection of the embedding table — UPGRADED round 8 from
+    rows-only eigh to a hash oracle via fixed-round power iteration with
+    Hotelling deflation (operators/embeddings.py::pca_power_project_k),
+    the same determinism-by-construction trick that closed q_kmeans in
+    round 7: both engines run exactly 100 v ← Cv/‖Cv‖ steps per
+    component from the same 1/√d start over the same round-6-clamped
+    covariance, clamp each axis to 6 digits, deflate with a 4dp Rayleigh
+    quotient, and re-clamp the matrix to 6 digits — so the k·d axis
+    matrix agrees exactly and the map-only broadcast-literal projection
+    hashes identically. The full-eigh path (pca_fit/pca_project) remains
+    the reference operator, invariant-pinned in tests/test_statml.py
+    (orthonormality, descending explained variance, eigh-vs-power-axis
+    agreement). Scale shape: ONE Arrow-gemm corpus scan for the Gram,
+    driver-side d×d iteration (feature-width metadata), zero-shuffle
+    projection."""
+    return emb_ops.pca_power_project_k(
+        t(spark, sf_dir, "embeddings"),
         "vec_id",
-        F.array_join(
-            F.transform(
-                F.col("proj"),
-                lambda x: F.round(x, 4).cast("string"),
-            ),
-            " ",
-        ).alias("proj"),
+        "embedding",
+        k=_PCA_K,
+        rounds=_PCA_K_ROUNDS,
     )
