@@ -313,7 +313,9 @@ def test_key_index_blooms_prune_delete_candidates(tmp_path, spark):
     path = str(tmp_path / "mart")
     ledger.ledger_write(spark, df, path, "year", key_index_col="k")
     m = ledger._read_manifest(path, 1)
-    assert m["key_index"] == {"col": "k", "bits": 1 << 15, "hashes": 4}
+    assert m["key_index"] == {
+        "col": "k", "bits": 1 << 15, "hashes": 4, "dtype": "bigint",
+    }
     for e in m["partitions"].values():
         assert len(e["key_bloom"]) == (1 << 15) // 64 * 16
     # driver-side probe arithmetic (the exact loop ledger_delete runs):
@@ -401,3 +403,196 @@ def test_ledger_changes_is_the_net_row_delta(spark, mart):
     assert ledger.ledger_changes(spark, path, "k", ["price"], 2, 2).count() == 0
     with pytest.raises(ValueError, match="newer"):
         ledger.ledger_changes(spark, path, "k", ["price"], 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# round-8 hardening: CAS commit, escaped partition values, empty snapshots,
+# file-granular skipping, bounded delete locate, dtype-stable bloom probes
+# ---------------------------------------------------------------------------
+
+
+def test_commit_is_put_if_absent_under_a_simulated_race(spark, mart, monkeypatch):
+    """Two writers racing to the same version: the round-7 code checked
+    exists() then renamed, so a competitor landing the final name INSIDE
+    that window was silently clobbered. Simulate the race by having the
+    competitor commit during mkstemp (after any exists-check would have
+    run, before the publish): the link(2)-based commit must raise a
+    conflict and leave the competitor's manifest intact."""
+    path, _ = mart
+    d = os.path.join(path, ledger._LEDGER_DIR)
+    real_mkstemp = tempfile.mkstemp
+    competitor = {"payload": {"winner": "competitor"}}
+
+    def racing_mkstemp(*args, **kwargs):
+        with open(os.path.join(d, "v2.json"), "w") as f:
+            json.dump(competitor, f)
+        return real_mkstemp(*args, **kwargs)
+
+    monkeypatch.setattr(ledger.tempfile, "mkstemp", racing_mkstemp)
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        ledger._commit(path, {"payload": {"winner": "loser"}}, 2)
+    with open(os.path.join(d, "v2.json")) as f:
+        assert json.load(f) == competitor, "competitor's commit must survive"
+    # the loser's temp file must not linger
+    assert not [n for n in os.listdir(d) if n.endswith(".tmp")]
+
+
+def test_escaped_partition_values_survive_merge_and_delete(tmp_path, spark):
+    """Partition values needing Hive %XX escaping (space + colon here, the
+    timestamp-string shape): the round-7 manifest keyed entries by the
+    ESCAPED directory suffix while merge/delete compared raw strings, so
+    a merge treated the partition as new and silently dropped its
+    existing rows. Entries are now keyed by the raw value and carry the
+    escaped dirname."""
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "2026-01-01 00:00:00"),
+            (2, 20.0, "2026-01-01 00:00:00"),
+            (3, 30.0, "2026-01-02 12:30:00"),
+        ],
+        "k long, price double, batch_ts string",
+    )
+    path = str(tmp_path / "mart")
+    ledger.ledger_write(spark, df, path, "batch_ts", stats_cols=["price"])
+    m = ledger._read_manifest(path, 1)
+    assert set(m["partitions"]) == {
+        "2026-01-01 00:00:00", "2026-01-02 12:30:00",
+    }, "manifest keys must be the RAW values, not escaped suffixes"
+    e = m["partitions"]["2026-01-01 00:00:00"]
+    assert "%3A" in e["dirname"], "dirname records the escaped directory"
+    # merge an update INTO the escaped partition: existing row k=2 must
+    # survive (the round-7 bug dropped it), k=1 must update
+    up = spark.createDataFrame(
+        [(1, 99.0, "2026-01-01 00:00:00")], "k long, price double, batch_ts string"
+    )
+    ledger.ledger_merge(spark, path, up, "k")
+    got = sorted(
+        (r.k, r.price) for r in ledger.ledger_read(spark, path).collect()
+    )
+    assert got == [(1, 99.0), (2, 20.0), (3, 30.0)]
+    # row-level delete through the escaped partition
+    doomed = spark.createDataFrame([(2,)], "k long")
+    ledger.ledger_delete(spark, path, doomed, "k")
+    got = sorted(
+        (r.k, r.price) for r in ledger.ledger_read(spark, path).collect()
+    )
+    assert got == [(1, 99.0), (3, 30.0)]
+
+
+def test_null_partition_values_are_rejected(tmp_path, spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "k long, year string"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        ledger.ledger_write(spark, df, str(tmp_path / "m"), "year")
+
+
+def test_empty_snapshot_reads_as_typed_empty_frame(spark, mart):
+    """Deleting every row must leave a readable (empty, correctly typed)
+    table — the round-7 code raised IndexError from _read_partitions."""
+    path, df = mart
+    everyone = df.select("k")
+    ledger.ledger_delete(spark, path, everyone, "k")
+    out = ledger.ledger_read(spark, path)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "price", "year"]
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    # and a further delete on the empty table is a clean no-op
+    v = ledger.ledger_delete(
+        spark, path, spark.createDataFrame([(1,)], "k long"), "k"
+    )
+    assert ledger.ledger_read(spark, path, v).count() == 0
+
+
+def test_file_granular_stats_prune_within_a_partition(tmp_path, spark):
+    """The Delta/Iceberg skip grain: per-FILE min/max inside each
+    partition entry. Range-partitioning the write by the stats column
+    gives every year-directory 4 files with disjoint value bands; a
+    narrow predicate must then plan ≤ 1 file per kept partition while
+    the scan stays bit-identical to the unpruned filter."""
+    rows = [(k, float(k), str(2000 + k % 2)) for k in range(400)]
+    df = spark.createDataFrame(rows, "k long, val double, year string")
+    path = str(tmp_path / "mart")
+    ledger.ledger_write(
+        spark,
+        df.repartitionByRange(4, "val"),
+        path,
+        "year",
+        stats_cols=["val"],
+    )
+    m = ledger._read_manifest(path, 1)
+    for pv in ("2000", "2001"):
+        files = m["partitions"][pv]["files"]
+        assert len(files) == 4, "each partition dir must hold 4 banded files"
+        for fe in files.values():
+            assert fe["rows"] > 0 and fe["stats"]["val"]["kind"] == "num"
+    plan = ledger.ledger_plan_files(path, "val", 10.0, 20.0)
+    assert set(plan) == {"2000", "2001"}
+    total = {pv: len(m["partitions"][pv]["files"]) for pv in plan}
+    for pv, kept in plan.items():
+        assert kept is not None and 1 <= len(kept) < total[pv], (
+            f"{pv}: kept {kept} of {total[pv]} files — no within-partition "
+            "pruning happened"
+        )
+    got = sorted(
+        r.k for r in ledger.ledger_scan(spark, path, "val", 10.0, 20.0).collect()
+    )
+    assert got == [k for k in range(400) if 10.0 <= float(k) <= 20.0]
+    # a fully-disjoint predicate prunes EVERY file and returns empty
+    assert ledger.ledger_scan(spark, path, "val", 1e6, 2e6).count() == 0
+
+
+def test_delete_key_collect_bound_falls_back_to_semi_join(
+    tmp_path, spark, monkeypatch
+):
+    """Above _BLOOM_LOCATE_MAX_KEYS distinct keys the locate phase must
+    skip the driver-side bloom arithmetic and use the distributed
+    semi-join scan — with an identical committed result."""
+    df = spark.createDataFrame(
+        [(k, float(k), str(2000 + k % 3)) for k in range(60)],
+        "k long, price double, year string",
+    )
+    path = str(tmp_path / "mart")
+    ledger.ledger_write(spark, df, path, "year", key_index_col="k")
+
+    # the write path legitimately rebuilds partition blooms via
+    # _partition_blooms; only the LOCATE phase (a direct _bloom_positions
+    # call from ledger_delete) must be skipped above the bound
+    import traceback
+
+    orig = ledger._bloom_positions
+
+    def spy(*args, **kwargs):
+        frames = [f.name for f in traceback.extract_stack()]
+        if "ledger_delete" in frames and "_partition_blooms" not in frames:
+            raise AssertionError("bloom locate must not run above the bound")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ledger, "_BLOOM_LOCATE_MAX_KEYS", 5)
+    monkeypatch.setattr(ledger, "_bloom_positions", spy)
+    doomed = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    v = ledger.ledger_delete(spark, path, doomed, "k")
+    assert v == 2
+    assert sorted(r.k for r in ledger.ledger_read(spark, path).collect()) == (
+        list(range(10, 60))
+    )
+
+
+def test_bloom_probe_casts_keys_to_the_indexed_dtype(tmp_path, spark):
+    """xxhash64 is representation-sensitive: a probe frame carrying the
+    key at a DIFFERENT dtype (int vs the table's bigint) must still
+    locate and delete the rows — the round-7 code hashed the probe
+    as-is, pruned the owning partitions as false negatives, and silently
+    skipped the delete."""
+    df = spark.createDataFrame(
+        [(k, float(k), str(2000 + k % 3)) for k in range(60)],
+        "k long, price double, year string",
+    )
+    path = str(tmp_path / "mart")
+    ledger.ledger_write(spark, df, path, "year", key_index_col="k")
+    doomed = spark.createDataFrame([(1,), (4,)], "k int")  # int, not long
+    v = ledger.ledger_delete(spark, path, doomed, "k")
+    assert v == 2, "dtype-mismatched probe must still commit the delete"
+    remaining = sorted(r.k for r in ledger.ledger_read(spark, path).collect())
+    assert 1 not in remaining and 4 not in remaining
+    assert len(remaining) == 58

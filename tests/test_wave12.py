@@ -176,3 +176,25 @@ def test_bloom_phase_prunes_most_nonmatching_rows(spark):
     survivors = facts.filter(F2.forall(seeds, bit_set)).count()
     assert survivors >= true_matches  # conservative
     assert survivors - true_matches <= 0.01 * facts.count()
+
+
+def test_bloom_prune_join_is_dtype_stable(spark):
+    """xxhash64 hashes int vs bigint representations of the same value
+    differently; the probe must cast the fact key to the BUILD side's
+    dtype or matching rows prune as false negatives (the round-7 advice
+    finding). Facts carry int keys, the key set bigint — the result must
+    still equal the plain semi join."""
+    from weather_api_automate_etl_spark.operators import joins
+
+    facts = spark.range(5000).selectExpr(
+        "CAST(id AS INT) AS k", "id % 7 AS v"
+    )
+    keys = spark.range(100).selectExpr("id * 31 AS k")  # bigint
+    want = sorted(
+        (r.k, r.v) for r in facts.join(keys, "k", "left_semi").collect()
+    )
+    got = sorted(
+        (r.k, r.v)
+        for r in joins.bloom_prune_join(facts, keys, "k").collect()
+    )
+    assert got == want and len(want) == 100

@@ -231,13 +231,25 @@ def bloom_prune_join(
     is bit-identical to the plain semi join (the property q_bloom_prune's
     DuckDB oracle checks); false negatives cannot occur by construction.
     At scale phase 2's shuffle moves only the pruned survivor set —
-    fp-rate · |facts| excess rows instead of |facts|."""
+    fp-rate · |facts| excess rows instead of |facts|.
+
+    The probe hashes the fact key CAST TO THE BUILD SIDE'S dtype:
+    xxhash64 hashes int/long/string representations of the same value
+    differently, so a dtype-mismatched probe would compute different bit
+    positions than the build and prune MATCHING rows as false negatives
+    — breaking the bit-identical contract silently (the round-7 advice
+    finding). The cast makes mixed-width joins (int facts vs bigint
+    keys) correct; the exact phase-2 join applies Spark's usual implicit
+    cast semantics either way."""
     bitmap = bloom_filter_build(keys, key_col, num_bits, num_hashes)
+    build_dtype = keys.schema[key_col].dataType.simpleString()
     lit_bitmap = F.array(*[F.lit(w).cast("long") for w in bitmap])
     seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
 
     def bit_set(s: F.Column) -> F.Column:
-        pos = F.pmod(F.xxhash64(F.col(key_col), s), F.lit(num_bits))
+        pos = F.pmod(
+            F.xxhash64(F.col(key_col).cast(build_dtype), s), F.lit(num_bits)
+        )
         word = F.get(lit_bitmap, (pos / 64).cast("int"))
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")

@@ -542,6 +542,7 @@ def _load_extensions() -> None:
         queries_wave10,
         queries_wave11,
         queries_wave12,
+        queries_wave13,
     )
 
 
@@ -715,7 +716,9 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
 #: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize) —
 #: they must open round 9's head before any turns four rounds old.
-ROUND9_PENDING: tuple[str, ...] = ()
+ROUND9_PENDING: tuple[str, ...] = (
+    "q_ledger_skip_files",
+)
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
     # overflow: riding their green driver rows from earlier rounds, in

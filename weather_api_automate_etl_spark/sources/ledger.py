@@ -63,6 +63,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _LEDGER_DIR = "_ledger"
 
+#: ledger_delete's Bloom locate phase collects O(|keys|·hashes) probe
+#: positions to the driver; beyond this many distinct keys it falls back
+#: to the distributed semi-join scan (see ledger_delete's BOUND note)
+_BLOOM_LOCATE_MAX_KEYS = 100_000
+
 #: numeric Spark dtypes whose stats are stored (and compared) as floats;
 #: everything else is stored stringified and compared lexicographically,
 #: which is order-preserving for the types it is offered for (timestamps
@@ -90,39 +95,43 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _commit(path: str, manifest: dict, version: int) -> None:
-    """Atomically publish ``manifest`` as v{version}.
+    """Atomically publish ``manifest`` as v{version} with a true
+    put-if-absent.
 
-    Write-to-temp + ``os.rename`` into the final name: readers either see
-    the complete new manifest or none of it. ``os.rename`` over an
-    existing name would silently replace a concurrent committer's version
-    on POSIX, so the target must not exist — the single-writer contract
-    (concurrent committers need a CAS on top, exactly as Delta needs a
-    coordinating LogStore on S3)."""
+    Write-to-temp, then ``os.link`` the temp file to the final name:
+    POSIX link(2) fails with EEXIST atomically when the target already
+    exists, so two writers racing to commit the same version CANNOT both
+    succeed — the loser gets a commit conflict instead of silently
+    clobbering the winner (the round-7 exists-check-then-rename pair was
+    a TOCTOU window two local writers could still lose). This is the
+    local-filesystem form of the CAS Delta gets from a coordinating
+    LogStore on S3; readers either see the complete new manifest or none
+    of it, exactly as before."""
     d = os.path.join(path, _LEDGER_DIR)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"v{version}.json")
-    if os.path.exists(final):
-        raise RuntimeError(
-            f"ledger commit conflict: v{version} already exists at {path}"
-        )
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, sort_keys=True)
-        os.rename(tmp, final)
-    except BaseException:
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"ledger commit conflict: v{version} already exists at {path}"
+            ) from None
+    finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
-        raise
 
 
-def _partition_stats(
-    df: DataFrame, partition_col: str, stats_cols: Sequence[str]
-) -> dict[str, dict]:
-    """Per-partition (rows, min/max per stats col) in ONE batch-scale
-    aggregate — the write-side cost of data skipping. Numeric columns
-    store floats; temporal/string columns store their ISO/string form
-    (order-preserving for lexicographic pruning)."""
+def _stats_aggs(
+    df: DataFrame, stats_cols: Sequence[str]
+) -> tuple[list[F.Column], dict[str, str]]:
+    """The shared (rows, min/max per stats col) aggregate expressions and
+    each column's stored kind. Numeric columns store floats;
+    temporal/string columns store their ISO/string form (order-preserving
+    for lexicographic pruning)."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     kinds: dict[str, str] = {}
     for c in stats_cols:
@@ -135,18 +144,64 @@ def _partition_stats(
         else:
             aggs += [mn.cast("string").alias(f"__mn_{c}"),
                      mx.cast("string").alias(f"__mx_{c}")]
+    return aggs, kinds
+
+
+def _rows_to_stats(r, stats_cols: Sequence[str], kinds: dict[str, str]) -> dict:
+    return {
+        "rows": r["__rows"],
+        "stats": {
+            c: {"min": r[f"__mn_{c}"], "max": r[f"__mx_{c}"], "kind": kinds[c]}
+            for c in stats_cols
+        },
+    }
+
+
+def _partition_stats(
+    df: DataFrame, partition_col: str, stats_cols: Sequence[str]
+) -> dict[str, dict]:
+    """Per-partition (rows, min/max per stats col) in ONE batch-scale
+    aggregate — the write-side cost of data skipping. Keys are the RAW
+    cast-to-string partition values (the manifest's canonical key form)."""
+    aggs, kinds = _stats_aggs(df, stats_cols)
     rows = (
         df.groupBy(F.col(partition_col).cast("string").alias("__pv"))
         .agg(*aggs)
         .collect()
     )
-    out: dict[str, dict] = {}
+    return {r["__pv"]: _rows_to_stats(r, stats_cols, kinds) for r in rows}
+
+
+def _per_file_stats(
+    df: DataFrame,
+    base: str,
+    partition_col: str,
+    partition_dtype: str,
+    stats_cols: Sequence[str],
+) -> dict[str, dict[str, dict]]:
+    """Per-FILE (rows, min/max per stats col) for a just-written data dir
+    — the Delta/Iceberg skip grain. One distributed readback aggregate
+    grouped by ``_metadata.file_path``; the driver receives O(files)
+    metadata rows (exactly the add-action payload a Delta commit carries).
+    The partition value is re-cast through the table dtype so the keys
+    match ``_partition_stats``'s raw string form regardless of what type
+    the readback's partition inference picked."""
+    back = df.sparkSession.read.option("basePath", base).parquet(base)
+    aggs, kinds = _stats_aggs(back, stats_cols)
+    rows = (
+        back.groupBy(
+            F.col(partition_col).cast(partition_dtype).cast("string").alias("__pv"),
+            F.col("_metadata.file_path").alias("__fp"),
+        )
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict[str, dict]] = {}
     for r in rows:
-        stats = {
-            c: {"min": r[f"__mn_{c}"], "max": r[f"__mx_{c}"], "kind": kinds[c]}
-            for c in stats_cols
-        }
-        out[r["__pv"]] = {"rows": r["__rows"], "stats": stats}
+        fname = r["__fp"].rsplit("/", 1)[-1]
+        out.setdefault(r["__pv"], {})[fname] = _rows_to_stats(
+            r, stats_cols, kinds
+        )
     return out
 
 
@@ -164,16 +219,25 @@ def _partition_blooms(
     key_col: str,
     num_bits: int,
     num_hashes: int,
+    key_dtype: str | None = None,
 ) -> dict[str, str]:
     """Per-partition Bloom bitmap over ``key_col`` as hex strings — the
     membership index ledger_delete's locate phase prunes with. One
     distributed pass (explode k positions → distinct → per-(partition,
-    word) OR); the driver receives ≤ partitions·bits/64 word rows."""
+    word) OR); the driver receives ≤ partitions·bits/64 word rows.
+
+    The key is cast to the INDEX's recorded dtype before hashing:
+    xxhash64 hashes int/long/string representations of the same value
+    differently, so build and probe must hash the identical type or
+    matching partitions would prune as false NEGATIVES (the round-7
+    advice finding — a silent-skip correctness break for the takedown
+    path)."""
+    kc = F.col(key_col).cast(key_dtype) if key_dtype else F.col(key_col)
     words = (
         df.select(
             F.col(partition_col).cast("string").alias("__pv"),
             F.explode(
-                _bloom_positions(F.col(key_col), num_bits, num_hashes)
+                _bloom_positions(kc, num_bits, num_hashes)
             ).alias("__bit"),
         )
         .distinct()
@@ -204,29 +268,78 @@ def _write_data_dir(
     partition_col: str,
     stats_cols: Sequence[str] = (),
     key_index: dict | None = None,
+    partition_dtype: str | None = None,
 ) -> dict[str, dict]:
     """Write one immutable partitioned data directory; return the manifest
-    entries it produces: partition value → {dir, rows, stats[, key_bloom]}."""
+    entries it produces: partition value → {dir, dirname, rows, stats
+    [, key_bloom][, files]}.
+
+    Entry KEYS are the raw cast-to-string partition values from the stats
+    aggregate — NOT the Hive directory suffixes, which percent-escape
+    special characters (space, ':', '%') and would make ledger_merge /
+    ledger_delete's raw-value lookups miss (the round-7 advice finding:
+    a timestamp-partitioned merge would have repointed the escaped key
+    and silently dropped the partition's existing rows). Each entry
+    records its actual ``dirname`` so readers never re-derive the escaped
+    form. The two views are joined by unescaping the listed directory
+    names (Hive escaping is plain %XX percent-encoding); any mismatch is
+    a hard error rather than a silent miss, and NULL partition values are
+    rejected up front (``__HIVE_DEFAULT_PARTITION__`` has no raw-value
+    key to own).
+
+    When ``stats_cols`` are tracked, a second metadata-scale readback
+    aggregate records per-FILE min/max under ``files`` — the
+    Delta/Iceberg skip grain that lets ``ledger_scan`` touch 1 file
+    instead of 200 inside a kept partition (see ledger_plan_files)."""
+    from urllib.parse import unquote
+
     batch = f"data-{uuid.uuid4().hex[:12]}"
-    df.write.partitionBy(partition_col).parquet(os.path.join(path, batch))
+    base = os.path.join(path, batch)
+    df.write.partitionBy(partition_col).parquet(base)
     stats = _partition_stats(df, partition_col, stats_cols)
+    if None in stats:
+        raise ValueError(
+            "ledger partition values must be non-null "
+            f"(null {partition_col!r} rows have no manifest key)"
+        )
     blooms = (
         _partition_blooms(
             df, partition_col, key_index["col"],
-            key_index["bits"], key_index["hashes"],
+            key_index["bits"], key_index["hashes"], key_index.get("dtype"),
         )
         if key_index
         else {}
     )
-    entries: dict[str, dict] = {}
+    pdtype = partition_dtype or df.schema[partition_col].dataType.simpleString()
+    files = (
+        _per_file_stats(df, base, partition_col, pdtype, stats_cols)
+        if stats_cols
+        else {}
+    )
     prefix = f"{partition_col}="
-    for name in os.listdir(os.path.join(path, batch)):
+    dirnames: dict[str, str] = {}
+    for name in os.listdir(base):
         if name.startswith(prefix):
-            pv = name[len(prefix):]
-            meta = stats.get(pv, {"rows": None, "stats": {}})
-            entries[pv] = {"dir": batch, **meta}
-            if pv in blooms:
-                entries[pv]["key_bloom"] = blooms[pv]
+            suffix = name[len(prefix):]
+            if suffix == "__HIVE_DEFAULT_PARTITION__":
+                raise ValueError(
+                    "ledger partition values must be non-null "
+                    f"(found {name!r} under {base})"
+                )
+            dirnames[unquote(suffix)] = name
+    if set(dirnames) != set(stats):
+        raise RuntimeError(
+            "ledger write inconsistency: listed partition dirs "
+            f"{sorted(dirnames)} do not match aggregated values "
+            f"{sorted(stats)} under {base}"
+        )
+    entries: dict[str, dict] = {}
+    for pv, meta in stats.items():
+        entries[pv] = {"dir": batch, "dirname": dirnames[pv], **meta}
+        if pv in blooms:
+            entries[pv]["key_bloom"] = blooms[pv]
+        if pv in files:
+            entries[pv]["files"] = files[pv]
     return entries
 
 
@@ -260,15 +373,25 @@ def ledger_write(
         raise ValueError(f"key_index_bits must be a multiple of 64, got {key_index_bits}")
     dtype = df.schema[partition_col].dataType.simpleString()
     key_index = (
-        {"col": key_index_col, "bits": key_index_bits, "hashes": key_index_hashes}
+        {
+            "col": key_index_col,
+            "bits": key_index_bits,
+            "hashes": key_index_hashes,
+            # the indexed column's dtype is part of the index: probes must
+            # cast to it before hashing or bit positions diverge
+            "dtype": df.schema[key_index_col].dataType.simpleString(),
+        }
         if key_index_col
         else None
     )
-    entries = _write_data_dir(df, path, partition_col, stats_cols, key_index)
+    entries = _write_data_dir(
+        df, path, partition_col, stats_cols, key_index, partition_dtype=dtype
+    )
     version = (_manifest_versions(path) or [0])[-1] + 1
     manifest = {
         "partition_col": partition_col,
         "partition_dtype": dtype,
+        "schema": df.schema.jsonValue(),
         "stats_cols": list(stats_cols),
         "key_index": key_index,
         "txn": {txn[0]: txn[1]} if txn else {},
@@ -289,17 +412,45 @@ def _resolve(path: str, version: int | None) -> tuple[int, dict]:
 
 
 def _read_partitions(
-    spark: SparkSession, path: str, m: dict, pvals: Sequence[str]
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    pvals: Sequence[str],
+    files: dict[str, Sequence[str]] | None = None,
 ) -> DataFrame:
+    """Plan a read of ``pvals`` straight from the manifest. Directory names
+    come from each entry's recorded ``dirname`` (never re-derived from the
+    raw value — Hive escaping is one-way here). ``files`` optionally
+    narrows chosen partitions to specific data files (ledger_plan_files'
+    skip grain). Zero partitions yields an EMPTY frame typed from the
+    manifest's recorded schema — reachable via a delete that empties the
+    table — instead of the round-7 IndexError."""
     pcol = m["partition_col"]
+    if not pvals:
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                "ledger snapshot has no partitions and the manifest "
+                "predates schema recording — cannot type an empty frame"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(schema))
     by_dir: dict[str, list[str]] = {}
     for pv in pvals:
         by_dir.setdefault(m["partitions"][pv]["dir"], []).append(pv)
     parts = []
     for d, vals in sorted(by_dir.items()):
         base = os.path.join(path, d)
-        dirs = [os.path.join(base, f"{pcol}={pv}") for pv in sorted(vals)]
-        parts.append(spark.read.option("basePath", base).parquet(*dirs))
+        targets: list[str] = []
+        for pv in sorted(vals):
+            e = m["partitions"][pv]
+            pdir = os.path.join(base, e.get("dirname", f"{pcol}={pv}"))
+            if files is not None and pv in files:
+                targets += [os.path.join(pdir, fn) for fn in sorted(files[pv])]
+            else:
+                targets.append(pdir)
+        parts.append(spark.read.option("basePath", base).parquet(*targets))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -336,20 +487,55 @@ def ledger_plan(
             f"column {col!r} carries no stats in this ledger "
             f"(stats_cols={m.get('stats_cols')})"
         )
-    keep = []
-    for pv, entry in m["partitions"].items():
-        s = entry.get("stats", {}).get(col)
-        if s is None or s["min"] is None or s["max"] is None:
-            keep.append(pv)  # no evidence → cannot skip
+    return sorted(
+        pv
+        for pv, entry in m["partitions"].items()
+        if _range_intersects(entry.get("stats", {}).get(col), lo, hi)
+    )
+
+
+def _range_intersects(s: dict, lo, hi) -> bool:
+    """Can a recorded {min, max, kind} stat intersect [lo, hi]? Missing or
+    NULL-only evidence keeps the unit (skipping may only ever remove
+    provably-empty work)."""
+    if s is None or s["min"] is None or s["max"] is None:
+        return True
+    smin, smax = s["min"], s["max"]
+    if s["kind"] == "num":
+        return not (float(smax) < float(lo) or float(smin) > float(hi))
+    return not (str(smax) < str(lo) or str(smin) > str(hi))
+
+
+def ledger_plan_files(
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> dict[str, list[str] | None]:
+    """FILE-granular data skipping: for every partition ``ledger_plan``
+    keeps, the data files whose recorded [min, max] for ``col`` can
+    intersect [lo, hi] — the Delta/Iceberg skip grain. Still pure
+    driver-side JSON arithmetic, now over O(files) add-entries instead of
+    O(partitions). A kept partition written without per-file stats maps
+    to ``None`` (read the whole directory — conservative, as ever);
+    within-partition pruning is what separates touching 1 file from 200
+    when a merge-heavy partition has accumulated many files whose stats
+    ranges are disjoint (e.g. append batches arriving in time order)."""
+    _, m = _resolve(path, version)
+    keep = ledger_plan(path, col, lo, hi, version=version)
+    out: dict[str, list[str] | None] = {}
+    for pv in keep:
+        fentries = m["partitions"][pv].get("files")
+        if not fentries:
+            out[pv] = None
             continue
-        smin, smax = s["min"], s["max"]
-        if s["kind"] == "num":
-            smin, smax, qlo, qhi = float(smin), float(smax), float(lo), float(hi)
-        else:
-            qlo, qhi = str(lo), str(hi)
-        if not (smax < qlo or smin > qhi):
-            keep.append(pv)
-    return sorted(keep)
+        out[pv] = sorted(
+            fn
+            for fn, fe in fentries.items()
+            if _range_intersects(fe.get("stats", {}).get(col), lo, hi)
+        )
+    return out
 
 
 def ledger_scan(
@@ -361,17 +547,25 @@ def ledger_scan(
     version: int | None = None,
 ) -> DataFrame:
     """Stats-pruned range scan: read ONLY the partitions ``ledger_plan``
-    keeps, then apply the exact ``col BETWEEN lo AND hi`` predicate — the
-    zone-map read path. Bit-identical to filtering the full snapshot (the
-    q_ledger_skip oracle), touching only the partitions that can match."""
+    keeps — and within them, only the FILES ``ledger_plan_files`` keeps —
+    then apply the exact ``col BETWEEN lo AND hi`` predicate: the
+    zone-map read path at the Delta/Iceberg skip grain. Bit-identical to
+    filtering the full snapshot (the q_ledger_skip oracle), touching only
+    the files that can match. A fully-pruned partition (every file's
+    range disjoint, but the partition-level range straddling [lo, hi])
+    drops out of the read entirely."""
     v, m = _resolve(path, version)
-    keep = ledger_plan(path, col, lo, hi, version=v)
+    plan = ledger_plan_files(path, col, lo, hi, version=v)
+    keep = [pv for pv, fns in plan.items() if fns is None or fns]
     if not keep:
-        return (
+        base = (
             _read_partitions(spark, path, m, list(m["partitions"]))
-            .filter(F.lit(False))
+            if m["partitions"]
+            else _read_partitions(spark, path, m, [])
         )
-    return _read_partitions(spark, path, m, keep).filter(
+        return base.filter(F.lit(False))
+    files = {pv: fns for pv, fns in plan.items() if fns is not None}
+    return _read_partitions(spark, path, m, keep, files=files).filter(
         F.col(col).between(F.lit(lo), F.lit(hi))
     )
 
@@ -401,7 +595,16 @@ def ledger_merge(
     the batch id in the same atomic commit as the data turns replay into
     a no-op — stronger than value-idempotence, which still pays the
     merge I/O on every redelivery. Returns the committed version (the
-    previous version if the batch is empty or already applied)."""
+    previous version if the batch is empty or already applied).
+
+    CONTRACT (inherited from merge_into_partitioned): an update row must
+    carry the SAME partition value as the current row for its key — the
+    merge resolves keys inside each touched partition only, so an update
+    that "moves" key K to a new partition value writes K there while K's
+    stale row survives untouched in its old partition, and subsequent
+    reads see the key twice. Cross-partition moves must be expressed as
+    ledger_delete(K) + merge, exactly as in Delta/Hudi partitioned
+    upserts without a global key index."""
     from weather_api_automate_etl_spark.operators.cdc import merge_into
 
     versions = _manifest_versions(path)
@@ -429,11 +632,13 @@ def ledger_merge(
     else:
         merged = updates
     entries = _write_data_dir(
-        merged, path, pcol, m.get("stats_cols", []), m.get("key_index")
+        merged, path, pcol, m.get("stats_cols", []), m.get("key_index"),
+        partition_dtype=m["partition_dtype"],
     )
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
+        "schema": m.get("schema"),
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
         "txn": {
@@ -467,7 +672,9 @@ def ledger_compact(
     if partitions is None:
         partitions = []
         for pv, entry in m["partitions"].items():
-            pdir = os.path.join(path, entry["dir"], f"{pcol}={pv}")
+            pdir = os.path.join(
+                path, entry["dir"], entry.get("dirname", f"{pcol}={pv}")
+            )
             n_files = sum(
                 1 for f in os.listdir(pdir) if f.endswith(".parquet")
             )
@@ -481,11 +688,13 @@ def ledger_compact(
     # one task, so partitionBy emits exactly one file per partition dir
     compacted = current.repartition(F.col(pcol))
     entries = _write_data_dir(
-        compacted, path, pcol, m.get("stats_cols", []), m.get("key_index")
+        compacted, path, pcol, m.get("stats_cols", []), m.get("key_index"),
+        partition_dtype=m["partition_dtype"],
     )
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
+        "schema": m.get("schema"),
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
         "txn": m.get("txn", {}),
@@ -551,7 +760,18 @@ def ledger_delete(
     readback simply stops planning them). Delete is idempotent by
     construction — re-deleting absent keys touches nothing — and
     ``txn`` gives it the same exactly-once replay handle as merge.
-    Returns the committed version (unchanged when nothing matches)."""
+    Returns the committed version (unchanged when nothing matches).
+
+    BOUND: the Bloom locate phase collects each doomed key's probe-bit
+    positions to the driver — O(|keys|·hashes) ints, sized for takedown
+    LISTS (thousands to low hundreds of thousands of keys). Above
+    ``_BLOOM_LOCATE_MAX_KEYS`` distinct keys the locate phase falls back
+    to the distributed semi-join scan automatically — a purge that big
+    touches most partitions anyway, so the manifest arithmetic would buy
+    little and cost unbounded driver memory. Probe keys are cast to the
+    index's recorded dtype before hashing (xxhash64 is representation-
+    sensitive; a dtype-mismatched probe would prune matching partitions
+    as false negatives — the documented-impossible failure)."""
     versions = _manifest_versions(path)
     if not versions:
         raise FileNotFoundError(f"no ledger manifest under {path}")
@@ -575,12 +795,23 @@ def ledger_delete(
         kdf = keys.select(key).distinct()
     else:
         scan_over = list(m["partitions"])
-        if ki is not None and ki["col"] == key:
+        if (
+            ki is not None
+            and ki["col"] == key
+            and kdf.limit(_BLOOM_LOCATE_MAX_KEYS + 1).count()
+            <= _BLOOM_LOCATE_MAX_KEYS
+        ):
             # manifest-resident membership index: keep only partitions
             # whose Bloom bitmap could contain at least one doomed key —
-            # pure driver arithmetic, no table scan
+            # pure driver arithmetic, no table scan. Key sets beyond the
+            # documented bound skip straight to the semi-join scan below.
+            kc = (
+                F.col(key).cast(ki["dtype"])
+                if ki.get("dtype")
+                else F.col(key)
+            )
             key_rows = kdf.select(
-                _bloom_positions(F.col(key), ki["bits"], ki["hashes"]).alias("__pos")
+                _bloom_positions(kc, ki["bits"], ki["hashes"]).alias("__pos")
             ).collect()
             key_positions = [tuple(r["__pos"]) for r in key_rows]
             scan_over = []
@@ -615,7 +846,8 @@ def ledger_delete(
     current = _read_partitions(spark, path, m, candidates)
     kept = current.join(kdf, key, "left_anti")
     entries = _write_data_dir(
-        kept, path, pcol, m.get("stats_cols", []), ki
+        kept, path, pcol, m.get("stats_cols", []), ki,
+        partition_dtype=m["partition_dtype"],
     )
     remaining = {
         pv: e for pv, e in m["partitions"].items() if pv not in candidates
@@ -623,6 +855,7 @@ def ledger_delete(
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
+        "schema": m.get("schema"),
         "stats_cols": m.get("stats_cols", []),
         "key_index": ki,
         "txn": {
