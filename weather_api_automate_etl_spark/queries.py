@@ -718,6 +718,7 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: they must open round 9's head before any turns four rounds old.
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
+    "q_mv_incremental",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

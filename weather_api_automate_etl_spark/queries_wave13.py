@@ -101,3 +101,123 @@ def q_ledger_skip_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mv_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             strftime(o_orderdate, '%Y') AS o_year
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+             o_orderpriority, o_year
+      FROM base WHERE o_orderkey % 10 = 3 AND o_year = '1996'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority, o_year
+      FROM base WHERE NOT (o_orderkey % 10 = 3 AND o_year = '1996')
+      UNION ALL
+      SELECT o_orderkey + 6000000, o_totalprice * 0.5, o_orderpriority, '2999'
+      FROM base WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_year, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 2)
+                AS DOUBLE) AS sum_price,
+           MAX(o_totalprice) AS max_price
+    FROM merged GROUP BY o_year, o_orderpriority
+    """,
+    tags=("cdc", "ledger", "matview"),
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/matview.py):
+    a (year × priority) aggregate mart over a year-partitioned orders
+    ledger is built once, the base then takes a two-partition merge
+    (every 10th key in 1996 repriced +100, every 100th key re-inserted
+    into a brand-new '2999' partition), and ``mv_refresh`` brings the
+    view back in sync by manifest-diffing the base (driver-side JSON,
+    no data read), re-aggregating ONLY the two changed partitions, and
+    atomically swapping the matching MV partitions via
+    ``ledger_replace_partitions`` (Delta replaceWhere). The in-query
+    assert pins the incrementality — exactly {1996, 2999} MV entries
+    repointed — and the oracle is the FULL recompute over the merged
+    state, so the headline invariant (incremental ≡ full refresh,
+    min/max included) is what the hash checks. The reference rebuilds
+    every mart with a full CTAS per run (dbt `materialized='table'`,
+    models/marts — SURVEY.md §2.10); at 100 TB with ~3000 daily
+    partitions this path re-reads two partitions instead of the corpus.
+    The +100.0/*0.5 arithmetic is IEEE-exact; the per-group SUM runs in
+    decimal(18,3) (order-independent) because one group's true total
+    sits exactly on a cent-rounding boundary at sf0.1; MAX is exact."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.operators import matview
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    updates = (
+        base.filter(
+            (F.col("o_orderkey") % 10 == 3) & (F.col("o_year") == "1996")
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + F.lit(6000000)).alias("o_orderkey"),
+                (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+                "o_orderpriority",
+                F.lit("2999").alias("o_year"),
+            )
+        )
+    )
+    group_cols = ["o_year", "o_orderpriority"]
+    # the '2999' group's true sum lands exactly on a .005 rounding
+    # boundary at sf0.1, where double addition order flips the cent —
+    # sum in decimal(18,3) (exact, order-independent; 3 decimals covers
+    # the *0.5 halves) and round once, identically in the oracle
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_totalprice").alias("max_price"),
+    ]
+    bp = tempfile.mkdtemp(prefix="mv_base_")
+    mp = tempfile.mkdtemp(prefix="mv_view_")
+    try:
+        ledger.ledger_write(spark, base, bp, "o_year")
+        v1 = matview.mv_build(spark, bp, mp, group_cols, aggs)
+        ledger.ledger_merge(spark, bp, updates, "o_orderkey")
+        v2 = matview.mv_refresh(spark, bp, mp, group_cols, aggs)
+        m1 = ledger._read_manifest(mp, v1)
+        m2 = ledger._read_manifest(mp, v2)
+        touched = {
+            pv
+            for pv in set(m1["partitions"]) | set(m2["partitions"])
+            if m1["partitions"].get(pv, {}).get("dir")
+            != m2["partitions"].get(pv, {}).get("dir")
+        }
+        assert touched == {"1996", "2999"}, (
+            f"refresh must repoint exactly the changed partitions, got "
+            f"{sorted(touched)}"
+        )
+        out = ledger.ledger_read(spark, mp).select(
+            "o_year", "o_orderpriority", "n_orders", "sum_price", "max_price"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(bp, ignore_errors=True)
+        shutil.rmtree(mp, ignore_errors=True)

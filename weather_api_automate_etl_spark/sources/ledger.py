@@ -651,6 +651,75 @@ def ledger_merge(
     return v + 1
 
 
+def ledger_replace_partitions(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partitions: Sequence[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Atomic partition replacement — Delta's ``replaceWhere`` at the
+    ledger's grain: after the commit, each partition value in
+    ``partitions`` holds EXACTLY ``df``'s rows for that value (a value
+    ``df`` no longer carries is dropped from the table), and every other
+    partition is untouched. ``df`` must not contain partition values
+    outside ``partitions`` — that would silently widen the replacement
+    scope, so it raises instead.
+
+    This is the primitive incremental materialized-view refresh rides
+    (operators/matview.py): a consumer that recomputed a set of changed
+    partitions swaps them in — inserts, updates, AND group disappearances
+    — in one rename, without touching or even listing the others.
+    ``txn=(app_id, txn_id)`` applies the same exactly-once watermark as
+    ledger_merge: a replay whose txn_id is not newer than the recorded
+    watermark returns the current version without writing anything.
+    Returns the committed version."""
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no ledger manifest under {path}")
+    v = versions[-1]
+    m = _read_manifest(path, v)
+    if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
+        return v  # transaction already applied: replay is a pure no-op
+    pcol = m["partition_col"]
+    target = {str(pv) for pv in partitions}
+    carried = df.select(F.col(pcol).cast("string").alias("__pv")).distinct()
+    out_of_scope = sorted(
+        r["__pv"] for r in carried.collect()
+        if r["__pv"] is None or r["__pv"] not in target
+    )
+    if out_of_scope:
+        raise ValueError(
+            f"replacement frame carries partition values outside the "
+            f"declared scope: {out_of_scope[:10]}"
+        )
+    entries = _write_data_dir(
+        df, path, pcol, m.get("stats_cols", []), m.get("key_index"),
+        partition_dtype=m["partition_dtype"],
+    )
+    manifest = {
+        "partition_col": pcol,
+        "partition_dtype": m["partition_dtype"],
+        "schema": m.get("schema"),
+        "stats_cols": m.get("stats_cols", []),
+        "key_index": m.get("key_index"),
+        "txn": {
+            **m.get("txn", {}),
+            **({txn[0]: txn[1]} if txn else {}),
+        },
+        "partitions": {
+            **{
+                pv: e
+                for pv, e in m["partitions"].items()
+                if pv not in target
+            },
+            **entries,
+        },
+    }
+    _commit(path, manifest, v + 1)
+    return v + 1
+
+
 def ledger_compact(
     spark: SparkSession,
     path: str,
