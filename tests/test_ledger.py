@@ -596,3 +596,113 @@ def test_bloom_probe_casts_keys_to_the_indexed_dtype(tmp_path, spark):
     remaining = sorted(r.k for r in ledger.ledger_read(spark, path).collect())
     assert 1 not in remaining and 4 not in remaining
     assert len(remaining) == 58
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (mode="dv")
+# ---------------------------------------------------------------------------
+
+
+def _keys_df(spark, ks):
+    return spark.createDataFrame([(k,) for k in ks], "k long")
+
+
+def test_dv_delete_matches_rewrite_without_touching_data_dirs(spark, mart):
+    path, df = mart
+    m1 = ledger._read_manifest(path, 1)
+    doomed = _keys_df(spark, [0, 3, 6])  # all live in year 2000
+    v2 = ledger.ledger_delete(spark, path, doomed, "k", mode="dv")
+    assert v2 == 2
+    m2 = ledger._read_manifest(path, 2)
+    # same data dir pointers everywhere; only a dv sidecar appeared
+    for pv in m1["partitions"]:
+        assert m2["partitions"][pv]["dir"] == m1["partitions"][pv]["dir"]
+    assert m2["partitions"]["2000"].get("dv")
+    assert not m2["partitions"]["2001"].get("dv")
+    assert m2["dv_key"] == "k"
+    want = sorted(
+        (r.k, r.price, r.year)
+        for r in df.filter(~F.col("k").isin([0, 3, 6])).collect()
+    )
+    assert _snapshot(spark, path) == want
+    # time travel: v1 still sees every row
+    assert len(_snapshot(spark, path, 1)) == 30
+
+
+def test_dv_deletes_accumulate_and_compact_materializes(spark, mart):
+    path, df = mart
+    ledger.ledger_delete(spark, path, _keys_df(spark, [0]), "k", mode="dv")
+    ledger.ledger_delete(spark, path, _keys_df(spark, [3]), "k", mode="dv")
+    want = sorted(
+        (r.k, r.price, r.year)
+        for r in df.filter(~F.col("k").isin([0, 3])).collect()
+    )
+    assert _snapshot(spark, path) == want
+    # default compact selection picks the DV'd partition and settles it
+    v = ledger.ledger_compact(spark, path)
+    m = ledger._read_manifest(path, v)
+    assert not any(e.get("dv") for e in m["partitions"].values())
+    assert _snapshot(spark, path) == want
+
+
+def test_dv_sidecars_survive_vacuum_and_orphan_when_settled(spark, mart):
+    path, df = mart
+    ledger.ledger_delete(spark, path, _keys_df(spark, [0, 1]), "k", mode="dv")
+    want = _snapshot(spark, path)
+    ledger.ledger_vacuum(path, keep_versions=1)
+    assert _snapshot(spark, path) == want  # sidecar retained: still applied
+    ledger.ledger_compact(spark, path)
+    deleted = ledger.ledger_vacuum(path, keep_versions=1)
+    assert deleted  # settled sidecar + superseded data dirs are collectable
+    assert _snapshot(spark, path) == want
+
+
+def test_dv_delete_feeds_the_change_feed(spark, mart):
+    path, df = mart
+    ledger.ledger_delete(spark, path, _keys_df(spark, [5, 7]), "k", mode="dv")
+    feed = ledger.ledger_changes(spark, path, "k", ["price"], 1, 2)
+    got = sorted((r.k, r.change_type) for r in feed.collect())
+    assert got == [(5, "removed"), (7, "removed")]
+
+
+def test_rewrite_delete_on_dv_partition_materializes(spark, mart):
+    path, df = mart
+    ledger.ledger_delete(spark, path, _keys_df(spark, [0]), "k", mode="dv")
+    ledger.ledger_delete(spark, path, _keys_df(spark, [3]), "k")  # rewrite
+    m = ledger._read_manifest(path, 3)
+    assert not m["partitions"]["2000"].get("dv")
+    want = sorted(
+        (r.k, r.price, r.year)
+        for r in df.filter(~F.col("k").isin([0, 3])).collect()
+    )
+    assert _snapshot(spark, path) == want
+
+
+def test_dv_merge_on_dv_partition_keeps_tombstones_correct(spark, mart):
+    path, df = mart
+    ledger.ledger_delete(spark, path, _keys_df(spark, [0]), "k", mode="dv")
+    upd = spark.createDataFrame([(3, 999.0, "2000")], "k long, price double, year string")
+    ledger.ledger_merge(spark, path, upd, "k")
+    rows = dict((r.k, r.price) for r in ledger.ledger_read(spark, path).collect())
+    assert 0 not in rows and rows[3] == 999.0 and len(rows) == 29
+
+
+def test_dv_contracts(spark, mart):
+    path, df = mart
+    with pytest.raises(ValueError, match="mode must be"):
+        ledger.ledger_delete(spark, path, _keys_df(spark, [0]), "k", mode="x")
+    ledger.ledger_delete(spark, path, _keys_df(spark, [0]), "k", mode="dv")
+    with pytest.raises(ValueError, match="deletion vectors keyed by"):
+        ledger.ledger_delete(
+            spark, path, spark.createDataFrame([(1.0,)], "price double"),
+            "price", mode="dv",
+        )
+
+
+def test_dv_full_partition_tombstone_reads_empty(spark, mart):
+    path, df = mart
+    all_2002 = _keys_df(spark, [k for k in range(30) if k % 3 == 2])
+    ledger.ledger_delete(spark, path, all_2002, "k", mode="dv")
+    got = ledger.ledger_read(spark, path)
+    assert got.filter(F.col("year") == "2002").count() == 0
+    assert got.count() == 20

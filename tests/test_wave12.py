@@ -178,6 +178,30 @@ def test_bloom_phase_prunes_most_nonmatching_rows(spark):
     assert survivors - true_matches <= 0.01 * facts.count()
 
 
+def test_bloom_prune_join_broadcast_bitmap_regime(spark):
+    """Bitmaps past the literal threshold (2048 words) ride a one-row
+    broadcast join instead of being inlined as plan literals — a 2^18-bit
+    filter is 4096 words, which as literals would mean ~20k constant
+    expression nodes replicated per probe hash. Result must stay
+    bit-identical to the plain semi join, the helper column must not leak
+    into the output, and the plan must carry the single-row broadcast."""
+    from weather_api_automate_etl_spark.operators import joins
+
+    facts = spark.range(20000).selectExpr("id as k", "id % 7 as v")
+    keys = spark.range(300).selectExpr("id * 61 as k")
+    want = sorted(
+        (r.k, r.v) for r in facts.join(keys, "k", "left_semi").collect()
+    )
+    out = joins.bloom_prune_join(facts, keys, "k", num_bits=1 << 18)
+    assert out.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in out.collect()) == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # past the measured probe cliff the operator refuses outright
+    with pytest.raises(ValueError, match="2\\^24 probe cap"):
+        joins.bloom_prune_join(facts, keys, "k", num_bits=1 << 25)
+
+
 def test_bloom_prune_join_is_dtype_stable(spark):
     """xxhash64 hashes int vs bigint representations of the same value
     differently; the probe must cast the fact key to the BUILD side's

@@ -240,25 +240,64 @@ def bloom_prune_join(
     — breaking the bit-identical contract silently (the round-7 advice
     finding). The cast makes mixed-width joins (int facts vs bigint
     keys) correct; the exact phase-2 join applies Spark's usual implicit
-    cast semantics either way."""
+    cast semantics either way.
+
+    Bitmap attachment scales in two measured regimes (tools/
+    stress_bloom.py, table in SCALING.md). Tiny bitmaps (≤128 words =
+    1 KiB) are inlined as a constant-folded literal array — zero extra
+    plan nodes; past that, per-literal Catalyst planning cost alone
+    (~1.5 s at 1024 words × 5 probe references) exceeds the whole probe,
+    so larger bitmaps ride a ONE-ROW broadcast join instead: the word
+    array is a column of a single-row DataFrame cross-joined with a
+    broadcast hint, and each task reads the array by reference from the
+    broadcast row. Probe cost measured flat to 2^24 bits (2 MiB) and
+    degrading steeply past 2^25, so ``num_bits`` is CAPPED at 2^24 —
+    ~1.7 M keys at 1% fp. Beyond that key count a Bloom prefilter is the
+    wrong plan here anyway: the plain shuffled semi join measures flat
+    (1.4 s over 20 M facts at 10 M keys, where forced broadcast has
+    degraded 10×), and Spark's default-on runtime row-level Bloom
+    pruning already injects the within-query filter this operator would
+    hand-build. This operator's regime is the PRECOMPUTED/cross-job
+    filter (a sink-side manifest, a reused gate) at takedown-list scale."""
+    if num_bits > 1 << 24:
+        raise ValueError(
+            f"num_bits={num_bits} exceeds the 2^24 probe cap; key sets "
+            "needing a larger filter should use a plain semi join (AQE + "
+            "runtime Bloom pruning handle that regime)"
+        )
     bitmap = bloom_filter_build(keys, key_col, num_bits, num_hashes)
     build_dtype = keys.schema[key_col].dataType.simpleString()
-    lit_bitmap = F.array(*[F.lit(w).cast("long") for w in bitmap])
     seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    max_literal_words = 128
+
+    if len(bitmap) <= max_literal_words:
+        bitmap_col = F.array(*[F.lit(w).cast("long") for w in bitmap])
+        probe_in = facts
+    else:
+        import pandas as pd  # one-row Arrow transfer of the word array
+
+        bm_df = facts.sparkSession.createDataFrame(
+            pd.DataFrame({"__bloom_words": [bitmap]}),
+            schema="__bloom_words array<long>",
+        )
+        bitmap_col = F.col("__bloom_words")
+        probe_in = facts.crossJoin(F.broadcast(bm_df))
 
     def bit_set(s: F.Column) -> F.Column:
         pos = F.pmod(
             F.xxhash64(F.col(key_col).cast(build_dtype), s), F.lit(num_bits)
         )
-        word = F.get(lit_bitmap, (pos / 64).cast("int"))
+        word = F.get(bitmap_col, (pos / 64).cast("int"))
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
         return word.bitwiseAND(mask) != 0
 
-    pruned = facts.filter(
+    pruned = probe_in.filter(
         F.col(key_col).isNotNull() & F.forall(seeds, bit_set)
     )
+    if probe_in is not facts:
+        pruned = pruned.drop("__bloom_words")
     return pruned.join(
         keys.select(F.col(key_col)).distinct(), key_col, "left_semi"
     )

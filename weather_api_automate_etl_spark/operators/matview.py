@@ -125,7 +125,9 @@ def mv_refresh(
     changed = sorted(
         pv
         for pv in set(pf) | set(pt)
-        if pf.get(pv, {}).get("dir") != pt.get(pv, {}).get("dir")
+        # FULL-entry compare (matches ledger_changes): a dv-mode delete
+        # repoints only the tombstone sidecar, not the data dir
+        if pf.get(pv) != pt.get(pv)
     )
     if not changed:  # version moved for txn-only reasons; nothing to read
         return lg.ledger_replace_partitions(

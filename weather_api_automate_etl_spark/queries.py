@@ -719,6 +719,7 @@ ROUND8_PENDING: tuple[str, ...] = (
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
     "q_mv_incremental",
+    "q_ledger_delete_dv",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

@@ -7,6 +7,13 @@ skipping plus the round-8 operator additions.
   a strict subset of a kept partition's files. Oracle = the same unpruned
   declarative filter discipline as q_ledger_skip; the file-count strictness
   is asserted in-query and pinned in tests/test_ledger.py.
+- ``q_mv_incremental``: incremental materialized-view maintenance
+  (operators/matview.py) — manifest-diff-scoped re-aggregation swapped in
+  via ledger_replace_partitions; oracle = the full recompute, so the hash
+  checks incremental ≡ full.
+- ``q_ledger_delete_dv``: deletion-vector takedown — tombstone sidecars
+  instead of data rewrites, settled by compaction; oracle = the
+  declarative complement over the whole chain.
 
 Same registry/oracle conventions as every wave: identical aliases on both
 engines, round(6)/round(2) on aggregation-order-sensitive doubles,
@@ -221,3 +228,79 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(bp, ignore_errors=True)
         shutil.rmtree(mp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors: takedown without rewriting data files
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ledger_delete_dv",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 7 != 0
+    GROUP BY o_year
+    """,
+    tags=("cdc", "ledger", "privacy"),
+)
+def q_ledger_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector takedown (sources/ledger.py::ledger_delete with
+    ``mode="dv"``) — q_ledger_delete's sweep without the rewrite: every
+    7th order key is tombstoned into per-partition key sidecars and the
+    commit repoints ONLY the DV pointers (the in-query assert pins that
+    every data-dir pointer is byte-identical to v1 — a takedown against
+    a hot 10 GB partition writes kilobytes, Delta's deletion-vector /
+    Hudi merge-on-read trade). The first readback pays the scoped
+    anti-join (merge-on-read); ``ledger_compact`` then settles the debt
+    — materializes the net state, drops every sidecar — and the SAME
+    aggregate over the compacted table is what this query returns, so
+    the oracle (the declarative complement) checks the entire
+    tombstone → read-time-apply → materialize chain end to end."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    doomed = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="ledger_delete_dv_")
+    try:
+        ledger.ledger_write(spark, base, path, "o_year")
+        v2 = ledger.ledger_delete(
+            spark, path, doomed, "o_orderkey", mode="dv"
+        )
+        m1 = ledger._read_manifest(path, 1)
+        m2 = ledger._read_manifest(path, v2)
+        assert all(
+            m2["partitions"][pv]["dir"] == m1["partitions"][pv]["dir"]
+            for pv in m1["partitions"]
+        ), "dv delete must not repoint any data directory"
+        assert any(
+            e.get("dv") for e in m2["partitions"].values()
+        ), "dv delete must record tombstone sidecars"
+        v3 = ledger.ledger_compact(spark, path)
+        m3 = ledger._read_manifest(path, v3)
+        assert not any(
+            e.get("dv") for e in m3["partitions"].values()
+        ), "compact must materialize and drop every sidecar"
+        out = (
+            ledger.ledger_read(spark, path)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

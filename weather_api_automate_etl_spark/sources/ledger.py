@@ -394,6 +394,7 @@ def ledger_write(
         "schema": df.schema.jsonValue(),
         "stats_cols": list(stats_cols),
         "key_index": key_index,
+        "dv_key": None,
         "txn": {txn[0]: txn[1]} if txn else {},
         "partitions": entries,
     }
@@ -411,6 +412,38 @@ def _resolve(path: str, version: int | None) -> tuple[int, dict]:
     return v, _read_manifest(path, v)
 
 
+def _read_dirset(
+    spark: SparkSession,
+    path: str,
+    pcol: str,
+    pdtype: str,
+    entry_of: dict[str, dict],
+    pvals: Sequence[str],
+    files: dict[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Plan a read of ``pvals`` from a pv→{dir, dirname} pointer map —
+    used for both data entries and their deletion-vector sidecars."""
+    by_dir: dict[str, list[str]] = {}
+    for pv in pvals:
+        by_dir.setdefault(entry_of[pv]["dir"], []).append(pv)
+    parts = []
+    for d, vals in sorted(by_dir.items()):
+        base = os.path.join(path, d)
+        targets: list[str] = []
+        for pv in sorted(vals):
+            e = entry_of[pv]
+            pdir = os.path.join(base, e.get("dirname", f"{pcol}={pv}"))
+            if files is not None and pv in files:
+                targets += [os.path.join(pdir, fn) for fn in sorted(files[pv])]
+            else:
+                targets.append(pdir)
+        parts.append(spark.read.option("basePath", base).parquet(*targets))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(pcol, F.col(pcol).cast(pdtype))
+
+
 def _read_partitions(
     spark: SparkSession,
     path: str,
@@ -424,7 +457,12 @@ def _read_partitions(
     narrows chosen partitions to specific data files (ledger_plan_files'
     skip grain). Zero partitions yields an EMPTY frame typed from the
     manifest's recorded schema — reachable via a delete that empties the
-    table — instead of the round-7 IndexError."""
+    table — instead of the round-7 IndexError.
+
+    Partitions carrying a deletion vector (``ledger_delete`` in ``dv``
+    mode) are read through a (key, partition) anti-join against their
+    tombstone sidecars; DV-free partitions union in untouched, so the
+    merge-on-read tax is scoped to exactly the partitions that owe it."""
     pcol = m["partition_col"]
     if not pvals:
         schema = m.get("schema")
@@ -436,25 +474,26 @@ def _read_partitions(
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(schema))
-    by_dir: dict[str, list[str]] = {}
-    for pv in pvals:
-        by_dir.setdefault(m["partitions"][pv]["dir"], []).append(pv)
-    parts = []
-    for d, vals in sorted(by_dir.items()):
-        base = os.path.join(path, d)
-        targets: list[str] = []
-        for pv in sorted(vals):
-            e = m["partitions"][pv]
-            pdir = os.path.join(base, e.get("dirname", f"{pcol}={pv}"))
-            if files is not None and pv in files:
-                targets += [os.path.join(pdir, fn) for fn in sorted(files[pv])]
-            else:
-                targets.append(pdir)
-        parts.append(spark.read.option("basePath", base).parquet(*targets))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.withColumn(pcol, F.col(pcol).cast(m["partition_dtype"]))
+    pdtype = m["partition_dtype"]
+    plain = [pv for pv in pvals if not m["partitions"][pv].get("dv")]
+    dv_pvals = [pv for pv in pvals if m["partitions"][pv].get("dv")]
+    out = (
+        _read_dirset(spark, path, pcol, pdtype, m["partitions"], plain, files)
+        if plain
+        else None
+    )
+    if dv_pvals:
+        dv_key = m["dv_key"]
+        data = _read_dirset(
+            spark, path, pcol, pdtype, m["partitions"], dv_pvals, files
+        )
+        tombstones = _read_dirset(
+            spark, path, pcol, pdtype,
+            {pv: m["partitions"][pv]["dv"] for pv in dv_pvals}, dv_pvals,
+        ).select(dv_key, pcol)
+        live = data.join(tombstones, [dv_key, pcol], "left_anti")
+        out = live if out is None else out.unionByName(live)
+    return out
 
 
 def ledger_read(
@@ -641,6 +680,7 @@ def ledger_merge(
         "schema": m.get("schema"),
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
+        "dv_key": m.get("dv_key"),
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
@@ -703,6 +743,7 @@ def ledger_replace_partitions(
         "schema": m.get("schema"),
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
+        "dv_key": m.get("dv_key"),
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
@@ -741,6 +782,10 @@ def ledger_compact(
     if partitions is None:
         partitions = []
         for pv, entry in m["partitions"].items():
+            if entry.get("dv"):
+                # settle the merge-on-read debt: materialize tombstones
+                partitions.append(pv)
+                continue
             pdir = os.path.join(
                 path, entry["dir"], entry.get("dirname", f"{pcol}={pv}")
             )
@@ -766,6 +811,7 @@ def ledger_compact(
         "schema": m.get("schema"),
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
+        "dv_key": m.get("dv_key"),
         "txn": m.get("txn", {}),
         "partitions": {**m["partitions"], **entries},
     }
@@ -786,9 +832,10 @@ def ledger_vacuum(path: str, keep_versions: int = 2) -> list[str]:
     keep = versions[-keep_versions:] if keep_versions > 0 else []
     live: set[str] = set()
     for v in keep:
-        live.update(
-            e["dir"] for e in _read_manifest(path, v)["partitions"].values()
-        )
+        for e in _read_manifest(path, v)["partitions"].values():
+            live.add(e["dir"])
+            if e.get("dv"):
+                live.add(e["dv"]["dir"])  # tombstone sidecars are live too
     deleted = []
     for name in os.listdir(path):
         if name.startswith("data-") and name not in live:
@@ -806,11 +853,28 @@ def ledger_delete(
     keys: DataFrame,
     key: str,
     txn: tuple[str, int] | None = None,
+    mode: str = "rewrite",
 ) -> int:
     """Row-level DELETE through the ledger — the takedown /
     right-to-be-forgotten path a training-data corpus needs: remove every
     row matching the key set, atomically, rewriting only the partitions
     that actually contain matches.
+
+    ``mode="dv"`` records DELETION VECTORS instead of rewriting: the hit
+    keys land in per-partition tombstone sidecars (merged with any prior
+    sidecar) and the commit repoints only those DV pointers — the data
+    files themselves are untouched, so a takedown against a hot 10 GB
+    partition writes kilobytes instead of re-encoding the partition
+    (Delta's deletion-vector / Hudi merge-on-read trade, keyed by ``key``
+    rather than row position so it composes with this ledger's immutable
+    multi-file dirs). Readers anti-join the sidecar at scan time — the
+    merge-on-read tax, scoped to exactly the partitions that owe it —
+    and the debt is settled when ``ledger_compact`` or any ``rewrite``
+    touching the partition materializes the net state and drops the
+    sidecar. Zone-map stats and the Bloom key index become conservative
+    over-approximations until then (they may retain deleted rows' ranges
+    and keys), which only ever costs pruning power, never correctness.
+    All DVs of a table must tombstone the same key column (enforced).
 
     Locating the matches is the honest cost split (the same split Delta's
     DELETE makes):
@@ -841,6 +905,8 @@ def ledger_delete(
     index's recorded dtype before hashing (xxhash64 is representation-
     sensitive; a dtype-mismatched probe would prune matching partitions
     as false negatives — the documented-impossible failure)."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     versions = _manifest_versions(path)
     if not versions:
         raise FileNotFoundError(f"no ledger manifest under {path}")
@@ -848,6 +914,11 @@ def ledger_delete(
     m = _read_manifest(path, v)
     if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
         return v
+    if mode == "dv" and m.get("dv_key") not in (None, key):
+        raise ValueError(
+            f"table already carries deletion vectors keyed by "
+            f"{m['dv_key']!r}; cannot mix with {key!r}"
+        )
     pcol = m["partition_col"]
     kdf = keys.select(key).distinct() if pcol not in keys.columns else keys
     ki = m.get("key_index")
@@ -913,20 +984,54 @@ def ledger_delete(
     if not candidates:
         return v
     current = _read_partitions(spark, path, m, candidates)
-    kept = current.join(kdf, key, "left_anti")
-    entries = _write_data_dir(
-        kept, path, pcol, m.get("stats_cols", []), ki,
-        partition_dtype=m["partition_dtype"],
-    )
+    if mode == "dv":
+        # deletion vectors: append the hit keys to per-partition tombstone
+        # sidecars and repoint only the DV pointers — no data file is read
+        # back in full or rewritten beyond the sidecar itself. `current`
+        # already excludes previously tombstoned rows, so unioning the
+        # existing sidecars keeps old tombstones without double-counting.
+        hits = (
+            current.join(kdf, key, "left_semi").select(key, pcol).distinct()
+        )
+        prior_dv = [
+            pv for pv in candidates if m["partitions"][pv].get("dv")
+        ]
+        if prior_dv:
+            hits = hits.unionByName(
+                _read_dirset(
+                    spark, path, pcol, m["partition_dtype"],
+                    {pv: m["partitions"][pv]["dv"] for pv in prior_dv},
+                    prior_dv,
+                ).select(key, pcol)
+            )
+        dv_entries = _write_data_dir(
+            hits, path, pcol, partition_dtype=m["partition_dtype"]
+        )
+        entries = {
+            pv: {**m["partitions"][pv], "dv": dv_entries[pv]}
+            for pv in dv_entries
+        }
+    else:
+        kept = current.join(kdf, key, "left_anti")
+        entries = _write_data_dir(
+            kept, path, pcol, m.get("stats_cols", []), ki,
+            partition_dtype=m["partition_dtype"],
+        )
     remaining = {
         pv: e for pv, e in m["partitions"].items() if pv not in candidates
     }
+    if mode == "dv":
+        # DV mode only repoints sidecars; untouched candidates carry over
+        remaining = {
+            pv: e for pv, e in m["partitions"].items() if pv not in entries
+        }
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
         "schema": m.get("schema"),
         "stats_cols": m.get("stats_cols", []),
         "key_index": ki,
+        "dv_key": key if mode == "dv" else m.get("dv_key"),
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
@@ -971,7 +1076,10 @@ def ledger_changes(
     changed = sorted(
         pv
         for pv in set(pf) | set(pt)
-        if pf.get(pv, {}).get("dir") != pt.get(pv, {}).get("dir")
+        # FULL-entry compare, not just the data dir: a dv-mode delete
+        # repoints only the tombstone sidecar, and a dir-only diff would
+        # silently miss those removals in the feed
+        if pf.get(pv) != pt.get(pv)
     )
     old_pvs = [pv for pv in changed if pv in pf]
     new_pvs = [pv for pv in changed if pv in pt]
