@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "q_psi_drift",             # fixed-bin PSI drift gate (two count aggs + grid)
     "q_ks_drift",              # exact two-sample KS over distinct-value ECDFs
     "q_seasonal_decompose",    # centered-MA trend + phase-mean weekly seasonal
+    # round-8 additions
+    "q_ledger_skip_files",     # file-granular zone-map pruning inside a partition
+    "q_mv_incremental",        # manifest-diff-scoped MV refresh (replaceWhere swap)
+    "q_ledger_delete_dv",      # deletion-vector takedown + compact materialize
+    "q_streaming_mv",          # streaming upsert + incremental MV per batch
 ]
 
 

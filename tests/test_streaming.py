@@ -288,3 +288,48 @@ def test_file_sink_restart_is_exactly_once(spark, event_dir, tmp_path):
     )
     assert n1 == expected
     assert n2 == n1
+
+
+def test_stream_merge_with_mv_syncs_and_replays_as_noop(spark, event_dir, tmp_path):
+    """The combined base-upsert + MV-refresh sink (sinks.py::
+    stream_merge_with_mv): after the drain, the MV equals the
+    declarative keep-latest-per-user aggregate; a second drain with no
+    new files replays nothing and commits nothing at either rung."""
+    from weather_api_automate_etl_spark.sources import ledger
+    from weather_api_automate_etl_spark.streaming import sinks
+
+    stream = stream_events.read_event_stream(spark, event_dir).select(
+        "user_id", "event_id", "ts", "value",
+        (F.col("user_id") % 4).cast("long").alias("p"),
+    )
+    table, mv = str(tmp_path / "base"), str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    aggs_fn = lambda: [  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ]
+    kwargs = dict(
+        key="user_id", partition_col="p", order_cols=("ts", "event_id"),
+        group_cols=("p",), aggs_fn=aggs_fn,
+    )
+    sinks.stream_merge_with_mv(stream, table, mv, ckpt, "t_smv", **kwargs)
+    base_v = ledger._manifest_versions(table)[-1]
+    mv_v = ledger._manifest_versions(mv)[-1]
+    want = sorted(
+        (r.p, r.n_users, r.sum_value)
+        for r in (
+            ledger.ledger_read(spark, table)
+            .groupBy("p")
+            .agg(*aggs_fn())
+            .collect()
+        )
+    )
+    got = sorted(
+        (r.p, r.n_users, r.sum_value)
+        for r in ledger.ledger_read(spark, mv).collect()
+    )
+    assert got == want
+    # drained checkpoint + txn watermarks: nothing new at either rung
+    sinks.stream_merge_with_mv(stream, table, mv, ckpt, "t_smv", **kwargs)
+    assert ledger._manifest_versions(table)[-1] == base_v
+    assert ledger._manifest_versions(mv)[-1] == mv_v

@@ -720,6 +720,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
     "q_mv_incremental",
     "q_ledger_delete_dv",
+    "q_streaming_mv",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

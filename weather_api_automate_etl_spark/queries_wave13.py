@@ -304,3 +304,86 @@ def q_ledger_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming upserts feeding a continuously-maintained aggregate view
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_streaming_mv",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value, CAST(user_id % 16 AS BIGINT) AS p
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+      ) = 1
+    )
+    SELECT p,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM latest GROUP BY p
+    """,
+    tags=("streaming", "cdc", "ledger", "matview"),
+)
+def q_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta-Live-Tables topology on the ledger primitives
+    (streaming/sinks.py::stream_merge_with_mv): each micro-batch upserts
+    its latest-row-per-user exactly-once into the base ledger, then the
+    per-partition aggregate VIEW re-syncs incrementally — manifest diff
+    picks the touched partitions, only those re-aggregate, and the MV
+    swap carries the base version as its own transaction watermark, so
+    replay at any point between the two commits converges without
+    double-applying either. The drain runs TWICE (the second stages the
+    fixture as a new file — a real incremental batch under a higher
+    batch id); the final VIEW must equal the declarative
+    keep-latest-per-user → group-by over the whole stream, which is
+    exactly the oracle. The reference's closest shape is a full dbt
+    rebuild per schedule; this is the 100 TB replacement: the mart AND
+    its rollup stay in sync touching only what each batch changed."""
+    import os
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.queries_ext import _staged_event_stream
+    from weather_api_automate_etl_spark.sources import ledger
+    from weather_api_automate_etl_spark.streaming import sinks
+
+    name = "q_streaming_mv"
+    stage_dir, stream = _staged_event_stream(spark, sf_dir, name)
+    table = tempfile.mkdtemp(prefix=f"{name}_table_")
+    shutil.rmtree(table)  # the sink bootstraps a missing table
+    mv = tempfile.mkdtemp(prefix=f"{name}_mv_")
+    shutil.rmtree(mv)
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    projected = stream.select(
+        "user_id", "event_id", "ts", "value",
+        (F.col("user_id") % 16).cast("long").alias("p"),
+    )
+    aggs_fn = lambda: [  # noqa: E731 — the view definition, restated per sync
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    ]
+    kwargs = dict(
+        key="user_id", partition_col="p", order_cols=("ts", "event_id"),
+        group_cols=("p",), aggs_fn=aggs_fn,
+    )
+    try:
+        sinks.stream_merge_with_mv(projected, table, mv, ckpt, name, **kwargs)
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage_dir}/events_1.parquet")
+        sinks.stream_merge_with_mv(projected, table, mv, ckpt, name, **kwargs)
+        out = ledger.ledger_read(spark, mv).select(
+            F.col("p").cast("long").alias("p"),
+            "n_users", "sum_value", "max_value",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(mv, ignore_errors=True)

@@ -208,3 +208,75 @@ def stream_merge_into_ledger(
         stream_df, write_batch, checkpoint_dir, query_name,
         output_mode="update", timeout_s=timeout_s,
     )
+
+
+def stream_merge_with_mv(
+    stream_df: DataFrame,
+    table_path: str,
+    mv_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    key: str,
+    partition_col: str,
+    order_cols: tuple[str, ...],
+    group_cols: tuple[str, ...],
+    aggs_fn,
+    timeout_s: float = 120.0,
+) -> None:
+    """The full continuously-maintained-mart loop in one sink: each
+    micro-batch (a) upserts exactly-once into the base ledger — the
+    ``stream_merge_into_ledger`` contract, (query_name, batch_id) in the
+    same atomic commit as the data — then (b) brings the aggregate view
+    at ``mv_path`` back in sync via incremental refresh
+    (operators/matview.py): manifest-diff of the base picks out the
+    partitions this batch touched, only those re-aggregate, and the MV
+    swap commits with the base VERSION as its own transaction watermark.
+
+    Exactly-once composes independently at both rungs: a replayed batch
+    is a no-op at the base (txn id not newer), which leaves the base
+    version unchanged, which makes the chained refresh a no-op too — so
+    crash/replay at ANY point between the two commits converges without
+    double-applying either. This is the Delta Live Tables
+    streaming-table → materialized-view topology on the ledger
+    primitives. ``aggs_fn`` is a zero-arg callable returning the
+    aggregate Columns (the view definition lives in code, only the sync
+    watermark in state)."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from weather_api_automate_etl_spark.operators import matview
+    from weather_api_automate_etl_spark.sources import ledger
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not os.path.exists(os.path.join(table_path, "_ledger")):
+            ledger.ledger_write(
+                spark, latest, table_path, partition_col,
+                txn=(query_name, batch_id),
+            )
+        else:
+            ledger.ledger_merge(
+                spark, table_path, latest, key, txn=(query_name, batch_id),
+            )
+        if not os.path.exists(os.path.join(mv_path, "_ledger")):
+            matview.mv_build(
+                spark, table_path, mv_path, list(group_cols), aggs_fn()
+            )
+        else:
+            matview.mv_refresh(
+                spark, table_path, mv_path, list(group_cols), aggs_fn()
+            )
+
+    run_foreach_batch(
+        stream_df, write_batch, checkpoint_dir, query_name,
+        output_mode="update", timeout_s=timeout_s,
+    )
