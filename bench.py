@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_mv_incremental",        # manifest-diff-scoped MV refresh (replaceWhere swap)
     "q_ledger_delete_dv",      # deletion-vector takedown + compact materialize
     "q_streaming_mv",          # streaming upsert + incremental MV per batch
+    "q_ledger_zorder",         # OPTIMIZE ZORDER: 2-D file clustering + skip
 ]
 
 

@@ -706,3 +706,36 @@ def test_dv_full_partition_tombstone_reads_empty(spark, mart):
     got = ledger.ledger_read(spark, path)
     assert got.filter(F.col("year") == "2002").count() == 0
     assert got.count() == 20
+
+
+def test_zorder_compact_prunes_both_dimensions_and_keeps_state(tmp_path, spark):
+    """OPTIMIZE ZORDER: a constructed (x, y) grid written in a random
+    layout prunes nothing at file grain; after zorder_by=(x, y) both
+    single-dimension range probes keep a strict subset of files and the
+    table state is unchanged."""
+    import itertools
+
+    rows = [
+        (i, float(x), float(y), "p0")
+        for i, (x, y) in enumerate(itertools.product(range(32), range(32)))
+    ]
+    df = spark.createDataFrame(rows, "k long, x double, y double, year string")
+    path = str(tmp_path / "zmart")
+    ledger.ledger_write(
+        spark, df.repartition(8), path, "year", stats_cols=["x", "y"]
+    )
+    before = sorted((r.k,) for r in ledger.ledger_read(spark, path).select("k").collect())
+    v = ledger.ledger_compact(spark, path, zorder_by=("x", "y"), zorder_files=8)
+    m = ledger._read_manifest(path, v)
+    total = sum(len(e.get("files", {})) for e in m["partitions"].values())
+    kept_x = sum(
+        len(f) for f in ledger.ledger_plan_files(path, "x", 0.0, 3.0).values()
+    )
+    kept_y = sum(
+        len(f) for f in ledger.ledger_plan_files(path, "y", 0.0, 3.0).values()
+    )
+    assert kept_x < total and kept_y < total, (kept_x, kept_y, total)
+    after = sorted((r.k,) for r in ledger.ledger_read(spark, path).select("k").collect())
+    assert after == before
+    with pytest.raises(ValueError, match="exactly two columns"):
+        ledger.ledger_compact(spark, path, zorder_by=("x",))

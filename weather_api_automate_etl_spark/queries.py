@@ -721,6 +721,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_mv_incremental",
     "q_ledger_delete_dv",
     "q_streaming_mv",
+    "q_ledger_zorder",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

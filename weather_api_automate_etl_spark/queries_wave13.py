@@ -387,3 +387,106 @@ def q_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(table, ignore_errors=True)
         shutil.rmtree(mv, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER: multi-dimensional file clustering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ledger_zorder",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000.0 AND 20000.0
+      AND o_custkey % 3 = 0
+    GROUP BY o_year
+    """,
+    tags=("cdc", "ledger", "layout"),
+)
+def q_ledger_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER through the ledger (sources/ledger.py::
+    ledger_compact(zorder_by=...)): the year-partitioned orders mart is
+    written with a random row layout — per-file min/max stats on
+    (o_totalprice, o_custkey) exist but prune NOTHING because every file
+    spans the whole domain of both columns — then compacted into files
+    range-clustered on the Morton interleave of the two columns
+    (functions/core.py::zorder_key over a global [0, 2^8) quantization).
+    After the rewrite each file covers a tight band of BOTH dimensions,
+    and the in-query asserts pin that a selective predicate on EITHER
+    column now keeps strictly fewer files than the table holds — the
+    multi-dimensional skipping a single-column sort cannot give. The
+    readback answers through ``ledger_scan`` (file-pruned on the price
+    band) plus the exact residual filter, and the oracle is the unpruned
+    declarative filter, so over-pruning breaks the hash. This is
+    Delta/Iceberg OPTIMIZE ZORDER at the ledger's grain: layout changes,
+    answers don't, the skipping index gets a second dimension."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    path = tempfile.mkdtemp(prefix="ledger_zorder_")
+    try:
+        # random layout: repartition(6) scatters rows, so every file's
+        # min/max band covers ~the full domain of both columns
+        ledger.ledger_write(
+            spark, base.repartition(6), path, "o_year",
+            stats_cols=["o_totalprice", "o_custkey"],
+        )
+        lo_p, hi_p = 1000.0, 20000.0
+        before = ledger.ledger_plan_files(path, "o_totalprice", lo_p, hi_p)
+        m1 = ledger._read_manifest(path, 1)
+        total1 = sum(len(e.get("files", {})) for e in m1["partitions"].values())
+        kept1 = sum(len(f) for f in before.values())
+        v = ledger.ledger_compact(
+            spark, path, zorder_by=("o_totalprice", "o_custkey")
+        )
+        m2 = ledger._read_manifest(path, v)
+        total2 = sum(len(e.get("files", {})) for e in m2["partitions"].values())
+        kept_p = sum(
+            len(f)
+            for f in ledger.ledger_plan_files(
+                path, "o_totalprice", lo_p, hi_p
+            ).values()
+        )
+        # probe band for the SECOND dimension: lowest 10% of the custkey
+        # domain (data-derived so the band stays selective at every SF;
+        # the probe only feeds the assert, never the output/oracle)
+        c_hi = base.agg(F.max("o_custkey")).collect()[0][0] * 0.1
+        kept_c = sum(
+            len(f)
+            for f in ledger.ledger_plan_files(
+                path, "o_custkey", 0.0, c_hi
+            ).values()
+        )
+        assert kept_p < kept1, (
+            f"z-order must improve price-band file pruning "
+            f"({kept_p} after vs {kept1}/{total1} before)"
+        )
+        assert kept_c < total2, (
+            f"z-order must also prune on the second dimension: cust "
+            f"{kept_c}/{total2}"
+        )
+        out = (
+            ledger.ledger_scan(spark, path, "o_totalprice", lo_p, hi_p)
+            .filter(F.col("o_custkey") % 3 == 0)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

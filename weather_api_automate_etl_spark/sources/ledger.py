@@ -765,14 +765,29 @@ def ledger_compact(
     spark: SparkSession,
     path: str,
     partitions: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    zorder_files: int = 4,
+    zorder_bits: int = 8,
 ) -> int:
     """OPTIMIZE: rewrite the chosen partitions (default: every partition
-    whose directory holds more than one data file) into ONE file per
-    partition in a fresh directory and commit — state is bit-identical
-    (pinned in tests), only the file layout changes. Runs as a background
-    writer against live readers: they keep planning from v<N> until the
-    rename. Returns the committed version (unchanged if nothing needs
-    compaction)."""
+    whose directory holds more than one data file, plus every partition
+    carrying a deletion vector) into ONE file per partition in a fresh
+    directory and commit — state is bit-identical (pinned in tests),
+    only the file layout changes. Runs as a background writer against
+    live readers: they keep planning from v<N> until the rename. Returns
+    the committed version (unchanged if nothing needs compaction).
+
+    ``zorder_by=(x, y)`` is OPTIMIZE ZORDER: instead of one file per
+    partition, each rewritten partition is split into ``zorder_files``
+    files range-clustered on the Morton interleave of the two columns
+    (functions/core.py::zorder_key over a linear [0, 2^bits) global
+    quantization). Every file then spans a tight band of BOTH columns,
+    so the per-FILE min/max the manifest already records
+    (``stats_cols`` — they should include the z-ordered columns) prunes
+    selective predicates on EITHER dimension via ``ledger_plan_files``;
+    a single-column sort buys that for one dimension only. This is the
+    Delta/Iceberg OPTIMIZE ZORDER layout move at the ledger's grain —
+    the answer is untouched, the skipping index just gets sharper."""
     versions = _manifest_versions(path)
     if not versions:
         raise FileNotFoundError(f"no ledger manifest under {path}")
@@ -792,15 +807,48 @@ def ledger_compact(
             n_files = sum(
                 1 for f in os.listdir(pdir) if f.endswith(".parquet")
             )
-            if n_files > 1:
+            if n_files > 1 or zorder_by is not None:
                 partitions.append(pv)
     partitions = [pv for pv in partitions if pv in m["partitions"]]
     if not partitions:
         return v
     current = _read_partitions(spark, path, m, partitions)
-    # hash-partition by the partition column: each value's rows land in
-    # one task, so partitionBy emits exactly one file per partition dir
-    compacted = current.repartition(F.col(pcol))
+    if zorder_by is not None:
+        if len(zorder_by) != 2:
+            raise ValueError(
+                f"zorder_by takes exactly two columns, got {list(zorder_by)}"
+            )
+        from weather_api_automate_etl_spark.functions.core import zorder_key
+
+        # global linear quantization to [0, 2^bits): ONE metadata-scale
+        # aggregate; constant columns quantize to 0 (guarded divisor)
+        xc, yc = (F.col(c).cast("double") for c in zorder_by)
+        b = (
+            current.agg(
+                F.min(xc).alias("xmn"), F.max(xc).alias("xmx"),
+                F.min(yc).alias("ymn"), F.max(yc).alias("ymx"),
+            ).collect()[0]
+        )
+        top = (1 << zorder_bits) - 1
+
+        def q(c, mn, mx):
+            span = (mx - mn) or 1.0
+            return F.least(
+                F.lit(top).cast("long"),
+                ((c - F.lit(mn)) / F.lit(span) * top).cast("long"),
+            )
+
+        zkey = zorder_key(q(xc, b.xmn, b.xmx), q(yc, b.ymn, b.ymx), zorder_bits)
+        # range-partition on (partition, z): partition groups stay
+        # contiguous, each writes `zorder_files` z-contiguous files
+        n_tasks = max(1, len(partitions) * zorder_files)
+        compacted = current.repartitionByRange(
+            n_tasks, F.col(pcol), zkey
+        ).sortWithinPartitions(F.col(pcol), zkey)
+    else:
+        # hash-partition by the partition column: each value's rows land
+        # in one task, so partitionBy emits exactly one file per dir
+        compacted = current.repartition(F.col(pcol))
     entries = _write_data_dir(
         compacted, path, pcol, m.get("stats_cols", []), m.get("key_index"),
         partition_dtype=m["partition_dtype"],
