@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_ledger_delete_dv",      # deletion-vector takedown + compact materialize
     "q_streaming_mv",          # streaming upsert + incremental MV per batch
     "q_ledger_zorder",         # OPTIMIZE ZORDER: 2-D file clustering + skip
+    "q_ann_pq",                # product-quantization codes + ADC table scan
 ]
 
 

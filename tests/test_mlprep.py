@@ -844,3 +844,42 @@ def test_pmi_pairs_matches_python_model(spark):
         assert abs(got[p][1] - expect[p][1]) <= 1e-6
     assert ("new", "york") in got  # the collocation scores positive PMI
     assert got[("new", "york")][1] > 0
+
+
+def test_pq_encode_codes_shape_and_range(spark, emb):
+    cbs = emb_ops.pq_sampled_codebooks(emb, "vec_id", "embedding", 4, 8)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 16
+    codes = emb_ops.pq_encode(emb, "vec_id", "embedding", cbs).collect()
+    assert all(len(r.pq_codes) == 4 for r in codes)
+    assert all(1 <= c <= 8 for r in codes for c in r.pq_codes)
+    # codebook rows encode with a zero-distance first subspace match:
+    # row j's subvector IS centroid j, so its code must be j itself
+    by_id = {r.vec_id: r.pq_codes for r in codes}
+    ids = sorted(by_id)[:8]
+    for j, vid in enumerate(ids, start=1):
+        assert by_id[vid] == [j, j, j, j]
+
+
+def test_pq_adc_ranks_query_row_first(spark, emb):
+    cbs = emb_ops.pq_sampled_codebooks(emb, "vec_id", "embedding", 4, 8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    codes = emb_ops.pq_encode(emb, "vec_id", "embedding", cbs)
+    top = emb_ops.pq_adc_topk(codes, "vec_id", qvec, cbs, 10).collect()
+    assert len(top) == 10
+    assert [r.adc_dist for r in top] == sorted(r.adc_dist for r in top)
+    # vec 0 is the query itself; under ADC it scores the distance between
+    # q and its own reconstruction — the minimum is its centroid cell, so
+    # it must appear in the top-k
+    assert 0 in {r.vec_id for r in top}
+
+
+def test_pq_contracts(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        emb_ops.pq_sampled_codebooks(emb, "vec_id", "embedding", 7, 8)
+    with pytest.raises(ValueError, match="at least"):
+        emb_ops.pq_sampled_codebooks(
+            emb.limit(3), "vec_id", "embedding", 4, 8
+        )

@@ -422,3 +422,141 @@ def pca_power_project_k(
             ).alias(f"pc{c}")
         )
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): compressed codes + asymmetric-distance scan
+# ---------------------------------------------------------------------------
+
+
+def pq_sampled_codebooks(
+    df: DataFrame, id_col: str, vec_col: str, m_sub: int, k: int
+) -> list[list[list[float]]]:
+    """Deterministic sampled PQ codebooks: for each of ``m_sub``
+    subspaces, the centroids are the corresponding subvectors of the
+    ``k`` rows with the smallest ids — the random-sampling codebook
+    initialization of PQ (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011), made order-deterministic so
+    both engines derive the identical codebook from the data alone. The
+    production path swaps this for per-subspace ``kmeans_fit``
+    (operators/similarity.py) — encode/scan below are codebook-agnostic.
+
+    Returns ``[m][j] -> centroid subvector`` (driver-side: m_sub·k·(d/m)
+    floats — filter metadata, same class as a broadcast dim)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least {k} vectors, have {len(rows)}")
+    d = len(rows[0][vec_col])
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+    sub = d // m_sub
+    return [
+        [[float(x) for x in r[vec_col][m * sub : (m + 1) * sub]] for r in rows]
+        for m in range(m_sub)
+    ]
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential left-to-right sum of squared differences — the one
+    float-addition order both engines share (DuckDB list_sum over
+    list_transform), so distances are bit-identical cross-engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    clamp_digits: int | None = None,
+) -> DataFrame:
+    """Encode every vector into ``m_sub`` small integer codes — the PQ
+    compression step: at d=64 float32 a vector is 256 bytes, its codes
+    are m_sub bytes (16-64x), which is what lets a 100 TB corpus keep
+    its ENTIRE ANN index scannable. Entirely whole-stage-codegen
+    expression arithmetic: per subspace, squared distance to each
+    codebook centroid (literal arrays) and first-index argmin
+    (array_position of array_min — deterministic tie-break on the
+    lowest code). No shuffle, no Python; the codes column is
+    ``array<int>`` with 1-based codes (element_at-friendly).
+
+    ``clamp_digits`` rounds each candidate distance to
+    floor(d·10^digits + 0.5) — an INTEGER — before the argmin, so the
+    comparison carries no floating-point ulp sensitivity at all: the
+    oracle-parity clamp discipline (same trick as kmeans_fit)."""
+    m_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    code_cols = []
+    for m in range(m_sub):
+        s = F.slice(e, m * sub + 1, sub)
+        cand = [
+            _sq_dist(s, F.array(*[F.lit(float(x)) for x in c]))
+            for c in codebooks[m]
+        ]
+        if clamp_digits is not None:
+            scale = float(10 ** clamp_digits)
+            cand = [
+                F.floor(d * F.lit(scale) + F.lit(0.5)).cast("long")
+                for d in cand
+            ]
+        dists = F.array(*cand)
+        code_cols.append(
+            F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+    return df.select(
+        F.col(id_col), F.array(*code_cols).alias("pq_codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k_top: int,
+    clamp_digits: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, each row's distance is the sum over subspaces of the
+    PRECOMPUTED distance from the query subvector to the row's chosen
+    centroid — a literal-table lookup per subspace (element_at on an
+    m_sub x k literal grid) inside codegen, scanning m_sub bytes per row
+    instead of the vector. The scan is map-only; the global top-k is a
+    TakeOrdered — no shuffle. Ties break on the id for a deterministic
+    result set."""
+    m_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    adc = F.lit(0.0)
+    for m in range(m_sub):
+        q_m = F.array(
+            *[F.lit(float(x)) for x in query_vec[m * sub : (m + 1) * sub]]
+        )
+        # distance table row for subspace m, constant-folded JVM-side
+        table_m = F.array(
+            *[
+                _sq_dist(q_m, F.array(*[F.lit(float(x)) for x in c]))
+                for c in codebooks[m]
+            ]
+        )
+        adc = adc + F.element_at(
+            table_m, F.element_at("pq_codes", m + 1)
+        )
+    if clamp_digits is not None:
+        # integer nanos: the ranking key carries no double-compare ulp
+        scale = float(10 ** clamp_digits)
+        adc = (
+            F.floor(adc * F.lit(scale) + F.lit(0.5)).cast("long")
+            / F.lit(scale)
+        )
+    out = codes_df.select(F.col(id_col), adc.alias("adc_dist"))
+    return out.orderBy("adc_dist", id_col).limit(k_top)

@@ -722,6 +722,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_delete_dv",
     "q_streaming_mv",
     "q_ledger_zorder",
+    "q_ann_pq",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

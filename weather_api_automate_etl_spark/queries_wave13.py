@@ -490,3 +490,100 @@ def q_ledger_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# product quantization: compressed-code ANN scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ann_pq",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS j, e
+      FROM v ORDER BY vec_id LIMIT 8
+    ),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    ms AS (SELECT UNNEST([0, 1, 2, 3]) AS m),
+    dists AS (
+      SELECT v.vec_id, ms.m, cb.j,
+             CAST(floor(list_sum(list_transform(range(1, 17),
+                  i -> (v.e[ms.m * 16 + i] - cb.e[ms.m * 16 + i])
+                     * (v.e[ms.m * 16 + i] - cb.e[ms.m * 16 + i])))
+                  * 1e9 + 0.5) AS BIGINT) AS dist9
+      FROM v CROSS JOIN ms CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code
+      FROM dists
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist9, j
+      ) = 1
+    ),
+    codes_w AS (
+      SELECT vec_id,
+             CAST(MAX(CASE WHEN m = 0 THEN code END) AS INTEGER) AS c1,
+             CAST(MAX(CASE WHEN m = 1 THEN code END) AS INTEGER) AS c2,
+             CAST(MAX(CASE WHEN m = 2 THEN code END) AS INTEGER) AS c3,
+             CAST(MAX(CASE WHEN m = 3 THEN code END) AS INTEGER) AS c4
+      FROM codes GROUP BY vec_id
+    ),
+    qd AS (
+      SELECT ms.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                  i -> (q.qe[ms.m * 16 + i] - cb.e[ms.m * 16 + i])
+                     * (q.qe[ms.m * 16 + i] - cb.e[ms.m * 16 + i]))) AS qdist
+      FROM q CROSS JOIN ms CROSS JOIN cb
+    )
+    SELECT w.vec_id, w.c1, w.c2, w.c3, w.c4,
+           floor((((t0.qdist + t1.qdist) + t2.qdist) + t3.qdist)
+                 * 1e9 + 0.5) / 1e9 AS adc_dist
+    FROM codes_w w
+    JOIN qd t0 ON t0.m = 0 AND t0.j = w.c1
+    JOIN qd t1 ON t1.m = 1 AND t1.j = w.c2
+    JOIN qd t2 ON t2.m = 2 AND t2.j = w.c3
+    JOIN qd t3 ON t3.m = 3 AND t3.j = w.c4
+    ORDER BY adc_dist, w.vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/embeddings.py::pq_*): the
+    64-dim corpus splits into 4 subspaces, each vector encodes to 4
+    small codes against a deterministic sampled codebook (Jégou et al.
+    TPAMI 2011 — the production path swaps in per-subspace kmeans_fit),
+    and the query scans CODES, not vectors: per-row distance is a sum of
+    4 literal-table lookups (asymmetric distance) inside whole-stage
+    codegen, then a shuffle-free TakeOrdered top-10. At d=64 float32 the
+    codes are 16-64x smaller than the vectors — the compression that
+    keeps a 100 TB corpus's ANN index scannable — and encode/scan are
+    map-only (zero Python, zero shuffle; codebook and distance tables
+    are driver-side filter metadata, k·d floats). Every distance is
+    clamped to integer nanos before any comparison (argmin AND ranking),
+    so the DuckDB twin reproduces codes, ADC values, and the top-10 set
+    exactly — encode, table build, lookup, and rank all hash-checked."""
+    from weather_api_automate_etl_spark.operators import embeddings as emb_ops
+
+    emb = t(spark, sf_dir, "embeddings")
+    cbs = emb_ops.pq_sampled_codebooks(emb, "vec_id", "embedding", 4, 8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    codes = emb_ops.pq_encode(emb, "vec_id", "embedding", cbs, clamp_digits=9)
+    top = emb_ops.pq_adc_topk(
+        codes, "vec_id", qvec, cbs, 10, clamp_digits=9
+    )
+    return top.join(codes, "vec_id").select(
+        "vec_id",
+        F.element_at("pq_codes", 1).alias("c1"),
+        F.element_at("pq_codes", 2).alias("c2"),
+        F.element_at("pq_codes", 3).alias("c3"),
+        F.element_at("pq_codes", 4).alias("c4"),
+        "adc_dist",
+    )
