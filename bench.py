@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_streaming_mv",          # streaming upsert + incremental MV per batch
     "q_ledger_zorder",         # OPTIMIZE ZORDER: 2-D file clustering + skip
     "q_ann_pq",                # product-quantization codes + ADC table scan
+    "q_ledger_evolve",         # additive schema evolution, read-time NULLs
 ]
 
 

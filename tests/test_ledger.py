@@ -739,3 +739,40 @@ def test_zorder_compact_prunes_both_dimensions_and_keeps_state(tmp_path, spark):
     assert after == before
     with pytest.raises(ValueError, match="exactly two columns"):
         ledger.ledger_compact(spark, path, zorder_by=("x",))
+
+
+# ---------------------------------------------------------------------------
+# additive schema evolution (merge_schema)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_schema_evolves_additively_without_rewrites(spark, mart):
+    path, df = mart
+    m1 = ledger._read_manifest(path, 1)
+    upd = spark.createDataFrame(
+        [(3, 999.0, "2000", "VIP"), (100, 5.0, "2099", "NEW")],
+        "k long, price double, year string, tier string",
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        ledger.ledger_merge(spark, path, upd, "k")
+    v2 = ledger.ledger_merge(spark, path, upd, "k", merge_schema=True)
+    m2 = ledger._read_manifest(path, v2)
+    assert [f["name"] for f in m2["schema"]["fields"]][-1] == "tier"
+    # untouched partitions keep their ORIGINAL files (no rewrite)
+    assert (
+        m2["partitions"]["2001"]["dir"] == m1["partitions"]["2001"]["dir"]
+    )
+    got = {
+        r.k: (r.price, r.tier)
+        for r in ledger.ledger_read(spark, path).collect()
+    }
+    assert got[3] == (999.0, "VIP") and got[100] == (5.0, "NEW")
+    # pre-evolution rows materialize the new column as NULL at read time
+    assert got[4] == (40.0, None) and got[1] == (10.0, None)
+    assert len(got) == 31
+    # a later plain merge must carry the evolved column set
+    upd2 = spark.createDataFrame(
+        [(5, 1.0, "2002")], "k long, price double, year string"
+    )
+    with pytest.raises(ValueError, match="missing existing columns"):
+        ledger.ledger_merge(spark, path, upd2, "k", merge_schema=True)

@@ -723,6 +723,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_streaming_mv",
     "q_ledger_zorder",
     "q_ann_pq",
+    "q_ledger_evolve",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

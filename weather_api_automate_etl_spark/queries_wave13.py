@@ -587,3 +587,111 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("pq_codes", 4).alias("c4"),
         "adc_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# additive schema evolution through the ledger
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ledger_evolve",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y') AS o_year
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, o_year,
+             'REPRICED' AS o_status
+      FROM base WHERE o_orderkey % 10 = 3 AND o_year = '1996'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_year, NULL
+      FROM base WHERE NOT (o_orderkey % 10 = 3 AND o_year = '1996')
+      UNION ALL
+      SELECT o_orderkey + 6000000, o_totalprice * 0.5, '2999', 'NEW'
+      FROM base WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_status) AS BIGINT) AS n_status,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 2)
+                AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_year
+    """,
+    tags=("cdc", "ledger"),
+)
+def q_ledger_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the ledger (sources/ledger.py::
+    ledger_merge(merge_schema=True)): the year-partitioned orders mart
+    takes an update batch carrying a column the table never had
+    (o_status) — repriced 1996 rows plus a brand-new '2999' partition —
+    and the merge widens the RECORDED schema while rewriting only the
+    touched partitions. Untouched partitions keep their original files
+    (pinned by the in-query assert on the data-dir pointers) and
+    materialize the new column as typed NULLs at READ time from the
+    manifest schema — the Delta/Iceberg additive-evolution contract, no
+    table rewrite anywhere. Without merge_schema the same batch is rejected
+    (accidental drift must not silently widen a mart). The oracle is the
+    declarative merged state with NULL status everywhere the batch
+    didn't reach; per-year counts of the evolved column pin the NULL
+    materialization exactly. Sums run in decimal(18,3) (the
+    cent-boundary discipline)."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    updates = (
+        base.filter(
+            (F.col("o_orderkey") % 10 == 3) & (F.col("o_year") == "1996")
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("o_status", F.lit("REPRICED"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + F.lit(6000000)).alias("o_orderkey"),
+                (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+                F.lit("2999").alias("o_year"),
+                F.lit("NEW").alias("o_status"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="ledger_evolve_")
+    try:
+        ledger.ledger_write(spark, base, path, "o_year")
+        m1 = ledger._read_manifest(path, 1)
+        v2 = ledger.ledger_merge(
+            spark, path, updates, "o_orderkey", merge_schema=True
+        )
+        m2 = ledger._read_manifest(path, v2)
+        untouched = [
+            pv for pv in m1["partitions"] if pv not in ("1996", "2999")
+        ]
+        assert untouched and all(
+            m2["partitions"][pv]["dir"] == m1["partitions"][pv]["dir"]
+            for pv in untouched
+        ), "evolution must not rewrite untouched partitions"
+        out = (
+            ledger.ledger_read(spark, path)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count("o_status").cast("long").alias("n_status"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,3)")), 2
+                )
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -420,9 +420,15 @@ def _read_dirset(
     entry_of: dict[str, dict],
     pvals: Sequence[str],
     files: dict[str, Sequence[str]] | None = None,
+    target_schema=None,
 ) -> DataFrame:
     """Plan a read of ``pvals`` from a pv→{dir, dirname} pointer map —
-    used for both data entries and their deletion-vector sidecars."""
+    used for both data entries and their deletion-vector sidecars.
+
+    ``target_schema`` (a StructType) aligns each directory group to the
+    manifest's recorded schema: columns a pre-evolution writer never
+    knew about materialize as typed NULLs — the additive-evolution read
+    contract (see ledger_merge's ``merge_schema``)."""
     by_dir: dict[str, list[str]] = {}
     for pv in pvals:
         by_dir.setdefault(entry_of[pv]["dir"], []).append(pv)
@@ -437,7 +443,18 @@ def _read_dirset(
                 targets += [os.path.join(pdir, fn) for fn in sorted(files[pv])]
             else:
                 targets.append(pdir)
-        parts.append(spark.read.option("basePath", base).parquet(*targets))
+        p = spark.read.option("basePath", base).parquet(*targets)
+        if target_schema is not None:
+            have = set(p.columns)
+            p = p.select(
+                *[
+                    F.col(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target_schema.fields
+                ]
+            )
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -475,17 +492,26 @@ def _read_partitions(
 
         return spark.createDataFrame([], StructType.fromJson(schema))
     pdtype = m["partition_dtype"]
+    target = None
+    if m.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(m["schema"])
     plain = [pv for pv in pvals if not m["partitions"][pv].get("dv")]
     dv_pvals = [pv for pv in pvals if m["partitions"][pv].get("dv")]
     out = (
-        _read_dirset(spark, path, pcol, pdtype, m["partitions"], plain, files)
+        _read_dirset(
+            spark, path, pcol, pdtype, m["partitions"], plain, files,
+            target_schema=target,
+        )
         if plain
         else None
     )
     if dv_pvals:
         dv_key = m["dv_key"]
         data = _read_dirset(
-            spark, path, pcol, pdtype, m["partitions"], dv_pvals, files
+            spark, path, pcol, pdtype, m["partitions"], dv_pvals, files,
+            target_schema=target,
         )
         tombstones = _read_dirset(
             spark, path, pcol, pdtype,
@@ -615,6 +641,7 @@ def ledger_merge(
     updates: DataFrame,
     key: str,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Atomic partition-granular MERGE: resolve the upsert inside the
     touched partitions only (operators/cdc.py::merge_into — update rows
@@ -643,7 +670,17 @@ def ledger_merge(
     stale row survives untouched in its old partition, and subsequent
     reads see the key twice. Cross-partition moves must be expressed as
     ledger_delete(K) + merge, exactly as in Delta/Hudi partitioned
-    upserts without a global key index."""
+    upserts without a global key index.
+
+    SCHEMA EVOLUTION: an update batch carrying columns the table does
+    not have is REJECTED unless ``merge_schema=True`` (accidental drift
+    must not silently widen a mart — Delta's autoMerge default). With it,
+    the new columns join the recorded schema additively: current rows in
+    touched partitions merge with typed NULLs, untouched partitions keep
+    their old files and materialize the columns as NULLs at READ time
+    from the manifest schema (no rewrite anywhere — the Delta/Iceberg
+    additive-evolution contract). Dropping or re-typing a column is not
+    evolution and raises."""
     from weather_api_automate_etl_spark.operators.cdc import merge_into
 
     versions = _manifest_versions(path)
@@ -654,6 +691,28 @@ def ledger_merge(
     if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
         return v  # transaction already applied: replay is a pure no-op
     pcol = m["partition_col"]
+    table_cols = (
+        [f["name"] for f in m["schema"]["fields"]]
+        if m.get("schema") is not None
+        else None
+    )
+    new_cols = (
+        [c for c in updates.columns if c not in table_cols]
+        if table_cols is not None
+        else []
+    )
+    if new_cols and not merge_schema:
+        raise ValueError(
+            f"update batch carries columns the table does not have: "
+            f"{new_cols} — pass merge_schema=True to evolve additively"
+        )
+    if merge_schema and table_cols is not None:
+        missing = [c for c in table_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(
+                f"schema evolution is additive only: update batch is "
+                f"missing existing columns {missing}"
+            )
     touched = [
         r["__pv"]
         for r in updates.select(
@@ -667,9 +726,16 @@ def ledger_merge(
         current = _read_partitions(spark, path, m, existing).filter(
             F.col(pcol).cast("string").isin(touched)
         )
+        for c in new_cols:
+            current = current.withColumn(
+                c, F.lit(None).cast(updates.schema[c].dataType)
+            )
         merged = merge_into(current, updates.select(*current.columns), key)
     else:
         merged = updates
+    new_schema = m.get("schema")
+    if new_cols:
+        new_schema = merged.schema.jsonValue()
     entries = _write_data_dir(
         merged, path, pcol, m.get("stats_cols", []), m.get("key_index"),
         partition_dtype=m["partition_dtype"],
@@ -677,7 +743,7 @@ def ledger_merge(
     manifest = {
         "partition_col": pcol,
         "partition_dtype": m["partition_dtype"],
-        "schema": m.get("schema"),
+        "schema": new_schema,
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
         "dv_key": m.get("dv_key"),
