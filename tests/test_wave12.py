@@ -222,3 +222,25 @@ def test_bloom_prune_join_is_dtype_stable(spark):
         for r in joins.bloom_prune_join(facts, keys, "k").collect()
     )
     assert got == want and len(want) == 100
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    """JSD is 0 for identical distributions and ≤ ln 2 always (even when
+    the two sides are fully disjoint — the property PSI lacks)."""
+    import math
+
+    from weather_api_automate_etl_spark.operators import stats
+
+    a = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    edges = [25.0, 50.0, 75.0]
+    same = stats.js_divergence(a, a, "v", edges).agg(
+        F.sum("js_term")
+    ).collect()[0][0]
+    assert abs(same) < 1e-9
+    b = spark.range(1000).selectExpr("CAST(id % 100 + 1000 AS DOUBLE) AS v")
+    disjoint = stats.js_divergence(a, b, "v", edges).agg(
+        F.sum("js_term")
+    ).collect()[0][0]
+    assert 0.0 < disjoint <= math.log(2) + 1e-9
+    with pytest.raises(ValueError, match="ascending"):
+        stats.js_divergence(a, b, "v", [5.0, 1.0])

@@ -565,6 +565,70 @@ def psi_drift(
     )
 
 
+def js_divergence(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    col: str,
+    edges: Sequence[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two snapshots of a numeric
+    column over FIXED bin edges — the bounded, symmetric drift gate
+    (0 ≤ JSD ≤ ln 2) that PSI's asymmetric unbounded terms are not:
+    robust when a bin is empty on one side (the mixture M never is),
+    which is why corpus-mix monitors prefer it for source-proportion
+    tracking. Same binning/smoothing machinery as ``psi_drift`` (open-
+    ended first/last bins, NULLs excluded, ``eps`` floor); per bin emits
+    (bin_id, n_old, n_new, p_old, p_new, js_term) with
+    js_term = ½·p·ln(p/m) + ½·q·ln(q/m), m = (p+q)/2, all rounded to 6;
+    SUM(js_term) is the headline divergence. Two count aggregates + a
+    bins-sized grid join — scan-rate, nothing data-sized shuffles."""
+    if len(edges) < 1:
+        raise ValueError("js_divergence needs at least one bin edge")
+    if list(edges) != sorted(edges):
+        raise ValueError(f"edges must be ascending, got {list(edges)}")
+    n_bins = len(edges) + 1
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        v = F.col(col)
+        bin_id = sum(
+            (v >= F.lit(float(e))).cast("int") for e in edges
+        )
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(bin_id.alias("bin_id"))
+            .agg(F.count(F.lit(1)).alias(f"n_{alias}"))
+        )
+
+    spark = old_df.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin_id"))
+    o, n = side(old_df, "old"), side(new_df, "new")
+    joined = (
+        grid.join(o, "bin_id", "left")
+        .join(n, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    p = F.greatest(F.col("n_old") / F.col("__to"), F.lit(eps))
+    q = F.greatest(F.col("n_new") / F.col("__tn"), F.lit(eps))
+    m = (p + q) / 2
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bin_id",
+        "n_old",
+        "n_new",
+        F.round(p, 6).alias("p_old"),
+        F.round(q, 6).alias("p_new"),
+        F.round(term, 6).alias("js_term"),
+    )
+
+
 def ks_two_sample(
     a: DataFrame, b: DataFrame, col: str
 ) -> DataFrame:

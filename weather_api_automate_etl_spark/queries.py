@@ -724,6 +724,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_zorder",
     "q_ann_pq",
     "q_ledger_evolve",
+    "q_js_drift",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

@@ -695,3 +695,75 @@ def q_ledger_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon drift gate (bounded, symmetric sibling of PSI)
+# ---------------------------------------------------------------------------
+
+_JS_EDGES = (50_000.0, 100_000.0, 150_000.0, 200_000.0, 300_000.0)
+
+
+@query(
+    "q_js_drift",
+    oracle=f"""
+    WITH old_side AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    new_side AS (
+      SELECT o_totalprice * 1.25 AS v FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    edges(e) AS (VALUES {", ".join(f"({e!r})" for e in _JS_EDGES)}),
+    ob AS (
+      SELECT (SELECT COUNT(*) FROM edges WHERE v >= e) AS bin_id,
+             COUNT(*) AS n_old
+      FROM old_side WHERE v IS NOT NULL GROUP BY 1
+    ),
+    nb AS (
+      SELECT (SELECT COUNT(*) FROM edges WHERE v >= e) AS bin_id,
+             COUNT(*) AS n_new
+      FROM new_side WHERE v IS NOT NULL GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range({len(_JS_EDGES) + 1})) AS bin_id),
+    j AS (
+      SELECT CAST(g.bin_id AS INTEGER) AS bin_id,
+             CAST(COALESCE(ob.n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(nb.n_new, 0) AS BIGINT) AS n_new
+      FROM grid g LEFT JOIN ob ON ob.bin_id = g.bin_id
+                  LEFT JOIN nb ON nb.bin_id = g.bin_id
+    ),
+    tot AS (SELECT SUM(n_old) AS t_o, SUM(n_new) AS t_n FROM j),
+    pq AS (
+      SELECT bin_id, n_old, n_new,
+             GREATEST(n_old / t_o, 1e-6) AS p,
+             GREATEST(n_new / t_n, 1e-6) AS q
+      FROM j CROSS JOIN tot
+    )
+    SELECT bin_id, n_old, n_new,
+           ROUND(p, 6) AS p_old,
+           ROUND(q, 6) AS p_new,
+           ROUND(0.5 * p * ln(p / ((p + q) / 2))
+                 + 0.5 * q * ln(q / ((p + q) / 2)), 6) AS js_term
+    FROM pq
+    """,
+    tags=("agg", "quality", "analytics"),
+)
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift gate (operators/stats.py::js_divergence) —
+    the bounded, symmetric sibling of q_psi_drift over the same fixed
+    bins and the same deliberate +25% reprice drift: JSD lives in
+    [0, ln 2], never blows up on one-sided empty bins (the mixture M is
+    never empty), and is what corpus-mix monitors threshold when
+    tracking source proportions between crawls. Emits the full per-bin
+    decomposition; Σjs_term is the headline divergence. Same
+    scan-rate shape as PSI: two count aggregates + a bins-sized grid."""
+    from weather_api_automate_etl_spark.operators import stats
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice")
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice") * F.lit(1.25)).alias("o_totalprice")
+    )
+    return stats.js_divergence(old, new, "o_totalprice", list(_JS_EDGES))
