@@ -979,3 +979,67 @@ def bpe_merge_rounds(
             )
         )
     return table
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    placeholders: str,
+    n_rounds: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The INFERENCE side of BPE: apply a learned merge table
+    (``bpe_merge_rounds``' artifact) to encode every document, emitting
+    the per-doc tokenizer accounting a data pipeline actually consumes —
+    token count, raw character count, encoded symbol count, and the
+    compression ratio that length-based cost models and packing
+    estimators run on.
+
+    The merge table stays a DATAFRAME end to end: it pivots to a single
+    broadcast row (one column per round) and the per-token substitution
+    chain applies inside one array-transform expression — corpus-linear,
+    no joins beyond the 1-row broadcast, no Python, and the lineage is
+    fully declarative so training and encoding compose into one plan.
+    Merges apply in round order, exactly as learned (round r's pair may
+    contain round <r placeholders)."""
+    n = len(placeholders) if n_rounds is None else n_rounds
+    if n < 1:
+        raise ValueError("bpe_encode needs at least one merge round")
+    if len(placeholders) < n:
+        raise ValueError("need one placeholder symbol per round")
+    row = merges.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("round") == r, F.col("merge_pair"))
+            ).alias(f"__w{r}")
+            for r in range(n)
+        ]
+    )
+
+    def encode(tok: F.Column) -> F.Column:
+        out = tok
+        for r in range(n):
+            out = F.replace(out, F.col(f"__w{r}"), F.lit(placeholders[r]))
+        return out
+
+    clen = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .crossJoin(F.broadcast(row))
+        .select(
+            F.col(id_col),
+            F.size("__t").cast("long").alias("n_tokens"),
+            clen(F.col("__t")).alias("n_chars"),
+            clen(F.transform(F.col("__t"), encode)).alias("n_symbols"),
+        )
+        .withColumn(
+            "ratio",
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(F.col("n_symbols") / F.col("n_chars"), 6),
+            ).otherwise(F.lit(1.0)),
+        )
+    )

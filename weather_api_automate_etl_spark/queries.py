@@ -725,6 +725,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ann_pq",
     "q_ledger_evolve",
     "q_js_drift",
+    "q_bpe_encode",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

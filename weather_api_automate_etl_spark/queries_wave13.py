@@ -767,3 +767,87 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * F.lit(1.25)).alias("o_totalprice")
     )
     return stats.js_divergence(old, new, "o_totalprice", list(_JS_EDGES))
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: apply the learned merge table to the corpus
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(n_rounds: int = 3) -> str:
+    from weather_api_automate_etl_spark.queries_ext import _TOKENS_SQL
+    from weather_api_automate_etl_spark.queries_wave9 import _BPE_PAIRS_SQL
+    from weather_api_automate_etl_spark.queries_wave11 import _BPE_SYMBOLS
+
+    ctes = [_BPE_PAIRS_SQL.rstrip()]
+    prev_tok = "tok"
+    for r in range(n_rounds):
+        src_pairs = (
+            "pairs" if r == 0
+            else f"""(
+      SELECT unnest([substr(tok, i, 2) FOR i IN range(1, len(tok))]) AS pair
+      FROM {prev_tok} WHERE len(tok) >= 2
+    )"""
+        )
+        ctes.append(f"""
+    w{r} AS (
+      SELECT pair FROM (
+        SELECT pair, COUNT(*) AS n FROM {src_pairs} GROUP BY pair
+      ) ORDER BY n DESC, pair LIMIT 1
+    )""")
+        ctes.append(f"""
+    m{r} AS (
+      SELECT replace(tok, (SELECT pair FROM w{r}),
+                     chr({ord(_BPE_SYMBOLS[r])})) AS tok
+      FROM {prev_tok}
+    )""")
+        prev_tok = f"m{r}"
+    enc_expr = "tok"
+    for r in range(n_rounds):
+        enc_expr = (
+            f"replace({enc_expr}, (SELECT pair FROM w{r}), "
+            f"chr({ord(_BPE_SYMBOLS[r])}))"
+        )
+    return (
+        ",".join(ctes)
+        + f""",
+    dtok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, tok, {enc_expr} AS etok FROM dtok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(etok)) AS BIGINT) AS n_symbols,
+           CASE WHEN SUM(len(tok)) > 0
+                THEN ROUND(SUM(len(etok)) / SUM(len(tok)), 6)
+                ELSE 1.0 END AS ratio
+    FROM enc GROUP BY doc_id
+    """
+    )
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(), tags=("text",))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (operators/textops.py::bpe_encode) — the inference
+    side of the tokenizer family: three merge rounds are learned with
+    bpe_merge_rounds (the q_bpe_merge_table artifact), then the merge
+    table applies corpus-wide as a single broadcast row driving a
+    per-token substitution chain inside one array-transform expression.
+    Output is the per-document tokenizer accounting a pipeline consumes
+    (token count, raw chars, encoded symbols, compression ratio — the
+    inputs to length-based cost models and sequence packing). Training
+    AND encoding compose into one declarative plan: the winners never
+    leave the cluster as anything but a 1-row broadcast. The oracle
+    re-learns the same three winners in unrolled CTEs and re-encodes
+    with nested replace(), so a drift in either phase breaks the hash."""
+    from weather_api_automate_etl_spark.operators import textops
+    from weather_api_automate_etl_spark.queries_wave11 import _BPE_SYMBOLS
+
+    docs = t(spark, sf_dir, "documents")
+    table = textops.bpe_merge_rounds(
+        docs, n_rounds=3, placeholders=_BPE_SYMBOLS
+    )
+    return textops.bpe_encode(docs, table, _BPE_SYMBOLS, n_rounds=3)
