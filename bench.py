@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q_ledger_zorder",         # OPTIMIZE ZORDER: 2-D file clustering + skip
     "q_ann_pq",                # product-quantization codes + ADC table scan
     "q_ledger_evolve",         # additive schema evolution, read-time NULLs
+    "q_js_drift",              # bounded symmetric JS divergence drift gate
+    "q_bpe_encode",            # learned-merge substitution chain, per-doc stats
 ]
 
 

@@ -14,6 +14,21 @@ skipping plus the round-8 operator additions.
 - ``q_ledger_delete_dv``: deletion-vector takedown — tombstone sidecars
   instead of data rewrites, settled by compaction; oracle = the
   declarative complement over the whole chain.
+- ``q_streaming_mv``: the DLT streaming-table → materialized-view
+  topology — per micro-batch exactly-once ledger merge chained into an
+  incremental MV refresh; oracle = declarative keep-latest rollup.
+- ``q_ledger_zorder``: OPTIMIZE ZORDER — Morton-clustered file rewrite,
+  per-file stats prune BOTH dimensions; oracle = the unpruned filter.
+- ``q_ann_pq``: product-quantization ANN — codes + ADC literal-table
+  scan, every comparison clamped to integer nanos; oracle reproduces
+  codes, distances, and the top-10 exactly.
+- ``q_ledger_evolve``: additive schema evolution — manifest schema
+  widens, untouched partitions materialize the new column as read-time
+  NULLs; oracle = the declarative merged state.
+- ``q_js_drift``: bounded symmetric Jensen-Shannon drift gate over the
+  PSI bins.
+- ``q_bpe_encode``: the tokenizer family's inference side — learned
+  merges applied corpus-wide as one broadcast-row substitution chain.
 
 Same registry/oracle conventions as every wave: identical aliases on both
 engines, round(6)/round(2) on aggregation-order-sensitive doubles,
