@@ -776,3 +776,165 @@ def test_merge_schema_evolves_additively_without_rewrites(spark, mart):
     )
     with pytest.raises(ValueError, match="missing existing columns"):
         ledger.ledger_merge(spark, path, upd2, "k", merge_schema=True)
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency: disjoint-partition writers rebase, overlapping
+# writers conflict (Delta VLDB 2020 §3.2 at the partition grain)
+# ---------------------------------------------------------------------------
+
+
+def _inject_before_commit(monkeypatch, fn):
+    """Patch ledger._commit so the NEXT commit attempt first runs ``fn``
+    (a competitor landing its own commit), then proceeds — the
+    deterministic form of losing the CAS race."""
+    real_commit = ledger._commit
+
+    def racing_commit(path, manifest, version):
+        monkeypatch.setattr(ledger, "_commit", real_commit)
+        fn()
+        return real_commit(path, manifest, version)
+
+    monkeypatch.setattr(ledger, "_commit", racing_commit)
+
+
+def test_disjoint_partition_writers_rebase_and_both_land(
+    spark, mart, monkeypatch
+):
+    path, df = mart
+    upd_a = spark.createDataFrame(
+        [(1, 111.0, "2001")], "k long, price double, year string"
+    )
+    upd_b = spark.createDataFrame(
+        [(2, 222.0, "2002"), (200, 9.0, "2999")],
+        "k long, price double, year string",
+    )
+
+    def competitor():
+        assert ledger.ledger_merge(spark, path, upd_a, "k") == 2
+
+    _inject_before_commit(monkeypatch, competitor)
+    # B computed against v1, loses the CAS at v2, rebases (its touched
+    # partitions {2002, 2999} are disjoint from A's {2001}), lands at v3
+    assert ledger.ledger_merge(spark, path, upd_b, "k") == 3
+    m2 = ledger._read_manifest(path, 2)
+    m3 = ledger._read_manifest(path, 3)
+    # A's repoint survives the rebase verbatim; untouched dirs carry
+    assert m3["partitions"]["2001"] == m2["partitions"]["2001"]
+    assert m3["partitions"]["2000"] == m2["partitions"]["2000"]
+    got = {r.k: r.price for r in ledger.ledger_read(spark, path).collect()}
+    assert got[1] == 111.0 and got[2] == 222.0 and got[200] == 9.0
+    assert len(got) == 31
+
+
+def test_overlapping_partition_writers_raise_instead_of_lost_update(
+    spark, mart, monkeypatch
+):
+    path, _ = mart
+    upd_a = spark.createDataFrame(
+        [(1, 111.0, "2001")], "k long, price double, year string"
+    )
+    upd_b = spark.createDataFrame(
+        [(4, 444.0, "2001")], "k long, price double, year string"
+    )
+
+    def competitor():
+        assert ledger.ledger_merge(spark, path, upd_a, "k") == 2
+
+    _inject_before_commit(monkeypatch, competitor)
+    with pytest.raises(
+        ledger.LedgerConcurrentWriteError, match=r"2001.*superseded"
+    ):
+        ledger.ledger_merge(spark, path, upd_b, "k")
+    # A's commit is the table's final word; B left only orphans
+    got = {r.k: r.price for r in ledger.ledger_read(spark, path).collect()}
+    assert got[1] == 111.0 and got[4] == 40.0
+    assert ledger._manifest_versions(path) == [1, 2]
+
+
+def test_rebase_merges_txn_watermarks_at_per_app_max(
+    spark, mart, monkeypatch
+):
+    path, _ = mart
+    upd_a = spark.createDataFrame(
+        [(1, 111.0, "2001")], "k long, price double, year string"
+    )
+    upd_b = spark.createDataFrame(
+        [(2, 222.0, "2002")], "k long, price double, year string"
+    )
+
+    def competitor():
+        ledger.ledger_merge(spark, path, upd_a, "k", txn=("appA", 7))
+
+    _inject_before_commit(monkeypatch, competitor)
+    assert ledger.ledger_merge(spark, path, upd_b, "k", txn=("appB", 3)) == 3
+    assert ledger._read_manifest(path, 3)["txn"] == {"appA": 7, "appB": 3}
+
+
+def test_rebase_detects_competitor_applied_same_txn(
+    spark, mart, monkeypatch
+):
+    """Exactly-once across the race: if the CAS winner already recorded
+    OUR (app, txn_id), the retry is a pure no-op — the batch must not
+    apply twice."""
+    path, _ = mart
+    upd = spark.createDataFrame(
+        [(1, 111.0, "2001")], "k long, price double, year string"
+    )
+
+    def competitor():
+        ledger.ledger_merge(spark, path, upd, "k", txn=("stream", 5))
+
+    _inject_before_commit(monkeypatch, competitor)
+    assert ledger.ledger_merge(spark, path, upd, "k", txn=("stream", 5)) == 2
+    assert ledger._manifest_versions(path) == [1, 2]
+
+
+def test_concurrent_delete_and_merge_on_disjoint_partitions_rebase(
+    spark, mart, monkeypatch
+):
+    path, _ = mart
+    doomed = spark.createDataFrame([(3,)], "k long")  # year 2000
+    upd = spark.createDataFrame(
+        [(1, 111.0, "2001")], "k long, price double, year string"
+    )
+
+    def competitor():
+        ledger.ledger_merge(spark, path, upd, "k")
+
+    _inject_before_commit(monkeypatch, competitor)
+    assert ledger.ledger_delete(spark, path, doomed, "k") == 3
+    got = {r.k: r.price for r in ledger.ledger_read(spark, path).collect()}
+    assert 3 not in got and got[1] == 111.0
+    assert len(got) == 29
+
+
+# ---------------------------------------------------------------------------
+# RESTORE: metadata-only rollback as a forward commit
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_state_back_as_a_new_version(spark, mart):
+    path, df = mart
+    want_v1 = _snapshot(spark, path)
+    upd = spark.createDataFrame(
+        [(1, 999.0, "2001")], "k long, price double, year string"
+    )
+    ledger.ledger_merge(spark, path, upd, "k", txn=("stream", 5))
+    ledger.ledger_delete(
+        spark, path, spark.createDataFrame([(2,)], "k long"), "k"
+    )
+    assert _snapshot(spark, path) != want_v1
+    v = ledger.ledger_restore(path, 1)
+    assert v == 4
+    assert _snapshot(spark, path) == want_v1
+    # the bad versions stay time-travelable (forward commit, not rewrite)
+    assert _snapshot(spark, path, version=3) != want_v1
+    # exactly-once watermarks survive the rollback at per-app max
+    assert ledger._read_manifest(path, 4)["txn"] == {"stream": 5}
+    # restore-to-current is a no-op; vacuumed history is not restorable
+    assert ledger.ledger_restore(path, 4) == 4
+    assert ledger._manifest_versions(path) == [1, 2, 3, 4]
+    ledger.ledger_vacuum(path, keep_versions=1)
+    with pytest.raises(ValueError, match="not restorable"):
+        ledger.ledger_restore(path, 2)

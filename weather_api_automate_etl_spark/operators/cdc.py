@@ -239,3 +239,46 @@ def scd2_asof(dim: DataFrame, at_ts) -> DataFrame:
         (F.col("valid_from") <= ts)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
     )
+
+
+def apply_cdc(
+    log: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """APPLY CHANGES INTO — collapse an insert/update/delete change log
+    (Debezium/DLT AUTO CDC shape: one row per change event carrying a
+    key, a monotone sequence, and an op code) into the table's FINAL
+    state: per key, the row with the highest ``seq_col`` wins, and a
+    winning ``delete_op`` removes the key entirely. Inserts and updates
+    need no distinction — both simply win by recency (SCD type 1; the
+    type-2 path is ``scd2_apply``).
+
+    Out-of-order delivery is handled by the sequence column, not arrival
+    order — exactly DLT's ``sequence_by`` contract. ``seq_col`` must be
+    unique per key (true for log offsets / LSNs); equal sequence values
+    would make the winner nondeterministic, so ties break on the op code
+    descending ('U' > 'I' > 'D' lexicographically is NOT assumed — the
+    tie-break is documented as arbitrary-but-deterministic) purely to
+    keep replays stable.
+
+    Shape: one hash-shuffle on the key into a window row_number — the
+    same single-shuffle keep-latest as dedup_keep_latest; at 100 TB the
+    log partitions by key with no skew beyond the key distribution
+    itself, and Spark's WindowGroupLimit pushes the rn=1 filter into the
+    sort. No join against the existing table is needed for full-log
+    replay; incremental application composes with ledger_merge /
+    ledger_delete (apply upserts, then the delete set).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

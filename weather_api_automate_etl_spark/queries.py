@@ -543,6 +543,7 @@ def _load_extensions() -> None:
         queries_wave11,
         queries_wave12,
         queries_wave13,
+        queries_wave14,
     )
 
 
@@ -726,6 +727,14 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_evolve",
     "q_js_drift",
     "q_bpe_encode",
+    # wave 14: multi-writer ledger semantics + round-8 operator additions
+    "q_ledger_timetravel",
+    "q_ledger_restore",
+    "q_ledger_concurrent",
+    "q_ledger_vacuum",
+    "q_ann_ivfpq",
+    "q_cdc_apply",
+    "q_perplexity_buckets",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

@@ -125,6 +125,162 @@ def _commit(path: str, manifest: dict, version: int) -> None:
             os.unlink(tmp)
 
 
+class LedgerConcurrentWriteError(RuntimeError):
+    """Two writers modified OVERLAPPING partitions from the same base
+    version — the loser's merged data was computed against rows the
+    winner has since replaced, so retrying the commit would publish a
+    lost update. The caller must re-run the whole operation against the
+    new snapshot (re-read, re-merge, re-commit); the ledger cannot rebase
+    it mechanically. Disjoint-partition writers never see this — their
+    commits rebase and land automatically (``_commit_with_rebase``)."""
+
+
+def _changed_partitions(base_m: dict, latest_m: dict) -> set[str]:
+    """Partition keys whose entry differs between two manifests —
+    repointed directories, refreshed stats, added/dropped partitions, and
+    deletion-vector sidecar changes all compare unequal because the entry
+    dicts are value-compared wholesale."""
+    base_p, latest_p = base_m["partitions"], latest_m["partitions"]
+    return {
+        pv
+        for pv in set(base_p) | set(latest_p)
+        if base_p.get(pv) != latest_p.get(pv)
+    }
+
+
+def _commit_with_rebase(
+    path: str,
+    base_version: int,
+    base_m: dict,
+    manifest: dict,
+    touched: set[str],
+    txn: tuple[str, int] | None = None,
+    max_retries: int = 10,
+) -> int:
+    """Optimistic concurrency control over the CAS commit — the Delta
+    conflict-resolution loop (Armbrust et al. VLDB 2020 §3.2) at the
+    ledger's partition grain.
+
+    ``manifest`` was built against snapshot ``base_version``; ``touched``
+    is the operation's combined read+write set (the partition values it
+    re-resolved and rewrote/dropped). On a CAS loss the newer snapshot is
+    inspected: if the interleaved commits changed only DISJOINT
+    partitions, this writer's work is still valid verbatim — its entries
+    are replayed on top of the latest manifest and the commit retries at
+    the next version (two daily-partition backfills land concurrently
+    without coordination). If any touched partition changed underneath,
+    ``LedgerConcurrentWriteError`` — the semantic conflict OCC cannot
+    rebase. Schema handling is additive-only, mirroring ledger_merge: a
+    concurrent widening is adopted (this writer's files materialize the
+    new columns as read-time NULLs); two DIFFERENT concurrent evolutions
+    conflict. A concurrent commit that already advanced this writer's
+    ``txn`` watermark turns the retry into a no-op (exactly-once is
+    preserved across the rebase)."""
+    version = base_version + 1
+    for _ in range(max_retries + 1):
+        try:
+            _commit(path, manifest, version)
+            return version
+        except RuntimeError:
+            latest_v = _manifest_versions(path)[-1]
+            latest_m = _read_manifest(path, latest_v)
+            if txn is not None and txn[1] <= latest_m.get("txn", {}).get(
+                txn[0], -1
+            ):
+                return latest_v  # competitor applied this very transaction
+            if latest_m["partition_col"] != base_m["partition_col"] or (
+                latest_m["partition_dtype"] != base_m["partition_dtype"]
+            ):
+                raise LedgerConcurrentWriteError(
+                    f"concurrent commit changed the partitioning of {path}"
+                ) from None
+            for fixed in ("stats_cols", "key_index"):
+                if latest_m.get(fixed) != base_m.get(fixed):
+                    raise LedgerConcurrentWriteError(
+                        f"concurrent commit changed {fixed!r} on {path} — "
+                        f"rebase would mix indexing configurations"
+                    ) from None
+            overlap = sorted(touched & _changed_partitions(base_m, latest_m))
+            if overlap:
+                raise LedgerConcurrentWriteError(
+                    f"concurrent write to partitions {overlap[:10]} of "
+                    f"{path}: merged state was computed against "
+                    f"v{base_version}, superseded by v{latest_v}"
+                ) from None
+            schema = manifest.get("schema")
+            if latest_m.get("schema") != base_m.get("schema"):
+                if schema == base_m.get("schema"):
+                    # competitor widened; additive evolution means our
+                    # files simply materialize the new columns as NULLs
+                    base_names = {
+                        f["name"] for f in (base_m.get("schema") or {}).get(
+                            "fields", []
+                        )
+                    }
+                    latest_names = {
+                        f["name"]
+                        for f in (latest_m.get("schema") or {}).get(
+                            "fields", []
+                        )
+                    }
+                    if not base_names <= latest_names:
+                        raise LedgerConcurrentWriteError(
+                            f"concurrent non-additive schema change on "
+                            f"{path} — cannot rebase"
+                        ) from None
+                    schema = latest_m.get("schema")
+                else:
+                    raise LedgerConcurrentWriteError(
+                        f"both writers evolved the schema of {path} from "
+                        f"v{base_version} — cannot rebase"
+                    ) from None
+            dv_key = manifest.get("dv_key")
+            if dv_key == base_m.get("dv_key"):
+                dv_key = latest_m.get("dv_key")
+            elif latest_m.get("dv_key") not in (base_m.get("dv_key"), dv_key):
+                raise LedgerConcurrentWriteError(
+                    f"concurrent deletes set different deletion-vector "
+                    f"keys on {path} ({latest_m.get('dv_key')!r} vs "
+                    f"{dv_key!r}) — cannot rebase"
+                ) from None
+            manifest = {
+                **manifest,
+                "schema": schema,
+                "dv_key": dv_key,
+                # watermarks are monotone: per-app MAX, so carrying the
+                # base's stale value for an app the competitor advanced
+                # can never roll that app's exactly-once floor backwards
+                "txn": {
+                    app: max(
+                        latest_m.get("txn", {}).get(app, -1),
+                        manifest.get("txn", {}).get(app, -1),
+                    )
+                    for app in {
+                        *latest_m.get("txn", {}),
+                        *manifest.get("txn", {}),
+                    }
+                },
+                "partitions": {
+                    **{
+                        pv: e
+                        for pv, e in latest_m["partitions"].items()
+                        if pv not in touched
+                    },
+                    **{
+                        pv: e
+                        for pv, e in manifest["partitions"].items()
+                        if pv in touched
+                    },
+                },
+            }
+            base_version, base_m = latest_v, latest_m
+            version = latest_v + 1
+    raise LedgerConcurrentWriteError(
+        f"commit of {path} lost the CAS race {max_retries + 1} times — "
+        f"giving up"
+    )
+
+
 def _stats_aggs(
     df: DataFrame, stats_cols: Sequence[str]
 ) -> tuple[list[F.Column], dict[str, str]]:
@@ -753,8 +909,9 @@ def ledger_merge(
         },
         "partitions": {**m["partitions"], **entries},
     }
-    _commit(path, manifest, v + 1)
-    return v + 1
+    return _commit_with_rebase(
+        path, v, m, manifest, set(touched) | set(entries), txn=txn
+    )
 
 
 def ledger_replace_partitions(
@@ -823,8 +980,9 @@ def ledger_replace_partitions(
             **entries,
         },
     }
-    _commit(path, manifest, v + 1)
-    return v + 1
+    return _commit_with_rebase(
+        path, v, m, manifest, target | set(entries), txn=txn
+    )
 
 
 def ledger_compact(
@@ -959,6 +1117,50 @@ def ledger_vacuum(path: str, keep_versions: int = 2) -> list[str]:
         if v not in keep:
             os.unlink(os.path.join(path, _LEDGER_DIR, f"v{v}.json"))
     return sorted(deleted)
+
+
+def ledger_restore(path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table state back to
+    ``version`` by committing a NEW version that points at the old
+    version's partition mapping (Delta's RESTORE: a metadata-only
+    forward commit, never a history rewrite, so the bad versions stay
+    inspectable and time-travelable until vacuum). Data files are
+    immutable and the target manifest still references them, so no data
+    moves — the commit is O(partitions) driver JSON.
+
+    Exactly-once ``txn`` watermarks are RETAINED at their per-app MAX
+    across the rollback (Delta keeps setTransaction actions through
+    RESTORE for the same reason): a restore says "this state was wrong",
+    so a checkpointed stream replaying its last batches must stay a
+    no-op rather than re-applying rows the operator just rolled back.
+    Requires the target manifest to still exist (not vacuumed). Returns
+    the new version. Restoring to the current version is a no-op that
+    returns the current version without committing."""
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no ledger manifest under {path}")
+    if version not in versions:
+        raise ValueError(
+            f"version {version} is not restorable at {path} "
+            f"(retained: {versions}) — vacuumed history cannot be restored"
+        )
+    current_v = versions[-1]
+    if version == current_v:
+        return current_v
+    target = _read_manifest(path, version)
+    current = _read_manifest(path, current_v)
+    manifest = {
+        **target,
+        "txn": {
+            app: max(
+                target.get("txn", {}).get(app, -1),
+                current.get("txn", {}).get(app, -1),
+            )
+            for app in {*target.get("txn", {}), *current.get("txn", {})}
+        },
+    }
+    _commit(path, manifest, current_v + 1)
+    return current_v + 1
 
 
 def ledger_delete(
@@ -1152,8 +1354,9 @@ def ledger_delete(
         },
         "partitions": {**remaining, **entries},
     }
-    _commit(path, manifest, v + 1)
-    return v + 1
+    return _commit_with_rebase(
+        path, v, m, manifest, set(candidates) | set(entries), txn=txn
+    )
 
 
 def ledger_changes(
