@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     "q_ledger_evolve",         # additive schema evolution, read-time NULLs
     "q_js_drift",              # bounded symmetric JS divergence drift gate
     "q_bpe_encode",            # learned-merge substitution chain, per-doc stats
+    # round-8 second wave
+    "q_ledger_concurrent",     # two real writer threads, OCC rebase commit
+    "q_ledger_restore",        # merge+delete then metadata-only rollback
+    "q_ann_ivfpq",             # IVF probe routing over PQ codes (ADC scan)
+    "q_cdc_apply",             # APPLY CHANGES keep-latest with delete ops
+    "q_perplexity_buckets",    # unigram-LM scoring + global tercile cut
 ]
 
 
