@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "q_ann_ivfpq",             # IVF probe routing over PQ codes (ADC scan)
     "q_cdc_apply",             # APPLY CHANGES keep-latest with delete ops
     "q_perplexity_buckets",    # unigram-LM scoring + global tercile cut
+    "q_streaming_cdc_apply",   # 3-shipment CDC drain: collapse+guard+merge+delete
+    "q_ann_ivfadc",            # residual PQ, per-cell ADC tables
+    "q_mann_whitney",          # rank-sum over the distinct-value domain
 ]
 
 

@@ -459,3 +459,57 @@ def test_ks_two_sample_known_values(spark):
     withnull = stats.ks_two_sample(mk([1, 1, 2, None]), mk([1, 2, 2]), "x").collect()[0]
     # F_a = {1: 2/3, 2: 1}, F_b = {1: 1/3, 2: 1} → D = 1/3
     assert withnull.n_a == 3 and withnull.d_stat == round(1 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 15: Mann-Whitney U and APPLY CHANGES
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_hand_computation_with_ties(spark):
+    # group a: [1, 2, 2, 5]   group b: [2, 3, 5, 5, 7]
+    # combined sorted: 1(r1), 2,2,2 (avg 3), 3 (r5), 5,5,5 (avg 7), 7 (r9)
+    # R1 = 1 + 3 + 3 + 7 = 14; U1 = 14 - 4*5/2 = 4
+    rows = [(1.0, "a"), (2.0, "a"), (2.0, "a"), (5.0, "a"),
+            (2.0, "b"), (3.0, "b"), (5.0, "b"), (5.0, "b"), (7.0, "b")]
+    df = spark.createDataFrame(rows, "v double, grp string")
+    got = stats.mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert (got["n1"], got["n2"]) == (4, 5)
+    assert got["u1"] == 4.0
+    # tie-corrected z: mu=10, ties t=3 twice -> tie_term=48,
+    # sigma^2 = (20/12)*((9+1) - 48/(9*8)) = 5/3 * 28/3 = 15.555...
+    mu = 4 * 5 / 2.0
+    sigma = math.sqrt((4 * 5 / 12.0) * ((9 + 1) - 48 / (9 * 8.0)))
+    assert got["z_score"] == pytest.approx((4.0 - mu) / sigma, abs=1e-6)
+
+
+def test_mann_whitney_no_ties_symmetric(spark):
+    # identical distributions shifted: all of b above all of a -> U1 = 0
+    rows = [(float(i), "a") for i in range(5)] + [
+        (float(i + 100), "b") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "v double, grp string")
+    got = stats.mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    assert got["u1"] == 0.0
+    assert got["z_score"] < -2.5  # strongly separated
+
+
+def test_apply_cdc_out_of_order_and_deletes(spark):
+    from weather_api_automate_etl_spark.operators.cdc import apply_cdc
+
+    # key 1: I(1) U(3) arrives before U(2) -> seq 3 wins
+    # key 2: I(1) then D(2) -> gone
+    # key 3: D(1) then re-insert I(2) -> alive with seq 2
+    log = spark.createDataFrame(
+        [
+            (1, 3, "U", 30.0), (1, 1, "I", 10.0), (1, 2, "U", 20.0),
+            (2, 2, "D", 0.0), (2, 1, "I", 5.0),
+            (3, 2, "I", 7.0), (3, 1, "D", 0.0),
+        ],
+        "k long, seq long, op string, val double",
+    )
+    got = {
+        r["k"]: (r["seq"], r["val"])
+        for r in apply_cdc(log, "k", "seq", "op").collect()
+    }
+    assert got == {1: (3, 30.0), 3: (2, 7.0)}

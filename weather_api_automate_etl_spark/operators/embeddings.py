@@ -534,6 +534,23 @@ def pq_adc_topk(
     instead of the vector. The scan is map-only; the global top-k is a
     TakeOrdered — no shuffle. Ties break on the id for a deterministic
     result set."""
+    adc = pq_adc_expr(query_vec, codebooks, clamp_digits=clamp_digits)
+    out = codes_df.select(F.col(id_col), adc.alias("adc_dist"))
+    return out.orderBy("adc_dist", id_col).limit(k_top)
+
+
+def pq_adc_expr(
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    clamp_digits: int | None = None,
+    codes_col: str = "pq_codes",
+) -> F.Column:
+    """The ADC distance as a reusable Column over a ``codes_col``
+    (array<int>, 1-based): sum over subspaces of the precomputed
+    query-subvector→centroid distance, a literal-table ``element_at``
+    per subspace inside codegen. Factored out of ``pq_adc_topk`` so
+    residual-quantization callers (IVFADC — the query vector differs PER
+    COARSE CELL) can branch between per-cell tables with ``F.when``."""
     m_sub = len(codebooks)
     sub = len(codebooks[0][0])
     adc = F.lit(0.0)
@@ -549,7 +566,7 @@ def pq_adc_topk(
             ]
         )
         adc = adc + F.element_at(
-            table_m, F.element_at("pq_codes", m + 1)
+            table_m, F.element_at(codes_col, m + 1)
         )
     if clamp_digits is not None:
         # integer nanos: the ranking key carries no double-compare ulp
@@ -558,5 +575,4 @@ def pq_adc_topk(
             F.floor(adc * F.lit(scale) + F.lit(0.5)).cast("long")
             / F.lit(scale)
         )
-    out = codes_df.select(F.col(id_col), adc.alias("adc_dist"))
-    return out.orderBy("adc_dist", id_col).limit(k_top)
+    return adc

@@ -670,3 +670,74 @@ def ks_two_sample(
             6,
         ).alias("d_stat"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    location test beside the parametric Welch readout (``ab_test_welch``):
+    rank-based, so it compares DISTRIBUTIONS without assuming normality,
+    which is what you actually want for heavy-tailed metrics (latencies,
+    revenue-per-user). Ties get average ranks; the normal approximation
+    carries the standard tie correction:
+
+        U₁ = R₁ − n₁(n₁+1)/2,  μ = n₁n₂/2,
+        σ² = (n₁n₂/12)·((N+1) − Σ(t³−t)/(N(N−1))),  z = (U₁ − μ)/σ.
+
+    Shape: ranks are computed per DISTINCT VALUE, not per row — one
+    value-keyed aggregate (count + per-group count), one running-sum
+    window over distinct values (value-domain-sized, typically ≪ rows),
+    and one scalar reduction. Average rank of value v is
+    cum_before(v) + (cnt(v)+1)/2, algebraically identical to averaging
+    row ranks but without ever materializing a per-row global rank —
+    the same distinct-value-domain trick as ks_two_sample. All rank
+    arithmetic is exact in doubles (halves of integers), so U₁ is
+    hash-stable unrounded; z rounds to 6.
+    """
+    from pyspark.sql.window import Window
+
+    x = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("is_a"),
+    )
+    vals = x.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("is_a").alias("cnt_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "cnt",
+        "cnt_a",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("cnt_a")
+            * (F.col("cum_before") + (F.col("cnt") + F.lit(1)) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum("cnt_a").cast("double").alias("n1"),
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    n1, n, r1 = F.col("n1"), F.col("n"), F.col("r1")
+    n2 = n - n1
+    u1 = r1 - n1 * (n1 + 1) / F.lit(2.0)
+    mu = n1 * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        (n1 * n2 / F.lit(12.0))
+        * ((n + 1) - F.col("tie_term") / (n * (n - F.lit(1.0))))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        u1.alias("u1"),
+        F.round((u1 - mu) / sigma, 6).alias("z_score"),
+    )

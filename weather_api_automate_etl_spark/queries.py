@@ -544,6 +544,7 @@ def _load_extensions() -> None:
         queries_wave12,
         queries_wave13,
         queries_wave14,
+        queries_wave15,
     )
 
 
@@ -735,6 +736,10 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ann_ivfpq",
     "q_cdc_apply",
     "q_perplexity_buckets",
+    # wave 15: streaming CDC consumer, residual PQ, nonparametric test
+    "q_streaming_cdc_apply",
+    "q_ann_ivfadc",
+    "q_mann_whitney",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

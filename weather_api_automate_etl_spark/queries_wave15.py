@@ -1,0 +1,386 @@
+"""Round-8 fifteenth-wave queries (ROUND9_PENDING): the streaming CDC
+consumer, residual product quantization, and the nonparametric test.
+
+- ``q_streaming_cdc_apply``: Debezium/DLT APPLY CHANGES INTO as a
+  foreachBatch ledger sink (streaming/sinks.py::
+  stream_apply_cdc_into_ledger) — three seq-ordered log shipments with
+  OVERLAPPING re-delivered tails drain through batch-collapse → stale-seq
+  guard → exactly-once MERGE + DELETE; the final table must equal the
+  global apply_cdc collapse, which is the oracle.
+- ``q_ann_ivfadc``: true IVFADC (Jégou et al. TPAMI 2011 §V.A) —
+  vectors PQ-encode their RESIDUAL against their coarse cell's centroid,
+  and the query builds a distance table PER PROBED CELL; oracle
+  reproduces routing, residuals, codes, and the top-10 exactly.
+- ``q_mann_whitney``: Mann-Whitney U with average-rank ties and the
+  tie-corrected normal approximation, computed over the distinct-value
+  domain (operators/stats.py::mann_whitney_u).
+
+Same registry/oracle conventions as every wave: identical aliases on both
+engines, round(6) on ulp-sensitive doubles, exact (unrounded) values
+where the arithmetic is exact in IEEE doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weather_api_automate_etl_spark.queries import query, t
+
+# ---------------------------------------------------------------------------
+# streaming CDC consumer: APPLY CHANGES INTO the ledger, exactly-once
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_streaming_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS cust_id,
+             o_orderkey AS seq,
+             o_totalprice AS price,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+                  WHEN o_orderkey % 3 = 0 THEN 'I'
+                  ELSE 'U' END AS op,
+             CAST(o_custkey % 8 AS VARCHAR) AS pt
+      FROM orders
+    )
+    SELECT cust_id, seq, price, op, pt
+    FROM log
+    QUALIFY row_number() OVER (
+      PARTITION BY cust_id ORDER BY seq DESC, op DESC
+    ) = 1 AND op != 'D'
+    """,
+    tags=("cdc", "ledger", "streaming"),
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC CONSUMER (streaming/sinks.py::
+    stream_apply_cdc_into_ledger): the orders-derived I/U/D log ships as
+    THREE seq-range parquet files whose ranges OVERLAP (each shipment
+    re-delivers the tail of the previous one — at-least-once delivery
+    under NEW batch ids, where the txn watermark cannot dedupe), drained
+    one file per run through a checkpointed availableNow stream. Each
+    micro-batch collapses to its winning event per key, discards events
+    that do not beat the table's CURRENT sequence (the guard that makes
+    re-delivery converge), then lands as an exactly-once ledger MERGE of
+    the upserts plus a ledger DELETE of the delete-winning keys. The
+    final snapshot must equal the GLOBAL apply_cdc collapse over the
+    whole log — batching, overlap, and delete interleaving must all be
+    invisible — which is exactly the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+    from weather_api_automate_etl_spark.streaming import sinks
+
+    name = "q_streaming_cdc_apply"
+    log = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("o_custkey") % 8).cast("string").alias("pt"),
+    )
+    mx = log.agg(F.max("seq")).collect()[0][0]
+    # seq-ordered shipments with re-delivered tails: [0, .4], (.35, .75],
+    # (.7, max] — the WAL/Kafka shipping contract the sink documents
+    ranges = [
+        (0, int(mx * 0.40)),
+        (int(mx * 0.35), int(mx * 0.75)),
+        (int(mx * 0.70), mx),
+    ]
+    stage = tempfile.mkdtemp(prefix=f"{name}_stage_")
+    table = tempfile.mkdtemp(prefix=f"{name}_table_")
+    shutil.rmtree(table)  # the sink bootstraps a missing table
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    try:
+        stream = spark.readStream.schema(
+            "cust_id long, seq long, price double, op string, pt string"
+        ).parquet(stage)
+        for i, (lo, hi) in enumerate(ranges):
+            # stage the shipment as ONE file at the stream root (file
+            # sources list the top level, not write-job subdirectories)
+            shipdir = os.path.join(stage, f"_ship_{i}")
+            log.filter((F.col("seq") > lo) & (F.col("seq") <= hi)).coalesce(
+                1
+            ).write.parquet(shipdir)
+            part = next(
+                n for n in os.listdir(shipdir) if n.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(shipdir, part),
+                os.path.join(stage, f"ship_{i}.parquet"),
+            )
+            shutil.rmtree(shipdir, ignore_errors=True)
+            sinks.stream_apply_cdc_into_ledger(
+                stream, table, ckpt, name,
+                key="cust_id", seq_col="seq", partition_col="pt",
+            )
+        out = ledger.ledger_read(spark, table).select(
+            "cust_id", "seq", "price", "op", "pt"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(table, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: residual product quantization with per-cell distance tables
+# ---------------------------------------------------------------------------
+
+
+def _d9(a: list[float], b: list[float]) -> int:
+    """Driver-side twin of the clamped squared distance: left-to-right
+    IEEE double sum, floor(d·1e9 + 0.5) — the one arithmetic all three
+    engines (Spark expression, DuckDB list_sum, Python loop) share."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += (x - y) * (x - y)
+    return int(math.floor(s * 1e9 + 0.5))
+
+
+@query(
+    "q_ann_ivfadc",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS g, e AS ce
+      FROM v ORDER BY vec_id LIMIT 4
+    ),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    assign AS (
+      SELECT v.vec_id, v.e, coarse.g, coarse.ce,
+             CAST(floor(list_sum(list_transform(range(1, 65),
+                  i -> (v.e[i] - coarse.ce[i]) * (v.e[i] - coarse.ce[i])))
+                  * 1e9 + 0.5) AS BIGINT) AS d9
+      FROM v CROSS JOIN coarse
+    ),
+    cell AS (
+      SELECT vec_id, e, g, ce FROM assign
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d9, g) = 1
+    ),
+    resid AS (
+      SELECT vec_id, g,
+             list_transform(range(1, 65), i -> e[i] - ce[i]) AS r
+      FROM cell
+    ),
+    qcell AS (
+      SELECT coarse.g,
+             CAST(floor(list_sum(list_transform(range(1, 65),
+                  i -> (q.qe[i] - coarse.ce[i]) * (q.qe[i] - coarse.ce[i])))
+                  * 1e9 + 0.5) AS BIGINT) AS d9
+      FROM q CROSS JOIN coarse
+    ),
+    probe AS (SELECT g FROM qcell ORDER BY d9, g LIMIT 2),
+    cand AS (SELECT resid.vec_id, resid.g, resid.r
+             FROM resid JOIN probe USING (g)),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS j, r
+      FROM resid ORDER BY vec_id LIMIT 8
+    ),
+    ms AS (SELECT UNNEST([0, 1, 2, 3]) AS m),
+    dists AS (
+      SELECT cand.vec_id, ms.m, cb.j,
+             CAST(floor(list_sum(list_transform(range(1, 17),
+                  i -> (cand.r[ms.m * 16 + i] - cb.r[ms.m * 16 + i])
+                     * (cand.r[ms.m * 16 + i] - cb.r[ms.m * 16 + i])))
+                  * 1e9 + 0.5) AS BIGINT) AS dist9
+      FROM cand CROSS JOIN ms CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code
+      FROM dists
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist9, j
+      ) = 1
+    ),
+    codes_w AS (
+      SELECT vec_id,
+             CAST(MAX(CASE WHEN m = 0 THEN code END) AS INTEGER) AS c1,
+             CAST(MAX(CASE WHEN m = 1 THEN code END) AS INTEGER) AS c2,
+             CAST(MAX(CASE WHEN m = 2 THEN code END) AS INTEGER) AS c3,
+             CAST(MAX(CASE WHEN m = 3 THEN code END) AS INTEGER) AS c4
+      FROM codes GROUP BY vec_id
+    ),
+    qresid AS (
+      SELECT probe.g,
+             list_transform(range(1, 65), i -> q.qe[i] - coarse.ce[i]) AS qr
+      FROM q CROSS JOIN coarse JOIN probe USING (g)
+    ),
+    qd AS (
+      SELECT qresid.g, ms.m, cb.j,
+             list_sum(list_transform(range(1, 17),
+                  i -> (qresid.qr[ms.m * 16 + i] - cb.r[ms.m * 16 + i])
+                     * (qresid.qr[ms.m * 16 + i] - cb.r[ms.m * 16 + i])))
+               AS qdist
+      FROM qresid CROSS JOIN ms CROSS JOIN cb
+    )
+    SELECT w.vec_id, CAST(cand.g AS BIGINT) AS ivf_cell,
+           w.c1, w.c2, w.c3, w.c4,
+           floor((((t0.qdist + t1.qdist) + t2.qdist) + t3.qdist)
+                 * 1e9 + 0.5) / 1e9 AS adc_dist
+    FROM codes_w w
+    JOIN cand ON cand.vec_id = w.vec_id
+    JOIN qd t0 ON t0.g = cand.g AND t0.m = 0 AND t0.j = w.c1
+    JOIN qd t1 ON t1.g = cand.g AND t1.m = 1 AND t1.j = w.c2
+    JOIN qd t2 ON t2.g = cand.g AND t2.m = 2 AND t2.j = w.c3
+    JOIN qd t3 ON t3.g = cand.g AND t3.m = 3 AND t3.j = w.c4
+    ORDER BY adc_dist, w.vec_id LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVFADC (Jégou et al. TPAMI 2011 §V.A — the FAISS
+    ``IVFx,PQy`` index): unlike q_ann_ivfpq's plain-PQ-within-cells,
+    every vector encodes its RESIDUAL against its coarse cell's
+    centroid, which is what makes the codes sharp — residuals cluster
+    near zero, so the same 8-codeword budget quantizes a much tighter
+    distribution. The price is that the query's ADC distance table
+    depends on the CELL (query residual differs per probed centroid):
+    with nprobe=2 the scan branches between two literal tables via
+    ``F.when`` on the routing column — still whole-stage codegen, zero
+    Python, zero shuffle before the TakeOrdered top-10. Residuals are
+    exact double subtractions and every comparison clamps to integer
+    nanos, so the oracle reproduces routing, residuals, codebooks,
+    codes, per-cell tables, and the top-10 bit-exactly."""
+    from weather_api_automate_etl_spark.operators import embeddings as emb_ops
+
+    emb = t(spark, sf_dir, "embeddings")
+    coarse = emb_ops.pq_sampled_codebooks(emb, "vec_id", "embedding", 1, 4)
+    cents = coarse[0]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cells = emb_ops.pq_encode(
+        emb, "vec_id", "embedding", coarse, clamp_digits=9
+    ).select("vec_id", F.element_at("pq_codes", 1).alias("ivf_cell"))
+    probe = [
+        g
+        for _, g in sorted(
+            (_d9(qvec, c), g + 1) for g, c in enumerate(cents)
+        )[:2]
+    ]
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    e_dbl = F.transform("embedding", lambda x: x.cast("double"))
+    cand = (
+        emb.join(F.broadcast(cells), "vec_id")
+        .filter(F.col("ivf_cell").isin(probe))
+        .withColumn(
+            "resid",
+            F.zip_with(
+                e_dbl,
+                F.element_at(cent_lit, F.col("ivf_cell")),
+                lambda x, c: x - c,
+            ),
+        )
+    )
+    # residual codebooks: the 8 smallest ids' residuals vs their OWN cell
+    # (the oracle's cb CTE) — driver-side k·d floats, same clamp argmin
+    rows8 = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    )
+    resid_cbs: list[list[list[float]]] = [[] for _ in range(4)]
+    for r in rows8:
+        e = [float(x) for x in r["embedding"]]
+        g = min(range(4), key=lambda i: (_d9(e, cents[i]), i))
+        resid_full = [x - c for x, c in zip(e, cents[g])]
+        for m in range(4):
+            resid_cbs[m].append(resid_full[m * 16 : (m + 1) * 16])
+    codes = emb_ops.pq_encode(
+        cand, "vec_id", "resid", resid_cbs, clamp_digits=9
+    )
+    qresid = {
+        g: [x - c for x, c in zip(qvec, cents[g - 1])] for g in probe
+    }
+    adc = F.when(
+        F.col("ivf_cell") == probe[0],
+        emb_ops.pq_adc_expr(qresid[probe[0]], resid_cbs, clamp_digits=9),
+    ).otherwise(
+        emb_ops.pq_adc_expr(qresid[probe[1]], resid_cbs, clamp_digits=9)
+    )
+    scored = codes.join(
+        F.broadcast(cand.select("vec_id", "ivf_cell")), "vec_id"
+    ).select("vec_id", "ivf_cell", "pq_codes", adc.alias("adc_dist"))
+    return (
+        scored.orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.col("ivf_cell").cast("long").alias("ivf_cell"),
+            F.element_at("pq_codes", 1).alias("c1"),
+            F.element_at("pq_codes", 2).alias("c2"),
+            F.element_at("pq_codes", 3).alias("c3"),
+            F.element_at("pq_codes", 4).alias("c4"),
+            "adc_dist",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: the nonparametric two-sample test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH x AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    vals AS (
+      SELECT v, COUNT(*) AS cnt, SUM(is_a) AS cnt_a FROM x GROUP BY v
+    ),
+    ranked AS (
+      SELECT cnt, cnt_a,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM vals
+    ),
+    agg AS (
+      SELECT SUM(cnt_a * (cum_before + (cnt + 1) / 2.0)) AS r1,
+             CAST(SUM(cnt_a) AS DOUBLE) AS n1,
+             CAST(SUM(cnt) AS DOUBLE) AS n,
+             SUM(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_term
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n - n1 AS BIGINT) AS n2,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+                 / sqrt((n1 * (n - n1) / 12.0)
+                        * ((n + 1) - tie_term / (n * (n - 1.0)))), 6)
+             AS z_score
+    FROM agg
+    """,
+    tags=("stats",),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum (operators/stats.py::
+    mann_whitney_u): click vs purchase event values compared
+    nonparametrically — average-rank ties, tie-corrected normal
+    approximation. Ranks come from the DISTINCT-VALUE domain (one
+    value-keyed aggregate + one running-sum window over distinct
+    values), never a per-row global rank, so the sort the test needs is
+    value-domain-sized. U₁ is exact double arithmetic (halves of
+    integers) and hashes unrounded; z rounds to 6."""
+    from weather_api_automate_etl_spark.operators.stats import mann_whitney_u
+
+    return mann_whitney_u(
+        t(spark, sf_dir, "events"), "value", "event_type", "click", "purchase"
+    )

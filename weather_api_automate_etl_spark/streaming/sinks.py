@@ -280,3 +280,95 @@ def stream_merge_with_mv(
         stream_df, write_batch, checkpoint_dir, query_name,
         output_mode="update", timeout_s=timeout_s,
     )
+
+
+def stream_apply_cdc_into_ledger(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    key: str,
+    seq_col: str,
+    partition_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    stats_cols: tuple[str, ...] = (),
+    timeout_s: float = 120.0,
+) -> None:
+    """The streaming CDC CONSUMER — Debezium/DLT ``APPLY CHANGES INTO``
+    as a foreachBatch sink over the atomic snapshot ledger: every
+    micro-batch of insert/update/delete events collapses to its latest
+    event per key (``sequence_by`` recency, the operators/cdc.py::
+    apply_cdc discipline with the delete rows RETAINED), stale events
+    are discarded against the table's current sequence, and the batch
+    lands as a ledger MERGE of the upserts plus a ledger DELETE of the
+    keys whose winning event is ``delete_op`` — each half carrying its
+    own exactly-once ``txn`` watermark (``query_name`` and
+    ``query_name#del``) in the same atomic manifest commit as its data,
+    so a checkpoint-replayed batch re-applies NEITHER half.
+
+    The sequence guard (keep an event only if its ``seq_col`` beats the
+    CURRENT row's) is what makes delivery semantics composable: an
+    at-least-once upstream that re-ships a suffix of the log under NEW
+    batch ids (where the txn watermark cannot dedupe) converges to the
+    same final state, because every re-delivered event loses to the
+    sequence it already produced. Tombstones are not retained beyond the
+    delete itself, so the upstream must ship ranges in sequence order
+    (a lower-seq update arriving AFTER its key's higher-seq delete
+    would re-insert) — the Kafka-topic/WAL-shipping contract, stated
+    rather than assumed. The guard reads the current snapshot once per
+    batch; at scale it prunes to the batch's touched partitions exactly
+    like the merge itself (both plan from the manifest).
+
+    ``stream_df`` must carry ``partition_col`` (the same stable
+    key→partition contract as ledger_merge: a key's partition value
+    never changes across events)."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        exists = os.path.exists(os.path.join(table_path, "_ledger"))
+        if exists:
+            current = ledger.ledger_read(spark, table_path).select(
+                key, F.col(seq_col).alias("__cur_seq")
+            )
+            latest = (
+                latest.join(current, key, "left")
+                .filter(
+                    F.col("__cur_seq").isNull()
+                    | (F.col(seq_col) > F.col("__cur_seq"))
+                )
+                .drop("__cur_seq")
+            )
+        latest = latest.localCheckpoint(eager=True)  # branch once, not twice
+        ups = latest.filter(F.col(op_col) != delete_op)
+        dels = latest.filter(F.col(op_col) == delete_op).select(key)
+        if not exists:
+            ledger.ledger_write(
+                spark, ups, table_path, partition_col,
+                stats_cols=list(stats_cols), txn=(query_name, batch_id),
+            )
+            return  # nothing to delete from a table that just bootstrapped
+        ledger.ledger_merge(
+            spark, table_path, ups, key, txn=(query_name, batch_id)
+        )
+        ledger.ledger_delete(
+            spark, table_path, dels, key, txn=(f"{query_name}#del", batch_id)
+        )
+
+    run_foreach_batch(
+        stream_df, write_batch, checkpoint_dir, query_name,
+        output_mode="update", timeout_s=timeout_s,
+    )
