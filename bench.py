@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q_streaming_cdc_apply",   # 3-shipment CDC drain: collapse+guard+merge+delete
     "q_ann_ivfadc",            # residual PQ, per-cell ADC tables
     "q_mann_whitney",          # rank-sum over the distinct-value domain
+    "q_ledger_clone",          # zero-copy shallow clone + COW divergence
 ]
 
 

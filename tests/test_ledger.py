@@ -938,3 +938,57 @@ def test_restore_rolls_state_back_as_a_new_version(spark, mart):
     ledger.ledger_vacuum(path, keep_versions=1)
     with pytest.raises(ValueError, match="not restorable"):
         ledger.ledger_restore(path, 2)
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE: zero-copy fork, copy-on-write divergence
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_reads_source_and_diverges_copy_on_write(
+    spark, mart, tmp_path
+):
+    path, df = mart
+    want_src = _snapshot(spark, path)
+    dst = str(tmp_path / "fork")
+    assert ledger.ledger_clone(path, dst) == 1
+    # zero data copied: the clone dir holds only the manifest
+    assert not [n for n in os.listdir(dst) if n.startswith("data-")]
+    assert _snapshot(spark, dst) == want_src
+    # a write to the CLONE lands clone-local dirs and leaves the source
+    upd = spark.createDataFrame(
+        [(1, 999.0, "2001")], "k long, price double, year string"
+    )
+    ledger.ledger_merge(spark, dst, upd, "k")
+    assert len([n for n in os.listdir(dst) if n.startswith("data-")]) == 1
+    assert _snapshot(spark, path) == want_src  # source untouched
+    got = {r.k: r.price for r in ledger.ledger_read(spark, dst).collect()}
+    assert got[1] == 999.0 and len(got) == 30
+    # untouched partitions still plan onto the SOURCE's directories
+    m2 = ledger._read_manifest(dst, 2)
+    assert m2["partitions"]["2000"]["dir"].startswith(os.path.abspath(path))
+    assert not os.path.isabs(m2["partitions"]["2001"]["dir"])
+    # vacuum on the clone only ever removes clone-local dirs
+    ledger.ledger_vacuum(dst, keep_versions=1)
+    assert _snapshot(spark, path) == want_src
+    assert got == {
+        r.k: r.price for r in ledger.ledger_read(spark, dst).collect()
+    }
+
+
+def test_clone_pins_a_version_and_rejects_existing_destination(
+    spark, mart, tmp_path
+):
+    path, df = mart
+    want_v1 = _snapshot(spark, path)
+    upd = spark.createDataFrame(
+        [(1, 999.0, "2001")], "k long, price double, year string"
+    )
+    ledger.ledger_merge(spark, path, upd, "k")
+    dst = str(tmp_path / "pinned")
+    ledger.ledger_clone(path, dst, version=1)
+    assert _snapshot(spark, dst) == want_v1  # the PRE-merge state
+    # clones are new tables: txn watermarks reset
+    assert ledger._read_manifest(dst, 1)["txn"] == {}
+    with pytest.raises(ValueError, match="already a ledger table"):
+        ledger.ledger_clone(path, dst)

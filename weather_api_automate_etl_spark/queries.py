@@ -740,6 +740,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_streaming_cdc_apply",
     "q_ann_ivfadc",
     "q_mann_whitney",
+    "q_ledger_clone",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

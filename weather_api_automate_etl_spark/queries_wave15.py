@@ -384,3 +384,99 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(
         t(spark, sf_dir, "events"), "value", "event_type", "click", "purchase"
     )
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE: zero-copy fork, copy-on-write divergence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ledger_clone",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y') AS o_year
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, o_year
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_year
+      FROM base WHERE o_orderkey % 10 != 3
+    )
+    SELECT 'source' AS tbl, o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM base GROUP BY o_year
+    UNION ALL
+    SELECT 'clone' AS tbl, o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY o_year
+    """,
+    tags=("cdc", "ledger"),
+)
+def q_ledger_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (sources/ledger.py::ledger_clone — Delta's
+    zero-copy table fork): the year-partitioned orders mart is cloned by
+    committing a v1 manifest that REFERENCES the source's immutable
+    directories (the in-query asserts pin that the clone holds ZERO data
+    directories at clone time and the source's history never grows),
+    then a merge INTO THE CLONE diverges it copy-on-write — exactly one
+    clone-local directory appears, holding only the touched partitions'
+    rewrite. One result carries both tables' aggregates: the source must
+    still hash as the untouched base, the clone as the merged state.
+    The dev-against-prod workflow: fork a 100 TB mart in O(partitions)
+    driver JSON, test the migration on the fork, drop it."""
+    import os
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        "o_year",
+    )
+    src = tempfile.mkdtemp(prefix="ledger_clone_src_")
+    dst = tempfile.mkdtemp(prefix="ledger_clone_dst_")
+    shutil.rmtree(dst)  # clone requires a fresh destination
+    try:
+        ledger.ledger_write(spark, base, src, "o_year")
+        ledger.ledger_clone(src, dst)
+        assert not [
+            n for n in os.listdir(dst) if n.startswith("data-")
+        ], "shallow clone must copy ZERO data"
+        ledger.ledger_merge(spark, dst, updates, "o_orderkey")
+        assert ledger._manifest_versions(src) == [1], (
+            "writes to the clone must never touch the source's history"
+        )
+        assert (
+            len([n for n in os.listdir(dst) if n.startswith("data-")]) == 1
+        ), "copy-on-write: only the merge's own directory is clone-local"
+
+        def agg(path: str, tbl: str) -> DataFrame:
+            return (
+                ledger.ledger_read(spark, path)
+                .groupBy("o_year")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                )
+                .select(F.lit(tbl).alias("tbl"), "o_year", "n_rows", "sum_price")
+            )
+
+        out = agg(src, "source").unionByName(agg(dst, "clone"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)

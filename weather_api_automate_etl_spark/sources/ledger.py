@@ -1119,6 +1119,62 @@ def ledger_vacuum(path: str, keep_versions: int = 2) -> list[str]:
     return sorted(deleted)
 
 
+def ledger_clone(
+    src_path: str, dst_path: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE src``): a
+    new, independently-writable table whose v1 manifest REFERENCES the
+    source's immutable data directories — zero data copied, O(partitions)
+    driver JSON, optionally pinned to a source ``version`` (clone a
+    time-travel snapshot). Entry ``dir`` pointers are absolutized into
+    the source (``_read_dirset`` resolves absolute dirs as-is), so reads
+    under the clone plan straight onto the source's files, while any
+    WRITE to the clone (merge/delete/compact) lands new directories
+    under the CLONE path and repoints only the touched partitions — the
+    two tables diverge copy-on-write at partition grain, and the
+    source's own history is never touched. The experimentation /
+    dev-against-prod workflow: fork a 100 TB mart in milliseconds, test
+    a migration on the fork, drop it.
+
+    Caveats, exactly Delta's: VACUUM on the SOURCE can delete
+    directories a shallow clone still references (retention must cover
+    live clones — vacuum on the CLONE is safe, it only ever removes
+    clone-local dirs); exactly-once ``txn`` watermarks are RESET (the
+    clone is a new table — a stream writing to it starts its own batch
+    history). The destination must not already be a ledger table."""
+    if _manifest_versions(dst_path):
+        raise ValueError(f"destination {dst_path} is already a ledger table")
+    _, m = _resolve(src_path, version)
+    src_abs = os.path.abspath(src_path)
+
+    def _abs_entry(e: dict) -> dict:
+        out = {
+            **e,
+            "dir": e["dir"]
+            if os.path.isabs(e["dir"])
+            else os.path.join(src_abs, e["dir"]),
+        }
+        if e.get("dv"):
+            dv = e["dv"]
+            out["dv"] = {
+                **dv,
+                "dir": dv["dir"]
+                if os.path.isabs(dv["dir"])
+                else os.path.join(src_abs, dv["dir"]),
+            }
+        return out
+    manifest = {
+        **m,
+        "txn": {},
+        "partitions": {
+            pv: _abs_entry(e) for pv, e in m["partitions"].items()
+        },
+    }
+    os.makedirs(dst_path, exist_ok=True)
+    _commit(dst_path, manifest, 1)
+    return 1
+
+
 def ledger_restore(path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF — roll the table state back to
     ``version`` by committing a NEW version that points at the old
