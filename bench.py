@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_ann_ivfadc",            # residual PQ, per-cell ADC tables
     "q_mann_whitney",          # rank-sum over the distinct-value domain
     "q_ledger_clone",          # zero-copy shallow clone + COW divergence
+    "q_ledger_constraint",     # CHECK-constraint gate + ADD CONSTRAINT scan
 ]
 
 

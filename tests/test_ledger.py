@@ -992,3 +992,75 @@ def test_clone_pins_a_version_and_rejects_existing_destination(
     assert ledger._read_manifest(dst, 1)["txn"] == {}
     with pytest.raises(ValueError, match="already a ledger table"):
         ledger.ledger_clone(path, dst)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (Delta invariants): write-time enforcement
+# ---------------------------------------------------------------------------
+
+
+def test_checks_gate_every_write_path_and_ride_the_manifest(
+    spark, tmp_path
+):
+    df = spark.createDataFrame(
+        [(k, float(k * 10), str(2000 + k % 3)) for k in range(1, 30)],
+        "k long, price double, year string",
+    )
+    path = str(tmp_path / "checked")
+    # a violating INITIAL frame is rejected before any data lands
+    bad_init = df.unionByName(
+        spark.createDataFrame(
+            [(99, -5.0, "2001")], "k long, price double, year string"
+        )
+    )
+    with pytest.raises(ValueError, match="price_pos.*fails 1 row"):
+        ledger.ledger_write(
+            spark, bad_init, path, "year", checks={"price_pos": "price > 0"}
+        )
+    assert not ledger._manifest_versions(path)
+    ledger.ledger_write(
+        spark, df, path, "year", checks={"price_pos": "price > 0"}
+    )
+    # merge: good batch passes, violating batch rejected atomically
+    good = spark.createDataFrame(
+        [(1, 999.0, "2001")], "k long, price double, year string"
+    )
+    assert ledger.ledger_merge(spark, path, good, "k") == 2
+    bad = spark.createDataFrame(
+        [(2, -1.0, "2002"), (3, -2.0, "2000")],
+        "k long, price double, year string",
+    )
+    with pytest.raises(ValueError, match="fails 2 row"):
+        ledger.ledger_merge(spark, path, bad, "k")
+    assert ledger._manifest_versions(path) == [1, 2]
+    # SQL CHECK semantics: NULL predicate result PASSES
+    nullrow = spark.createDataFrame(
+        [(50, None, "2000")], "k long, price double, year string"
+    )
+    assert ledger.ledger_merge(spark, path, nullrow, "k") == 3
+    # checks survive delete + compact + restore commits
+    ledger.ledger_delete(
+        spark, path, spark.createDataFrame([(50,)], "k long"), "k"
+    )
+    ledger.ledger_compact(spark, path)
+    ledger.ledger_restore(path, 2)
+    m = ledger._read_manifest(path, ledger._manifest_versions(path)[-1])
+    assert m["checks"] == {"price_pos": "price > 0"}
+    with pytest.raises(ValueError, match="price_pos"):
+        ledger.ledger_merge(spark, path, bad, "k")
+
+
+def test_add_check_validates_existing_data_first(spark, mart):
+    path, _ = mart  # prices are k*10 with k=0 present -> price 0.0 exists
+    with pytest.raises(ValueError, match="fails 1 row"):
+        ledger.ledger_add_check(spark, path, "price_pos", "price > 0")
+    v = ledger.ledger_add_check(spark, path, "price_nonneg", "price >= 0")
+    assert v == 2
+    with pytest.raises(ValueError, match="already exists"):
+        ledger.ledger_add_check(spark, path, "price_nonneg", "price >= 0")
+    # the added constraint now gates merges
+    bad = spark.createDataFrame(
+        [(1, -1.0, "2001")], "k long, price double, year string"
+    )
+    with pytest.raises(ValueError, match="price_nonneg"):
+        ledger.ledger_merge(spark, path, bad, "k")

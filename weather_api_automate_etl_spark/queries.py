@@ -741,6 +741,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ann_ivfadc",
     "q_mann_whitney",
     "q_ledger_clone",
+    "q_ledger_constraint",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

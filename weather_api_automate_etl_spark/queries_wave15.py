@@ -480,3 +480,110 @@ def q_ledger_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: write-time invariants on the ledger
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ledger_constraint",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y') AS o_year
+      FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, o_year
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_year
+      FROM base WHERE o_orderkey % 10 != 3
+    )
+    SELECT o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY o_year
+    """,
+    tags=("cdc", "ledger", "quality"),
+)
+def q_ledger_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the ledger (sources/ledger.py::
+    _enforce_checks / ledger_add_check — Delta invariants): the mart is
+    written with a declared ``price_pos`` constraint, a GOOD update
+    batch merges through the gate, a VIOLATING batch is rejected BEFORE
+    any data lands (the in-query asserts pin the raise AND that no
+    version was consumed), and ALTER TABLE ADD CONSTRAINT validates the
+    existing snapshot before a second named check joins the manifest —
+    after which a batch violating the NEW check is rejected too. This is
+    the reference's dbt quality-test surface (schema.yml not_null /
+    accepted-range semantics) moved to the storage layer's write path:
+    post-hoc tests find bad rows AFTER they shipped; an invariant makes
+    a committed snapshot that holds one impossible. The readback must
+    hash as the good-batch-only merged state — the rejected writes left
+    no trace."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    good = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        "o_year",
+    )
+    bad = good.limit(3).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(-1.0)).alias("o_totalprice"),
+        "o_year",
+    )
+    path = tempfile.mkdtemp(prefix="ledger_check_")
+    try:
+        ledger.ledger_write(
+            spark, base, path, "o_year",
+            checks={"price_pos": "o_totalprice > 0"},
+        )
+        ledger.ledger_merge(spark, path, good, "o_orderkey")
+        try:
+            ledger.ledger_merge(spark, path, bad, "o_orderkey")
+            raise AssertionError("violating batch must be rejected")
+        except ValueError as e:
+            assert "price_pos" in str(e)
+        assert ledger._manifest_versions(path) == [1, 2], (
+            "a rejected write must not consume a version"
+        )
+        ledger.ledger_add_check(
+            spark, path, "year_known", "o_year IS NOT NULL"
+        )
+        try:
+            ledger.ledger_merge(
+                spark,
+                path,
+                good.limit(1).select(
+                    "o_orderkey", "o_totalprice",
+                    F.lit(None).cast("string").alias("o_year"),
+                ),
+                "o_orderkey",
+            )
+            raise AssertionError("NULL-year batch must be rejected")
+        except ValueError as e:
+            assert "year_known" in str(e)
+        out = (
+            ledger.ledger_read(spark, path)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

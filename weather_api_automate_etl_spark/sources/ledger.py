@@ -194,7 +194,7 @@ def _commit_with_rebase(
                 raise LedgerConcurrentWriteError(
                     f"concurrent commit changed the partitioning of {path}"
                 ) from None
-            for fixed in ("stats_cols", "key_index"):
+            for fixed in ("stats_cols", "key_index", "checks"):
                 if latest_m.get(fixed) != base_m.get(fixed):
                     raise LedgerConcurrentWriteError(
                         f"concurrent commit changed {fixed!r} on {path} — "
@@ -499,6 +499,33 @@ def _write_data_dir(
     return entries
 
 
+def _enforce_checks(df: DataFrame, checks: dict | None) -> None:
+    """CHECK-constraint gate (Delta invariants; SQL-standard semantics:
+    a row violates only when the predicate evaluates to FALSE — NULL
+    passes, exactly like a table CHECK). ONE aggregate pass counts every
+    named predicate's violations; any violation rejects the whole write
+    BEFORE any data lands, so a committed snapshot can never hold a row
+    the table's contract forbids — the storage-layer enforcement point
+    for the quality tests the reference runs post-hoc in dbt."""
+    if not checks:
+        return
+    counts = df.agg(
+        *[
+            F.count(F.when(~F.expr(pred), F.lit(1))).alias(name)
+            for name, pred in sorted(checks.items())
+        ]
+    ).collect()[0]
+    bad = {name: counts[name] for name in checks if counts[name]}
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation — write rejected: "
+            + ", ".join(
+                f"{name!r} ({checks[name]}) fails {n} row(s)"
+                for name, n in sorted(bad.items())
+            )
+        )
+
+
 def ledger_write(
     spark: SparkSession,
     df: DataFrame,
@@ -509,6 +536,7 @@ def ledger_write(
     key_index_col: str | None = None,
     key_index_bits: int = 1 << 15,
     key_index_hashes: int = 4,
+    checks: dict[str, str] | None = None,
 ) -> int:
     """Initialize (or fully refresh) the table: one immutable data dir
     holding every partition, one manifest mapping all of them to it, with
@@ -524,9 +552,17 @@ def ledger_write(
     Sizing note: the index is manifest-resident, so bits·partitions is
     the knob — at thousands of partitions either shrink the bitmap or
     move the index to a sidecar per data dir (the Delta choice of
-    per-file bloom sidecars). Returns the committed version."""
+    per-file bloom sidecars).
+
+    ``checks`` declares named CHECK constraints (Delta invariants):
+    ``{"price_pos": "o_totalprice > 0"}``. The initial frame and every
+    future merge/replace batch is validated BEFORE data lands (one
+    aggregate pass, SQL CHECK semantics — NULL passes, FALSE rejects);
+    the constraint set rides the manifest through every commit. Returns
+    the committed version."""
     if key_index_bits % 64:
         raise ValueError(f"key_index_bits must be a multiple of 64, got {key_index_bits}")
+    _enforce_checks(df, checks)
     dtype = df.schema[partition_col].dataType.simpleString()
     key_index = (
         {
@@ -551,6 +587,7 @@ def ledger_write(
         "stats_cols": list(stats_cols),
         "key_index": key_index,
         "dv_key": None,
+        "checks": dict(checks) if checks else None,
         "txn": {txn[0]: txn[1]} if txn else {},
         "partitions": entries,
     }
@@ -869,6 +906,7 @@ def ledger_merge(
                 f"schema evolution is additive only: update batch is "
                 f"missing existing columns {missing}"
             )
+    _enforce_checks(updates, m.get("checks"))
     touched = [
         r["__pv"]
         for r in updates.select(
@@ -903,6 +941,7 @@ def ledger_merge(
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
         "dv_key": m.get("dv_key"),
+        "checks": m.get("checks"),
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
@@ -956,6 +995,7 @@ def ledger_replace_partitions(
             f"replacement frame carries partition values outside the "
             f"declared scope: {out_of_scope[:10]}"
         )
+    _enforce_checks(df, m.get("checks"))
     entries = _write_data_dir(
         df, path, pcol, m.get("stats_cols", []), m.get("key_index"),
         partition_dtype=m["partition_dtype"],
@@ -967,6 +1007,7 @@ def ledger_replace_partitions(
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
         "dv_key": m.get("dv_key"),
+        "checks": m.get("checks"),
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
@@ -1084,6 +1125,7 @@ def ledger_compact(
         "stats_cols": m.get("stats_cols", []),
         "key_index": m.get("key_index"),
         "dv_key": m.get("dv_key"),
+        "checks": m.get("checks"),
         "txn": m.get("txn", {}),
         "partitions": {**m["partitions"], **entries},
     }
@@ -1117,6 +1159,32 @@ def ledger_vacuum(path: str, keep_versions: int = 2) -> list[str]:
         if v not in keep:
             os.unlink(os.path.join(path, _LEDGER_DIR, f"v{v}.json"))
     return sorted(deleted)
+
+
+def ledger_add_check(
+    spark: SparkSession, path: str, name: str, predicate: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT (Delta's CHECK-constraint add):
+    validate the CURRENT snapshot against ``predicate`` (one aggregate
+    scan — a constraint that existing rows already violate must be
+    rejected, or the table's contract would lie about its own contents),
+    then commit a metadata-only version whose manifest carries the new
+    named check. Every subsequent write/merge/replace batch is gated on
+    it before data lands. Duplicate names are rejected; the scan is the
+    unavoidable cost Delta pays too (ADD CONSTRAINT scans the table)."""
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no ledger manifest under {path}")
+    v = versions[-1]
+    m = _read_manifest(path, v)
+    checks = dict(m.get("checks") or {})
+    if name in checks:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    snap = _read_partitions(spark, path, m, list(m["partitions"]))
+    _enforce_checks(snap, {name: predicate})
+    manifest = {**m, "checks": {**checks, name: predicate}}
+    _commit(path, manifest, v + 1)
+    return v + 1
 
 
 def ledger_clone(
@@ -1404,6 +1472,7 @@ def ledger_delete(
         "stats_cols": m.get("stats_cols", []),
         "key_index": ki,
         "dv_key": key if mode == "dv" else m.get("dv_key"),
+        "checks": m.get("checks"),
         "txn": {
             **m.get("txn", {}),
             **({txn[0]: txn[1]} if txn else {}),
