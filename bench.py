@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_mann_whitney",          # rank-sum over the distinct-value domain
     "q_ledger_clone",          # zero-copy shallow clone + COW divergence
     "q_ledger_constraint",     # CHECK-constraint gate + ADD CONSTRAINT scan
+    "q_streaming_left_join",   # 3-drain outer join: watermark-gated null pads
 ]
 
 

@@ -742,6 +742,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_mann_whitney",
     "q_ledger_clone",
     "q_ledger_constraint",
+    "q_streaming_left_join",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

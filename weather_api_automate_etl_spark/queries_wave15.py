@@ -587,3 +587,117 @@ def q_ledger_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER join: watermark-gated null-padded emission
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_streaming_left_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+             event_type, value
+      FROM events
+    ),
+    cut AS (SELECT MIN(ts) + INTERVAL 14 DAY AS c FROM ev),
+    clicks AS (
+      SELECT event_id AS click_id, ts AS click_ts, user_id
+      FROM ev, cut WHERE event_type = 'click' AND ts <= cut.c
+    ),
+    purch AS (
+      SELECT user_id AS p_user_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM ev, cut WHERE event_type = 'purchase' AND ts <= cut.c
+    )
+    SELECT c.click_id, c.click_ts, c.user_id,
+           p.purchase_ts, p.purchase_value
+    FROM clicks c LEFT JOIN purch p
+      ON c.user_id = p.p_user_id
+     AND p.purchase_ts BETWEEN c.click_ts - INTERVAL 1 HOUR AND c.click_ts
+    """,
+    tags=("streaming", "joins"),
+)
+def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join run for real
+    (streaming/events.py::clicks_with_optional_purchase): the first 14
+    days of events drain as batch 1 (matches emit immediately;
+    unmatched clicks park in state), then two sentinel-only shipments
+    at +30 and +60 days drain as later batches whose only job is to
+    ADVANCE THE WATERMARK — the sentinels match neither side, exactly
+    like unrelated topic traffic, and each successive batch applies the
+    previous batch's watermark, flushing the parked clicks null-padded.
+    The file sink + shared checkpoint across the three drains gives
+    exactly-once appends, so the final landing zone must hash as the
+    batch LEFT JOIN twin: every click exactly once, matched or
+    null-padded, none dropped, none doubled. This is the operator whose
+    correctness people distrust in Structured Streaming — emission
+    latency gated on watermark proof — demonstrated equal to its batch
+    semantics on bounded input."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.streaming import events as stream_events
+
+    name = "q_streaming_left_join"
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mn = ev.agg(F.min("ts")).collect()[0][0]
+    cutoff = mn + dt.timedelta(days=14)
+    stage = tempfile.mkdtemp(prefix=f"{name}_stage_")
+    sink = tempfile.mkdtemp(prefix=f"{name}_sink_")
+    try:
+        def ship(i: int, df) -> None:
+            shipdir = os.path.join(stage, f"_ship_{i}")
+            df.coalesce(1).write.parquet(shipdir)
+            part = next(
+                n for n in os.listdir(shipdir) if n.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(shipdir, part),
+                os.path.join(stage, f"ship_{i}.parquet"),
+            )
+            shutil.rmtree(shipdir, ignore_errors=True)
+
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        ).parquet(stage)
+        joined = stream_events.clicks_with_optional_purchase(
+            stream, lookback_hours=1, watermark="1 hour"
+        )
+        ship(0, ev.filter(F.col("ts") <= F.lit(cutoff)))
+        for i, days in enumerate((30, 60), start=1):
+            # late traffic on BOTH sides: each side's watermark advances
+            # only with its own rows (the per-side filters push below the
+            # watermark node — see the operator docstring), so the window
+            # close needs a late click AND a late purchase. Negative ids
+            # mark them synthetic; the readback filters them out.
+            late = spark.createDataFrame(
+                [
+                    (-i, mn + dt.timedelta(days=days), -1, "click", None),
+                    (-100 - i, mn + dt.timedelta(days=days), -2,
+                     "purchase", 0.0),
+                ],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            # drain what is staged so far, THEN ship the next sentinels:
+            # each drain applies the watermark the previous batch set
+            stream_events.run_to_file_sink(
+                joined, f"{sink}/data", f"{sink}/ckpt"
+            )
+            ship(i, late)
+        stream_events.run_to_file_sink(joined, f"{sink}/data", f"{sink}/ckpt")
+        out = spark.read.parquet(f"{sink}/data").filter(
+            F.col("click_id") >= 0
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

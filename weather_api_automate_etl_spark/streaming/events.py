@@ -249,3 +249,47 @@ def clicks_with_recent_purchase(
     return clicks.join(purchases, cond).select(
         "click_id", "click_ts", "user_id", "purchase_ts", "purchase_value"
     )
+
+
+def clicks_with_optional_purchase(
+    events: DataFrame, lookback_hours: int = 1, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics inner joins
+    dodge: a click with no purchase in its lookback window must STILL be
+    emitted (null-padded), but only once the watermark proves no matching
+    purchase can arrive. Matches emit immediately; unmatched clicks are
+    held in state and flushed null-padded when the watermark passes the
+    click's window close — which means outer results are inherently
+    LATENT by (watermark delay + lookback), the documented Spark
+    contract, and the reason the drain needs later batches to advance
+    the watermark before the last unmatched clicks appear.
+
+    The watermark is declared once on the PARENT stream, but Catalyst
+    pushes each side's event_type filter BELOW the EventTimeWatermark
+    node, so in the physical plan each side's watermark advances only
+    with its OWN traffic and the join watermark is their MIN — verified
+    empirically (a neither-side sentinel advances nothing; the commit
+    log's batchWatermarkMs tracked max(click_ts)−delay). Closing the
+    join's windows therefore requires later traffic on BOTH sides,
+    exactly Spark's documented multi-watermark policy. State stays
+    ∝ (arrival rate × (watermark + lookback)); on a batch frame the
+    same code is the exact batch LEFT JOIN twin."""
+    wm = events.withWatermark("ts", watermark)
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    purchases = wm.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = F.expr(
+        "user_id = p_user_id "
+        f"AND purchase_ts >= click_ts - INTERVAL {int(lookback_hours)} HOUR "
+        "AND purchase_ts <= click_ts"
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "click_id", "click_ts", "user_id", "purchase_ts", "purchase_value"
+    )
