@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q_ledger_clone",          # zero-copy shallow clone + COW divergence
     "q_ledger_constraint",     # CHECK-constraint gate + ADD CONSTRAINT scan
     "q_streaming_left_join",   # 3-drain outer join: watermark-gated null pads
+    "q_ledger_history",        # DESCRIBE HISTORY: manifest-only audit log
 ]
 
 

@@ -1064,3 +1064,38 @@ def test_add_check_validates_existing_data_first(spark, mart):
     )
     with pytest.raises(ValueError, match="price_nonneg"):
         ledger.ledger_merge(spark, path, bad, "k")
+
+
+def test_history_records_every_operation(spark, mart, tmp_path):
+    path, _ = mart
+    upd = spark.createDataFrame(
+        [(1, 999.0, "2001")], "k long, price double, year string"
+    )
+    ledger.ledger_merge(spark, path, upd, "k", txn=("s", 3))
+    ledger.ledger_delete(
+        spark, path, spark.createDataFrame([(2,)], "k long"), "k"
+    )
+    ledger.ledger_compact(spark, path)
+    ledger.ledger_restore(path, 2)
+    ledger.ledger_add_check(spark, path, "nonneg", "price >= -1")
+    dst = str(tmp_path / "fork")
+    ledger.ledger_clone(path, dst)
+    hist = {
+        r["version"]: (r["op"], r["n_partitions"])
+        for r in ledger.ledger_history(spark, path).collect()
+    }
+    assert [hist[v][0] for v in sorted(hist)] == [
+        "WRITE", "MERGE", "DELETE", "OPTIMIZE", "RESTORE", "ADD CONSTRAINT"
+    ]
+    assert hist[1][1] == 3  # three year partitions live at v1
+    assert (
+        ledger.ledger_history(spark, dst).collect()[0]["op"] == "CLONE"
+    )
+    # txn watermarks surface in history
+    import json as _json
+
+    row = [
+        r for r in ledger.ledger_history(spark, path).collect()
+        if r["version"] == 2
+    ][0]
+    assert _json.loads(row["txn"]) == {"s": 3}

@@ -710,7 +710,7 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: Round-8 additions that arrive AFTER the 50-entry window froze. New
 #: queries land here local-oracle green and open round 9's window —
 #: together with the stale-row rotation: once round 8's rows land, the
-#: stalest evidence is the 21 remaining r4-era rows (q_array_agg,
+#: stalest evidence is the 22 remaining r4-era rows (q_array_agg,
 #: q_asof_join, q_decontaminate, q_dedup_incremental, q_group_centroids,
 #: q_interval_join, q_length_hist, q_mixture_sample,
 #: q_multimodal_decode_png, q_multimodal_decode_wav,
@@ -718,6 +718,10 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
 #: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize) —
 #: they must open round 9's head before any turns four rounds old.
+#: With those 22 r4-era rows and the 22 pending entries below, round 9's
+#: 50-slot head is: all 22 pending, then the 22 r4-era rows
+#: stalest-first, then a 6-slot freshness-ordered backfill — the same
+#: placement algorithm as ROUND8_WINDOW_HEAD.
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
     "q_mv_incremental",
@@ -743,6 +747,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_clone",
     "q_ledger_constraint",
     "q_streaming_left_join",
+    "q_ledger_history",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

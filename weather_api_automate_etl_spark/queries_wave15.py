@@ -701,3 +701,83 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE HISTORY: the commit audit log, reproducible and hash-stable
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ledger_history",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y') AS y FROM orders
+    ),
+    s AS (SELECT COUNT(DISTINCT y) AS p, COUNT(*) AS n FROM base),
+    ins AS (SELECT COUNT(*) AS i FROM base WHERE o_orderkey % 100 = 7),
+    del AS (SELECT COUNT(*) AS d FROM base WHERE o_orderkey % 7 = 0)
+    SELECT CAST(1 AS INTEGER) AS version, 'WRITE' AS op,
+           CAST(p AS BIGINT) AS n_partitions, CAST(n AS BIGINT) AS n_rows
+    FROM s
+    UNION ALL
+    SELECT 2, 'MERGE', CAST(p + 1 AS BIGINT), CAST(n + i AS BIGINT)
+    FROM s, ins
+    UNION ALL
+    SELECT 3, 'DELETE', CAST(p + 1 AS BIGINT), CAST(n + i - d AS BIGINT)
+    FROM s, ins, del
+    UNION ALL
+    SELECT 4, 'RESTORE', CAST(p AS BIGINT), CAST(n AS BIGINT) FROM s
+    """,
+    tags=("cdc", "ledger"),
+)
+def q_ledger_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (sources/ledger.py::ledger_history): the mart
+    lives through WRITE → MERGE (repriced keys + a brand-new partition)
+    → DELETE (every 7th base key) → RESTORE, and the audit log must
+    reconstruct the whole biography from the manifests alone — each
+    version's operation, live-partition count, and file-resident row
+    count, all derivable declaratively from the input data, which is
+    exactly what the oracle does. History here is deliberately
+    deterministic (no wall-clock timestamps in manifests), so the audit
+    itself is hash-checkable — and it reads zero data files, costing the
+    same on a 100 TB mart as on this fixture."""
+    import shutil
+    import tempfile
+
+    from weather_api_automate_etl_spark.sources import ledger
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            "o_year",
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + F.lit(6000000)).alias("o_orderkey"),
+                (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+                F.lit("2999").alias("o_year"),
+            )
+        )
+    )
+    doomed = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="ledger_hist_")
+    try:
+        ledger.ledger_write(spark, base, path, "o_year")
+        ledger.ledger_merge(spark, path, updates, "o_orderkey")
+        ledger.ledger_delete(spark, path, doomed, "o_orderkey")
+        ledger.ledger_restore(path, 1)
+        out = ledger.ledger_history(spark, path).select(
+            "version", "op", "n_partitions", "n_rows"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
