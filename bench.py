@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_ledger_constraint",     # CHECK-constraint gate + ADD CONSTRAINT scan
     "q_streaming_left_join",   # 3-drain outer join: watermark-gated null pads
     "q_ledger_history",        # DESCRIBE HISTORY: manifest-only audit log
+    "q_merge_when",            # 3-clause conditional MERGE, one CASE pass
 ]
 
 

@@ -393,3 +393,44 @@ def test_merge_into_partitioned_empty_batch_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v double, p string")
     assert cdc.merge_into_partitioned(spark, path, empty, "k", "p") == []
     assert sorted(os.listdir(os.path.join(path, "p=d1"))) == before
+
+
+def test_merge_when_clause_order_and_conditions(spark):
+    from weather_api_automate_etl_spark.operators.cdc import merge_when
+
+    mart = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    src = spark.createDataFrame(
+        [
+            (1, 5.0),    # matched, delete fires (s.v < 6) BEFORE update
+            (2, 15.0),   # matched, update fires (s.v < t.v)
+            (3, 99.0),   # matched, neither clause -> carry 30.0
+            (5, 50.0),   # not matched, insert cond holds
+            (6, -1.0),   # not matched, insert cond fails -> dropped
+        ],
+        "k long, v double",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_when(
+            mart, src, "k",
+            matched_delete="s.v < 6",
+            matched_update="s.v < t.v",
+            not_matched_insert="s.v > 0",
+        ).collect()
+    }
+    assert got == {2: 15.0, 3: 30.0, 4: 40.0, 5: 50.0}
+    # unconditional variant == plain upsert
+    got2 = {
+        r["k"]: r["v"] for r in merge_when(mart, src, "k").collect()
+    }
+    assert got2 == {1: 5.0, 2: 15.0, 3: 99.0, 4: 40.0, 5: 50.0, 6: -1.0}
+    # a duplicate-key source makes the merge nondeterministic: raise
+    import pytest as _pytest
+
+    dup = src.unionByName(
+        spark.createDataFrame([(2, 7.0)], "k long, v double")
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        merge_when(mart, dup, "k")

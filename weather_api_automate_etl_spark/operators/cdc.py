@@ -282,3 +282,84 @@ def apply_cdc(
         .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
         .drop("__rn")
     )
+
+
+def merge_when(
+    mart: DataFrame,
+    source: DataFrame,
+    key: str,
+    matched_update: str | None = None,
+    matched_delete: str | None = None,
+    not_matched_insert: str | None = None,
+    validate_unique: bool = True,
+) -> DataFrame:
+    """The full conditional MERGE grammar (Delta/SQL:2003 MERGE INTO):
+
+        WHEN MATCHED [AND <matched_delete>]  THEN DELETE
+        WHEN MATCHED [AND <matched_update>]  THEN UPDATE SET * (source wins)
+        WHEN NOT MATCHED [AND <not_matched_insert>] THEN INSERT *
+
+    Conditions are SQL strings over ``t.<col>`` (target) and ``s.<col>``
+    (source). Clause order follows Delta's evaluation contract: for a
+    matched pair the DELETE condition is tested first, then UPDATE
+    (``matched_update=None`` means unconditional update — plain upsert);
+    a matched row passing neither clause CARRIES unchanged. Unmatched
+    target rows always carry; unmatched source rows insert iff their
+    condition holds (``None`` = always).
+
+    ``validate_unique`` enforces Delta's runtime error: a source with
+    two rows for one key would make the merge nondeterministic, so it
+    raises instead (one map-side-combined count — skip it only when the
+    source is unique by construction).
+
+    Shape: ONE equi-join on the key carrying both sides as structs
+    (t/s), then a single CASE projection — no per-clause passes. The
+    join is full-outer in general; when every clause ships (the common
+    case) AQE still broadcasts a small source side. Composes with the
+    ledger exactly like merge_into: resolve inside touched partitions,
+    commit the swap.
+    """
+    if validate_unique:
+        dup = (
+            source.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source is not unique on {key!r} "
+                f"(e.g. {dup[0][key]!r}) — the merge would be "
+                f"nondeterministic; dedupe the source first"
+            )
+    t_cols = mart.columns
+    s_cols = source.columns
+    joined = (
+        mart.select(F.col(key).alias("__tk"), F.struct(*t_cols).alias("t"))
+        .join(
+            source.select(
+                F.col(key).alias("__sk"), F.struct(*s_cols).alias("s")
+            ),
+            F.col("__tk") == F.col("__sk"),
+            "full_outer",
+        )
+    )
+    matched = F.col("t").isNotNull() & F.col("s").isNotNull()
+    always = F.lit(True)
+    delete_c = F.expr(matched_delete) if matched_delete else F.lit(False)
+    update_c = F.expr(matched_update) if matched_update else always
+    insert_c = F.expr(not_matched_insert) if not_matched_insert else always
+    pick = (
+        F.when(matched & delete_c, F.lit(None).cast(joined.schema["s"].dataType))
+        .when(matched & update_c, F.col("s"))
+        .when(matched, F.col("t"))
+        .when(F.col("t").isNotNull(), F.col("t"))
+        .when(insert_c, F.col("s"))
+        .otherwise(F.lit(None).cast(joined.schema["s"].dataType))
+    )
+    return (
+        joined.select(pick.alias("__row"))
+        .filter(F.col("__row").isNotNull())
+        .select("__row.*")
+    )

@@ -748,6 +748,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_constraint",
     "q_streaming_left_join",
     "q_ledger_history",
+    "q_merge_when",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

@@ -781,3 +781,93 @@ def q_ledger_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# conditional MERGE: the full WHEN MATCHED / NOT MATCHED grammar
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_merge_when",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS p,
+             strftime(o_orderdate, '%Y') AS y
+      FROM orders
+    ),
+    merged AS (
+      -- matched: DELETE first (discounted price < 1000), then UPDATE
+      -- only when the source price is LOWER, else carry
+      SELECT k,
+             CASE WHEN k % 10 = 3 THEN p - 100.0 ELSE p END AS p,
+             y
+      FROM base
+      WHERE NOT (k % 10 = 3 AND p - 100.0 < 1000)
+        AND NOT (k % 10 = 6 AND p + 100.0 < 1000)
+      UNION ALL
+      -- not matched: INSERT only 1996-or-later rows
+      SELECT k + 6000000, p - 100.0, y
+      FROM base WHERE k % 100 = 7 AND y >= '1996'
+    )
+    SELECT y AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(p), 2) AS sum_price
+    FROM merged GROUP BY o_year
+    """,
+    tags=("cdc",),
+)
+def q_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL conditional MERGE grammar (operators/cdc.py::merge_when —
+    Delta/SQL:2003 MERGE INTO): one source batch drives all three
+    clauses at once. Keys %10==3 arrive discounted 100 — they UPDATE
+    (source price lower) unless the discounted price drops under 1000,
+    in which case the DELETE clause fires first; keys %10==6 arrive
+    marked UP 100 — the update condition (s < t) fails, so they CARRY
+    unchanged (the clause-order contract: delete, then update, then
+    carry); fresh keys INSERT only when their year clears the
+    not-matched condition. One full-outer key join + one CASE
+    projection resolves everything; the oracle recomputes the exact
+    clause algebra declaratively, so a wrong clause order or a leaked
+    delete breaks the hash."""
+    from weather_api_automate_etl_spark.operators.cdc import merge_when
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    source = (
+        base.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") - F.lit(100.0)).alias("o_totalprice"),
+            "o_year",
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 10 == 6).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+                "o_year",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + F.lit(6000000)).alias("o_orderkey"),
+                (F.col("o_totalprice") - F.lit(100.0)).alias("o_totalprice"),
+                "o_year",
+            )
+        )
+    )
+    merged = merge_when(
+        base,
+        source,
+        "o_orderkey",
+        matched_delete="s.o_totalprice < 1000",
+        matched_update="s.o_totalprice < t.o_totalprice",
+        not_matched_insert="s.o_year >= '1996'",
+    )
+    return merged.groupBy("o_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
