@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "q_streaming_left_join",   # 3-drain outer join: watermark-gated null pads
     "q_ledger_history",        # DESCRIBE HISTORY: manifest-only audit log
     "q_merge_when",            # 3-clause conditional MERGE, one CASE pass
+    "q_kfold",                 # content-hash fold assignment + balance
+    "q_k_anonymity",           # quasi-identifier class-size audit
 ]
 
 

@@ -81,3 +81,27 @@ def redact_pii(df: DataFrame, text_col: str, keep: list[str] | None = None) -> D
         *counts,
         (total > 0).alias("has_pii"),
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): a released dataset is
+    k-anonymous when every combination of quasi-identifier values is
+    shared by at least ``k`` rows — smaller equivalence classes
+    re-identify individuals by joining on the quasi-identifiers alone,
+    which is exactly how training corpora leak PII without any direct
+    identifier present. Returns the VIOLATING equivalence classes
+    (quasi values + their class size), i.e. the groups a release must
+    suppress or generalize; an empty result certifies the dataset at
+    level k. NULL quasi values form their own class (they generalize
+    together). One hash aggregate on the quasi columns — scan-rate at
+    any size, the same shape as the reference's accepted_values test
+    but keyed on the combination."""
+    if k < 2:
+        raise ValueError(f"k-anonymity needs k >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )

@@ -153,3 +153,19 @@ def holdout_split(
         .when(u < train + val, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def kfold_assign(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Deterministic k-fold assignment: fold = content-hash(key) mod k —
+    the cross-validation splitter with the same replayability contract
+    as ``holdout_split`` (a row's fold is a pure function of the data:
+    identical across engines, partitionings, and reruns, so fold i's
+    eval set can never leak into fold i's training set when the corpus
+    is reprocessed). Zero shuffle — one projection; the k models then
+    train on ``fold != i`` filters of the same frame, each a pushed-down
+    scan predicate."""
+    if k < 2:
+        raise ValueError(f"k-fold needs k >= 2, got {k}")
+    return df.withColumn(
+        "fold", (_hash_bucket(F.col(key_col)) % k).cast("int")
+    )

@@ -749,6 +749,8 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_streaming_left_join",
     "q_ledger_history",
     "q_merge_when",
+    "q_kfold",
+    "q_k_anonymity",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

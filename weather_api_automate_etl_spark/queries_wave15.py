@@ -871,3 +871,77 @@ def q_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-fold cross-validation splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kfold",
+    oracle="""
+    WITH folded AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 5 AS INTEGER) AS fold,
+             lang, n_chars
+      FROM documents
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM folded GROUP BY fold
+    """,
+    tags=("sampling", "mlprep"),
+)
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (operators/sampling.py::kfold_assign): fold = content-hash(doc_id)
+    mod 5, a pure function of the data — identical across engines,
+    reruns, and repartitionings, so fold boundaries never drift between
+    pipeline versions (the same replayability contract as
+    q_holdout_split). Per-fold size, language coverage, and mean length
+    summarize balance; training fold i is a pushed-down ``fold != i``
+    scan predicate, zero shuffle."""
+    from weather_api_automate_etl_spark.operators import sampling
+
+    folded = sampling.kfold_assign(t(spark, sf_dir, "documents"), "doc_id", 5)
+    return folded.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: the structured-privacy release gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING COUNT(*) < 10
+    """,
+    tags=("privacy", "quality"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py::k_anonymity_violations —
+    Sweeney 2002): customers quasi-identified by (market segment,
+    nation); every equivalence class smaller than k=10 is a
+    re-identification risk the release must suppress or generalize.
+    Complements the regex-level PII redaction (q_pii_redact): redaction
+    removes direct identifiers, k-anonymity catches the JOIN attack on
+    what remains — both gates a training-data release pipeline runs.
+    One hash aggregate on the quasi columns; empty result = certified
+    at level k."""
+    from weather_api_automate_etl_spark.operators import privacy
+
+    return privacy.k_anonymity_violations(
+        t(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"], 10
+    ).select("c_mktsegment", "c_nationkey", F.col("class_size").cast("long").alias("class_size"))
