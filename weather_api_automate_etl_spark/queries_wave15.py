@@ -651,6 +651,13 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = mn + dt.timedelta(days=14)
     stage = tempfile.mkdtemp(prefix=f"{name}_stage_")
     sink = tempfile.mkdtemp(prefix=f"{name}_sink_")
+    # a stream-stream join keeps 4 state stores per shuffle partition per
+    # side, and every RESTART reloads all of them — at the session's 32
+    # partitions the three drains spend their time in state-store churn,
+    # not data. 8 partitions is plenty for the bounded drain; the setting
+    # freezes into the checkpoint at first run (restore it after).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         def ship(i: int, df) -> None:
             shipdir = os.path.join(stage, f"_ship_{i}")
@@ -673,32 +680,42 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ship(0, ev.filter(F.col("ts") <= F.lit(cutoff)))
         for i, days in enumerate((30, 60), start=1):
-            # late traffic on BOTH sides: each side's watermark advances
-            # only with its own rows (the per-side filters push below the
-            # watermark node — see the operator docstring), so the window
-            # close needs a late click AND a late purchase. Negative ids
-            # mark them synthetic; the readback filters them out.
-            late = spark.createDataFrame(
-                [
-                    (-i, mn + dt.timedelta(days=days), -1, "click", None),
-                    (-100 - i, mn + dt.timedelta(days=days), -2,
-                     "purchase", 0.0),
-                ],
-                "event_id long, ts timestamp, user_id long, "
-                "event_type string, value double",
-            )
             # drain what is staged so far, THEN ship the next sentinels:
             # each drain applies the watermark the previous batch set
             stream_events.run_to_file_sink(
                 joined, f"{sink}/data", f"{sink}/ckpt"
             )
-            ship(i, late)
+            # late traffic on BOTH sides: each side's watermark advances
+            # only with its own rows (the per-side filters push below the
+            # watermark node — see the operator docstring), so the window
+            # close needs a late click AND a late purchase. Negative ids
+            # mark them synthetic; the readback filters them out. Written
+            # with pyarrow directly — a 2-row sentinel does not need a
+            # Spark write job.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            late_ts = mn + dt.timedelta(days=days)
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([-i, -100 - i], pa.int64()),
+                        "ts": pa.array([late_ts, late_ts],
+                                       pa.timestamp("us")),
+                        "user_id": pa.array([-1, -2], pa.int64()),
+                        "event_type": pa.array(["click", "purchase"]),
+                        "value": pa.array([None, 0.0], pa.float64()),
+                    }
+                ),
+                os.path.join(stage, f"ship_{i}.parquet"),
+            )
         stream_events.run_to_file_sink(joined, f"{sink}/data", f"{sink}/ckpt")
         out = spark.read.parquet(f"{sink}/data").filter(
             F.col("click_id") >= 0
         )
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
 
