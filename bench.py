@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_merge_when",            # 3-clause conditional MERGE, one CASE pass
     "q_kfold",                 # content-hash fold assignment + balance
     "q_k_anonymity",           # quasi-identifier class-size audit
+    "q_bpe_fertility",         # per-lang tokenizer cost-model stats
 ]
 
 

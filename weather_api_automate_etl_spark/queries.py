@@ -751,6 +751,7 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_merge_when",
     "q_kfold",
     "q_k_anonymity",
+    "q_bpe_fertility",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

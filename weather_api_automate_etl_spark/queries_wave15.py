@@ -962,3 +962,65 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return privacy.k_anonymity_violations(
         t(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"], 10
     ).select("c_mktsegment", "c_nationkey", F.col("class_size").cast("long").alias("class_size"))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language: the cost model input
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle() -> str:
+    from weather_api_automate_etl_spark.queries_wave13 import (
+        _bpe_encode_oracle,
+    )
+
+    return f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(e.n_symbols) AS BIGINT) AS n_symbols,
+           ROUND(SUM(e.n_symbols) * 1.0 / SUM(e.n_tokens), 6)
+             AS symbols_per_token,
+           ROUND(SUM(e.n_symbols) * 1.0 / SUM(e.n_chars), 6) AS compression
+    FROM ({_bpe_encode_oracle()}) e
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@query("q_bpe_fertility", oracle=_bpe_fertility_oracle(), tags=("text",))
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the per-language cost-model
+    input every multilingual pipeline budgets with: after the corpus
+    learns its merge table (q_bpe_merge_table) and encodes
+    (q_bpe_encode), symbols-per-whitespace-token and symbols-per-char
+    aggregate by language. A language the tokenizer serves poorly shows
+    high fertility — it pays more sequence length per word, trains on
+    fewer effective documents per token budget, and is the first place
+    a vocab rebalance looks. Pure composition of the proven encode plan
+    plus one broadcast join to the lang column and one aggregate; the
+    ratios divide exact integer sums, so they are bit-identical
+    cross-engine under round(6)."""
+    from weather_api_automate_etl_spark.operators import textops
+    from weather_api_automate_etl_spark.queries_wave11 import _BPE_SYMBOLS
+
+    docs = t(spark, sf_dir, "documents")
+    table = textops.bpe_merge_rounds(
+        docs, n_rounds=3, placeholders=_BPE_SYMBOLS
+    )
+    enc = textops.bpe_encode(docs, table, _BPE_SYMBOLS, n_rounds=3)
+    return (
+        enc.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+            F.round(
+                F.sum("n_symbols") * F.lit(1.0) / F.sum("n_tokens"), 6
+            ).alias("symbols_per_token"),
+            F.round(
+                F.sum("n_symbols") * F.lit(1.0) / F.sum("n_chars"), 6
+            ).alias("compression"),
+        )
+    )
