@@ -278,3 +278,82 @@ def test_cdc_row_hash_injective_on_tuples(spark, a, b):
     df = spark.createDataFrame([a, b], "s string, v string")
     h = [r.h for r in df.select(_row_hash(["s", "v"]).alias("h")).collect()]
     assert (h[0] == h[1]) == (a == b)
+
+
+# ---------------------------------------------------------------------------
+# round-8 CDC operators vs pure-Python replay references
+# ---------------------------------------------------------------------------
+
+cdc_log_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # key
+        st.integers(min_value=0, max_value=50),         # seq
+        st.sampled_from(["I", "U", "D"]),               # op
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # seq unique per key (log offsets)
+)
+
+
+@given(log=cdc_log_st)
+@SETTINGS
+def test_apply_cdc_matches_python_replay(spark, log):
+    from weather_api_automate_etl_spark.operators.cdc import apply_cdc
+
+    df = spark.createDataFrame(
+        log, "k long, seq long, op string, v double"
+    )
+    got = {
+        r["k"]: (r["seq"], r["op"], r["v"])
+        for r in apply_cdc(df, "k", "seq", "op").collect()
+    }
+    # reference: replay in seq order per key, final D removes the key
+    want = {}
+    for k, seq, op, v in sorted(log, key=lambda r: (r[0], r[1])):
+        want[k] = (seq, op, v)
+    want = {k: r for k, r in want.items() if r[1] != "D"}
+    assert got == want
+
+
+@given(
+    mart=st.lists(
+        st.tuples(st.integers(0, 6), st.floats(0, 100, allow_nan=False)),
+        min_size=0, max_size=8, unique_by=lambda r: r[0],
+    ),
+    src=st.lists(
+        st.tuples(st.integers(0, 6), st.floats(0, 100, allow_nan=False)),
+        min_size=0, max_size=8, unique_by=lambda r: r[0],
+    ),
+    thresh=st.floats(10, 90, allow_nan=False),
+)
+@SETTINGS
+def test_merge_when_matches_python_reference(spark, mart, src, thresh):
+    from weather_api_automate_etl_spark.operators.cdc import merge_when
+
+    mdf = spark.createDataFrame(mart, "k long, v double")
+    sdf = spark.createDataFrame(src, "k long, v double")
+    got = {
+        r["k"]: r["v"]
+        for r in merge_when(
+            mdf, sdf, "k",
+            matched_delete=f"s.v < {thresh}",
+            matched_update="s.v < t.v",
+            not_matched_insert=f"s.v >= {thresh}",
+        ).collect()
+    }
+    tmap, smap = dict(mart), dict(src)
+    want = {}
+    for k, tv in tmap.items():
+        if k in smap:
+            sv = smap[k]
+            if sv < thresh:
+                continue  # WHEN MATCHED AND s.v < thresh THEN DELETE
+            want[k] = sv if sv < tv else tv  # UPDATE else carry
+        else:
+            want[k] = tv
+    for k, sv in smap.items():
+        if k not in tmap and sv >= thresh:
+            want[k] = sv
+    assert got == want
