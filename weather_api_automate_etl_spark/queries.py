@@ -718,9 +718,9 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
 #: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize) —
 #: they must open round 9's head before any turns four rounds old.
-#: With those 22 r4-era rows and the 26 pending entries below, round 9's
-#: 50-slot head is: all 26 pending, then the 22 r4-era rows
-#: stalest-first, with the final 2 slots going to the freshest remaining
+#: With those 22 r4-era rows and the 27 pending entries below, round 9's
+#: 50-slot head is: all 27 pending, then the 22 r4-era rows
+#: stalest-first, with the final slot going to the freshest remaining
 #: evidence — the same placement algorithm as ROUND8_WINDOW_HEAD.
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
