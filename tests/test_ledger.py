@@ -1099,3 +1099,45 @@ def test_history_records_every_operation(spark, mart, tmp_path):
         if r["version"] == 2
     ][0]
     assert _json.loads(row["txn"]) == {"s": 3}
+
+
+def test_clone_carries_checks_and_concurrent_check_change_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    df = spark.createDataFrame(
+        [(k, float(k * 10 + 10), str(2000 + k % 3)) for k in range(12)],
+        "k long, price double, year string",
+    )
+    path = str(tmp_path / "src")
+    ledger.ledger_write(
+        spark, df, path, "year", checks={"price_pos": "price > 0"}
+    )
+    # the clone inherits the table contract
+    dst = str(tmp_path / "fork")
+    ledger.ledger_clone(path, dst)
+    bad = spark.createDataFrame(
+        [(1, -1.0, "2001")], "k long, price double, year string"
+    )
+    with pytest.raises(ValueError, match="price_pos"):
+        ledger.ledger_merge(spark, dst, bad, "k")
+    # a competitor ADDing a constraint mid-flight is a rebase conflict:
+    # the loser's batch was validated against the OLD contract
+    upd = spark.createDataFrame(
+        [(1, 111.0, "2001")], "k long, price double, year string"
+    )
+
+    def competitor():
+        ledger.ledger_add_check(spark, path, "price_sane", "price < 1e9")
+
+    real_commit = ledger._commit
+
+    def racing_commit(p, manifest, version):
+        monkeypatch.setattr(ledger, "_commit", real_commit)
+        competitor()
+        return real_commit(p, manifest, version)
+
+    monkeypatch.setattr(ledger, "_commit", racing_commit)
+    with pytest.raises(
+        ledger.LedgerConcurrentWriteError, match="checks"
+    ):
+        ledger.ledger_merge(spark, path, upd, "k")
