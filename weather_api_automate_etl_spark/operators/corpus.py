@@ -412,3 +412,73 @@ def blocklist_filter(
         F.get(hits, 0).alias("first_hit"),
         (F.size(hits) > 0).alias("is_blocked"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023: Data Selection
+    via Importance Resampling): score every raw document by how much it
+    looks like a TARGET distribution (a trusted high-quality slice),
+    using hashed n-gram features instead of a model — the standard cheap
+    data-selection signal before pretraining. ``is_target`` is a boolean
+    Column over ``docs`` marking the target slice (e.g. a curated
+    source); the weight of doc d is the log-likelihood ratio
+
+        w(d) = sum_t [ ln p_target(f(t)) - ln p_raw(f(t)) ]
+
+    over its tokens t, with features f(t) = hashed unigram buckets
+    (``conv(md5(t)[:8], 16) % dim`` — hashing_vectorizer's bucket, so
+    the whole text→feature bridge shares one definition) and Laplace
+    add-one smoothing on both distributions. Resample raw data with
+    probability proportional to exp(w) — or, as here, rank by w.
+
+    Scale shape: one token explode (scan-rate), one map-side-combined
+    aggregate to the dim-row feature table (word-count shape — tiny
+    result, partials absorb the key skew), one broadcast join of that
+    dim-row weight table back onto the token stream, one per-doc sum.
+    The feature table is O(dim) — never a vocabulary — so nothing here
+    grows with corpus size except the scans. Documents with no real
+    tokens are absent from the output (no features, no evidence, no
+    weight). Returns (id_col, n_tokens, dsir_weight) rounded to 6."""
+    if dim < 2:
+        raise ValueError(f"dsir_importance needs dim >= 2, got {dim}")
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    feat = (
+        docs.select(
+            F.col(id_col),
+            is_target.alias("_is_t"),
+            F.explode(toks).alias("_term"),
+        )
+        .withColumn(
+            "_f",
+            F.conv(F.substring(F.md5("_term"), 1, 8), 16, 10).cast("long")
+            % dim,
+        )
+    )
+    counts = feat.groupBy("_f").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_tc"),
+        F.count(F.lit(1)).alias("_rc"),
+    )
+    totals = counts.agg(
+        F.sum("_tc").alias("_tt"), F.sum("_rc").alias("_rt")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "_f",
+        (
+            F.log((F.col("_tc") + 1.0) / (F.col("_tt") + float(dim)))
+            - F.log((F.col("_rc") + 1.0) / (F.col("_rt") + float(dim)))
+        ).alias("_lw"),
+    )
+    return (
+        feat.join(F.broadcast(weights), "_f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_lw"), 6).alias("dsir_weight"),
+        )
+    )

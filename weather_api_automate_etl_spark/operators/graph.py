@@ -301,3 +301,61 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core did not reach a fixpoint within {max_rounds} rounds")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_id: str = "node",
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop count from ANY
+    source node, out to ``max_hops`` (nodes farther than that are simply
+    absent — at 100 TB the k-hop neighborhood is the tractable ask, the
+    full transitive closure is not).
+
+    Frontier formulation — the textbook distributed BFS (Pregel's hello
+    world): the edge table is materialized once (localCheckpoint) and each
+    round expands the CURRENT frontier only (one equi-join on ``src``),
+    anti-joins the visited set (so a node's FIRST discovery wins, which is
+    what makes the hop count minimal), and checkpoints the new frontier.
+    Per-round cost is O(frontier ⋈ edges) — never proportional to the
+    hop-reachable closure — and the visited set is carried as a
+    DataFrame, not driver state. Deterministic: hop levels are exact
+    integers, no float accumulation.
+
+    ``directed=False`` (default) symmetrizes the edge list first, the
+    same convention as pagerank/k_core above. Returns (node_id, hops)
+    with one row per reached node, sources at hops=0."""
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances needs max_hops >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.localCheckpoint(eager=True)
+    frontier = (
+        sources.select(F.col(node_id).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("node").alias(node_id), "hops")

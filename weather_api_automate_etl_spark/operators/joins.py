@@ -301,3 +301,52 @@ def bloom_prune_join(
     return pruned.join(
         keys.select(F.col(key_col)).distinct(), key_col, "left_semi"
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+    table_name: str,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as an EXTERNAL parquet table hash-bucketed (and
+    per-bucket sorted) on ``key`` — the co-location primitive behind
+    shuffle-free sort-merge joins. Writing pays the shuffle ONCE; every
+    subsequent equi-join or aggregation on ``key`` between tables that
+    share the bucket count reads each bucket pre-partitioned and
+    pre-sorted, so Catalyst drops both Exchange nodes from the join
+    (outputPartitioning already satisfies the join's distribution
+    requirement). This is the batch analogue of co-partitioned Kafka
+    topics and THE standard layout for fact-to-fact joins too big to
+    broadcast at 100 TB — bucket counts just need to be chosen once,
+    corpus-wide, and honored by every producer."""
+    if n_buckets < 1:
+        raise ValueError(f"write_bucketed needs n_buckets >= 1, got {n_buckets}")
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)
+
+
+def bucketed_equi_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join two bucketed tables (written by ``write_bucketed`` with the
+    SAME bucket count) on their bucket keys as a sort-merge join that
+    needs NO Exchange on either side — the plan shape
+    tests/test_wave16.py pins. The explicit ``merge`` hint keeps the
+    optimizer from electing a broadcast join when one side happens to be
+    small locally (which would hide the co-location property this
+    operator exists to demonstrate); at production scale neither side
+    fits a broadcast anyway."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.hint("merge").join(
+        right, left[left_key] == right[right_key]
+    )

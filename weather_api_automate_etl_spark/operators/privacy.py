@@ -105,3 +105,87 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .filter(F.col("class_size") < k)
     )
+
+
+def l_diversity_violations(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    companion gate to ``k_anonymity_violations`` above: a k-anonymous
+    class is still a leak when everyone in it SHARES the sensitive value
+    (the "homogeneity attack" — the attacker needs no row, only the
+    class). A release is (distinct) l-diverse when every
+    quasi-identifier equivalence class contains at least ``l`` distinct
+    sensitive values. Returns the VIOLATING classes with their size and
+    distinct-sensitive count; empty certifies the release at level l.
+
+    One hash aggregate with an exact ``count(distinct)`` per class —
+    planned as partial-distinct on (quasi, sensitive) then (quasi), both
+    shuffles keyed on the quasi columns, scan-rate at 100 TB. NULL
+    sensitive values count as one value (a class of all-NULL sensitive
+    is exactly as homogeneous as a class of all-'cancer')."""
+    if l < 2:
+        raise ValueError(f"l-diversity needs l >= 2, got {l}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    seed: str = "dp",
+) -> DataFrame:
+    """epsilon-differentially-private release of group counts via the
+    Laplace mechanism (Dwork et al., TCC 2006): count + Lap(1/eps), the
+    count query's sensitivity being 1. The standard private-statistics
+    release for corpus composition tables (per-source/per-language
+    counts) whose exact values would expose individual membership.
+
+    The noise is DETERMINISTIC given (group value, seed) — a keyed-hash
+    PRNG, not ``rand()``: u in (0,1) comes from the top 52 bits of
+    ``md5(group || seed)`` (a uniform already reproducible on any engine
+    and any partitioning — the property the whole oracle framework rides
+    on), and inverse-CDF sampling maps it to Laplace:
+
+        u' = u - 1/2;  noise = -(1/eps) * sign(u') * ln(1 - 2*|u'|)
+
+    Determinism is a FEATURE for a release pipeline: re-running the job
+    republishes identical numbers instead of spending fresh budget per
+    run (the "sticky noise" discipline of RAPPOR-style systems). The md5
+    expression is codegen'd JVM work on the already-aggregated group
+    rows — one hash aggregate, then metadata-scale scalar math. Returns
+    (groups..., noisy_count) and deliberately NOT the exact count —
+    a release that also keeps the true count has no DP guarantee left.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"dp_noisy_counts needs epsilon > 0, got {epsilon}")
+    key = F.concat_ws(
+        "", *[F.col(c).cast("string") for c in group_cols], F.lit(seed)
+    )
+    # top 13 hex chars = 52 bits -> exact in a double; u=0 would send
+    # ln to -inf only at u' = +1/2, excluded because u < 1
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(centered))
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .select(
+            *group_cols,
+            F.round(F.col("_n") + noise, 6).alias("noisy_count"),
+        )
+    )

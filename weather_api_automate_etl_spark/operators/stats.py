@@ -741,3 +741,59 @@ def mann_whitney_u(
         u1.alias("u1"),
         F.round((u1 - mu) / sigma, 6).alias("z_score"),
     )
+
+
+def spearman_by_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation per group — the monotone-association
+    screen that survives outliers and nonlinearity (quality-score vs
+    perplexity sanity checks, feature drift vs label drift). Spearman ρ
+    is Pearson r over AVERAGE ranks (the standard tie treatment: tied
+    values share the mean of the positions they occupy).
+
+    Average rank without any per-row Python and without sorting twice:
+    ``rank()`` gives each tie run its minimum position, ``count() over
+    (group, value)`` gives the run length, and ``min_rank + (run-1)/2``
+    is exactly the mean of the occupied positions. Ranks are then
+    CENTERED in closed form before aggregation — average ranks always
+    sum to n(n+1)/2, so the group mean is (n+1)/2 without measuring it —
+    which kills the n·Σxy − Σx·Σy cancellation entirely: centered ranks
+    are quarter-granular and bounded by n, so every product and sum
+    stays EXACT in doubles up to n ≈ 10⁷ per group and the result is
+    bit-identical on any engine and any partitioning (the uncentered
+    moment form loses that above n ≈ 10⁴). Two window shuffles (one per
+    variable, both partitioned by the group key), one aggregate.
+    Constant (all-tied) variables yield NULL, never ±garbage. Returns
+    (group, n, spearman_rho) rounded to 6."""
+    wg = Window.partitionBy(group_col)
+
+    def avg_rank(col: str):
+        wr = Window.partitionBy(group_col).orderBy(F.col(col))
+        wt = Window.partitionBy(group_col, col)
+        return (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1.0) / 2.0
+        )
+
+    half = (F.count(F.lit(1)).over(wg).cast("double") + 1.0) / 2.0
+    ranked = df.select(
+        group_col,
+        (avg_rank(x_col) - half).alias("rx"),
+        (avg_rank(y_col) - half).alias("ry"),
+    )
+    m = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    denom = F.when(
+        (F.col("sxx") > 0) & (F.col("syy") > 0),
+        F.sqrt(F.col("sxx") * F.col("syy")),
+    )
+    return m.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        round0(F.col("sxy") / denom, 6).alias("spearman_rho"),
+    )

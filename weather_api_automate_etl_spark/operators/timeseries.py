@@ -369,3 +369,73 @@ def seasonal_decompose(
             F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6),
         ).alias("residual"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series — the
+    level+trend forecaster one step up from EWMA (which this module's
+    users already have) and the standard freshness/capacity projection
+    for pipeline telemetry.
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized textbook-style from the first two points (l₁ = y₁,
+    b₁ = y₂ − y₁; recursion starts at t = 2). The recurrence is
+    inherently sequential IN t but embarrassingly parallel ACROSS
+    series, so the scale shape is: one hash aggregate collects each
+    series (``sort_array(collect_list(struct(order, value)))`` — state
+    per group is the series itself, bounded by the time range, never by
+    row count at 100 TB because callers aggregate to their time grain
+    first), then a single JVM-side ``F.aggregate`` fold carries the
+    (level, trend) pair — O(1) state per step, zero Python, zero extra
+    shuffles. Series shorter than 2 points are dropped (no trend is
+    definable). Deterministic: the fold order is the sort order on both
+    engines, so a recursive-CTE oracle reproduces it bit-for-bit.
+
+    Returns (series, n_points, level, trend, forecast_1) with the float
+    outputs rounded to 6 — forecast_1 = level + trend, the one-step-ahead
+    projection."""
+    pts = (
+        df.groupBy(series_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                        F.col(value_col).alias("y")))
+            ).alias("pts")
+        )
+        .filter(F.size("pts") >= 2)
+    )
+    ys = F.expr("transform(pts, p -> cast(p.y as double))")
+    init = F.expr(
+        "named_struct('lvl', cast(pts[0].y as double), "
+        "'trd', cast(pts[1].y as double) - cast(pts[0].y as double))"
+    )
+    fold = F.aggregate(
+        F.slice(ys, 2, F.size("pts") - 1),
+        init,
+        lambda acc, y: F.struct(
+            (F.lit(alpha) * y
+             + F.lit(1.0 - alpha) * (acc["lvl"] + acc["trd"])).alias("lvl"),
+            (F.lit(beta) * (F.lit(alpha) * y
+                            + F.lit(1.0 - alpha) * (acc["lvl"] + acc["trd"])
+                            - acc["lvl"])
+             + F.lit(1.0 - beta) * acc["trd"]).alias("trd"),
+        ),
+    )
+    from weather_api_automate_etl_spark.operators.stats import round0
+
+    return pts.withColumn("state", fold).select(
+        series_col,
+        F.size("pts").cast("long").alias("n_points"),
+        round0(F.col("state.lvl"), 6).alias("level"),
+        round0(F.col("state.trd"), 6).alias("trend"),
+        round0(F.col("state.lvl") + F.col("state.trd"), 6).alias("forecast_1"),
+    )

@@ -545,6 +545,7 @@ def _load_extensions() -> None:
         queries_wave13,
         queries_wave14,
         queries_wave15,
+        queries_wave16,
     )
 
 
@@ -752,6 +753,16 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_kfold",
     "q_k_anonymity",
     "q_bpe_fertility",
+    # wave 16: co-located joins, graph search, rank stats, forecasting,
+    # governance releases, data selection, perceptual image dedup
+    "q_bucketed_join",
+    "q_bfs_distance",
+    "q_spearman_corr",
+    "q_holt_linear",
+    "q_l_diversity",
+    "q_dp_counts",
+    "q_dsir_weights",
+    "q_image_dhash",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

@@ -727,3 +727,108 @@ def resize(
             )
 
     return assets.mapInPandas(run, RESIZE_SCHEMA)
+
+
+#: dHash operates on a fixed (w+1) x h grid: 8 horizontal-gradient bits
+#: per row, 8 rows = a 64-bit perceptual fingerprint (16 hex chars).
+DHASH_W, DHASH_H = 9, 8
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def documents_as_gradient_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL binary-PPM payloads with a linear luminance
+    gradient — px(x, y) = (a*x + b*y + s) % 256 on all three channels,
+    with slopes a = (doc_id%5)*48+16, b = (doc_id%3)*37+11 and phase
+    s = (doc_id%16)*16 — sized exactly (DHASH_W x DHASH_H) so the
+    perceptual-hash grid IS the image grid and every dHash bit is
+    predictable in closed form (the bit is 0 exactly when the +a step
+    wraps mod 256; slopes span 16..208 so wraps are frequent and the
+    hashes are bit-diverse). The parameters cycle with period
+    lcm(5,3,16) = 240 over doc_id, so distinct documents land in 240
+    byte-identical classes — the perceptual-duplicate structure the
+    dHash query groups on."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in ASSET_SCHEMA.fieldNames()}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                a = (d % 5) * 48 + 16
+                b = (d % 3) * 37 + 11
+                s = (d % 16) * 16
+                xs = np.arange(DHASH_W, dtype=np.int64)
+                ys = np.arange(DHASH_H, dtype=np.int64)
+                v = ((a * xs[None, :] + b * ys[:, None] + s) % 256).astype(
+                    np.uint8
+                )
+                px = np.repeat(v[:, :, None], 3, axis=2)
+                payload = codecs.encode_ppm(px)
+                out["asset_id"].append(d)
+                out["media_type"].append("image/x-portable-pixmap")
+                out["content"].append(payload)
+                out["byte_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Difference hash (dHash), the classic perceptual image fingerprint:
+    decode, reduce to the DHASH_W x DHASH_H luminance grid, and emit one
+    bit per horizontal neighbor pair — bit(x, y) = 1 iff px(x+1, y) >
+    px(x, y) — packed row-major, MSB-first into a 16-hex-char string.
+    Near-duplicate images (re-encodes, small edits) land within a few
+    bits of each other; exact perceptual duplicates collide outright, so
+    grouping by the hash is the image-side analogue of exact text dedup
+    and Hamming-banding the hash (q_simhash_pairs' pigeonhole trick)
+    gives the near-dup join. Inputs wider than the grid are box-reduced
+    first (mean over cells) — standard dHash; the gradient fixtures are
+    generated AT grid size so the reduction is the identity there.
+
+    Arrow-batched ``mapInPandas`` decode (payload bytes never leave the
+    executor) followed by plain relational grouping — scan-rate at any
+    corpus size, state O(1) per image."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in DHASH_SCHEMA.fieldNames()}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                arr = codecs.decode_image(bytes(content))
+                gray = arr.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                if (h, w) != (DHASH_H, DHASH_W):
+                    # box-reduce to the grid: mean over equal cell spans
+                    ys = (np.arange(DHASH_H + 1) * h) // DHASH_H
+                    xs = (np.arange(DHASH_W + 1) * w) // DHASH_W
+                    gray = np.array(
+                        [
+                            [
+                                gray[ys[j]:ys[j + 1], xs[i]:xs[i + 1]].mean()
+                                for i in range(DHASH_W)
+                            ]
+                            for j in range(DHASH_H)
+                        ]
+                    )
+                bits = gray[:, 1:] > gray[:, :-1]
+                row_bytes = (bits << np.arange(7, -1, -1)).sum(axis=1)
+                out["asset_id"].append(int(aid))
+                out["dhash"].append("".join(f"{int(rb):02x}" for rb in row_bytes))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, DHASH_SCHEMA)
