@@ -839,3 +839,63 @@ def fellegi_sunter_link(
     if min_score is not None:
         out = out.filter(F.col("score") >= float(min_score))
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact token/shingle-set CONTAINMENT pairs within a blocking key —
+    the asymmetric complement to ``ngram_jaccard_pairs`` above: Jaccard
+    misses a document embedded in a much larger one (|A ∩ B|/|A ∪ B| is
+    dragged down by the big doc), while containment c(A→B) = |A ∩ B|/|A|
+    is 1.0 whenever A's content is fully inside B regardless of B's size
+    — the doc-inside-doc signal behind quote/boilerplate detection and
+    the reason Broder defined BOTH resemblance and containment in the
+    original shingling paper (Broder 1997, "On the resemblance and
+    containment of documents").
+
+    Same inverted-index join shape as the Jaccard operator (explode
+    distinct shingles, equi-join on (block, shingle), count — candidate
+    space bounded by the block, never all-pairs), emitting both
+    directions plus their max; pairs are kept when the MAX containment
+    clears ``threshold`` (either direction mostly-inside the other).
+    Returns (id_a, id_b, c_ab, c_ba, containment), rounded to 6."""
+    sh = (
+        _shingles_with_fallback(text_col, shingle_k)
+        if shingle_k > 1
+        else tokens(text_col)
+    )
+    toks = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"),
+        F.explode(F.array_distinct(sh)).alias("__t"),
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = toks.select(F.col(id_col).alias("id_a"), "__blk", "__t")
+    b = toks.select(F.col(id_col).alias("id_b"), "__blk", "__t")
+    inter = (
+        a.join(b, ["__blk", "__t"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    c_ab = F.round(F.col("__i") / F.col("__na"), 6)
+    c_ba = F.round(F.col("__i") / F.col("__nb"), 6)
+    # sizes is corpus-cardinality: shuffle-join it (never broadcast)
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+            F.greatest(c_ab, c_ba).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -359,3 +359,67 @@ def bfs_distances(
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select(F.col("node").alias(node_id), "hops")
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node_id: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Single/multi-source WEIGHTED shortest paths, synchronous
+    Bellman-Ford with a fixed round budget — the weighted generalization
+    of ``bfs_distances`` (k relaxation rounds find every shortest path
+    that uses at most k edges; at 100 TB the bounded-depth ask is the
+    tractable one, exactly as for BFS). Non-negative weights assumed —
+    with a round budget the algorithm is still correct for negative
+    edges but "shortest within k hops" is the only guarantee either way.
+
+    Per round: one equi-join of the CURRENT tentative-distance table
+    against the (once-materialized) edge table, then a min-combine —
+    dist'(v) = min(dist(v), min over in-edges (dist(u) + w(u,v))). Both
+    are key-partitioned shuffles; the distance table is checkpointed per
+    round so lineage never stacks. Unlike BFS's frontier, the
+    relaxation re-joins the full tentative table each round — the
+    textbook cost of weighted paths (a found node's distance can still
+    improve), which is why the round budget, not a convergence probe,
+    bounds the work here. Integer weights stay exact end-to-end.
+
+    Returns (node_id, dist) for every node reached within ``rounds``
+    relaxations; sources at dist 0."""
+    if rounds < 0:
+        raise ValueError(f"sssp_bounded needs rounds >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).alias("w"),
+    )
+    if not directed:
+        e = e.unionAll(
+            edges.select(
+                F.col(dst).alias("src"), F.col(src).alias("dst"),
+                F.col(weight).alias("w"),
+            )
+        )
+    e = e.localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(node_id).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relax = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("node").alias(node_id), "dist")

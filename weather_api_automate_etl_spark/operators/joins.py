@@ -350,3 +350,90 @@ def bucketed_equi_join(
     return left.hint("merge").join(
         right, left[left_key] == right[right_key]
     )
+
+
+#: mean-Earth radius, km (IUGG) — fixed so both engines hash identically.
+EARTH_RADIUS_KM = 6371.0
+
+#: km per degree of latitude (and of longitude at the equator).
+KM_PER_DEG = 111.0
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in km (haversine form — numerically stable
+    for the small angles a radius join cares about, unlike the
+    spherical-law-of-cosines form)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1) / 2.0
+    dl = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dp) * F.sin(dp)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
+    )
+    return 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    lat_l: str = "lat",
+    lon_l: str = "lon",
+    lat_r: str = "lat",
+    lon_r: str = "lon",
+) -> DataFrame:
+    """Spatial radius join via grid-cell blocking — the standard way to
+    make "all pairs within r km" a SHUFFLE-KEYED equi-join instead of a
+    cross join: snap both sides to a (floor(lat/cell), floor(lon/cell))
+    grid, replicate the LEFT side onto its 3x3 cell neighborhood (a
+    bounded 9x explode — the space-filling-curve trick Sedona/Magellan
+    and every geo engine use), equi-join on the cell, and confirm with
+    the exact haversine predicate. Cost: one 9x map-side replication +
+    one hash join keyed on cells; candidate density is bounded by cell
+    area, never by table size — the same blocking discipline as every
+    dedup operator in this repo (never all-pairs).
+
+    CONTRACT: ``cell_deg`` must cover ``radius_km`` in BOTH axes at
+    every latitude present — lat needs cell_deg >= radius_km/111 (this
+    function enforces that much), lon needs
+    cell_deg >= radius_km/(111*cos(lat)), which grows toward the poles:
+    the caller picks cell_deg for its data's latitude band (or bands by
+    |lat|, the production refinement). Longitudes must live in
+    (-180+cell, 180-cell) — antimeridian wrap is not blocked for.
+
+    Returns left + right columns plus ``dist_km``. Column names must be
+    disjoint across the two inputs (alias before joining)."""
+    if radius_km <= 0:
+        raise ValueError(f"geo_radius_join needs radius_km > 0, got {radius_km}")
+    if cell_deg * KM_PER_DEG < radius_km:
+        raise ValueError(
+            f"cell_deg {cell_deg} cannot cover radius_km {radius_km}: "
+            f"needs >= {radius_km / KM_PER_DEG:.4f} deg (and more at high "
+            "latitude for the longitude axis)"
+        )
+    offs = F.explode(
+        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    ).alias("_o")
+    lhs = left.select(
+        "*",
+        F.floor(F.col(lat_l) / cell_deg).alias("_cy0"),
+        F.floor(F.col(lon_l) / cell_deg).alias("_cx0"),
+    ).select("*", offs).select(
+        "*",
+        (F.col("_cy0") + F.col("_o.dy")).alias("_cy"),
+        (F.col("_cx0") + F.col("_o.dx")).alias("_cx"),
+    ).drop("_cy0", "_cx0", "_o")
+    rhs = right.select(
+        "*",
+        F.floor(F.col(lat_r) / cell_deg).alias("_cy"),
+        F.floor(F.col(lon_r) / cell_deg).alias("_cx"),
+    )
+    d = haversine_km(F.col(lat_l), F.col(lon_l), F.col(lat_r), F.col(lon_r))
+    return (
+        lhs.join(rhs, ["_cy", "_cx"])
+        .withColumn("dist_km", d)
+        .filter(F.col("dist_km") < F.lit(radius_km))
+        .drop("_cy", "_cx")
+    )

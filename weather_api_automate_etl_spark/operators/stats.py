@@ -797,3 +797,162 @@ def spearman_by_group(
         F.col("n").cast("long").alias("n"),
         round0(F.col("sxy") / denom, 6).alias("spearman_rho"),
     )
+
+
+#: Cumulative Poisson(1) probabilities P(X <= k) for k = 0..5 — the
+#: inverse-CDF table behind ``poisson_bootstrap_ci``'s deterministic
+#: resampling weights (P(X > 6) ~ 1e-4 truncated onto w = 6; the bias is
+#: far below the CI's own Monte-Carlo noise at any B).
+_POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_boot: int = 32,
+    seed: str = "boot",
+) -> DataFrame:
+    """Bootstrap confidence interval for each group's mean via the
+    POISSON bootstrap — the only bootstrap that distributes: classic
+    resampling needs n draws WITH replacement from a group it would have
+    to materialize, while Poisson(1) weights are independent per row, so
+    each replicate is just a weighted aggregate and all B replicates ride
+    ONE scan (row -> B (replicate, weight) pairs, weights drawn by
+    inverse-CDF from the deterministic md5 uniform of (key, replicate,
+    seed) — the engine-replayable PRNG the oracle framework rides on).
+    E[weight] = 1 reproduces the classic bootstrap asymptotically
+    (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams" — the Google Poisson-bootstrap paper; also Kleiner et al.'s
+    BLB line of work).
+
+    The interval is the (2nd-smallest, 2nd-largest) order statistics of
+    the B replicate means — exact rank arithmetic, no percentile
+    interpolation to diverge across engines (for B = 32 that is a
+    ~93.75% central interval). Cost: one explode(B) scan, one
+    (group, replicate) aggregate, one B-row-per-group window — linear,
+    shuffle keyed on the group, no state anywhere.
+
+    Returns (group, n, mean, ci_lo, ci_hi), floats rounded to 6."""
+    if n_boot < 4:
+        raise ValueError(f"poisson_bootstrap_ci needs n_boot >= 4, got {n_boot}")
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col(key_col).cast("string"),
+                        F.col("_b").cast("string"),
+                        F.lit(seed),
+                    )
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    w = F.lit(6)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (
+        df.select(group_col, value_col, key_col)
+        .select(group_col, value_col, key_col, b)
+        .withColumn("_w", w.cast("double"))
+        .groupBy(group_col, "_b")
+        .agg(
+            (
+                F.sum(F.col("_w") * F.col(value_col))
+                / F.nullif(F.sum("_w"), F.lit(0.0))
+            ).alias("_m")
+        )
+    )
+    win_lo = Window.partitionBy(group_col).orderBy(F.asc("_m"), F.asc("_b"))
+    ranked = rep.withColumn("_r", F.row_number().over(win_lo))
+    bounds = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("_r") == 2, F.col("_m"))).alias("_lo"),
+        F.max(F.when(F.col("_r") == n_boot - 1, F.col("_m"))).alias("_hi"),
+    )
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col(value_col)).alias("_mean"),
+    )
+    return base.join(bounds, group_col).select(
+        group_col,
+        "n",
+        round0(F.col("_mean"), 6).alias("mean"),
+        round0(F.col("_lo"), 6).alias("ci_lo"),
+        round0(F.col("_hi"), 6).alias("ci_hi"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information (and the marginal entropies) between two
+    categorical columns, in nats — the dependence screen behind feature
+    selection, leakage detection (does `source` give away `label`?), and
+    drift triage. MI = sum_xy p(x,y) * ln(p(x,y) / (p(x)*p(y))), with
+    0·ln(0) = 0 by continuity (absent cells simply don't appear in the
+    joint count).
+
+    One hash aggregate to the joint contingency table (|X|·|Y| rows —
+    category-cardinality-small), marginals re-aggregated FROM the joint
+    (no second scan), broadcast-joined back. NULL categories are their
+    own level (dropping them would bias every marginal). Scan-rate at
+    100 TB. Returns one row: (n, h_x, h_y, mi, nmi) — nmi is
+    min-entropy-normalized MI in [0, 1], NULL when either entropy is 0
+    (a constant column carries no information to normalize by)."""
+    joint = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_nxy"))
+    mx = joint.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    my = joint.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    tot = joint.agg(F.sum("_nxy").alias("_n"))
+
+    def entropy(marginal: DataFrame, cnt: str, out: str) -> DataFrame:
+        p = F.col(cnt) / F.col("_n")
+        return marginal.crossJoin(F.broadcast(tot)).agg(
+            (-F.sum(p * F.log(p))).alias(out)
+        )
+
+    mi_df = (
+        joint.join(F.broadcast(mx), "_x")
+        .join(F.broadcast(my), "_y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.sum(
+                (F.col("_nxy") / F.col("_n"))
+                * F.log(
+                    (F.col("_nxy") * F.col("_n"))
+                    / (F.col("_nx") * F.col("_ny"))
+                )
+            ).alias("_mi"),
+        )
+    )
+    out = (
+        mi_df.crossJoin(F.broadcast(entropy(mx, "_nx", "_hx")))
+        .crossJoin(F.broadcast(entropy(my, "_ny", "_hy")))
+    )
+    nmi = F.when(
+        (F.col("_hx") > 0) & (F.col("_hy") > 0),
+        F.col("_mi") / F.least(F.col("_hx"), F.col("_hy")),
+    )
+    return out.select(
+        "n",
+        round0(F.col("_hx"), 6).alias("h_x"),
+        round0(F.col("_hy"), 6).alias("h_y"),
+        round0(F.col("_mi"), 6).alias("mi"),
+        round0(nmi, 6).alias("nmi"),
+    )

@@ -546,6 +546,7 @@ def _load_extensions() -> None:
         queries_wave14,
         queries_wave15,
         queries_wave16,
+        queries_wave17,
     )
 
 
@@ -763,6 +764,13 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_dp_counts",
     "q_dsir_weights",
     "q_image_dhash",
+    # wave 17: distributed uncertainty, dependence, weighted search,
+    # spatial joins, asymmetric dedup
+    "q_bootstrap_ci",
+    "q_mutual_info",
+    "q_sssp",
+    "q_geo_join",
+    "q_containment",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
