@@ -116,6 +116,20 @@ BENCH_QUERIES = [
     "q_kfold",                 # content-hash fold assignment + balance
     "q_k_anonymity",           # quasi-identifier class-size audit
     "q_bpe_fertility",         # per-lang tokenizer cost-model stats
+    # round-8 third wave (waves 16-17)
+    "q_bucketed_join",         # bucketed-table SMJ: zero-Exchange join path
+    "q_bfs_distance",          # frontier BFS, 3 hops over the order-part graph
+    "q_spearman_corr",         # two rank windows + centered moment aggregate
+    "q_holt_linear",           # per-series collect + JVM aggregate fold
+    "q_l_diversity",           # distinct-sensitive-per-class audit
+    "q_dp_counts",             # DP Laplace release (hash-PRNG, scalar math)
+    "q_dsir_weights",          # token explode + dim-row broadcast weight join
+    "q_image_dhash",           # PPM encode->decode->dHash + dup grouping
+    "q_bootstrap_ci",          # 32x Poisson-weight explode + replicate aggs
+    "q_mutual_info",           # contingency aggregate + entropy reductions
+    "q_sssp",                  # 3-round Bellman-Ford min-combine
+    "q_geo_join",              # 9x cell replication + haversine confirm
+    "q_containment",           # inverted-index join, asymmetric measure
 ]
 
 

@@ -169,3 +169,54 @@ def kfold_assign(df: DataFrame, key_col: str, k: int) -> DataFrame:
     return df.withColumn(
         "fold", (_hash_bucket(F.col(key_col)) % k).cast("int")
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    target_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding: replace a categorical
+    with the mean of the target over the OTHER folds' rows of the same
+    category — te(row) = (S_cat − S_cat,fold(row)) / (n_cat − n_cat,fold(row)).
+    Naive target encoding (category mean over ALL rows) leaks each row's
+    own label into its feature and inflates validation scores; the
+    out-of-fold form is the standard fix (the CatBoost/Kaggle
+    discipline), and it composes with ``kfold_assign``'s content-hash
+    folds so the encoding is a pure function of the data.
+
+    Scale shape: one aggregate to the (category × fold) grid (a
+    k·|categories| frame — tiny), category totals derived FROM the grid
+    (no second scan), broadcast back onto the rows — the same
+    O(categories) broadcast discipline as dsir_importance's weight
+    table. A category seen in only one fold has no out-of-fold evidence:
+    its rows get NULL (callers back off to the global mean), never a
+    leaked same-fold value.
+
+    Returns (key, cat, fold, te) at row grain, te UNROUNDED (callers
+    round at their comparison boundary)."""
+    folded = kfold_assign(df, key_col, k).select(
+        key_col, F.col(cat_col).alias("_cat"),
+        F.col(target_col).cast("double").alias("_y"), "fold",
+    )
+    grid = folded.groupBy("_cat", "fold").agg(
+        F.sum("_y").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    tot = grid.groupBy("_cat").agg(
+        F.sum("_s").alias("_st"), F.sum("_n").alias("_nt")
+    )
+    oof = (
+        grid.join(tot, "_cat")
+        .select(
+            "_cat", "fold",
+            (
+                (F.col("_st") - F.col("_s"))
+                / F.nullif(F.col("_nt") - F.col("_n"), F.lit(0))
+            ).alias("te"),
+        )
+    )
+    return folded.join(F.broadcast(oof), ["_cat", "fold"]).select(
+        key_col, F.col("_cat").alias(cat_col), "fold", "te"
+    )

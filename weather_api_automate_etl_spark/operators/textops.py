@@ -1043,3 +1043,53 @@ def bpe_encode(
             ).otherwise(F.lit(1.0)),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic complexity screen a
+    quality-gating pipeline runs beside length/stopword heuristics
+    (Flesch 1948: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)). Sentences = non-blank segments after
+    splitting on [.!?]+ runs, floored at 1 (a fragment with no terminal
+    punctuation is one sentence, not a division by zero); syllables =
+    vowel-group count per token ([aeiouy]+ runs — the standard cheap
+    approximation; hyphenation dictionaries are a library problem, the
+    ~converging heuristic is the pipeline one).
+
+    Pure codegen expression work — tokenize, two regexes, one array
+    fold — zero shuffles, zero Python; the regex subset ([aeiouy]+,
+    [.!?]+) has identical semantics in Java regex and RE2, the
+    engine-parity discipline from privacy.py. Empty/whitespace docs get
+    NULL flesch (no words to score). Returns (id, n_words, n_sents,
+    n_syllables, flesch) with flesch rounded to 4."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        F.transform(toks, lambda t: F.regexp_count(t, F.lit("[aeiouy]+"))),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    )

@@ -9,6 +9,8 @@ and gap-based sessionization.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -71,4 +73,47 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.round(F.sum("value"), 2).alias("session_value"),
         )
+    )
+
+
+def path_ngrams(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    step_col: str,
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most common length-``n`` paths (consecutive step n-grams)
+    across entities' ordered event sequences — the navigation-mining
+    extension of pairwise transitions (q_event_transitions): "view >
+    click > purchase" is invisible to a bigram matrix but is THE funnel
+    a product team asks for.
+
+    One window shuffle per entity forms the n-grams via (n−1) stacked
+    ``lead``s — map-side once partitioned, no self-joins, no per-entity
+    collect — then a plain count + global top-k (TakeOrdered, never a
+    full sort). Ties break lexicographically on the path so top-k is
+    deterministic. Returns (path, n_occurrences), path as
+    ' > '-joined steps."""
+    if n < 2:
+        raise ValueError(f"path_ngrams needs n >= 2, got {n}")
+    if top_k < 1:
+        raise ValueError(f"path_ngrams needs top_k >= 1, got {top_k}")
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    steps = [F.col(step_col)] + [
+        F.lead(step_col, i).over(w) for i in range(1, n)
+    ]
+    grams = df.select(
+        F.when(
+            steps[-1].isNotNull(), F.concat_ws(" > ", *steps)
+        ).alias("path")
+    ).filter(F.col("path").isNotNull())
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(top_k)
     )

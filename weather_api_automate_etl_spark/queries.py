@@ -547,6 +547,7 @@ def _load_extensions() -> None:
         queries_wave15,
         queries_wave16,
         queries_wave17,
+        queries_wave18,
     )
 
 
@@ -718,12 +719,13 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_multimodal_decode_png, q_multimodal_decode_wav,
 #: q_multimodal_video_frames, q_pack_assign, q_pii_redact, q_quality_gate,
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
-#: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize) —
-#: they must open round 9's head before any turns four rounds old.
-#: With those 22 r4-era rows and the 27 pending entries below, round 9's
-#: 50-slot head is: all 27 pending, then the 22 r4-era rows
-#: stalest-first, with the final slot going to the freshest remaining
-#: evidence — the same placement algorithm as ROUND8_WINDOW_HEAD.
+#: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize).
+#: With 40 pending entries below and only 50 slots, round 9's head is:
+#: all 40 pending, then the 10 stalest r4-era rows (alphabetical within
+#: equal staleness); the remaining 12 r4-era rows plus everything else
+#: open round 10's head — they will then be 6 rounds old, the price of
+#: this round's 13-query surface growth, so round 10's window must NOT
+#: take new-query hand-offs ahead of them.
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
     "q_mv_incremental",
@@ -771,6 +773,13 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_sssp",
     "q_geo_join",
     "q_containment",
+    # wave 18: leakage-safe encoding, audio features, partition-spec
+    # evolution, readability, path mining
+    "q_target_encode",
+    "q_audio_features",
+    "q_ledger_repartition",
+    "q_readability",
+    "q_path_ngrams",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (

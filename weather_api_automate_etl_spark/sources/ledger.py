@@ -1590,3 +1590,78 @@ def ledger_changes(
     return snapshot_diff(old_slice, new_slice, key, compare_cols).filter(
         F.col("change_type") != "unchanged"
     )
+
+
+def ledger_repartition(
+    spark: SparkSession,
+    path: str,
+    new_partition_col: str,
+    stats_cols: Sequence[str] | None = None,
+    key_index_col: str | None = None,
+) -> int:
+    """Change the table's PARTITION SPEC — Iceberg's partition evolution,
+    expressed the only way a Hive-layout table can express it: one full
+    rewrite of the current snapshot under the new partition column,
+    committed atomically as the next version ("REPARTITION"). Readers on
+    v<N> keep the old layout; v<N+1> plans, prunes, merges, and skips on
+    the NEW column — the operation every mart eventually needs when the
+    query pattern shifts (daily grain -> region grain) and the original
+    partition choice starts forcing full scans.
+
+    What carries across the rewrite: the schema, the CHECK constraints,
+    and the exactly-once txn watermarks (a spec change must not make a
+    replayed streaming batch re-apply). What resets: per-partition
+    stats/Bloom indexes are REBUILT for the new layout (pass
+    ``stats_cols`` / ``key_index_col`` to re-point them — they default
+    to the previous manifest's choices where the columns still exist),
+    and deletion-vector tombstones are MATERIALIZED (the rewrite reads
+    through DVs, so the new files are clean — repartition doubles as a
+    full compaction, same as OPTIMIZE).
+
+    Honest cost note: this rewrites every byte once — O(table), the same
+    price Iceberg pays when a spec change is followed by a compaction
+    that rewrites old-spec files (Iceberg can also leave old files under
+    the old spec and split-plan; a manifest with one partition_col cannot,
+    and mixed-spec planning is complexity this engine does not need).
+    At 100 TB you schedule it like any OPTIMIZE: once, off-peak, and the
+    atomic commit means zero reader downtime. Returns the new version."""
+    cur_v, m = _resolve(path, None)
+    snap = _read_partitions(spark, path, m, list(m["partitions"]))
+    if new_partition_col not in snap.columns:
+        raise ValueError(
+            f"repartition column {new_partition_col!r} is not in the table "
+            f"schema ({snap.columns})"
+        )
+    stats = list(
+        stats_cols
+        if stats_cols is not None
+        else [c for c in m.get("stats_cols", []) if c in snap.columns]
+    )
+    ki_col = key_index_col or (m.get("key_index") or {}).get("col")
+    key_index = None
+    if ki_col and ki_col in snap.columns:
+        prev = m.get("key_index") or {}
+        key_index = {
+            "col": ki_col,
+            "bits": prev.get("bits", 1 << 15),
+            "hashes": prev.get("hashes", 4),
+            "dtype": snap.schema[ki_col].dataType.simpleString(),
+        }
+    dtype = snap.schema[new_partition_col].dataType.simpleString()
+    entries = _write_data_dir(
+        snap, path, new_partition_col, stats, key_index, partition_dtype=dtype
+    )
+    manifest = {
+        "partition_col": new_partition_col,
+        "partition_dtype": dtype,
+        "schema": m["schema"],
+        "stats_cols": stats,
+        "key_index": key_index,
+        "dv_key": None,
+        "checks": m.get("checks"),
+        "op": "REPARTITION",
+        "txn": m.get("txn", {}),
+        "partitions": entries,
+    }
+    _commit(path, manifest, cur_v + 1)
+    return cur_v + 1

@@ -832,3 +832,57 @@ def image_dhash(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, DHASH_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("win_id", T.IntegerType()),
+        T.StructField("n_samp", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.IntegerType()),
+    ]
+)
+
+
+def audio_frame_features(assets: DataFrame, win: int = 8) -> DataFrame:
+    """Frame-level audio features over REAL decoded PCM — the standard
+    first stage of any audio pipeline (VAD gating, silence trimming,
+    clip-quality filtering before an audio corpus ships): decode the WAV
+    (sources/codecs.py — RIFF chunk walk, PCM-16 parse), mix down to
+    mono (per-frame channel mean), window into fixed ``win``-frame
+    blocks, and emit per window the RMS energy and the zero-crossing
+    count (strict sign flips between consecutive mono frames INSIDE the
+    window — no cross-window pairs, so windows are embarrassingly
+    independent). The trailing partial window is kept with its true
+    ``n_samp``, not padded (padding would fake low energy).
+
+    Arrow-batched ``mapInPandas``: payload bytes never leave the
+    executor, per-clip output is O(frames/win) small rows — scan-rate at
+    any corpus size."""
+    if win < 2:
+        raise ValueError(f"audio_frame_features needs win >= 2, got {win}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                frames, _rate = codecs.decode_wav(bytes(content))
+                mono = frames.astype(np.float64).mean(axis=1)
+                for w0 in range(0, len(mono), win):
+                    seg = mono[w0:w0 + win]
+                    out["asset_id"].append(int(aid))
+                    out["win_id"].append(w0 // win)
+                    out["n_samp"].append(len(seg))
+                    out["rms"].append(
+                        round(float(np.sqrt((seg * seg).mean())), 6)
+                    )
+                    out["zcr"].append(int((seg[1:] * seg[:-1] < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
