@@ -690,3 +690,80 @@ def ivf_topk_from_index(
         F.col(list_col).isin(probed)
     )
     return topk_cosine(subset, vec_col, query_vec, k=k, id_col=id_col)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 5,
+    lam: float = 0.7,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k results that are RELEVANT to the query
+    but DIVERSE from each other — score(c) = λ·cos(c, q) −
+    (1−λ)·max_{s∈selected} cos(c, s). The standard retrieval post-pass
+    when the raw top-k is k near-duplicates of one good answer (which,
+    in a dedup-heavy corpus, it usually is).
+
+    Scale shape: relevance is one brute/ANN pass; MMR itself operates on
+    the top-``shortlist`` (TakeOrdered — tiny by construction, the
+    retrieval contract), and each of the k greedy rounds is one
+    distributed argmax over the shortlist against the ≤k selected
+    vectors carried as literals — driver state is k·d + shortlist ids,
+    the kmeans-codebook class, never the corpus. Ties break on the id.
+    Greedy selection compares UNROUNDED scores (bit-identical dot
+    products on any engine — the q_neardup_cosine discipline), so an
+    unrolled-CTE oracle reproduces the exact pick sequence.
+
+    Returns (rank, id, rel, mmr_score) for the k picks; rank 1's
+    mmr_score is λ·rel (empty selected set — max-sim term is zero by
+    definition, not negative infinity)."""
+    if k < 1:
+        raise ValueError(f"mmr_rerank needs k >= 1, got {k}")
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"mmr_rerank needs 0 < lam <= 1, got {lam}")
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    rel = cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec))
+    sl = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(shortlist)
+        .localCheckpoint(eager=True)
+    )
+    picked: list = []  # (id, rel, mmr, vec) — k rows of driver state
+    for _ in range(k):
+        if picked:
+            msim = F.greatest(
+                *[
+                    cosine_similarity(
+                        F.col("v"), _query_vec_lit(p[3])
+                    )
+                    for p in picked
+                ]
+            ) if len(picked) > 1 else cosine_similarity(
+                F.col("v"), _query_vec_lit(picked[0][3])
+            )
+            score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * msim
+            cand = sl.filter(~F.col("id").isin([p[0] for p in picked]))
+        else:
+            score = F.lit(lam) * F.col("rel")
+            cand = sl
+        row = (
+            cand.select("id", "rel", score.alias("mmr"), "v")
+            .orderBy(F.desc("mmr"), F.asc("id"))
+            .head()
+        )
+        picked.append((row["id"], row["rel"], row["mmr"], list(row["v"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, p[0], round(p[1], 6), round(p[2], 6))
+            for i, p in enumerate(picked)
+        ],
+        "rank int, vec_id long, rel double, mmr_score double",
+    )

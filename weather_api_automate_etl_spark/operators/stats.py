@@ -956,3 +956,115 @@ def mutual_information(
         round0(F.col("_mi"), 6).alias("mi"),
         round0(nmi, 6).alias("nmi"),
     )
+
+def item_item_cosine(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 5,
+    min_support: int = 2,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarities from co-occurrence
+    — the classic neighborhood recommender (Sarwar et al., WWW 2001; the
+    Amazon item-to-item paper's batch shape): over binary baskets,
+    sim(i, j) = c_ij / sqrt(c_i · c_j) (cosine of the basket-incidence
+    vectors, computable from counts alone — no vectors materialized),
+    keeping each item's ``top_k`` neighbors.
+
+    Same scale discipline as ``basket_pairs`` above: the self-join is
+    keyed on the BASKET (quadratic only in basket size, which is
+    bounded), marginals join item-keyed (item-cardinality tables, never
+    broadcast at catalog scale), and the top-k executes as
+    WindowGroupLimit per item — never a global sort. Pairs below
+    ``min_support`` co-baskets are dropped before scoring (noise floor +
+    candidate bound). Emits BOTH directions of each surviving pair so
+    every item gets its neighbor list. Returns (item, neighbor, c_both,
+    cosine, rank), cosine rounded to 6, ties broken by neighbor id."""
+    b = df.select(basket_col, item_col).distinct()
+    m = b.groupBy(item_col).agg(F.count(F.lit(1)).alias("c"))
+    a2 = b.select(F.col(basket_col).alias("ok"), F.col(item_col).alias("p2"))
+    pairs = (
+        b.select(F.col(basket_col).alias("ok"), F.col(item_col).alias("p1"))
+        .join(a2, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c_both"))
+        .filter(F.col("c_both") >= min_support)
+    )
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "c_both"
+        )
+    )
+    m1 = m.select(F.col(item_col).alias("p1"), F.col("c").alias("c1"))
+    m2 = m.select(F.col(item_col).alias("p2"), F.col("c").alias("c2"))
+    scored = (
+        sym.join(m1, "p1")
+        .join(m2, "p2")
+        .select(
+            F.col("p1").alias("item"),
+            F.col("p2").alias("neighbor"),
+            F.col("c_both").cast("long").alias("c_both"),
+            F.round(
+                F.col("c_both")
+                / F.sqrt(F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_bins: int = 10,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Reliability diagram + expected calibration error: ntile-bin the
+    score, compare each bin's mean score (confidence) against its
+    observed positive rate (accuracy) — the standard screen for whether
+    a model's scores mean what they say (Guo et al., ICML 2017 framing,
+    equal-COUNT bins). ``label_col`` is any boolean Column.
+
+    ECE = Σ (n_b/N)·|acc_b − conf_b| rides every row as a window sum so
+    the result is a single self-contained frame. One global ntile — an
+    UNPARTITIONED window, the one place this repo allows it, because the
+    bin boundary is a global rank property; at 100 TB swap in
+    approx-quantile boundaries (q_quantile_normalize's recipe) and keep
+    the rest. Ties in the score are broken by ``order_cols`` so binning
+    is deterministic. Returns (bin, n, conf, acc, gap, ece), rounded
+    to 6."""
+    if n_bins < 2:
+        raise ValueError(f"calibration_bins needs n_bins >= 2, got {n_bins}")
+    w = Window.orderBy(F.col("_s"), *[F.col(c) for c in order_cols])
+    binned = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        label_col.cast("int").alias("_y"),
+        *order_cols,
+    ).withColumn("bin", F.ntile(n_bins).over(w))
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_s").alias("_conf"),
+        F.avg("_y").alias("_acc"),
+    )
+    tot = Window.partitionBy()
+    gap = F.abs(F.col("_acc") - F.col("_conf"))
+    ece = F.sum(
+        gap * F.col("n") / F.sum("n").over(tot)
+    ).over(tot)
+    return agg.select(
+        "bin",
+        "n",
+        round0(F.col("_conf"), 6).alias("conf"),
+        round0(F.col("_acc"), 6).alias("acc"),
+        round0(gap, 6).alias("gap"),
+        round0(ece, 6).alias("ece"),
+    )

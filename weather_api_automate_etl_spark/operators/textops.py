@@ -1093,3 +1093,92 @@ def readability_scores(
         n_syll.cast("long").alias("n_syllables"),
         F.round(flesch, 4).alias("flesch"),
     )
+
+
+def stupid_backoff_logprob(
+    df: DataFrame,
+    train_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out bigram scoring under Stupid Backoff (Brants et al.,
+    EMNLP 2007 — the web-scale LM smoothing that skips normalization):
+    train the count tables on the ``train_filter`` slice, score the
+    REST, and when a scored bigram was never seen in training, back off:
+
+        S(b|a) = c(a,b)/c(a)        if c(a,b) > 0
+               = α · c(b)/N          else, if c(b) > 0
+               = α² / N              else (OOV continuation)
+
+    The backoff branch is the point — ``bigram_logprob`` self-trains, so
+    every scored bigram trivially exists; a held-out split is the shape
+    that actually measures generalization (train/validation perplexity,
+    the data-quality signal mixture tuning reads). Per scored doc:
+    average ln S over its bigrams, NULL when it has fewer than two
+    tokens.
+
+    Scale shape identical to bigram_logprob: map-only zip_with bigrams,
+    vocabulary-keyed LEFT joins against the train count tables (absence
+    IS the backoff signal — never broadcast), N as a 1-row broadcast.
+    Returns (id_col, n_bigrams, n_backoff, avg_logprob) — n_backoff
+    counts how often the bigram branch missed, the held-out-coverage
+    diagnostic."""
+    ts = F.filter(tokens(text_col), lambda t: t != "")
+    m = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, m),
+        F.slice(ts, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    train = df.filter(train_filter)
+    held = df.filter(~train_filter)
+    cab = (
+        train.select(F.explode(bigrams).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ug = (
+        train.select(F.explode(ts).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    n_tok = ug.agg(F.sum("c_a").cast("double").alias("n_train"))
+    doc_bg = held.select(F.col(id_col), F.explode(bigrams).alias("p")).select(
+        id_col, "p.a", "p.b"
+    )
+    ub = ug.select(F.col("a").alias("b"), F.col("c_a").alias("c_b"))
+    s = F.when(
+        F.col("c_ab").isNotNull(),
+        F.col("c_ab") / F.col("c_a"),
+    ).otherwise(
+        F.when(
+            F.col("c_b").isNotNull(),
+            F.lit(alpha) * F.col("c_b") / F.col("n_train"),
+        ).otherwise(F.lit(alpha * alpha) / F.col("n_train"))
+    )
+    per = (
+        doc_bg.join(cab, ["a", "b"], "left")
+        .join(ug, "a", "left")
+        .join(ub, "b", "left")
+        .crossJoin(F.broadcast(n_tok))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c_ab").isNull(), 1).otherwise(0)
+            ).alias("n_backoff"),
+            F.round(F.avg(F.log(s)), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        held.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_backoff", F.lit(0)).cast("long").alias("n_backoff"),
+            "avg_logprob",
+        )
+    )

@@ -548,6 +548,7 @@ def _load_extensions() -> None:
         queries_wave16,
         queries_wave17,
         queries_wave18,
+        queries_wave19,
     )
 
 
@@ -780,6 +781,12 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_repartition",
     "q_readability",
     "q_path_ngrams",
+    # wave 19: recommendations, calibration, diversity re-ranking,
+    # held-out LM scoring
+    "q_item_cf",
+    "q_calibration_ece",
+    "q_mmr_rerank",
+    "q_stupid_backoff",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
