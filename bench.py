@@ -130,6 +130,15 @@ BENCH_QUERIES = [
     "q_sssp",                  # 3-round Bellman-Ford min-combine
     "q_geo_join",              # 9x cell replication + haversine confirm
     "q_containment",           # inverted-index join, asymmetric measure
+    "q_target_encode",         # (cat x fold) grid agg + broadcast encode
+    "q_audio_features",        # WAV decode -> windowed RMS/ZCR features
+    "q_ledger_repartition",    # partition-spec change: atomic full rewrite
+    "q_readability",           # codegen regex syllable/sentence fold
+    "q_path_ngrams",           # stacked-lead trigrams + global top-k
+    "q_item_cf",               # basket-keyed CF pairs + per-item top-k
+    "q_calibration_ece",       # global ntile bins + windowed ECE
+    "q_mmr_rerank",            # shortlist + k greedy argmax rounds
+    "q_stupid_backoff",        # held-out LM scoring, backoff left joins
 ]
 
 

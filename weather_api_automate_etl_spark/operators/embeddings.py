@@ -576,3 +576,86 @@ def pq_adc_expr(
             / F.lit(scale)
         )
     return adc
+
+
+def als_factorize_k2(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rounds: int = 2,
+    reg: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """Alternating least squares with rank k=2 — the canonical
+    distributed matrix-factorization recommender (Koren/Bell/Volinsky
+    2009; Zhou et al. 2008 for the ALS-on-a-cluster formulation MLlib
+    implements). Each half-round solves, PER ENTITY, the 2x2 ridge
+    normal equations against the other side's current factors:
+
+        p_u = (Q_uᵀ Q_u + λI)⁻¹ Q_uᵀ r_u
+
+    With k=2 the solve is closed-form (a 2x2 inverse), so an ALS round
+    is nothing but GROUP-BY aggregates over the ratings joined to the
+    opposite factor table — five mergeable sums per entity
+    (Σq₁², Σq₁q₂, Σq₂², Σq₁r, Σq₂r) and scalar arithmetic. Zero Python,
+    zero driver state beyond the loop counter; factor tables are
+    entity-cardinality and join RATING-KEYED (never broadcast at
+    catalog scale — the item side of a real catalog is huge). That is
+    exactly MLlib's data movement with the per-entity LAPACK solve
+    replaced by codegen arithmetic; for k>2 swap the closed form for an
+    Arrow-batched ``applyInPandas`` normal-equation solve — the
+    documented plug point, same join topology.
+
+    Item factors initialize deterministically from the item id
+    (1 + (id%7)/7, 1 − (id%5)/10 — full rank across any id set), so the
+    whole fit is a pure function of the ratings and an unrolled-CTE
+    oracle can replay every round. λI (ridge, λ·n_u scaling per
+    Zhou et al.) keeps every 2x2 invertible even for single-rating
+    entities. Returns (user_factors, item_factors) as
+    (id, f1, f2) — UNROUNDED; callers round at their comparison
+    boundary."""
+    if rounds < 1:
+        raise ValueError(f"als_factorize_k2 needs rounds >= 1, got {rounds}")
+    r = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(rating_col).cast("double").alias("r"),
+    ).localCheckpoint(eager=True)
+
+    items = r.select("i").distinct().select(
+        "i",
+        (1.0 + (F.col("i") % 7).cast("double") / 7.0).alias("f1"),
+        (1.0 - (F.col("i") % 5).cast("double") / 10.0).alias("f2"),
+    )
+
+    def solve(side: str, other: DataFrame, other_key: str) -> DataFrame:
+        """One half-round: solve ``side``'s factors from ``other``'s."""
+        o = other.select(F.col(other_key).alias("_k"), "f1", "f2")
+        j = r.join(o, r[other_key] == o["_k"])
+        agg = j.groupBy(side).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("f1") * F.col("f1")).alias("a"),
+            F.sum(F.col("f1") * F.col("f2")).alias("b"),
+            F.sum(F.col("f2") * F.col("f2")).alias("c"),
+            F.sum(F.col("f1") * F.col("r")).alias("d1"),
+            F.sum(F.col("f2") * F.col("r")).alias("d2"),
+        )
+        # ridge: (A + λ·n·I) per Zhou et al.'s weighted-λ ALS
+        a = F.col("a") + F.lit(reg) * F.col("n")
+        c = F.col("c") + F.lit(reg) * F.col("n")
+        b = F.col("b")
+        det = a * c - b * b
+        return agg.select(
+            F.col(side),
+            ((c * F.col("d1") - b * F.col("d2")) / det).alias("f1"),
+            ((a * F.col("d2") - b * F.col("d1")) / det).alias("f2"),
+        )
+
+    users = None
+    for _ in range(rounds):
+        users = solve("u", items, "i").localCheckpoint(eager=True)
+        items = solve("i", users, "u").localCheckpoint(eager=True)
+    return (
+        users.select(F.col("u").alias(user_col), "f1", "f2"),
+        items.select(F.col("i").alias(item_col), "f1", "f2"),
+    )

@@ -1068,3 +1068,120 @@ def calibration_bins(
         round0(gap, 6).alias("gap"),
         round0(ece, 6).alias("ece"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col,
+) -> DataFrame:
+    """Kaplan–Meier survival curves per group (Kaplan & Meier, JASA
+    1958) — the right-censoring-aware estimator behind every retention /
+    time-to-churn / time-to-failure readout (naive "fraction still alive
+    at t" is biased the moment any subject is censored). At each
+    distinct time t with observed events:
+
+        S(t) = Π_{s ≤ t, d_s > 0} (1 − d_s / n_s)
+
+    with n_s = subjects at risk (duration ≥ s) and d_s = observed
+    events at s; censored subjects leave the risk set without an event.
+
+    Distributed shape: one aggregate to the (group, time) grain
+    (events + censorings per time), then n_s as a REVERSED cumulative
+    sum and S(t) as exp(Σ ln(1−d/n)) — both per-group window passes, so
+    the whole curve costs two key-partitioned windows regardless of
+    subject count. The product is computed in log space (the only
+    distributable cumulative product); a time where d_s = n_s drives
+    the survival to EXACTLY 0 from then on via an explicit zero-factor
+    flag rather than ln(0) (whose −inf/NULL behavior differs across
+    engines). Returns (group, t, n_risk, n_events, n_censored,
+    survival) for event-carrying times, survival rounded to 6."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(duration_col).cast("long").alias("t"),
+        observed_col.cast("int").alias("obs"),
+    )
+    grain = base.groupBy("g", "t").agg(
+        F.sum("obs").alias("d"),
+        F.sum(1 - F.col("obs")).alias("cen"),
+    )
+    w_risk = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = grain.withColumn(
+        "n", F.sum(F.col("d") + F.col("cen")).over(w_risk)
+    )
+    factor = 1.0 - F.col("d") / F.col("n")
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = at_risk.withColumn(
+        "_lnsum",
+        F.sum(
+            F.when(F.col("d") > 0, F.log(F.when(factor > 0, factor)))
+            .otherwise(F.lit(0.0))
+        ).over(w_cum),
+    ).withColumn(
+        "_dead", F.max((F.col("d") == F.col("n")).cast("int")).over(w_cum)
+    )
+    surv = F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lnsum"))
+    )
+    return (
+        stepped.filter(F.col("d") > 0)
+        .select(
+            F.col("g").alias(group_col),
+            "t",
+            F.col("n").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("cen").cast("long").alias("n_censored"),
+            round0(surv, 6).alias("survival"),
+        )
+    )
+
+
+def benford_deviation(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law per group —
+    the classic forged-numbers screen (Benford 1938; standard in fraud
+    and data-fabrication auditing): naturally-occurring multi-scale
+    positive quantities put digit d first with probability
+    log10(1 + 1/d); fabricated or truncated data rarely does. Emits the
+    per-digit observed share, the Benford expectation, and the group's
+    chi-square statistic against it (8 dof) riding every row.
+
+    One hash aggregate on (group, digit) — the digit is pure codegen
+    arithmetic (d = floor(x / 10^floor(log10(x)))), no string casts —
+    then group-keyed window sums. Non-positive values are excluded (they
+    have no first significant digit; Benford only speaks to positive
+    multi-scale data). Scan-rate at any size. Returns (group, digit, n,
+    observed_p, benford_p, chi_square) rounded to 6."""
+    x = F.col(value_col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = (
+        df.filter(x > 0)
+        .select(F.col(group_col).alias("g"), digit.alias("digit"))
+        .groupBy("g", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wg = Window.partitionBy("g")
+    tot = F.sum("n").over(wg).cast("double")
+    obs = F.col("n") / tot
+    ben = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    chi = F.sum(
+        F.pow(obs - ben, 2) / ben
+    ).over(wg) * tot
+    return counts.select(
+        F.col("g").alias(group_col),
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        round0(obs, 6).alias("observed_p"),
+        round0(ben, 6).alias("benford_p"),
+        round0(chi, 6).alias("chi_square"),
+    )

@@ -549,6 +549,7 @@ def _load_extensions() -> None:
         queries_wave17,
         queries_wave18,
         queries_wave19,
+        queries_wave20,
     )
 
 
@@ -721,11 +722,11 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_multimodal_video_frames, q_pack_assign, q_pii_redact, q_quality_gate,
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
 #: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize).
-#: With 40 pending entries below and only 50 slots, round 9's head is:
-#: all 40 pending, then the 10 stalest r4-era rows (alphabetical within
-#: equal staleness); the remaining 12 r4-era rows plus everything else
+#: With 49 pending entries below and only 50 slots, round 9's head is:
+#: all 49 pending, then the single stalest r4-era row (alphabetical
+#: within equal staleness — q_array_agg); the remaining 21 r4-era rows
 #: open round 10's head — they will then be 6 rounds old, the price of
-#: this round's 13-query surface growth, so round 10's window must NOT
+#: this round's 22-query surface growth, so round 10's window must NOT
 #: take new-query hand-offs ahead of them.
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
@@ -787,6 +788,10 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_calibration_ece",
     "q_mmr_rerank",
     "q_stupid_backoff",
+    # wave 20: matrix factorization, survival analysis, fraud screens
+    "q_als_factors",
+    "q_kaplan_meier",
+    "q_benford",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
