@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "q_calibration_ece",       # global ntile bins + windowed ECE
     "q_mmr_rerank",            # shortlist + k greedy argmax rounds
     "q_stupid_backoff",        # held-out LM scoring, backoff left joins
+    "q_als_factors",           # 4 half-round join+agg ALS solves
+    "q_kaplan_meier",          # reverse-cum risk sets + log-space cumprod
+    "q_benford",               # codegen digit extraction + group chi-sq
 ]
 
 
