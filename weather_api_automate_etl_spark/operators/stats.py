@@ -1185,3 +1185,38 @@ def benford_deviation(
         round0(ben, 6).alias("benford_p"),
         round0(chi, 6).alias("chi_square"),
     )
+
+def skyline_2d(
+    df: DataFrame,
+    group_col: str,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """Pareto frontier (skyline) per group over two criteria — maximize
+    ``max_col``, minimize ``min_col`` (Börzsönyi et al., ICDE 2001: the
+    SKYLINE OF operator): a point survives iff no other point is at
+    least as good on both axes and strictly better on one. The
+    price-vs-freshness / quality-vs-cost shortlist every "show me the
+    non-dominated options" ask reduces to.
+
+    The 2-D case needs NO dominance self-join: over DISTINCT criterion
+    pairs sorted by (max_col DESC, min_col ASC), a point is dominated
+    exactly when some strictly-preceding row has min_col <= its own
+    (same-axis ties sort the better min first, so equal-``max`` rows
+    police each other; duplicate pairs collapse first — identical
+    points never dominate each other). One running-min window per
+    group, O(n log n) in the sort, no quadratic anything — the reason
+    2-D skylines are a window idiom while d>2 needs blocked dominance
+    joins. Returns the frontier rows (group, max_col, min_col)."""
+    pts = df.select(group_col, max_col, min_col).distinct()
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(max_col), F.asc(min_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best_prev = F.min(min_col).over(w)
+    return (
+        pts.withColumn("_bp", best_prev)
+        .filter(F.col("_bp").isNull() | (F.col(min_col) < F.col("_bp")))
+        .drop("_bp")
+    )
