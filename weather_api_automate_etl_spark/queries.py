@@ -551,6 +551,7 @@ def _load_extensions() -> None:
         queries_wave19,
         queries_wave20,
         queries_wave21,
+        queries_wave22,
     )
 
 
@@ -723,12 +724,13 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_multimodal_video_frames, q_pack_assign, q_pii_redact, q_quality_gate,
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
 #: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize).
-#: With 54 pending entries below and only 50 slots, round 9's head is
-#: the FIRST 50 pending entries in registration order; the remaining 4
-#: (q_kaplan_meier, q_benford, q_org_hierarchy, q_skyline_2d) plus all
-#: 22 r4-era rows open round 10's head — the r4 rows will then be 6
-#: rounds old, the price of this round's 27-query surface growth, so
-#: round 10's window must NOT take new-query hand-offs ahead of them.
+#: With 56 pending entries below and only 50 slots, round 9's head is
+#: the FIRST 50 pending entries in registration order; the remaining 6
+#: (q_kaplan_meier, q_benford, q_org_hierarchy, q_skyline_2d,
+#: q_dynamic_partition_pruning, q_csv_error_routing) plus all 22 r4-era
+#: rows open round 10's head — the r4 rows will then be 6 rounds old,
+#: the price of this round's 29-query surface growth, so round 10's
+#: window must NOT take new-query hand-offs ahead of them.
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
     "q_mv_incremental",
@@ -796,6 +798,9 @@ ROUND9_PENDING: tuple[str, ...] = (
     # wave 21: logarithmic hierarchy flattening, Pareto frontiers
     "q_org_hierarchy",
     "q_skyline_2d",
+    # wave 22: runtime partition pruning, format-layer error routing
+    "q_dynamic_partition_pruning",
+    "q_csv_error_routing",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
