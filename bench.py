@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "q_als_factors",           # 4 half-round join+agg ALS solves
     "q_kaplan_meier",          # reverse-cum risk sets + log-space cumprod
     "q_benford",               # codegen digit extraction + group chi-sq
+    "q_org_hierarchy",         # pointer-doubling log-round flattening
+    "q_skyline_2d",            # single running-min window Pareto frontier
+    "q_dynamic_partition_pruning",  # runtime DPP star join (incl. fact write)
+    "q_csv_error_routing",     # PERMISSIVE corrupt-record split (incl. write)
 ]
 
 
