@@ -518,3 +518,118 @@ def pointer_doubling_roots(
         f"pointer_doubling_roots did not converge in {max_rounds} rounds — "
         "the parent graph almost certainly contains a cycle"
     )
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    2003): for node pairs NOT directly connected, score how likely an
+    edge is from their shared neighbors — common-neighbor count,
+    Jaccard overlap, and Adamic-Adar (shared neighbors weighted
+    1/ln(degree), so rare mutual contacts count more than hubs). The
+    candidate-generation step of graph-based recommendation and
+    knowledge-graph completion.
+
+    Scale shape: the inverted-index discipline again — pairs form by
+    self-joining the (symmetrized) edge list ON THE SHARED NEIGHBOR
+    (fan-out quadratic only in per-node degree, never all-pairs),
+    degree/weight tables join node-keyed, and existing edges are
+    removed with an anti-join. ``min_common`` floors the candidate set
+    (a single shared neighbor is noise at corpus scale). Returns
+    (id_a, id_b, common, jaccard, adamic_adar) with id_a < id_b,
+    floats rounded to 6."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("v").alias("w"), F.col("u").alias("id_a"))
+    b = sym.select(F.col("v").alias("w"), F.col("u").alias("id_b"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(
+            deg.select(F.col("u").alias("w"), F.col("d").alias("dw")), "w"
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(1.0 / F.log("dw")).alias("_aa"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    # drop already-connected pairs: link prediction scores ABSENT edges
+    existing = sym.select(
+        F.least("u", "v").alias("id_a"), F.greatest("u", "v").alias("id_b")
+    ).distinct()
+    da = deg.select(F.col("u").alias("id_a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("u").alias("id_b"), F.col("d").alias("_db"))
+    return (
+        pairs.join(existing, ["id_a", "id_b"], "left_anti")
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("_aa"), 6).alias("adamic_adar"),
+        )
+    )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) on a DIRECTED
+    (typically bipartite) edge set: auth(v) = Σ_{u→v} hub(u),
+    hub(u) = Σ_{u→v} auth(v), each side L2-normalized per round — the
+    asymmetric complement to PageRank (an order that touches many
+    important parts is a good HUB; a part touched by many good hubs is
+    a good AUTHORITY; PageRank's single symmetric score can't separate
+    the two roles).
+
+    Fixed ``iterations`` rounds keep it declarative and oracle-able
+    (the pagerank-fixed-rounds discipline): each half-step is one
+    edge-keyed join + one aggregate, the L2 norm is a 1-row aggregate
+    broadcast back, hub/auth tables are node-cardinality and
+    checkpointed per round. Returns (hubs, authorities) as
+    (node, score) with score rounded to 6."""
+    if iterations < 1:
+        raise ValueError(f"hits_bipartite needs iterations >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    hubs = e.select("u").distinct().withColumn("h", F.lit(1.0))
+
+    def normalize(df: DataFrame, col: str) -> DataFrame:
+        n = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return df.crossJoin(F.broadcast(n)).select(
+            df.columns[0], (F.col(col) / F.col("_n")).alias(col)
+        )
+
+    auths = None
+    for _ in range(iterations):
+        auths = normalize(
+            e.join(hubs, "u").groupBy("v").agg(F.sum("h").alias("a")), "a"
+        ).localCheckpoint(eager=True)
+        hubs = normalize(
+            e.join(auths, "v").groupBy("u").agg(F.sum("a").alias("h")), "h"
+        ).localCheckpoint(eager=True)
+    return (
+        hubs.select(F.col("u").alias("node"), F.round("h", 6).alias("hub")),
+        auths.select(
+            F.col("v").alias("node"), F.round("a", 6).alias("authority")
+        ),
+    )
