@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "q_skyline_2d",            # single running-min window Pareto frontier
     "q_dynamic_partition_pruning",  # runtime DPP star join (incl. fact write)
     "q_csv_error_routing",     # PERMISSIVE corrupt-record split (incl. write)
+    "q_link_prediction",       # shared-neighbor inverted-index pair join
+    "q_hits",                  # 2-round normalized bipartite power iteration
 ]
 
 
