@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "q_csv_error_routing",     # PERMISSIVE corrupt-record split (incl. write)
     "q_link_prediction",       # shared-neighbor inverted-index pair join
     "q_hits",                  # 2-round normalized bipartite power iteration
+    "q_wilcoxon",              # paired signed-rank windows + tie correction
+    "q_weighted_quantile",     # pooled-value cumulative-weight inverse CDF
 ]
 
 

@@ -1220,3 +1220,112 @@ def skyline_2d(
         .filter(F.col("_bp").isNull() | (F.col(min_col) < F.col("_bp")))
         .drop("_bp")
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test per group (Wilcoxon 1945) — the PAIRED
+    nonparametric test beside Mann-Whitney's independent-samples one:
+    did a matched quantity shift between two conditions (same customer
+    before/after, same doc pre/post cleanup), without assuming
+    normality? Zero differences drop (the standard treatment), |d| gets
+    average ranks, W+ = Σ ranks of positive differences, and the
+    normal approximation carries the tie correction:
+
+        z = (W+ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+
+    Shape: one |d| rank window per group (average ties via the
+    rank+run-length identity spearman_by_group uses), one tie
+    aggregate, one moment aggregate — two key-partitioned shuffles.
+    Exact-integer inputs make every rank engine-identical (the reason
+    the contract query pairs COUNTS, not money sums). Groups with
+    n = 0 (all-zero diffs) or zero variance (all |d| tied AND the
+    correction exactly cancelling) yield NULL z. Returns
+    (group, n, w_plus, z) with z rounded to 6."""
+    d = (F.col(x_col) - F.col(y_col)).cast("double")
+    base = df.select(
+        F.col(group_col).alias("_g"), d.alias("_d")
+    ).filter(F.col("_d") != 0)
+    wr = Window.partitionBy("_g").orderBy(F.abs(F.col("_d")))
+    wt = Window.partitionBy("_g", F.abs(F.col("_d")))
+    ranked = base.select(
+        "_g",
+        "_d",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1.0) / 2.0
+        ).alias("_r"),
+        F.count(F.lit(1)).over(wt).cast("double").alias("_t"),
+    )
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_r")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+        # each tie run of size t contributes (t^3 - t) ONCE: every row in
+        # the run carries t, so summing (t^2 - 1) per row = (t^3 - t)/run
+        F.sum(F.col("_t") * F.col("_t") - 1.0).alias("_tie"),
+    )
+    mean = F.col("n") * (F.col("n") + 1.0) / 4.0
+    var = (
+        F.col("n") * (F.col("n") + 1.0) * (2.0 * F.col("n") + 1.0) / 24.0
+        - F.col("_tie") / 48.0
+    )
+    z = (F.col("w_plus") - mean) / F.when(var > 0, F.sqrt(var))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        round0(F.col("w_plus"), 6).alias("w_plus"),
+        round0(z, 6).alias("z"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Weighted quantiles per group — the survey-statistics / importance-
+    weighted form of percentiles (each row counts ``weight`` times):
+    quantile(q) = the smallest value whose cumulative weight reaches
+    q·W (the left-continuous inverse-CDF, type-1 — exact and
+    engine-stable, no interpolation between engines to diverge).
+
+    One aggregate to the (group, distinct value) grain (ties pool their
+    weight — required for a well-defined CDF), one per-group cumulative
+    window, then each requested q is a filter + min — the q grid rides
+    a tiny explode, never a second scan. Weights must be non-negative;
+    zero-total groups yield no rows. Returns (group, q, quantile)."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile levels must be in (0, 1], got {q}")
+    byval = (
+        df.groupBy(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("_w"))
+    )
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("_g")
+    cdf = byval.select(
+        "_g", "_v",
+        F.sum("_w").over(wcum).alias("_cw"),
+        F.sum("_w").over(wtot).alias("_tw"),
+    ).filter(F.col("_tw") > 0)
+    grid = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    return (
+        cdf.select("*", grid)
+        .filter(F.col("_cw") >= F.col("q") * F.col("_tw"))
+        .groupBy(F.col("_g").alias(group_col), "q")
+        .agg(F.min("_v").alias("quantile"))
+    )

@@ -553,6 +553,7 @@ def _load_extensions() -> None:
         queries_wave21,
         queries_wave22,
         queries_wave23,
+        queries_wave24,
     )
 
 
@@ -725,14 +726,14 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_multimodal_video_frames, q_pack_assign, q_pii_redact, q_quality_gate,
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
 #: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize).
-#: With 58 pending entries below and only 50 slots, round 9's head is
-#: the FIRST 50 pending entries in registration order; the remaining 8
+#: With 60 pending entries below and only 50 slots, round 9's head is
+#: the FIRST 50 pending entries in registration order; the remaining 10
 #: (q_kaplan_meier, q_benford, q_org_hierarchy, q_skyline_2d,
 #: q_dynamic_partition_pruning, q_csv_error_routing, q_link_prediction,
-#: q_hits) plus all 22 r4-era rows open round 10's head — the r4 rows
-#: will then be 6 rounds old, the price of this round's 31-query
-#: surface growth, so round 10's window must NOT take new-query
-#: hand-offs ahead of them.
+#: q_hits, q_wilcoxon, q_weighted_quantile) plus all 22 r4-era rows
+#: open round 10's head — the r4 rows will then be 6 rounds old, the
+#: price of this round's 33-query surface growth, so round 10's window
+#: must NOT take new-query hand-offs ahead of them.
 ROUND9_PENDING: tuple[str, ...] = (
     "q_ledger_skip_files",
     "q_mv_incremental",
@@ -806,6 +807,9 @@ ROUND9_PENDING: tuple[str, ...] = (
     # wave 23: link prediction, asymmetric link analysis
     "q_link_prediction",
     "q_hits",
+    # wave 24: paired nonparametric testing, weighted quantiles
+    "q_wilcoxon",
+    "q_weighted_quantile",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
