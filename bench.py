@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q_hits",                  # 2-round normalized bipartite power iteration
     "q_wilcoxon",              # paired signed-rank windows + tie correction
     "q_weighted_quantile",     # pooled-value cumulative-weight inverse CDF
+    "q_kneser_ney",            # continuation-count smoothed bigram table
+    "q_clustering_coeff",      # degree-oriented wedge join + degree ratio
 ]
 
 

@@ -633,3 +633,54 @@ def hits_bipartite(
             F.col("v").alias("node"), F.round("a", 6).alias("authority")
         ),
     )
+
+
+def local_clustering(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_id: str = "doc_id",
+) -> DataFrame:
+    """Local clustering coefficient per node on the undirected graph
+    given as DISTINCT ``(id_a < id_b)`` pairs:
+
+        lcc(v) = 2 · tri(v) / (deg(v) · (deg(v) − 1))
+
+    — the Watts-Strogatz per-vertex statistic that turns raw triangle
+    counts into a density ratio: 1.0 means v's neighbourhood is a clique
+    (template/boilerplate family in a near-dup pair graph — safe to
+    collapse wholesale), near 0 means v chains otherwise-unrelated docs
+    together (the false-bridge shape that makes connected-component
+    dedup delete too much). Emits every node of degree ≥ 2 (the
+    coefficient is undefined below that), with ``n_triangles = 0`` rows
+    preserved — the zero is the signal.
+
+    Scale shape: one degree aggregation plus :func:`triangle_counts`'
+    degree-oriented wedge join (its O(√m) out-degree bound is what
+    survives power-law graphs), then a node-keyed left join of the two —
+    no new shuffle class beyond triangle counting itself.
+
+    Returns ``(node_id, degree, n_triangles, lcc)`` with ``lcc`` rounded
+    to 6 places.
+    """
+    und = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangle_counts(edges, id_a, id_b, node_id="u")
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "u", "left")
+        .select(
+            F.col("u").alias(node_id),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("lcc"),
+        )
+    )

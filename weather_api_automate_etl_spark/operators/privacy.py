@@ -189,3 +189,68 @@ def dp_noisy_counts(
             F.round(F.col("_n") + noise, 6).alias("noisy_count"),
         )
     )
+
+
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the release-gate ladder after
+    ``k_anonymity_violations`` and ``l_diversity_violations``: an
+    l-diverse class still leaks when its sensitive-value DISTRIBUTION is
+    skewed far from the global one (the "skewness attack" — 49 of 50
+    values benign vs a global 1% rate is a 20× posterior update even
+    though the class is 2-diverse). For a categorical sensitive
+    attribute the distance is total variation:
+
+        tvd(class) = ½ · Σ_s | p_class(s) − p_global(s) |
+
+    and the release satisfies t-closeness when every quasi-identifier
+    equivalence class has ``tvd ≤ t``. Returns the VIOLATING classes
+    with size and rounded tvd; empty certifies the release at level t.
+
+    Scale shape: one (quasi, sensitive) count aggregate, a quasi-keyed
+    rollup for class totals, a sensitive-keyed rollup for the global
+    distribution (|sensitive domain| rows — joined back on the sensitive
+    key, broadcast by the planner when tiny, never collected), then one
+    final quasi-keyed sum. Absent (class, value) cells are handled
+    WITHOUT densifying the class × domain grid: because both p_class and
+    p_global sum to 1, ½ Σ_s |p_c(s) − p_g(s)| = Σ_s max(p_c(s) − p_g(s),
+    0), and absent cells (p_c = 0) can never win that max — so summing
+    the positive excess over PRESENT cells alone is exact. NULL
+    sensitive values form their own category,
+    consistent with the l-diversity gate."""
+    if not (0.0 < t < 1.0):
+        raise ValueError(f"t-closeness needs t in (0, 1), got {t}")
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    klass = cells.groupBy(*quasi_cols).agg(
+        F.sum("__n").alias("__class_n")
+    )
+    glob = cells.groupBy("__s").agg(F.sum("__n").alias("__s_n"))
+    total = glob.agg(F.sum("__s_n").alias("__total_n"))
+    tvd = (
+        cells.join(klass, quasi_cols)
+        .join(glob, "__s")
+        .crossJoin(F.broadcast(total))
+        .select(
+            *quasi_cols,
+            F.col("__class_n"),
+            F.greatest(
+                F.col("__n") / F.col("__class_n")
+                - F.col("__s_n") / F.col("__total_n"),
+                F.lit(0.0),
+            ).alias("__excess"),
+        )
+        .groupBy(*quasi_cols, "__class_n")
+        .agg(F.round(F.sum("__excess"), 6).alias("tvd"))
+    )
+    return tvd.filter(F.col("tvd") > t).select(
+        *quasi_cols,
+        F.col("__class_n").cast("long").alias("class_size"),
+        "tvd",
+    )

@@ -1329,3 +1329,123 @@ def weighted_quantiles(
         .groupBy(F.col("_g").alias(group_col), "q")
         .agg(F.min("_v").alias("quantile"))
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col,
+    observed_col,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel, 1966; Peto & Peto, JRSS 1972) —
+    the hypothesis test that completes :func:`kaplan_meier`: are the two
+    groups' survival curves the same, accounting for right censoring?
+    At every pooled event time t (any time with ≥ 1 observed event):
+
+        E_a(t) = d(t) · n_a(t) / n(t)
+        V(t)   = d(t) · (n_a/n) · (1 − n_a/n) · (n − d) / (n − 1)
+
+    with n_j(t) = group-j subjects at risk (duration ≥ t), d_j(t) the
+    observed group-j events at t, and pooled d, n. The statistic
+    χ² = (O_a − E_a)² / ΣV is 1-df chi-square under H₀; z carries the
+    direction (z > 0 ⇒ group a died MORE than expected ⇒ worse
+    survival).
+
+    Scale shape: one (group, time)-keyed count aggregate; pooled event
+    times re-enter each group's timeline as zero-mass marker rows (a
+    union, NOT a time × group densify of the raw rows) so a single
+    reverse-cumulative window per group yields every n_j(t) — the same
+    risk-set trick as ``kaplan_meier``; then one conditional-agg pivot
+    to wide per-time rows and a scalar final aggregate. All counts stay
+    integer until the last division, so the statistic hashes identically
+    across engines after rounding.
+
+    Returns one row: ``(n_a, n_b, o_a, o_b, e_a, chi2, z)`` with the
+    float columns rounded to 6 places.
+    """
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("__g"),
+        F.col(duration_col).alias("__t"),
+        F.col(observed_col).cast("int").alias("__obs"),
+    )
+    grain = two.groupBy("__g", "__t").agg(
+        F.sum("__obs").alias("__d"),
+        F.count(F.lit(1)).alias("__leave"),
+    )
+    pooled = (
+        grain.groupBy("__t")
+        .agg(F.sum("__d").alias("__dt"))
+        .filter(F.col("__dt") > 0)
+        .select("__t")
+    )
+    labels = grain.sparkSession.createDataFrame(
+        [(group_a,), (group_b,)], "__g string"
+    )
+    markers = pooled.crossJoin(F.broadcast(labels)).select(
+        "__g", "__t", F.lit(0).alias("__d"), F.lit(0).alias("__leave"),
+        F.lit(1).alias("__mark"),
+    )
+    merged = (
+        grain.select("__g", "__t", "__d", "__leave", F.lit(0).alias("__mark"))
+        .unionAll(markers)
+        .groupBy("__g", "__t")
+        .agg(
+            F.sum("__d").alias("__d"),
+            F.sum("__leave").alias("__leave"),
+            F.max("__mark").alias("__mark"),
+        )
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = merged.withColumn("__n", F.sum("__leave").over(w)).filter(
+        F.col("__mark") == 1
+    )
+    is_a = F.col("__g") == group_a
+    wide = risked.groupBy("__t").agg(
+        F.sum(F.when(is_a, F.col("__d")).otherwise(0)).alias("da"),
+        F.sum(F.when(~is_a, F.col("__d")).otherwise(0)).alias("db"),
+        F.sum(F.when(is_a, F.col("__n")).otherwise(0)).alias("na"),
+        F.sum(F.when(~is_a, F.col("__n")).otherwise(0)).alias("nb"),
+    )
+    d = F.col("da") + F.col("db")
+    n = (F.col("na") + F.col("nb")).cast("double")
+    e_a = d * F.col("na") / n
+    v = F.when(
+        n > 1,
+        d * (F.col("na") / n) * (1 - F.col("na") / n) * (n - d) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    totals = two.groupBy().agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+    )
+    scalars = wide.agg(
+        F.sum("da").cast("long").alias("o_a"),
+        F.sum("db").cast("long").alias("o_b"),
+        F.round(F.sum(e_a), 6).alias("e_a"),
+        F.sum(e_a).alias("__e_raw"),
+        F.sum(v).alias("__v"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "o_a",
+            "o_b",
+            "e_a",
+            F.round(
+                (F.col("o_a") - F.col("__e_raw"))
+                * (F.col("o_a") - F.col("__e_raw"))
+                / F.col("__v"),
+                6,
+            ).alias("chi2"),
+            F.round(
+                (F.col("o_a") - F.col("__e_raw")) / F.sqrt("__v"), 6
+            ).alias("z"),
+        )
+    )

@@ -1182,3 +1182,77 @@ def stupid_backoff_logprob(
             "avg_logprob",
         )
     )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney, ICASSP
+    1995; the Chen & Goodman 1998 interpolated form) for every bigram
+    type observed in the corpus:
+
+        P_KN(b|a) = (c(a,b) - D) / c(a)  +  λ(a) · P_cont(b)
+        λ(a)      = D · N1+(a,·) / c(a)
+        P_cont(b) = N1+(·,b) / N1+(·,·)
+
+    where ``N1+(a,·)`` is the number of distinct continuations of history
+    ``a``, ``N1+(·,b)`` the number of distinct histories preceding ``b``
+    (the "how many contexts has this word completed" count that makes KN
+    beat raw-frequency backoff on collocation-locked words like
+    "Francisco"), and ``N1+(·,·)`` the total bigram-type count. For
+    observed bigrams ``c(a,b) ≥ 1 > D`` so the max(·,0) clamp is inert —
+    the emitted table IS the textbook smoothed model, no OOV floor needed
+    (held-out scoring with a backoff floor is ``stupid_backoff_logprob``'s
+    job; this is its normalized, discount-mass-conserving sibling:
+    Σ_b P_KN(b|a) = 1 exactly for every history).
+
+    Scale shape: map-only ``zip_with`` bigram extraction (no explode of
+    token positions), one (a,b)-keyed count shuffle, two O(|bigram
+    types|) rollups re-joined on their token keys, and a single 1-row
+    broadcast for the global type count. Count tables are never
+    collected or broadcast — vocabulary size does not bound this.
+
+    Returns ``(a, b, c_ab, p_kn)`` with ``p_kn`` rounded to 6 places.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    ts = F.filter(tokens(text_col), lambda t: t != "")
+    m = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, m),
+        F.slice(ts, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    cab = (
+        df.select(F.explode(bigrams).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    # history totals and distinct-continuation counts, one rollup of cab
+    hist = cab.groupBy("a").agg(
+        F.sum("c_ab").cast("double").alias("c_a"),
+        F.count(F.lit(1)).cast("double").alias("n1p_fwd"),
+    )
+    # continuation counts: in how many distinct contexts does b complete?
+    cont = cab.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_rev")
+    )
+    total = cab.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    p_kn = (F.col("c_ab") - d) / F.col("c_a") + (
+        d * F.col("n1p_fwd") / F.col("c_a")
+    ) * (F.col("n1p_rev") / F.col("n_types"))
+    return (
+        cab.join(hist, "a")
+        .join(cont, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+    )
