@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "q_weighted_quantile",     # pooled-value cumulative-weight inverse CDF
     "q_kneser_ney",            # continuation-count smoothed bigram table
     "q_clustering_coeff",      # degree-oriented wedge join + degree ratio
+    "q_logrank",               # pooled-time risk-set windows, scalar test
+    "q_t_closeness",           # positive-excess TVD over sparse cells
 ]
 
 

@@ -231,11 +231,15 @@ def t_closeness_violations(
     klass = cells.groupBy(*quasi_cols).agg(
         F.sum("__n").alias("__class_n")
     )
-    glob = cells.groupBy("__s").agg(F.sum("__n").alias("__s_n"))
+    glob = cells.groupBy(F.col("__s").alias("__gs")).agg(
+        F.sum("__n").alias("__s_n")
+    )
     total = glob.agg(F.sum("__s_n").alias("__total_n"))
     tvd = (
         cells.join(klass, quasi_cols)
-        .join(glob, "__s")
+        # null-safe: a NULL sensitive value is its own category and must
+        # still find its global mass
+        .join(glob, F.col("__s").eqNullSafe(F.col("__gs")))
         .crossJoin(F.broadcast(total))
         .select(
             *quasi_cols,

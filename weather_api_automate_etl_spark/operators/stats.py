@@ -1367,8 +1367,18 @@ def logrank_test(
     """
     two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         F.col(group_col).alias("__g"),
-        F.col(duration_col).alias("__t"),
-        F.col(observed_col).cast("int").alias("__obs"),
+        (
+            duration_col
+            if isinstance(duration_col, Column)
+            else F.col(duration_col)
+        ).alias("__t"),
+        (
+            observed_col
+            if isinstance(observed_col, Column)
+            else F.col(observed_col)
+        )
+        .cast("int")
+        .alias("__obs"),
     )
     grain = two.groupBy("__g", "__t").agg(
         F.sum("__obs").alias("__d"),
