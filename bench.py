@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "q_clustering_coeff",      # degree-oriented wedge join + degree ratio
     "q_logrank",               # pooled-time risk-set windows, scalar test
     "q_t_closeness",           # positive-excess TVD over sparse cells
+    "q_ridge_normal_eq",       # exact-decimal Gram + Cramer 3x3 solve
+    "q_mann_kendall",          # calendar-bounded pairwise sign join
 ]
 
 

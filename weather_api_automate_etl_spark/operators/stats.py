@@ -1459,3 +1459,173 @@ def logrank_test(
             ).alias("z"),
         )
     )
+
+
+def ridge_regression_2f(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    lam: float,
+) -> DataFrame:
+    """Per-group ridge regression with two features and an unpenalized
+    intercept, solved in closed form from the normal equations
+    (Hoerl & Kennard, Technometrics 1970):
+
+        (XᵀX + λ·diag(0, 1, 1)) β = Xᵀy,  X = [1, x₁, x₂]
+
+    — the multi-feature step past :func:`q_linreg_by_group`'s simple
+    OLS, still as ONE distributed aggregate: the 3×3 Gram matrix is
+    nine sufficient statistics (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy,
+    Σx₁y, Σx₂y) computed map-side-combined per group, and the solve is
+    Cramer's rule on those scalars — no driver-side matrix library, no
+    iteration, no second pass over the data. λ > 0 also guarantees the
+    determinant is nonzero under collinear features (the case that
+    breaks plain OLS).
+
+    Engine-exactness: every sufficient statistic is accumulated in
+    DECIMAL(18,6)-derived exact arithmetic (sums of decimal products
+    are associative, unlike double sums), so both engines hand
+    IDENTICAL inputs to the same double-precision Cramer formula —
+    the determinant cancellation that makes naive double Gram sums
+    diverge in the last ulp never happens.
+
+    Returns ``(group, n_rows, b0, b1, b2)`` rounded to 6 places.
+    """
+    if lam < 0:
+        raise ValueError(f"ridge needs lam >= 0, got {lam}")
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    x1, x2, y = d(x1_col), d(x2_col), d(y_col)
+    g = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x1).alias("s1"),
+            F.sum(x2).alias("s2"),
+            F.sum(x1 * x1).alias("s11"),
+            F.sum(x1 * x2).alias("s12"),
+            F.sum(x2 * x2).alias("s22"),
+            F.sum(y).alias("sy"),
+            F.sum(x1 * y).alias("s1y"),
+            F.sum(x2 * y).alias("s2y"),
+        )
+        .select(
+            "g",
+            F.col("n").cast("double").alias("n"),
+            *[
+                F.col(c).cast("double").alias(c)
+                for c in ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+            ],
+        )
+    )
+    L = F.lit(float(lam))
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    a11, a12, a22 = F.col("s11") + L, F.col("s12"), F.col("s22") + L
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (a11 * a22 - a12 * a12)
+        - s1 * (s1 * a22 - a12 * s2)
+        + s2 * (s1 * a12 - a11 * s2)
+    )
+    det0 = (
+        sy * (a11 * a22 - a12 * a12)
+        - s1 * (s1y * a22 - a12 * s2y)
+        + s2 * (s1y * a12 - a11 * s2y)
+    )
+    det1 = (
+        n * (s1y * a22 - a12 * s2y)
+        - sy * (s1 * a22 - a12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (a11 * s2y - s1y * a12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * a12 - a11 * s2)
+    )
+    return g.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(det0 / det, 6).alias("b0"),
+        F.round(det1 / det, 6).alias("b1"),
+        F.round(det2 / det, 6).alias("b2"),
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per group (Mann, Econometrica
+    1945; Kendall 1975) — the nonparametric "is this series drifting?"
+    gate for sensor/telemetry rollups, immune to outliers and
+    distribution shape because it reads only pairwise ORDER:
+
+        S = Σ_{i<j} sign(y_j − y_i)   (periods ordered by time)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+        z = (S − sign(S)) / √Var(S)   (continuity-corrected)
+
+    with the tie term summed over runs of equal values. The per-period
+    statistic is the ROW COUNT (volume trend): an integer, so every
+    sign and tie is engine-exact — the same discipline as
+    ``wilcoxon_signed_rank``. For a value trend, pre-bucket the value
+    into integer grades upstream; float means would make sign() read
+    last-ulp noise.
+
+    Scale shape: the pairwise comparison self-joins the PER-PERIOD
+    series within each group — quadratic only in periods-per-group,
+    which is calendar-bounded (30 daily points here; even 10 years of
+    hourly data is <10⁹ pairs per group), never in raw rows; the raw
+    table is first collapsed by one (group, period) aggregate. Both
+    joins shuffle on the group key.
+
+    Returns ``(group, n_periods, s, var_s, z)`` with ``z`` rounded to
+    6 places.
+    """
+    ser = df.groupBy(
+        F.col(group_col).alias("g"), F.col(period_col).alias("p")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = ser.select("g", F.col("p").alias("pi"), F.col("y").alias("yi"))
+    b = ser.select("g", F.col("p").alias("pj"), F.col("y").alias("yj"))
+    s = (
+        a.join(b, "g")
+        .filter(F.col("pi") < F.col("pj"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.signum(F.col("yj") - F.col("yi"))).cast("long").alias("s")
+        )
+    )
+    n = ser.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        ser.groupBy("g", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie")
+        )
+    )
+    nn = F.col("n").cast("double")
+    var_s = (
+        nn * (nn - 1) * (2 * nn + 5) - F.coalesce(F.col("tie"), F.lit(0))
+    ) / 18.0
+    sgn = F.signum(F.col("s").cast("double"))
+    return (
+        n.join(s, "g")
+        .join(ties, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n_periods"),
+            "s",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(
+                F.when(F.col("s") == 0, F.lit(0.0)).otherwise(
+                    (F.col("s") - sgn) / F.sqrt(var_s)
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
