@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "q_t_closeness",           # positive-excess TVD over sparse cells
     "q_ridge_normal_eq",       # exact-decimal Gram + Cramer 3x3 solve
     "q_mann_kendall",          # calendar-bounded pairwise sign join
+    "q_attribution_linear",    # user-keyed bounded range join + 1/n split
+    "q_theil_sen",             # pairwise slopes + exact window medians
 ]
 
 

@@ -1629,3 +1629,155 @@ def mann_kendall_trend(
             ).alias("z"),
         )
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_days: int = 7,
+) -> DataFrame:
+    """Linear multi-touch attribution — the position-blind complement to
+    ``first_touch_conversion``: every conversion splits one unit of
+    credit EQUALLY across the user's qualifying touches in the
+    ``window_days`` before it (strictly earlier, lookback-bounded), so
+    channels that assist mid-journey finally show up in the report
+    first-touch hides them from.
+
+    Scale shape: conversions and touches are two filtered scans of the
+    same events table joined on the USER key with a range predicate on
+    time — a user-keyed shuffle whose per-key fan-out is bounded by
+    events-per-user-per-week, never a time-only interval join across
+    users. One conversion-keyed count gives each touch its 1/n share;
+    one final channel rollup emits the report. Conversions with zero
+    in-window touches are reported under the ``'(direct)'`` channel so
+    total credit always equals total conversions (the invariant the
+    test pins).
+
+    Returns ``(channel, n_touchpoints, n_conversions, credit)`` with
+    credit rounded to 6 places.
+    """
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__channel"),
+        F.col(ts_col).alias("__tts"),
+    )
+    touched = conv.join(touch, "__u").filter(
+        (F.col("__tts") < F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(window_days)} DAYS")
+        )
+    )
+    per_conv = touched.groupBy("__cid").agg(
+        F.count(F.lit(1)).alias("__n_touch")
+    )
+    credited = touched.join(per_conv, "__cid").groupBy(
+        F.col("__channel").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+        F.count_distinct(F.col("__cid")).cast("long").alias("n_conversions"),
+        F.round(F.sum(F.lit(1.0) / F.col("__n_touch")), 6).alias("credit"),
+    )
+    direct = (
+        conv.join(per_conv, conv["__cid"] == per_conv["__cid"], "anti")
+        .agg(F.count(F.lit(1)).alias("__n_direct"))
+        .filter(F.col("__n_direct") > 0)
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.lit(0).cast("long").alias("n_touchpoints"),
+            F.col("__n_direct").cast("long").alias("n_conversions"),
+            F.round(F.col("__n_direct").cast("double"), 6).alias("credit"),
+        )
+    )
+    return credited.unionByName(direct)
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    period_col,
+) -> DataFrame:
+    """Theil-Sen robust trend line per group (Theil 1950; Sen, JASA
+    1968) — the ESTIMATOR companion to :func:`mann_kendall_trend`'s
+    test: slope = median of all pairwise slopes (y_j − y_i)/(p_j − p_i),
+    intercept = median of (y_i − slope·p_i). Breakdown point ~29%: a
+    spike day that would drag least-squares barely moves it — the right
+    trend line for telemetry with outages and backfill artifacts.
+
+    The per-period statistic is the row count per (group, period) and
+    the period must be an INTEGER offset (days since epoch/origin), so
+    every pairwise slope is a ratio of exact integers — both engines
+    divide the same numerators by the same denominators and sort
+    identical doubles; the even-count median averages the same two
+    middles. Same calendar-bounded pairwise join shape as Mann-Kendall
+    (quadratic in PERIODS per group, after one collapsing aggregate);
+    the exact medians are one sort-window pass each, no collect.
+
+    Returns ``(group, n_periods, slope, intercept)`` rounded to 6.
+    """
+    ser = df.groupBy(
+        F.col(group_col).alias("g"),
+        (
+            period_col if isinstance(period_col, Column) else F.col(period_col)
+        ).alias("p"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = ser.select("g", F.col("p").alias("pi"), F.col("y").alias("yi"))
+    b = ser.select("g", F.col("p").alias("pj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, "g")
+        .filter(F.col("pi") < F.col("pj"))
+        .select(
+            "g",
+            (
+                (F.col("yj") - F.col("yi")).cast("double")
+                / (F.col("pj") - F.col("pi")).cast("double")
+            ).alias("v"),
+        )
+    )
+
+    def _median(vals: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("g").orderBy("v", "g")
+        n = Window.partitionBy("g")
+        ranked = vals.select(
+            "g",
+            "v",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(n).alias("__n"),
+        )
+        mid = ranked.filter(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
+        )
+        return mid.groupBy("g").agg(F.avg("v").alias(out))
+
+    slope = _median(slopes, "slope")
+    resid = ser.join(slope, "g").select(
+        "g",
+        (
+            F.col("y").cast("double") - F.col("slope") * F.col("p")
+        ).alias("v"),
+    )
+    intercept = _median(resid, "intercept")
+    n = ser.groupBy("g").agg(F.count(F.lit(1)).alias("n_periods"))
+    return (
+        n.join(slope, "g")
+        .join(intercept, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_periods").cast("long").alias("n_periods"),
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )
