@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "q_mann_kendall",          # calendar-bounded pairwise sign join
     "q_attribution_linear",    # user-keyed bounded range join + 1/n split
     "q_theil_sen",             # pairwise slopes + exact window medians
+    "q_rrf_fusion",            # two TakeOrdered shortlists + rank fusion
+    "q_ndcg",                  # top-k cut + graded-gain log-division
 ]
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from weather_api_automate_etl_spark.functions.vectors import (
     cosine_similarity,
@@ -766,4 +766,131 @@ def mmr_rerank(
             for i, p in enumerate(picked)
         ],
         "rank int, vec_id long, rel double, mmr_score double",
+    )
+
+
+def rrf_fuse(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    shortlist: int = 100,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (Cormack,
+    Clarke & Buettcher, SIGIR 2009) — the standard hybrid-search merge
+    for lexical + semantic retrieval (BM25 list ⊕ embedding list):
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    Rank positions, not raw scores, so the two lists' incomparable
+    score scales never need calibration — the reason RRF beats weighted
+    score sums as the default fusion.
+
+    Each input ranking is first cut to its ``shortlist`` head via
+    TakeOrdered (never a full global sort), then ranked by
+    ``(score DESC, id ASC)`` — pass ROUNDED scores so the rank keys are
+    engine-exact; the id tie-break makes equal-score ranks
+    deterministic. A document absent from one list simply contributes
+    nothing for it (fusion over the union, the standard treatment).
+    The global row_number windows run on shortlist-bounded rows — the
+    same bounded-candidate discipline as ``mmr_rerank``, which is what
+    keeps rank fusion viable when each retriever scans 100 TB but
+    returns 100 rows.
+
+    Returns the fused ``top`` rows: ``(id, rank_a, rank_b, rrf_score)``
+    with the score rounded to 6 places.
+    """
+    if rrf_k < 1:
+        raise ValueError(f"rrf needs k >= 1, got {rrf_k}")
+
+    def _ranked(df: DataFrame, out: str) -> DataFrame:
+        head = df.select(
+            F.col(id_col), F.col(score_col).alias("__s")
+        ).orderBy(F.desc("__s"), F.asc(id_col)).limit(shortlist)
+        w = Window.orderBy(F.desc("__s"), F.asc(id_col))
+        return head.select(
+            id_col, F.row_number().over(w).alias(out)
+        )
+    ra = _ranked(ranking_a, "rank_a")
+    rb = _ranked(ranking_b, "rank_b")
+    contrib_a = F.when(
+        F.col("rank_a").isNotNull(), 1.0 / (F.lit(rrf_k) + F.col("rank_a"))
+    ).otherwise(0.0)
+    contrib_b = F.when(
+        F.col("rank_b").isNotNull(), 1.0 / (F.lit(rrf_k) + F.col("rank_b"))
+    ).otherwise(0.0)
+    return (
+        ra.join(rb, id_col, "full_outer")
+        .select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            F.round(contrib_a + contrib_b, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top)
+    )
+
+
+def ndcg_at_k(
+    system: DataFrame,
+    relevance: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k of a system ranking against graded relevance labels
+    (Järvelin & Kekäläinen, TOIS 2002) — the retrieval-evaluation gate
+    a search/RAG pipeline runs per release:
+
+        DCG@k  = Σ_{p=1..k} (2^rel(d_p) − 1) / log2(p + 1)
+        NDCG@k = DCG@k / IDCG@k   (IDCG = DCG of the best possible order)
+
+    The system's top-k is a TakeOrdered head on ``(score DESC, id
+    ASC)`` — pass rounded scores for engine-exact cuts; IDCG takes the
+    k highest labels (ties among equal labels cannot change the sum).
+    Unlabeled retrieved docs count rel = 0, the standard pooling
+    treatment. Gains and positions are integers; only the final
+    log-division runs in floats.
+
+    Returns one row ``(k, dcg, idcg, ndcg)`` rounded to 6 places.
+    """
+    if k < 1:
+        raise ValueError(f"ndcg needs k >= 1, got {k}")
+    w = Window.orderBy(F.desc("__s"), F.asc(id_col))
+    top = (
+        system.select(F.col(id_col), F.col(score_col).alias("__s"))
+        .orderBy(F.desc("__s"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.row_number().over(w).alias("__p"))
+    )
+    rel = relevance.select(
+        F.col(id_col), F.col(rel_col).cast("int").alias("__r")
+    )
+    gain = F.pow(F.lit(2.0), F.coalesce("__r", F.lit(0))) - 1.0
+    scored = top.join(rel, id_col, "left").select(
+        (gain / (F.log(F.col("__p") + 1.0) / F.log(F.lit(2.0)))).alias("__g")
+    )
+    wi = Window.orderBy(F.desc("__r"), F.asc(id_col))
+    ideal = (
+        rel.orderBy(F.desc("__r"), F.asc(id_col))
+        .limit(k)
+        .select(F.row_number().over(wi).alias("__p"), "__r")
+        .select(
+            (
+                (F.pow(F.lit(2.0), F.col("__r")) - 1.0)
+                / (F.log(F.col("__p") + 1.0) / F.log(F.lit(2.0)))
+            ).alias("__g")
+        )
+    )
+    d = scored.agg(F.sum("__g").alias("dcg"))
+    i = ideal.agg(F.sum("__g").alias("idcg"))
+    return d.crossJoin(F.broadcast(i)).select(
+        F.lit(k).cast("int").alias("k"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
