@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "q_theil_sen",             # pairwise slopes + exact window medians
     "q_rrf_fusion",            # two TakeOrdered shortlists + rank fusion
     "q_ndcg",                  # top-k cut + graded-gain log-division
+    "q_orc_roundtrip",         # ORC write + pushdown read + rollup
+    "q_mrr",                   # broadcast query set, WindowGroupLimit cut
 ]
 
 

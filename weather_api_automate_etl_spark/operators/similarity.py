@@ -894,3 +894,74 @@ def ndcg_at_k(
         F.round("idcg", 6).alias("idcg"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reciprocal rank of the first RELEVANT hit in each query's cosine
+    top-``k`` (Voorhees, TREC-8 1999) — relevance = sharing the query's
+    label. MRR reads the position of the first right answer where
+    recall@k only counts membership: a retriever can hold recall steady
+    while its first screen degrades, and this is the metric that
+    catches it. Averaging the emitted ``rr`` column gives MRR proper.
+
+    No driver-side per-query loop: the query rows (id, vector, label)
+    are a FILTERED BROADCAST side of one scored join against the rest
+    of the corpus, so adding queries adds broadcast rows, not jobs.
+    The per-query rank cut is a ``row_number() ≤ k`` filter over a
+    qid-partitioned window — Spark's WindowGroupLimit rewrites it to a
+    per-partition top-k heap, not a full sort (the ``knn_join`` shape).
+    Queries whose top-k holds no same-label vector emit ``rr = 0`` with
+    a NULL rank (the standard strict treatment).
+
+    Returns one row per query: ``(query_id, first_rank, rr)`` with
+    ``rr`` rounded to 6 places.
+    """
+    if k < 1:
+        raise ValueError(f"mrr needs k >= 1, got {k}")
+    ids = [int(q) for q in query_ids]
+    if not ids:
+        raise ValueError("query_ids must be non-empty")
+    q = df.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qe"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    c = df.filter(~F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__ce"),
+        F.col(label_col).alias("__clabel"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "__qid",
+        "__qlabel",
+        "__cid",
+        "__clabel",
+        F.round(
+            cosine_similarity(F.col("__ce"), F.col("__qe")), 6
+        ).alias("__s"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("__cid"))
+    hit = (
+        scored.withColumn("__p", F.row_number().over(w))
+        .filter((F.col("__p") <= k) & (F.col("__clabel") == F.col("__qlabel")))
+        .groupBy("__qid")
+        .agg(F.min("__p").alias("__first"))
+    )
+    return (
+        q.select("__qid")
+        .join(hit, "__qid", "left")
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__first").cast("int").alias("first_rank"),
+            F.round(
+                F.coalesce(1.0 / F.col("__first"), F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+    )
