@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "q_ndcg",                  # top-k cut + graded-gain log-division
     "q_orc_roundtrip",         # ORC write + pushdown read + rollup
     "q_mrr",                   # broadcast query set, WindowGroupLimit cut
+    "q_anova_oneway",          # integer sufficient stats + ordered fold
+    "q_holt_winters",          # per-series seasonal-ring fold
 ]
 
 

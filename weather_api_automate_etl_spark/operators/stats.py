@@ -1781,3 +1781,83 @@ def theil_sen_trend(
             F.round("intercept", 6).alias("intercept"),
         )
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+) -> DataFrame:
+    """One-way ANOVA F-test (Fisher, 1925) — the k-group generalization
+    of ``ab_test_welch``'s two-sample comparison: does the response
+    mean differ across ANY of the groups?
+
+        SSB = Σ_j S_j²/n_j − S²/N     (between groups, k−1 df)
+        SSW = Q − Σ_j S_j²/n_j        (within groups, N−k df)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    The value is cast to BIGINT (integer-valued responses — counts,
+    cents, quantities), so every per-group sufficient statistic
+    (n_j, S_j = Σy, Q_j = Σy²) is an EXACT integer and the only float
+    arithmetic is the final assembly. That assembly is made
+    order-deterministic the same way ``holt_linear`` is: the k group
+    rows are collected into ONE g-sorted array and the Σ S_j²/n_j term
+    is a strict left-to-right ``F.aggregate`` fold, which DuckDB's
+    ``list_reduce`` reproduces bit-for-bit — so even the
+    heavily-cancelling SSB survives hashing at 6 decimals.
+
+    Scale shape: one hash aggregate per group (map-side combined), then
+    a single k-row collect into one driver-free row — state is O(k),
+    the number of GROUPS, never rows. Groups with n_j = 0 cannot occur;
+    k < 2 or SSW = 0 yields a NULL F with the sums still reported.
+
+    Returns one row ``(k, n, ssb, ssw, f_stat)`` rounded to 6 places.
+    """
+    y = (
+        value_col if isinstance(value_col, Column) else F.col(value_col)
+    ).cast("long")
+    per = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s"),
+        F.sum(y * y).alias("q"),
+    )
+    packed = per.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__g", "n", "s", "q"))
+        ).alias("gs")
+    )
+    gs = F.col("gs")
+    k = F.size(gs)
+    n_tot = F.aggregate(gs, F.lit(0).cast("long"), lambda a, x: a + x["n"])
+    s_tot = F.aggregate(gs, F.lit(0).cast("long"), lambda a, x: a + x["s"])
+    q_tot = F.aggregate(gs, F.lit(0).cast("long"), lambda a, x: a + x["q"])
+    t_term = F.aggregate(
+        gs,
+        F.lit(0.0),
+        lambda a, x: a
+        + (x["s"] * x["s"]).cast("double") / x["n"].cast("double"),
+    )
+    stats_row = packed.select(
+        k.alias("__k"),
+        n_tot.alias("__n"),
+        q_tot.cast("double").alias("__q"),
+        (
+            s_tot.cast("double") * s_tot.cast("double")
+            / n_tot.cast("double")
+        ).alias("__corr"),
+        t_term.alias("__t"),
+    )
+    ssb = F.col("__t") - F.col("__corr")
+    ssw = F.col("__q") - F.col("__t")
+    f = F.when(
+        (F.col("__k") > 1) & (ssw > 0) & (F.col("__n") > F.col("__k")),
+        (ssb / (F.col("__k") - 1))
+        / (ssw / (F.col("__n") - F.col("__k"))),
+    )
+    return stats_row.select(
+        F.col("__k").cast("int").alias("k"),
+        F.col("__n").cast("long").alias("n"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        F.round(f, 6).alias("f_stat"),
+    )

@@ -439,3 +439,116 @@ def holt_linear(
         round0(F.col("state.trd"), 6).alias("trend"),
         round0(F.col("state.lvl") + F.col("state.trd"), 6).alias("forecast_1"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing per series (Winters,
+    Mgmt Sci 1960) — the seasonal completion of :func:`holt_linear`:
+    level + trend + an m-period additive seasonal state, the standard
+    forecaster for daily/weekly-patterned telemetry.
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+
+    initialized textbook-style from the first two seasons (l₀ = mean of
+    season 1, b₀ = (mean₂ − mean₁)/m, s_i = y_i − l₀ for i ≤ m); the
+    recursion runs t = m+1..n. Series shorter than 2m points are
+    dropped (the init needs two full seasons).
+
+    Scale shape identical to ``holt_linear``: one hash aggregate
+    collects each series sorted (state bounded by the TIME RANGE, not
+    row count — aggregate to your grain first), then a single JVM-side
+    ``F.aggregate`` fold whose state is (level, trend, m-slot seasonal
+    ring) — O(m) per series, zero Python, zero extra shuffles, strictly
+    left-to-right so a recursive-CTE oracle carrying a LIST seasonal
+    state replays it bit-for-bit.
+
+    Returns ``(series, n_points, level, trend, season_next,
+    forecast_1)`` rounded to 6 — forecast_1 = level + trend +
+    season_next, the one-step-ahead projection.
+    """
+    if season < 2:
+        raise ValueError(f"holt-winters needs season >= 2, got {season}")
+    m = int(season)
+    pts = (
+        df.groupBy(series_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).alias("y"),
+                    )
+                )
+            ).alias("pts")
+        )
+        .filter(F.size("pts") >= 2 * m)
+    )
+    ys = F.expr("transform(pts, p -> cast(p.y as double))")
+    with_ys = pts.withColumn("ys", ys)
+    mean1 = F.aggregate(
+        F.slice("ys", 1, m), F.lit(0.0), lambda a, x: a + x
+    ) / float(m)
+    mean2 = F.aggregate(
+        F.slice("ys", m + 1, m), F.lit(0.0), lambda a, x: a + x
+    ) / float(m)
+    prepared = with_ys.select(
+        series_col,
+        "ys",
+        F.size("ys").alias("n"),
+        mean1.alias("l0"),
+        ((mean2 - mean1) / float(m)).alias("b0"),
+    ).withColumn(
+        "s0", F.expr("transform(slice(ys, 1, {m}), x -> x - l0)".format(m=m))
+    )
+    a_, b_, g_ = float(alpha), float(beta), float(gamma)
+    lnew = lambda acc, y: (  # noqa: E731
+        F.lit(a_) * (y - F.element_at(acc["ssn"], 1))
+        + F.lit(1.0 - a_) * (acc["lvl"] + acc["trd"])
+    )
+    fold = F.aggregate(
+        F.slice(F.col("ys"), m + 1, F.col("n") - m),
+        F.struct(
+            F.col("l0").alias("lvl"),
+            F.col("b0").alias("trd"),
+            F.col("s0").alias("ssn"),
+        ),
+        lambda acc, y: F.struct(
+            lnew(acc, y).alias("lvl"),
+            (
+                F.lit(b_) * (lnew(acc, y) - acc["lvl"])
+                + F.lit(1.0 - b_) * acc["trd"]
+            ).alias("trd"),
+            F.concat(
+                F.slice(acc["ssn"], 2, m - 1),
+                F.array(
+                    F.lit(g_) * (y - lnew(acc, y))
+                    + F.lit(1.0 - g_) * F.element_at(acc["ssn"], 1)
+                ),
+            ).alias("ssn"),
+        ),
+    )
+    from weather_api_automate_etl_spark.operators.stats import round0
+
+    out = prepared.withColumn("state", fold)
+    s_next = F.element_at(F.col("state.ssn"), 1)
+    return out.select(
+        series_col,
+        F.col("n").cast("long").alias("n_points"),
+        round0(F.col("state.lvl"), 6).alias("level"),
+        round0(F.col("state.trd"), 6).alias("trend"),
+        round0(s_next, 6).alias("season_next"),
+        round0(
+            F.col("state.lvl") + F.col("state.trd") + s_next, 6
+        ).alias("forecast_1"),
+    )
