@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "q_mrr",                   # broadcast query set, WindowGroupLimit cut
     "q_anova_oneway",          # integer sufficient stats + ordered fold
     "q_holt_winters",          # per-series seasonal-ring fold
+    "q_textrank",              # vocab-sized graph + 2-round pagerank
+    "q_paired_t",              # single group-keyed integer aggregate
 ]
 
 

@@ -1861,3 +1861,134 @@ def anova_oneway(
         F.round(ssw, 6).alias("ssw"),
         F.round(f, 6).alias("f_stat"),
     )
+
+
+
+def paired_t_test(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Paired t-test per group (Student, Biometrika 1908) — the
+    parametric twin of ``wilcoxon_signed_rank`` over the same matched
+    pairs: t = d̄ / (s_d/√n) on the per-pair differences d = x − y.
+    Pairs must be INTEGER-valued (counts): then Σd and Σd² are exact
+    integers, the variance assembly runs on identical inputs in both
+    engines, and the statistic hashes at 6 decimals.
+
+    One group-keyed aggregate (map-side combined), no window, no
+    collect — the cheapest member of the whole test family. Zero
+    variance (all differences equal) yields NULL t with the mean still
+    reported; n < 2 likewise.
+
+    Returns ``(group, n, mean_d, sd_d, t)`` rounded to 6 places.
+    """
+    d = (F.col(x_col) - F.col(y_col)).cast("long")
+    agg = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("sd1"),
+        F.sum(d * d).alias("sd2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sd1").cast("double") / n
+    # sample variance from exact integer sums: (Σd² − (Σd)²/n) / (n−1)
+    var = (
+        F.col("sd2").cast("double")
+        - F.col("sd1").cast("double") * F.col("sd1").cast("double") / n
+    ) / (n - 1)
+    sd = F.sqrt(var)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_d"),
+        F.round(
+            F.when((F.col("n") > 1) & (var > 0), sd), 6
+        ).alias("sd_d"),
+        F.round(
+            F.when((F.col("n") > 1) & (var > 0), mean / (sd / F.sqrt(n))), 6
+        ).alias("t"),
+    )
+
+
+def decision_stump(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col,
+) -> DataFrame:
+    """Best single-split regression stump per group — the CART split
+    search (Breiman et al., 1984) restricted to one feature, i.e. the
+    primitive inside every tree/boosting fit and the simplest honest
+    answer to "at what threshold does the response change?". Chooses
+    the threshold t over the feature's distinct values maximizing the
+    variance-reduction gain
+
+        gain(t) = S_L²/n_L + S_R²/n_R        (S = Σy, exact integers)
+
+    which orders identically to SSE reduction since Σy² is
+    split-invariant — so the argmax never touches the cancelling SSE
+    form. The response is cast to BIGINT (counts/cents/quantities):
+    every cumulative sum is exact, each candidate's gain is a single
+    float expression over exact integers (no float SUMMATION anywhere),
+    and the argmax tie-breaks on the smaller threshold — fully
+    engine-deterministic.
+
+    Scale shape: one (group, x) aggregate collapses rows to distinct
+    feature values; cumulative sums are a group-keyed window over those
+    values (cardinality = |distinct x| per group, e.g. 11 discounts —
+    never raw rows); the argmax is one more group-keyed window. The
+    rightmost value is excluded as a threshold (its "split" is no
+    split).
+
+    Returns ``(group, split_x, n_left, n_right, mean_left, mean_right,
+    gain)`` with floats rounded to 6.
+    """
+    y = (y_col if isinstance(y_col, Column) else F.col(y_col)).cast("long")
+    per = df.groupBy(
+        F.col(group_col).alias("g"), F.col(x_col).alias("x")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("s"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("g")
+    cum = per.select(
+        "g",
+        "x",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("s").over(w).alias("sl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("s").over(tot).alias("st"),
+        F.max("x").over(tot).alias("xmax"),
+    ).filter(F.col("x") != F.col("xmax"))
+    nr = F.col("nt") - F.col("nl")
+    sr = F.col("st") - F.col("sl")
+    gain = (
+        F.col("sl").cast("double") * F.col("sl").cast("double")
+        / F.col("nl").cast("double")
+        + sr.cast("double") * sr.cast("double") / nr.cast("double")
+    )
+    scored = cum.select(
+        "g", "x", "nl", "sl", nr.alias("nr"), sr.alias("sr"),
+        gain.alias("gain"),
+    )
+    pick = Window.partitionBy("g").orderBy(F.desc("gain"), F.asc("x"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("x").alias("split_x"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.round(
+                F.col("sl").cast("double") / F.col("nl").cast("double"), 6
+            ).alias("mean_left"),
+            F.round(
+                F.col("sr").cast("double") / F.col("nr").cast("double"), 6
+            ).alias("mean_right"),
+            F.round("gain", 6).alias("gain"),
+        )
+    )

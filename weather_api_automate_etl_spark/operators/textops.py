@@ -1256,3 +1256,73 @@ def kneser_ney_bigram(
             F.round(p_kn, 6).alias("p_kn"),
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+    iterations: int = 2,
+    damping: float = 0.85,
+    top: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    build the word co-occurrence graph — an undirected edge per DISTINCT
+    adjacent pair of surviving words (length ≥ ``min_len``, purely
+    alphabetic: the paper's syntactic-filter stand-in) — and score
+    words with :func:`graph.pagerank`'s fixed-round power iteration.
+    The corpus-level keyword signal a pipeline materializes for topic
+    labeling, dedup explanation and retrieval boosting, built entirely
+    from operators this engine already has: tokenization → pair
+    extraction → PageRank.
+
+    Scale shape: pair extraction is the map-only ``zip_with`` bigram
+    shape plus a distinct (one shuffle on the pair key); the graph is
+    VOCABULARY-sized, so the power iteration's per-round join+agg runs
+    on |V| + |E| rows regardless of corpus row count — the whole corpus
+    is only ever touched by the one tokenizing scan. Top-``top`` is a
+    TakeOrdered cut on the ROUNDED, N-normalized rank with a word
+    tie-break (engine-exact cut keys).
+
+    Returns ``(word, rank_n)`` — ``top`` rows, rank × |V| rounded to 6.
+    """
+    from weather_api_automate_etl_spark.operators import graph
+
+    ts = F.filter(
+        tokens(text_col),
+        lambda w: (F.length(w) >= min_len) & w.rlike("^[a-z]+$"),
+    )
+    m = F.greatest(F.size(ts) - F.lit(1), F.lit(0))
+    adj = F.zip_with(
+        F.slice(ts, 1, m),
+        F.slice(ts, 2, m),
+        lambda a, b: F.struct(
+            F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+        ),
+    )
+    pairs = (
+        df.select(F.explode(adj).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter(F.col("w1") != F.col("w2"))
+        .distinct()
+    )
+    nodes = (
+        df.select(F.explode(ts).alias("word")).distinct()
+    )
+    ranked = graph.pagerank(
+        nodes,
+        pairs,
+        id_a="w1",
+        id_b="w2",
+        node_id="word",
+        iterations=iterations,
+        damping=damping,
+    )
+    n = nodes.count()
+    return (
+        ranked.select(
+            "word", F.round(F.col("rank") * float(n), 6).alias("rank_n")
+        )
+        .orderBy(F.desc("rank_n"), F.asc("word"))
+        .limit(top)
+    )

@@ -552,3 +552,70 @@ def holt_winters_additive(
             F.col("state.lvl") + F.col("state.trd") + s_next, 6
         ).alias("forecast_1"),
     )
+
+
+def backtest_seasonal_naive(
+    df: DataFrame,
+    series_col: str,
+    period_col: str,
+    season: int = 7,
+    horizon: int = 5,
+) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (ŷ_t = y_{t−m}) against the plain-naive baseline (ŷ_t = y_{t−1})
+    on per-period row counts — the evaluation harness that should gate
+    any fancier forecaster (Holt, Holt-Winters): if seasonal-naive
+    doesn't beat last-value on the holdout, the series has no usable
+    seasonality and the seasonal model is fitting noise. Scores the
+    LAST ``horizon`` periods of each series; a skill ratio < 1 means
+    seasonality is real.
+
+    The per-period statistic is the ROW COUNT, so every error
+    |y_t − ŷ_t| is an exact integer and the MAEs divide exact sums.
+    Scale shape: one collapsing (series, period) aggregate, two lag
+    windows per series (state = one row), one final rollup — scan-rate,
+    no self-join.
+
+    Returns ``(series, n_test, mae_seasonal, mae_naive, skill)`` with
+    floats rounded to 6; series without enough history for a full
+    horizon of both forecasts are dropped.
+    """
+    if season < 1 or horizon < 1:
+        raise ValueError(
+            f"backtest needs season/horizon >= 1, got {season}/{horizon}"
+        )
+    ser = df.groupBy(
+        F.col(series_col).alias("g"), F.col(period_col).alias("p")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("g").orderBy("p")
+    tot = Window.partitionBy("g")
+    lagged = ser.select(
+        "g",
+        "p",
+        "y",
+        F.lag("y", season).over(w).alias("ys"),
+        F.lag("y", 1).over(w).alias("y1"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    test = lagged.filter(
+        (F.col("rn") > F.col("n") - horizon)
+        & F.col("ys").isNotNull()
+        & F.col("y1").isNotNull()
+    )
+    agg = test.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.abs(F.col("y") - F.col("ys"))).alias("es"),
+        F.sum(F.abs(F.col("y") - F.col("y1"))).alias("e1"),
+    ).filter(F.col("n_test") == horizon)
+    mae_s = F.col("es").cast("double") / F.col("n_test").cast("double")
+    mae_1 = F.col("e1").cast("double") / F.col("n_test").cast("double")
+    return agg.select(
+        F.col("g").alias(series_col),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(mae_s, 6).alias("mae_seasonal"),
+        F.round(mae_1, 6).alias("mae_naive"),
+        F.round(
+            F.when(F.col("e1") > 0, mae_s / mae_1), 6
+        ).alias("skill"),
+    )
