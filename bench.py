@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "q_holt_winters",          # per-series seasonal-ring fold
     "q_textrank",              # vocab-sized graph + 2-round pagerank
     "q_paired_t",              # single group-keyed integer aggregate
+    "q_decision_stump",        # distinct-value windows + argmax pick
+    "q_backtest_naive",        # two lag windows, integer MAE rollup
 ]
 
 
