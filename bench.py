@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "q_paired_t",              # single group-keyed integer aggregate
     "q_decision_stump",        # distinct-value windows + argmax pick
     "q_backtest_naive",        # two lag windows, integer MAE rollup
+    "q_impute_median",         # group-median window + keyed fill join
+    "q_bh_fdr",                # m-row rank window + step-up cut
 ]
 
 

@@ -16,6 +16,8 @@ noise; NULLIF-style guards on every remaining division.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -1991,4 +1993,121 @@ def decision_stump(
             ).alias("mean_right"),
             F.round("gain", 6).alias("gain"),
         )
+    )
+
+
+def median_impute(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULLs in ``value_col`` with the per-group EXACT median of
+    the observed values — the robust default imputation (mean imputation
+    drags toward outliers; per-group beats global whenever the groups
+    have different typical levels). Adds ``out_col`` (default
+    ``<value>_filled``) plus ``<value>_imputed`` (flag); rows in groups
+    with NO observed value keep NULL (nothing defensible to fill with).
+
+    The median is the same exact distributed sort-window selection as
+    ``theil_sen_trend``'s (row_number + count, average the two middles
+    on even counts) — no approx-percentile drift, no collect. Scale
+    shape: one window pass over observed rows per group plus a
+    group-keyed join of the O(groups) median table back onto the data;
+    both shuffles on the group key.
+    """
+    out = out_col or f"{value_col}_filled"
+    obs = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    n = Window.partitionBy("__g")
+    ranked = obs.select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(n).alias("__n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
+        )
+        .groupBy("__g")
+        .agg(F.avg("__v").alias("__med"))
+    )
+    return (
+        df.join(med, F.col(group_col) == F.col("__g"), "left")
+        .withColumn(out, F.coalesce(F.col(value_col), F.col("__med")))
+        .withColumn(
+            f"{value_col}_imputed",
+            F.col(value_col).isNull() & F.col("__med").isNotNull(),
+        )
+        .drop("__g", "__med")
+    )
+
+
+def normal_two_sided_p(z: Column) -> Column:
+    """Two-sided normal p-value 2·(1 − Φ(|z|)) via the Abramowitz &
+    Stegun 7.1.26 erf polynomial (|error| < 1.5e-7 — far inside the
+    6-decimal rounding every oracle uses). A fixed rational polynomial
+    plus one exp(): expressible IDENTICALLY in Spark and SQL, which is
+    what makes downstream multiple-testing procedures hash-oracle-able
+    without a stats library on either side."""
+    x = F.abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf = 1.0 - poly * F.exp(-x * x)
+    return 2.0 * (1.0 - (0.5 * (1.0 + erf)))
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    q: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (JRSS-B 1995) — the
+    correction every fleet-wide screen needs once it runs one test PER
+    GROUP (drift per table, trend per metric, balance per segment):
+    at m tests, untreated α=0.05 expects m/20 false alarms; BH caps the
+    expected FALSE-DISCOVERY fraction at ``q`` while keeping far more
+    power than Bonferroni. Sort p ascending, find the largest k with
+    p_(k) ≤ (k/m)·q, reject exactly the first k.
+
+    Ranks use (p, key) so ties are engine-deterministic; the k* cut is
+    a running max over the qualifying ranks (one window), the reject
+    flag a comparison against it — O(m) rows end to end, where m is the
+    number of TESTS, not data rows.
+
+    Returns ``(key, p, rank, threshold, significant)`` with p and
+    threshold rounded to 6.
+    """
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"bh_fdr needs q in (0, 1), got {q}")
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    m = Window.partitionBy()
+    ranked = df.select(
+        F.col(key_col),
+        F.col(p_col).alias("__p"),
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(m).alias("__m"),
+    )
+    thresh = F.col("__r").cast("double") / F.col("__m").cast("double") * q
+    kstar = ranked.select(
+        "*",
+        F.max(
+            F.when(F.col("__p") <= thresh, F.col("__r")).otherwise(0)
+        ).over(m).alias("__kstar"),
+    )
+    return kstar.select(
+        key_col,
+        F.round("__p", 6).alias("p"),
+        F.col("__r").cast("int").alias("rank"),
+        F.round(thresh, 6).alias("threshold"),
+        (F.col("__r") <= F.col("__kstar")).alias("significant"),
     )
