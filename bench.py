@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "q_backtest_naive",        # two lag windows, integer MAE rollup
     "q_impute_median",         # group-median window + keyed fill join
     "q_bh_fdr",                # m-row rank window + step-up cut
+    "q_streaks",               # distinct-day islands, no self-join
+    "q_control_chart",         # integer stats + keyed limits join
 ]
 
 

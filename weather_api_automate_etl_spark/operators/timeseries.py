@@ -619,3 +619,66 @@ def backtest_seasonal_naive(
             F.when(F.col("e1") > 0, mae_s / mae_1), 6
         ).alias("skill"),
     )
+
+
+def control_chart(
+    df: DataFrame,
+    series_col: str,
+    period_col: str,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Shewhart individuals control chart over per-period row counts
+    (Shewhart, 1931 — the SPC gate behind every "is today's volume
+    normal?" ops dashboard): centerline = series mean, control limits
+    = mean ± ``n_sigma``·s (sample standard deviation), each period
+    flagged in/out of control. The counts are integers, so the mean
+    and s assemble from EXACT Σy/Σy² in a single expression — both
+    engines flag identical periods, and the limit columns hash at 6
+    decimals.
+
+    Scale shape: one collapsing (series, period) aggregate, one
+    series-keyed stats aggregate joined back on the series key —
+    scan-rate, no windows, no collect. Self-inclusion caveat stated
+    plainly: limits are computed FROM the charted periods (the
+    retrospective phase-I chart); a production phase-II chart would
+    freeze limits from a reference window.
+
+    Returns ``(series, period, y, center, lcl, ucl, out_of_control)``
+    with float columns rounded to 6.
+    """
+    if n_sigma <= 0:
+        raise ValueError(f"control chart needs n_sigma > 0, got {n_sigma}")
+    ser = df.groupBy(
+        F.col(series_col).alias("__g"), F.col(period_col).alias("__p")
+    ).agg(F.count(F.lit(1)).alias("__y"))
+    st = ser.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    sd = F.sqrt(
+        (
+            F.col("__q").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / n
+        )
+        / (n - 1)
+    )
+    limits = st.select(
+        "__g",
+        mean.alias("__c"),
+        (mean - F.lit(float(n_sigma)) * sd).alias("__lcl"),
+        (mean + F.lit(float(n_sigma)) * sd).alias("__ucl"),
+    )
+    return ser.join(limits, "__g").select(
+        F.col("__g").alias(series_col),
+        F.col("__p").alias(period_col),
+        F.col("__y").cast("long").alias("y"),
+        F.round("__c", 6).alias("center"),
+        F.round("__lcl", 6).alias("lcl"),
+        F.round("__ucl", 6).alias("ucl"),
+        (
+            (F.col("__y") < F.col("__lcl")) | (F.col("__y") > F.col("__ucl"))
+        ).alias("out_of_control"),
+    )

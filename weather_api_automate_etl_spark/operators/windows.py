@@ -117,3 +117,58 @@ def path_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def longest_streak(
+    df: DataFrame,
+    key_col: str,
+    date_col,
+) -> DataFrame:
+    """Longest run of CONSECUTIVE calendar days with activity per key —
+    the gaps-and-islands classic (user streaks, sensor uptime runs,
+    SLA continuity) via the row_number subtraction trick: for distinct
+    active days ordered per key, ``day − row_number`` is constant
+    exactly within a consecutive run, so one date-arithmetic expression
+    labels every island without a self-join or iteration.
+
+    Scale shape: one distinct over (key, day) — collapsing raw events
+    to at most days-per-key rows — one key-partitioned row_number
+    window, one (key, island) count, one key-keyed argmax window. All
+    shuffles on the key; per-key state is bounded by the calendar,
+    never raw row count. Ties on equal streak length break to the
+    EARLIEST streak start (deterministic cut keys).
+
+    Returns ``(key, n_active_days, longest_streak, streak_start)``.
+    """
+    d = (
+        date_col if not isinstance(date_col, str) else F.col(date_col)
+    )
+    days = df.select(
+        F.col(key_col).alias("__k"), d.cast("date").alias("__d")
+    ).distinct()
+    w = Window.partitionBy("__k").orderBy("__d")
+    islands = days.select(
+        "__k",
+        "__d",
+        F.date_sub("__d", F.row_number().over(w)).alias("__island"),
+    )
+    runs = islands.groupBy("__k", "__island").agg(
+        F.count(F.lit(1)).alias("__len"), F.min("__d").alias("__start")
+    )
+    pick = Window.partitionBy("__k").orderBy(
+        F.desc("__len"), F.asc("__start")
+    )
+    totals = days.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n_days")
+    )
+    best = (
+        runs.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select("__k", "__len", "__start")
+    )
+    return totals.join(best, "__k").select(
+        F.col("__k").alias(key_col),
+        F.col("__n_days").cast("long").alias("n_active_days"),
+        F.col("__len").cast("long").alias("longest_streak"),
+        F.col("__start").alias("streak_start"),
+    )
