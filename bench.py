@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "q_bh_fdr",                # m-row rank window + step-up cut
     "q_streaks",               # distinct-day islands, no self-join
     "q_control_chart",         # integer stats + keyed limits join
+    "q_rare_collapse",         # category-keyed verdict join
+    "q_drift_sweep_fdr",       # 6-feature chi2 fold + WH z + BH cut
 ]
 
 

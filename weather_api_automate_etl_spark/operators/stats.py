@@ -2111,3 +2111,168 @@ def bh_fdr(
         F.round(thresh, 6).alias("threshold"),
         (F.col("__r") <= F.col("__kstar")).alias("significant"),
     )
+
+
+def rare_category_collapse(
+    df: DataFrame,
+    cat_col: str,
+    min_frac: float = 0.01,
+    other_label: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Collapse categories holding less than ``min_frac`` of rows into
+    one ``other_label`` bucket — the standard cardinality guard before
+    one-hot/target encoding and the long-tail hygiene step for
+    reporting dimensions (a 10⁶-value categorical with a power-law
+    tail otherwise leaks sparse, unlearnable, sometimes identifying
+    levels into every downstream model).
+
+    Scale shape: one category-keyed count, a 1-row total broadcast,
+    and a category-keyed join of the keep/collapse verdict back onto
+    the data — the category table is never collected, so vocabulary
+    size does not bound the operator (the planner broadcasts it only
+    when it is actually small). Adds ``out_col`` (default
+    ``<cat>_collapsed``); NULL categories pass through as NULL (they
+    are their own problem, not a rare level).
+    """
+    if not (0.0 < min_frac < 1.0):
+        raise ValueError(f"min_frac must be in (0, 1), got {min_frac}")
+    out = out_col or f"{cat_col}_collapsed"
+    counts = df.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    total = counts.agg(F.sum("__n").alias("__tot"))
+    verdict = counts.crossJoin(F.broadcast(total)).select(
+        "__c",
+        (
+            F.col("__n").cast("double")
+            < F.lit(float(min_frac)) * F.col("__tot").cast("double")
+        ).alias("__rare"),
+    )
+    return (
+        df.join(verdict, F.col(cat_col).eqNullSafe(F.col("__c")), "left")
+        .withColumn(
+            out,
+            F.when(F.col(cat_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col("__rare"), F.lit(other_label))
+            .otherwise(F.col(cat_col).cast("string")),
+        )
+        .drop("__c", "__rare")
+    )
+
+
+def chi2_drift_fdr(
+    df: DataFrame,
+    features: dict[str, Column],
+    split_col,
+    q: float = 0.1,
+) -> DataFrame:
+    """Multi-feature two-sample drift screen with FDR control — the
+    fleet form of q_psi_drift/q_ks_drift: for EVERY feature, a
+    chi-square homogeneity test of its category distribution across
+    the binary split, a Wilson-Hilferty normal approximation
+    (z = ((χ²/k)^⅓ − (1 − 2/9k)) / √(2/9k)) to get p-values without an
+    incomplete-gamma on either engine, and :func:`bh_fdr` across the
+    feature family so 50 screened features don't hand you 2-3 false
+    drift alarms every run.
+
+    Exactness: contingency cells are exact integer counts densified
+    over the category × split grid (zero cells contribute their full
+    expected mass); each cell's (o−e)²/e term is a single float
+    expression over exact integers; the per-feature χ² is an ORDERED
+    fold over (category, split)-sorted cells (`F.aggregate` ≡ DuckDB
+    `list_reduce`), the same bit-exactness discipline as
+    ``anova_oneway``. Scale: one union-of-projections scan, counts
+    keyed on (feature, category, split), fold state O(cells) per
+    feature, BH over O(features) rows.
+
+    Returns bh_fdr's ``(feature, p, rank, threshold, significant)``
+    plus ``chi2``, ``dof`` and ``z`` per feature.
+    """
+    split = (
+        split_col if isinstance(split_col, Column) else F.col(split_col)
+    ).cast("int")
+    long = None
+    for name, expr in sorted(features.items()):
+        part = df.select(
+            F.lit(name).alias("__f"),
+            expr.cast("string").alias("__c"),
+            split.alias("__s"),
+        )
+        long = part if long is None else long.unionAll(part)
+    counts = long.groupBy("__f", "__c", "__s").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    row_tot = counts.groupBy("__f", "__c").agg(F.sum("__o").alias("__rt"))
+    col_tot = counts.groupBy("__f", "__s").agg(F.sum("__o").alias("__ct"))
+    n_tot = counts.groupBy("__f").agg(F.sum("__o").alias("__nt"))
+    grid = row_tot.join(col_tot, "__f").join(n_tot, "__f")
+    cells = grid.join(counts, ["__f", "__c", "__s"], "left").select(
+        "__f",
+        "__c",
+        "__s",
+        F.coalesce("__o", F.lit(0)).alias("__o"),
+        (
+            F.col("__rt").cast("double")
+            * F.col("__ct").cast("double")
+            / F.col("__nt").cast("double")
+        ).alias("__e"),
+    )
+    folded = (
+        cells.groupBy("__f")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        F.col("__s").alias("s"),
+                        F.col("__o").alias("o"),
+                        F.col("__e").alias("e"),
+                    )
+                )
+            ).alias("cells"),
+            F.count_distinct("__c").alias("__ncat"),
+        )
+        .select(
+            "__f",
+            F.aggregate(
+                "cells",
+                F.lit(0.0),
+                lambda a, x: a
+                + (x["o"].cast("double") - x["e"])
+                * (x["o"].cast("double") - x["e"])
+                / x["e"],
+            ).alias("chi2"),
+            (F.col("__ncat") - 1).cast("int").alias("dof"),
+        )
+    )
+    k = F.col("dof").cast("double")
+    z = (
+        F.pow(F.col("chi2") / k, F.lit(1.0 / 3.0))
+        - (1.0 - 2.0 / (9.0 * k))
+    ) / F.sqrt(2.0 / (9.0 * k))
+    two = normal_two_sided_p(F.col("z"))
+    scored = folded.select(
+        "__f", "chi2", "dof", z.alias("z")
+    ).select(
+        "__f",
+        "chi2",
+        "dof",
+        "z",
+        F.when(F.col("z") >= 0, two / 2.0).otherwise(1.0 - two / 2.0).alias(
+            "__p"
+        ),
+    )
+    flagged = bh_fdr(
+        scored.select(F.col("__f").alias("feature"), F.col("__p").alias("p")),
+        "feature",
+        "p",
+        q=q,
+    )
+    extras = scored.select(
+        F.col("__f").alias("feature"),
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        F.round("z", 6).alias("z"),
+    )
+    return flagged.join(extras, "feature")
