@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "q_control_chart",         # integer stats + keyed limits join
     "q_rare_collapse",         # category-keyed verdict join
     "q_drift_sweep_fdr",       # 6-feature chi2 fold + WH z + BH cut
+    "q_srm_check",             # distinct-unit grain + closed-form z
+    "q_lag_features",          # one window pass per series
 ]
 
 

@@ -2276,3 +2276,59 @@ def chi2_drift_fdr(
         F.round("z", 6).alias("z"),
     )
     return flagged.join(extras, "feature")
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    arm_col,
+    p_threshold: float = 0.001,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail per experiment group (Fabijan et
+    al., KDD 2019 — the first check any A/B readout must pass): with a
+    50/50 assignment, does the realized UNIT split deviate more than
+    chance allows? Units (not events) are counted once per arm; the
+    two-cell goodness-of-fit collapses to the exact closed form
+
+        z = (n₀ − n₁) / √(n₀ + n₁),  p = two-sided normal
+
+    (algebraically identical to the 1-df χ² = (n₀−n₁)²/n). An SRM flag
+    means the assignment/logging pipeline is biased and every metric
+    downstream of it is untrustworthy — which is why this runs BEFORE
+    ab_test_welch, not after. Integer unit counts make z engine-exact;
+    p uses the shared A&S erf polynomial.
+
+    Scale shape: one distinct over (group, unit, arm), one group-keyed
+    conditional count — scan-rate. Returns ``(group, n_0, n_1, z, p,
+    srm)`` with floats rounded to 6; ``srm`` is ``p < p_threshold``
+    (the industry-standard 0.001 gate by default).
+    """
+    if not (0.0 < p_threshold < 1.0):
+        raise ValueError(
+            f"srm needs p_threshold in (0, 1), got {p_threshold}"
+        )
+    arm = (
+        arm_col if isinstance(arm_col, Column) else F.col(arm_col)
+    ).cast("int")
+    units = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(unit_col).alias("__u"),
+        arm.alias("__a"),
+    ).distinct()
+    agg = units.groupBy("__g").agg(
+        F.sum(F.when(F.col("__a") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("__a") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    z = (F.col("n0") - F.col("n1")).cast("double") / F.sqrt(
+        (F.col("n0") + F.col("n1")).cast("double")
+    )
+    p = normal_two_sided_p(z)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n0").cast("long").alias("n_0"),
+        F.col("n1").cast("long").alias("n_1"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p"),
+        (p < F.lit(float(p_threshold))).alias("srm"),
+    )

@@ -682,3 +682,58 @@ def control_chart(
             (F.col("__y") < F.col("__lcl")) | (F.col("__y") > F.col("__ucl"))
         ).alias("out_of_control"),
     )
+
+
+def lag_features(
+    df: DataFrame,
+    series_col: str,
+    period_col: str,
+    lags: Sequence[int] = (1, 7),
+    ma_window: int = 7,
+) -> DataFrame:
+    """Supervised-learning feature matrix from a per-period count
+    series — the standard forecasting feature engineering (lags,
+    trailing moving average, first difference) done ONCE in the engine
+    instead of per-notebook: each output row is a training example
+    ``(series, period, y, lag_<k>..., ma_<w>, delta_1)``. Rows missing
+    any lag (the warm-up prefix) are dropped so the matrix is dense —
+    the contract a downstream fit expects.
+
+    Integer counts keep every lag and difference exact; the trailing
+    mean divides an exact integer window sum. One collapsing
+    (series, period) aggregate plus one window pass per series —
+    scan-rate, state O(max lag).
+    """
+    if not lags or min(lags) < 1 or ma_window < 1:
+        raise ValueError("lag_features needs lags >= 1 and ma_window >= 1")
+    ser = df.groupBy(
+        F.col(series_col).alias("__g"), F.col(period_col).alias("__p")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("__g").orderBy("__p")
+    out = ser
+    for k in sorted(set(int(x) for x in lags)):
+        out = out.withColumn(f"lag_{k}", F.lag("y", k).over(w))
+    ma = Window.partitionBy("__g").orderBy("__p").rowsBetween(
+        -(ma_window - 1), 0
+    )
+    cnt = F.count(F.lit(1)).over(ma)
+    out = out.withColumn(
+        f"ma_{ma_window}",
+        F.when(
+            cnt == ma_window,
+            F.round(
+                F.sum("y").over(ma).cast("double") / float(ma_window), 6
+            ),
+        ),
+    ).withColumn("delta_1", F.col("y") - F.lag("y", 1).over(w))
+    feature_cols = [f"lag_{k}" for k in sorted(set(int(x) for x in lags))]
+    feature_cols += [f"ma_{ma_window}", "delta_1"]
+    dense = out.na.drop(subset=feature_cols)
+    return dense.select(
+        F.col("__g").alias(series_col),
+        F.col("__p").alias(period_col),
+        F.col("y").cast("long").alias("y"),
+        *[F.col(c).cast("long").alias(c) for c in feature_cols
+          if c.startswith(("lag_", "delta"))],
+        F.col(f"ma_{ma_window}"),
+    )
