@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "q_drift_sweep_fdr",       # 6-feature chi2 fold + WH z + BH cut
     "q_srm_check",             # distinct-unit grain + closed-form z
     "q_lag_features",          # one window pass per series
+    "q_quality_suite",         # six scan-rate rules, 1-row unions
+    "q_trimmed_mean",          # rank window + exact kept-mass sums
 ]
 
 

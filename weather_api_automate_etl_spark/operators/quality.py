@@ -216,3 +216,37 @@ def profile_table(
         ).alias("p")
     )
     return packed.select("p.*")
+
+
+def test_suite(
+    rules: Sequence[tuple[str, str, DataFrame]],
+) -> DataFrame:
+    """Run a bundle of data-quality rules as ONE summary report — the
+    `dbt test` run shape (the reference executes its schema.yml tests
+    as a suite and reads a pass/fail table, not one query per rule:
+    /root/reference/dbt/models/marts/schema.yml:9-42). Each rule is
+    ``(rule_name, target, violations_df)`` where the violations frame
+    follows this module's contract (empty = pass); the suite reduces
+    every frame to its count and unions the 1-row results.
+
+    Scale shape: each rule keeps its own (already scan-rate) plan; the
+    union is over O(rules) single-row aggregates, so the suite costs
+    the sum of its rules and nothing more — no cross-rule shuffle, and
+    rules over the same table share scan caching when the session
+    enables it. Returns ``(rule, target, violations, passed)`` sorted
+    output left to the caller.
+    """
+    if not rules:
+        raise ValueError("test_suite needs at least one rule")
+    out = None
+    for name, target, viol in rules:
+        row = viol.agg(
+            F.count(F.lit(1)).cast("long").alias("violations")
+        ).select(
+            F.lit(name).alias("rule"),
+            F.lit(target).alias("target"),
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

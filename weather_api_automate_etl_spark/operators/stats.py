@@ -2332,3 +2332,66 @@ def srm_check(
         F.round(p, 6).alias("p"),
         (p < F.lit(float(p_threshold))).alias("srm"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Symmetric trimmed mean per group (the robust location estimate
+    between the mean and the median): drop the ⌊n·frac⌋ smallest and
+    largest observations, average the rest — outlier-resistant without
+    the median's total information loss, the standard readout for
+    latency/amount metrics with heavy tails.
+
+    The value is cast to BIGINT, so the kept-mass sum is exact whatever
+    order it accumulates in, and ties at the trim boundary are
+    harmless by construction: dropping ANY ⌊n·frac⌋ smallest rows
+    leaves the same kept multiset when boundary values tie. One
+    rank window per group plus one aggregate — scan-rate.
+
+    Returns ``(group, n, n_trimmed_each_side, mean_raw, mean_trimmed)``
+    with means rounded to 6.
+    """
+    if not (0.0 <= trim_frac < 0.5):
+        raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
+    y = (
+        value_col if isinstance(value_col, Column) else F.col(value_col)
+    ).cast("long")
+    base = df.select(F.col(group_col).alias("__g"), y.alias("__y"))
+    w = Window.partitionBy("__g").orderBy("__y")
+    n = Window.partitionBy("__g")
+    ranked = base.select(
+        "__g",
+        "__y",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(n).alias("__n"),
+    ).withColumn(
+        "__k", F.floor(F.col("__n") * F.lit(float(trim_frac))).cast("long")
+    )
+    kept = F.when(
+        (F.col("__rn") > F.col("__k"))
+        & (F.col("__rn") <= F.col("__n") - F.col("__k")),
+        F.col("__y"),
+    )
+    agg = ranked.groupBy("__g").agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k"),
+        F.sum("__y").alias("s_all"),
+        F.sum(kept).alias("s_kept"),
+        F.count(kept).alias("n_kept"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_trimmed_each_side"),
+        F.round(
+            F.col("s_all").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.col("s_kept").cast("double") / F.col("n_kept").cast("double"),
+            6,
+        ).alias("mean_trimmed"),
+    )
