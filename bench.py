@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "q_lag_features",          # one window pass per series
     "q_quality_suite",         # six scan-rate rules, 1-row unions
     "q_trimmed_mean",          # rank window + exact kept-mass sums
+    "q_minmax_scale",          # group range join + bounded rescale
+    "q_ordinal_encode",        # vocab-sized rank window + keyed join
 ]
 
 

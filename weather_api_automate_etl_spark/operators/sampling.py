@@ -220,3 +220,73 @@ def target_encode_oof(
     return folded.join(F.broadcast(oof), ["_cat", "fold"]).select(
         key_col, F.col("_cat").alias(cat_col), "fold", "te"
     )
+
+
+def minmax_scale(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group min-max scaling to [0, 1] — the bounded-feature prep
+    (distance models, neural inputs) beside ``target_encode_oof``'s
+    categorical path: x' = (x − min)/(max − min), computed against the
+    GROUP's range so heterogeneous segments don't crush each other's
+    dynamic range. Constant groups (max = min) scale to NULL — a
+    constant feature carries no information and 0-vs-0.5 conventions
+    just hide that.
+
+    One group-keyed min/max aggregate joined back on the group key —
+    two shuffles, O(groups) side table, never collected. The scaled
+    value is rounded to 6 so both engines hash the division
+    identically.
+    """
+    out = out_col or f"{value_col}_scaled"
+    rng = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    return (
+        df.join(rng, F.col(group_col) == F.col("__g"))
+        .withColumn(
+            out,
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.round(
+                    (F.col(value_col) - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo")),
+                    6,
+                ),
+            ),
+        )
+        .drop("__g", "__lo", "__hi")
+    )
+
+
+def ordinal_encode(
+    df: DataFrame,
+    cat_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Frequency-ordinal category encoding: map each category to its
+    dense rank by DESCENDING frequency (ties broken lexicographically),
+    so code 1 is always the modal category — the label encoding
+    gradient-boosted trees consume, with a DETERMINISTIC code
+    assignment (hash/arrival-order encoders shuffle codes between runs
+    and poison model diffs). NULL categories encode to NULL.
+
+    One category-keyed count, one dense_rank window over the O(|vocab|)
+    count table (not the data), and a category-keyed join back — the
+    vocabulary is never collected. Returns the input plus ``out_col``
+    (default ``<cat>_code``, int).
+    """
+    out = out_col or f"{cat_col}_code"
+    counts = df.filter(F.col(cat_col).isNotNull()).groupBy(
+        F.col(cat_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(F.desc("__n"), F.asc("__c"))
+    codes = counts.select(
+        "__c", F.dense_rank().over(w).cast("int").alias(out)
+    )
+    return df.join(
+        codes, F.col(cat_col) == F.col("__c"), "left"
+    ).drop("__c")

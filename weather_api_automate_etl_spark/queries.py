@@ -568,6 +568,7 @@ def _load_extensions() -> None:
         queries_wave36,
         queries_wave37,
         queries_wave38,
+        queries_wave39,
     )
 
 
@@ -740,8 +741,8 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_multimodal_video_frames, q_pack_assign, q_pii_redact, q_quality_gate,
 #: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
 #: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize).
-#: With 88 pending entries below and only 50 slots, round 9's head is
-#: the FIRST 50 pending entries in registration order; the remaining 38
+#: With 90 pending entries below and only 50 slots, round 9's head is
+#: the FIRST 50 pending entries in registration order; the remaining 40
 #: (q_kaplan_meier, q_benford, q_org_hierarchy, q_skyline_2d,
 #: q_dynamic_partition_pruning, q_csv_error_routing, q_link_prediction,
 #: q_hits, q_wilcoxon, q_weighted_quantile, q_kneser_ney,
@@ -751,7 +752,8 @@ ROUND8_PENDING: tuple[str, ...] = (
 #: q_textrank, q_paired_t, q_decision_stump, q_backtest_naive,
 #: q_impute_median, q_bh_fdr, q_streaks, q_control_chart,
 #: q_rare_collapse, q_drift_sweep_fdr, q_srm_check, q_lag_features,
-#: q_quality_suite, q_trimmed_mean) plus all 22 r4-era rows
+#: q_quality_suite, q_trimmed_mean, q_minmax_scale, q_ordinal_encode)
+#: plus all 22 r4-era rows
 #: open round 10's head — the r4 rows will then be 6 rounds old, the
 #: price of this round's 33-query surface growth, so round 10's window
 #: must NOT take new-query hand-offs ahead of them.
@@ -873,6 +875,9 @@ ROUND9_PENDING: tuple[str, ...] = (
     # wave 38: dbt-style test-suite report, trimmed means
     "q_quality_suite",
     "q_trimmed_mean",
+    # wave 39: min-max feature scaling, frequency-ordinal encoding
+    "q_minmax_scale",
+    "q_ordinal_encode",
 )
 
 PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
