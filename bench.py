@@ -226,16 +226,36 @@ def main() -> None:
     }
     # Sidecar with the COMPLETE warm/cold maps: the driver records bench
     # stdout with a truncated tail once the set grows past ~50 queries
-    # (BENCH_r06/r07 "parsed": null), so round-over-round comparisons had
-    # to be reconstructed by hand. The sidecar is committed each round as
-    # the authoritative record.
+    # (BENCH_r06/r07/r08 "parsed": null), so round-over-round comparisons
+    # had to be reconstructed by hand. The sidecar is committed each round
+    # as the authoritative record.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
         "w",
     ) as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
+    # Full payload first for the human log, then a COMPACT summary as the
+    # LAST stdout line: the driver captures only a bounded stdout tail and
+    # json-parses the final line, so it must fit (r08 verdict item 5). The
+    # compact line keeps the driver's expected keys and carries the 25
+    # slowest warm queries — the ones a regression gate would read —
+    # bounded to ~1.2 KB regardless of suite growth.
     print(json.dumps(payload))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:25]
+    )
+    compact = {
+        "metric": "headline query wall time, noop-materialized (25 slowest shown; full map in BENCH_FULL.json)",
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "cold_total": payload["cold_total"],
+        "n": len(timings),
+        "sf": sf,
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

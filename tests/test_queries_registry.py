@@ -98,21 +98,19 @@ def _last_verified_round() -> dict[str, int]:
 
 def test_priority_prefix_covers_every_family():
     """External verification records exactly the first 50 registry entries
-    per round; the union of rounds 1-7 drove every query green except the
-    round-7 hand-off (ROUND8_PENDING) and the rows-only residue. Pin
-    round 8's evidence strategy: the window opens with every query no
-    prior round verified (derived from the CORRECTNESS files themselves,
-    so this test self-maintains as evidence lands), continues with ALL
-    rows whose last green round is r3 (the stalest cohort — nothing may
-    turn 4+ rounds old), keeps one representative per LLM-pipeline family
-    inside the window, and everything outside the window already holds a
-    green driver row no older than r4 (or is explicitly queued in
-    ROUND9_PENDING for the next hand-off, or is rows-only-by-nature with
-    a hash twin)."""
+    per round; the union of rounds 1-8 drove 205 of 295 queries green, and
+    the 90-name residue (ROUND9_PENDING, waves 13-39) has never been
+    sampled. Pin round 9's evidence strategy: the whole window is the
+    first 50 pending names in registration order (no re-verification
+    slots — every §2 backbone query holds an r07/r08 green row, the
+    freshest possible), the remaining 40 plus any round-9 additions are
+    explicitly queued for round 10 (ROUND10_PENDING), and everything
+    outside the window already holds a green driver row (or is queued, or
+    is rows-only-by-nature with a hash twin)."""
     from weather_api_automate_etl_spark.queries import (
-        ROUND8_PENDING,
-        ROUND8_WINDOW_HEAD,
         ROUND9_PENDING,
+        ROUND9_WINDOW_HEAD,
+        ROUND10_PENDING,
         queries,
     )
 
@@ -121,39 +119,50 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND8_WINDOW_HEAD)
+    k = len(ROUND9_WINDOW_HEAD)
     assert k == 50, "the driver records exactly the first 50 entries"
-    assert names[:k] == list(ROUND8_WINDOW_HEAD)
-    assert set(ROUND8_PENDING) == set(ROUND8_WINDOW_HEAD[:10]), (
-        "the round-7 hand-off must open the round-8 window"
+    assert names[:k] == list(ROUND9_WINDOW_HEAD)
+    assert ROUND9_WINDOW_HEAD == ROUND9_PENDING[:50], (
+        "round 9's window is exactly the first 50 never-driver-checked "
+        "names in registration order (round-8 verdict item 1)"
     )
-    # rows-only-by-nature entries record `no_oracle`, never a green row;
-    # each carries a hash twin or bounded test (see PARITY.md). They are
-    # exempt from the must-open-the-window rule. q_pca_project LEFT this
-    # set in round 8 (fixed-round deflated power iteration gave it a hash
-    # oracle) and sits in the window to land its first triple-green row.
-    rows_only = {"q_compression_ratio", "q_profile_table_approx"}
-    assert unverified - rows_only <= set(ROUND8_WINDOW_HEAD) | set(
-        ROUND9_PENDING
+    # the former rows-only residue gained hash oracles in round 9
+    # (portable md5-HLL profile; precomputed zlib lookup) and is queued
+    # in ROUND10_NEW for its first triple-green driver rows — no
+    # registered query records `no_oracle` anymore.
+    from weather_api_automate_etl_spark.queries import oracle_sql
+
+    assert set(oracle_sql()) == set(REGISTRY), (
+        "every registered query must carry a DuckDB oracle: "
+        f"missing {set(REGISTRY) - set(oracle_sql())}"
+    )
+    rows_only: set[str] = set()
+    assert unverified - rows_only <= set(ROUND9_WINDOW_HEAD) | set(
+        ROUND10_PENDING
     ), (
-        "every never-driver-verified query must open the round-8 window "
-        "(or be explicitly queued in ROUND9_PENDING): "
-        f"missing {unverified - rows_only - set(ROUND8_WINDOW_HEAD) - set(ROUND9_PENDING)}"
+        "every never-driver-verified query must open the round-9 window "
+        "(or be explicitly queued in ROUND10_PENDING): "
+        f"missing {unverified - rows_only - set(ROUND9_WINDOW_HEAD) - set(ROUND10_PENDING)}"
     )
+    # staleness guard: after r8 landed, the stalest green rows are the 22
+    # r4-era names; the committed round-10 schedule (queries.py docstring
+    # at ROUND10_PENDING) takes 10 of them in slots 41-50 and round 11
+    # takes the rest, so nothing pre-r4 may exist at all.
     last = _last_verified_round()
     stalest = {n for n, r in last.items() if r <= 3}
-    assert stalest <= set(ROUND8_WINDOW_HEAD), (
-        f"r3-era rows must re-verify this round, missing: "
-        f"{stalest - set(ROUND8_WINDOW_HEAD)}"
+    assert not stalest, (
+        f"rows with pre-r4 evidence must have re-verified by round 8: {stalest}"
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
+    # ingest is deliberately absent this round: its members all hold
+    # r07/r08 rows and the window is 100% never-checked rotation.
     for family in ("dedup", "similarity", "text", "windows", "streaming",
-                   "multimodal", "ingest"):
+                   "multimodal", "ledger", "cdc", "stats"):
         assert family in tags_in_prefix, f"family {family!r} missing from prefix"
     # everything outside the window must already be driver-verified, save
-    # the explicitly-queued round-9 hand-off set and the rows-only residue
-    outside = set(names[50:]) - verified - set(ROUND9_PENDING) - rows_only
+    # the explicitly-queued round-10 schedule and the rows-only residue
+    outside = set(names[50:]) - verified - set(ROUND10_PENDING) - rows_only
     assert not outside, (
         f"queries outside the window lack prior driver rows: {outside}"
     )

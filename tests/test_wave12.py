@@ -106,6 +106,51 @@ def test_profile_approx_error_bound_and_shape(spark):
     assert "Expand" in plan_exact
 
 
+def test_profile_portable_error_bound_and_shape(spark):
+    """The portable md5-HLL profile (the oracle-hashable 100 TB path)
+    must (a) agree exactly with the exact profile on everything but
+    n_distinct, (b) keep each m=64 estimate within 3·(1.04/√64) ≈ 39 %
+    of the exact cardinality (the textbook rsd), and (c) plan WITHOUT
+    the per-column Expand — the register maxes are plain mergeable
+    aggregates."""
+    from weather_api_automate_etl_spark.operators import quality
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    orders = load_table(spark, SF, "orders")
+    exact = {
+        r.column_name: r for r in quality.profile_table(orders, cols).collect()
+    }
+    port_df = quality.profile_table(orders, cols, distinct_mode="portable")
+    port = {r.column_name: r for r in port_df.collect()}
+    assert set(port) == set(cols)
+    for c in cols:
+        e, p = exact[c], port[c]
+        assert (p.n_rows, p.n_nulls, p.min_value, p.max_value) == (
+            e.n_rows, e.n_nulls, e.min_value, e.max_value,
+        )
+        assert abs(p.n_distinct - e.n_distinct) <= max(
+            2, 3 * (1.04 / 8.0) * e.n_distinct
+        ), (c, p.n_distinct, e.n_distinct)
+    plan = port_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_portable_hll_linear_branch_rounding_margin():
+    """The ONLY engine-divergent call in the portable estimate is ln()
+    inside the linear-counting branch (the raw branch is pure IEEE
+    * and /, bit-identical everywhere). A 1-ulp libm difference can
+    only flip the rounded estimate if 64·ln(64/v) sits within ~1e-13
+    of a .5 rounding boundary for some reachable zero-register count
+    v ∈ 1..64 — pin that the minimum margin is astronomically wider."""
+    import math
+
+    margins = []
+    for v in range(1, 65):
+        est = 64.0 * math.log(64.0 / v)
+        margins.append(abs((est % 1.0) - 0.5))
+    assert min(margins) > 1e-6, min(margins)
+
+
 def test_profile_rejects_bad_mode(spark):
     from weather_api_automate_etl_spark.operators import quality
 

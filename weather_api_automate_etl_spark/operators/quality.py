@@ -172,32 +172,100 @@ def profile_table(
       whole profile collapses to pure map-side combine + a k-row final
       merge — NO Expand, NO data-sized shuffle; the 100 TB path. The
       estimate's error bound is pinned in tests/test_wave12.py, and the
-      Expand-vs-sketch cost delta is measured in SCALING.md."""
+      Expand-vs-sketch cost delta is measured in SCALING.md.
+    - ``"portable"``: an EXPLICIT HyperLogLog (Flajolet et al., AofA
+      2007: 32-bit md5 hash word, m=64 registers, α₆₄=0.709, linear
+      counting below 2.5·m) built from plain expressions — 64
+      ``max(when(bucket=j, rho))`` register aggregates per column in
+      the SAME single pass. Same no-Expand, map-combinable shape as
+      ``"approx"`` (a register max is the canonical mergeable HLL
+      state), but the estimate is a deterministic function of md5, so
+      ANY engine reproduces it bit-for-bit — this is the mode whose
+      profile the DuckDB oracle hash-matches. Values hash on a
+      canonical string form (integers/strings/dates as-cast; doubles
+      in 1e-6 units via round — exact for fixtures with ≤6 decimals);
+      estimate error is the textbook 1.04/√64 ≈ 13 % rsd. The
+      large-range (hash-collision) correction is deliberately omitted:
+      it only matters past 2³²/30 ≈ 1.4e8 distincts, where the engine
+      HLL++ mode is the right tool anyway."""
     from pyspark.sql import types as T
 
-    if distinct_mode not in ("exact", "approx"):
-        raise ValueError(f"distinct_mode must be exact|approx, got {distinct_mode!r}")
+    if distinct_mode not in ("exact", "approx", "portable"):
+        raise ValueError(
+            f"distinct_mode must be exact|approx|portable, got {distinct_mode!r}"
+        )
 
     def _s(agg_col, c: str):
         if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
             agg_col = F.round(agg_col, 6)
         return agg_col.cast("string")
 
+    def _canon(c: str):
+        # canonical hash string: must match the oracle's SQL form exactly
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            return F.round(F.col(c) * 1_000_000, 0).cast("long").cast("string")
+        return F.col(c).cast("string")
+
+    M = 64  # registers; bucket = low 6 hash bits, rho over the high 26
     aggs = []
     for c in columns:
-        nd = (
-            F.count_distinct(F.col(c))
-            if distinct_mode == "exact"
-            else F.approx_count_distinct(F.col(c), rsd)
-        )
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
-            nd.alias(f"__nd_{c}"),
             _s(F.min(F.col(c)), c).alias(f"__min_{c}"),
             _s(F.max(F.col(c)), c).alias(f"__max_{c}"),
         ]
+        if distinct_mode == "portable":
+            h = F.conv(F.substring(F.md5(_canon(c)), 1, 8), 16, 10).cast(
+                "long"
+            )
+            bucket = (h % M).cast("int")
+            w = F.shiftright(h, 6)
+            rho = F.when(w == 0, F.lit(27)).otherwise(
+                (F.lit(26) - F.floor(F.log2(w))).cast("int")
+            )
+            aggs += [
+                F.max(
+                    F.when(F.col(c).isNotNull() & (bucket == j), rho)
+                ).alias(f"__r{j}_{c}")
+                for j in range(M)
+            ]
+        else:
+            nd = (
+                F.count_distinct(F.col(c))
+                if distinct_mode == "exact"
+                else F.approx_count_distinct(F.col(c), rsd)
+            )
+            aggs.append(nd.alias(f"__nd_{c}"))
     row = df.agg(*aggs)
+    if distinct_mode == "portable":
+        # estimate from the 64 registers — metadata-scale arithmetic on
+        # the single aggregated row. Every 2^-rho term is an exact binary
+        # fraction and the 64-term sum spans < 53 mantissa bits, so the
+        # denominator (hence the raw estimate) is bit-identical on any
+        # IEEE engine; the ln() in the linear-counting branch is the one
+        # libm call, guarded by a boundary-margin test (test_wave12).
+        exprs = []
+        for c in columns:
+            regs = [F.col(f"__r{j}_{c}") for j in range(M)]
+            denom = None
+            for r in regs:
+                term = F.coalesce(
+                    F.pow(F.lit(2.0), -r.cast("double")), F.lit(1.0)
+                )
+                denom = term if denom is None else denom + term
+            zeros = None
+            for r in regs:
+                z = F.when(r.isNull(), 1).otherwise(0)
+                zeros = z if zeros is None else zeros + z
+            raw = F.lit(0.709 * M * M) / denom
+            est = F.when(
+                (raw <= F.lit(2.5 * M)) & (zeros > 0),
+                F.lit(float(M))
+                * F.log(F.lit(float(M)) / F.greatest(zeros, F.lit(1)).cast("double")),
+            ).otherwise(raw)
+            exprs.append(F.round(est, 0).cast("long").alias(f"__nd_{c}"))
+        row = row.select("*", *exprs)
     packed = row.select(
         F.explode(
             F.array(

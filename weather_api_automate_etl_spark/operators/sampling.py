@@ -234,7 +234,12 @@ def minmax_scale(
     GROUP's range so heterogeneous segments don't crush each other's
     dynamic range. Constant groups (max = min) scale to NULL — a
     constant feature carries no information and 0-vs-0.5 conventions
-    just hide that.
+    just hide that. The join back is LEFT + null-safe, so every input
+    row survives (the ``median_impute`` / ``ordinal_encode`` /
+    ``rare_category_collapse`` row-preserving contract): NULL-group
+    rows match the NULL group ``groupBy`` itself emits and scale
+    against that group's range, consistent with SQL grouping
+    semantics.
 
     One group-keyed min/max aggregate joined back on the group key —
     two shuffles, O(groups) side table, never collected. The scaled
@@ -246,7 +251,7 @@ def minmax_scale(
         F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
     )
     return (
-        df.join(rng, F.col(group_col) == F.col("__g"))
+        df.join(rng, F.col(group_col).eqNullSafe(F.col("__g")), "left")
         .withColumn(
             out,
             F.when(

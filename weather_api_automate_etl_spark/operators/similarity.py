@@ -856,7 +856,9 @@ def ndcg_at_k(
     treatment. Gains and positions are integers; only the final
     log-division runs in floats.
 
-    Returns one row ``(k, dcg, idcg, ndcg)`` rounded to 6 places.
+    Returns one row ``(k, dcg, idcg, ndcg)`` rounded to 6 places; when
+    the relevance frame has no positive labels (idcg = 0) there is no
+    ideal ranking and ``ndcg`` is NULL.
     """
     if k < 1:
         raise ValueError(f"ndcg needs k >= 1, got {k}")
@@ -888,11 +890,16 @@ def ndcg_at_k(
     )
     d = scored.agg(F.sum("__g").alias("dcg"))
     i = ideal.agg(F.sum("__g").alias("idcg"))
+    # idcg = 0 means the relevance frame holds no positive labels — there
+    # is no ideal ranking to normalize against, so ndcg is NULL by
+    # contract (not Inf/NaN from a 0-division).
     return d.crossJoin(F.broadcast(i)).select(
         F.lit(k).cast("int").alias("k"),
         F.round("dcg", 6).alias("dcg"),
         F.round("idcg", 6).alias("idcg"),
-        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg"),
     )
 
 

@@ -2186,6 +2186,14 @@ def chi2_drift_fdr(
     keyed on (feature, category, split), fold state O(cells) per
     feature, BH over O(features) rows.
 
+    NULL handling: a feature expression that yields NULL is a real
+    category — it is sentinel-coded to ``'__null__'`` BEFORE counting
+    so the densified grid's null-unsafe equi-join still matches it
+    (otherwise o=0 cells coexist with row totals that include the
+    NULLs, inflating χ²). Rows whose SPLIT is NULL carry no arm and
+    are excluded. dof is ``(ncat−1)·(nsplit−1)`` — correct for any
+    number of split arms, not just the binary case.
+
     Returns bh_fdr's ``(feature, p, rank, threshold, significant)``
     plus ``chi2``, ``dof`` and ``z`` per feature.
     """
@@ -2196,13 +2204,13 @@ def chi2_drift_fdr(
     for name, expr in sorted(features.items()):
         part = df.select(
             F.lit(name).alias("__f"),
-            expr.cast("string").alias("__c"),
+            F.coalesce(expr.cast("string"), F.lit("__null__")).alias("__c"),
             split.alias("__s"),
         )
         long = part if long is None else long.unionAll(part)
-    counts = long.groupBy("__f", "__c", "__s").agg(
-        F.count(F.lit(1)).alias("__o")
-    )
+    counts = long.filter(F.col("__s").isNotNull()).groupBy(
+        "__f", "__c", "__s"
+    ).agg(F.count(F.lit(1)).alias("__o"))
     row_tot = counts.groupBy("__f", "__c").agg(F.sum("__o").alias("__rt"))
     col_tot = counts.groupBy("__f", "__s").agg(F.sum("__o").alias("__ct"))
     n_tot = counts.groupBy("__f").agg(F.sum("__o").alias("__nt"))
@@ -2232,6 +2240,7 @@ def chi2_drift_fdr(
                 )
             ).alias("cells"),
             F.count_distinct("__c").alias("__ncat"),
+            F.count_distinct("__s").alias("__nsplit"),
         )
         .select(
             "__f",
@@ -2243,7 +2252,9 @@ def chi2_drift_fdr(
                 * (x["o"].cast("double") - x["e"])
                 / x["e"],
             ).alias("chi2"),
-            (F.col("__ncat") - 1).cast("int").alias("dof"),
+            ((F.col("__ncat") - 1) * (F.col("__nsplit") - 1))
+            .cast("int")
+            .alias("dof"),
         )
     )
     k = F.col("dof").cast("double")

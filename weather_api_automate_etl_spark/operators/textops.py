@@ -1206,7 +1206,10 @@ def kneser_ney_bigram(
     the emitted table IS the textbook smoothed model, no OOV floor needed
     (held-out scoring with a backoff floor is ``stupid_backoff_logprob``'s
     job; this is its normalized, discount-mass-conserving sibling:
-    Σ_b P_KN(b|a) = 1 exactly for every history).
+    Σ_b P_KN(b|a) = 1 over the FULL vocabulary — the emitted table holds
+    only OBSERVED bigrams, whose rows sum to 1 minus the interpolated
+    mass assigned to unobserved continuations, λ(a)·Σ_{unseen b}
+    P_cont(b)).
 
     Scale shape: map-only ``zip_with`` bigram extraction (no explode of
     token positions), one (a,b)-keyed count shuffle, two O(|bigram

@@ -880,12 +880,56 @@ ROUND9_PENDING: tuple[str, ...] = (
     "q_ordinal_encode",
 )
 
-PRIORITY_ORDER: tuple[str, ...] = ROUND8_WINDOW_HEAD + (
-    # overflow: riding their green driver rows from earlier rounds, in
-    # freshness order (r7 head first — its rows are the newest) — rounds
-    # record only the 50-entry prefix, so placement here is documentation,
-    # not evidence
-    tuple(n for n in ROUND7_WINDOW_HEAD if n not in ROUND8_WINDOW_HEAD)
+#: Round-9 window: exactly the first 50 ROUND9_PENDING entries, in
+#: registration order (waves 13-20 through q_als_factors). Every one of
+#: these 90 pending names is local-oracle green at all three SFs but has
+#: never appeared in a driver CORRECTNESS sample (r01-r08 record only the
+#: 50-entry prefix per round); rotating them into the window converts
+#: them from repo-claimed to driver-proven — the round-8 verdict's #1
+#: item. No §2 re-verification slots this round: every §2 backbone query
+#: holds an r07/r08 green row (the freshest possible), so the whole
+#: window goes to never-checked names.
+ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
+
+#: Round-10 rotation schedule, committed now (round-8 verdict item 2) so
+#: no query's latest green row turns 4+ rounds stale:
+#:   - slots 1-40: the remaining ROUND9_PENDING tail (q_kaplan_meier ..
+#:     q_ordinal_encode, waves 20-39) — never driver-checked;
+#:   - slots 41-50: the 10 stalest r4-era rows in registration order
+#:     (q_array_agg, q_asof_join, q_decontaminate, q_dedup_incremental,
+#:     q_group_centroids, q_interval_join, q_length_hist,
+#:     q_mixture_sample, q_multimodal_decode_png, q_multimodal_decode_wav).
+#: Round 11 then takes the other 12 r4-era rows (q_multimodal_video_frames,
+#: q_pack_assign, q_pii_redact, q_quality_gate, q_range_join,
+#: q_salted_join, q_snapshot_diff, q_sql_interface, q_top_revenue,
+#: q_topn_per_group, q_unigram_logprob, q_winsorize) plus the r5 cohort.
+#: Queries added during round 9 land in ROUND10_NEW below and take the
+#: head of round 10's window ahead of the tail (they are the only
+#: never-verified names outside this round's head).
+ROUND10_NEW: tuple[str, ...] = (
+    # round-9 oracle upgrades: the registry's last two no_oracle entries,
+    # now hash-oracled (portable md5-HLL profile; precomputed zlib lookup)
+    # — queued so the driver converts their rows-only history into real
+    # triple-green rows next round
+    "q_profile_table_approx",
+    "q_compression_ratio",
+)
+
+ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
+
+PRIORITY_ORDER: tuple[str, ...] = (
+    ROUND9_WINDOW_HEAD
+    # slots 51+: round 10's committed schedule, then the prior heads in
+    # freshness order (r8 head first — its rows are the newest) — rounds
+    # record only the 50-entry prefix, so placement past 50 is
+    # documentation, not evidence
+    + ROUND10_PENDING
+    + tuple(n for n in ROUND8_WINDOW_HEAD if n not in ROUND9_PENDING)
+    + tuple(
+        n
+        for n in ROUND7_WINDOW_HEAD
+        if n not in ROUND8_WINDOW_HEAD and n not in ROUND9_PENDING
+    )
 )
 
 

@@ -153,24 +153,81 @@ def q_compression_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_profile_table_approx", oracle=None, tags=("quality", "agg"))
+def _portable_hll_profile_oracle() -> str:
+    """DuckDB twin of profile_table(distinct_mode='portable'): the SAME
+    md5-HLL (32-bit hash word, m=64, α₆₄=0.709, linear counting under
+    2.5·m) the Spark expressions compute, so the estimate — not just a
+    bound — hash-matches. Canonical hash strings per type mirror
+    quality.py::_canon (doubles in 1e-6 units)."""
+    parts = []
+    for c, is_double in _PROFILE_COLS:
+        canon = (
+            f"CAST(CAST(round({c} * 1000000, 0) AS BIGINT) AS VARCHAR)"
+            if is_double
+            else f"CAST({c} AS VARCHAR)"
+        )
+        mn = f"ROUND(MIN({c}), 6)" if is_double else f"MIN({c})"
+        mx = f"ROUND(MAX({c}), 6)" if is_double else f"MAX({c})"
+        parts.append(f"""
+      SELECT '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT)
+               AS n_nulls,
+             (WITH r AS (
+                SELECT CAST(h % 64 AS INTEGER) AS b,
+                       CAST(h // 64 AS BIGINT) AS w
+                FROM (SELECT CAST(concat('0x', substr(md5({canon}), 1, 8))
+                             AS UBIGINT) AS h
+                      FROM orders WHERE {c} IS NOT NULL)
+              ),
+              regs AS (
+                SELECT b, MAX(CASE WHEN w = 0 THEN 27
+                                   ELSE 26 - CAST(floor(log2(w)) AS INTEGER)
+                              END) AS mj
+                FROM r GROUP BY b
+              ),
+              s AS (
+                SELECT COALESCE(SUM(power(2.0, -mj)), 0.0)
+                         + (64 - COUNT(*)) AS denom,
+                       64 - COUNT(*) AS v
+                FROM regs
+              )
+              SELECT CAST(ROUND(CASE WHEN 0.709 * 4096 / denom <= 160.0
+                                          AND v > 0
+                                     THEN 64.0 * ln(64.0 / v)
+                                     ELSE 0.709 * 4096 / denom END,
+                                0) AS BIGINT)
+              FROM s) AS n_distinct,
+             CAST({mn} AS VARCHAR) AS min_value,
+             CAST({mx} AS VARCHAR) AS max_value
+      FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q_profile_table_approx",
+    oracle=_portable_hll_profile_oracle(),
+    tags=("quality", "agg"),
+)
 def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB profile path (operators/quality.py::profile_table,
-    ``distinct_mode='approx'``): identical one-aggregate unpivot shape as
-    q_profile_table, but per-column cardinality comes from HLL++
-    ``approx_count_distinct`` sketches — fixed-size, mergeable, pure
-    map-side combine, NO per-column Expand of the input into the shuffle.
-    The HLL estimate is engine-specific (DuckDB's approx sketch differs),
-    so the driver check is rows-only by nature; the ±3·rsd error bound vs
-    the exact profile and the no-Expand plan shape are pinned in
-    tests/test_wave12.py, and the measured Expand-vs-sketch delta lives
-    in SCALING.md."""
+    ``distinct_mode='portable'``): identical one-aggregate unpivot shape
+    as q_profile_table, but per-column cardinality comes from an EXPLICIT
+    md5-keyed HyperLogLog (Flajolet et al. 2007; m=64 registers held as
+    64 max-aggregates) — fixed-size, mergeable, pure map-side combine,
+    NO per-column Expand of the input into the shuffle. Unlike the
+    engine-native HLL++ mode (``'approx'``, still available and pinned
+    in tests/test_wave12.py), the portable sketch is a deterministic
+    function of md5, so the DuckDB oracle reproduces the ESTIMATE
+    bit-for-bit — this retired the registry's last rows-only fallback
+    (round-8 verdict item 3). Error is the textbook 1.04/√m ≈ 13 % rsd,
+    bounded against the exact profile in tests/test_wave12.py."""
     from weather_api_automate_etl_spark.operators import quality
 
     return quality.profile_table(
         t(spark, sf_dir, "orders"),
         [c for c, _ in _PROFILE_COLS],
-        distinct_mode="approx",
+        distinct_mode="portable",
     )
 
 # ---------------------------------------------------------------------------

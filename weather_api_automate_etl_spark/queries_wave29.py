@@ -144,7 +144,8 @@ _NDCG_ORACLE = f"""
       FROM ideal
     )
     SELECT CAST(10 AS INTEGER) AS k, ROUND(dcg, 6) AS dcg,
-           ROUND(idcg, 6) AS idcg, ROUND(dcg / idcg, 6) AS ndcg
+           ROUND(idcg, 6) AS idcg,
+           ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
     FROM dcg, idcg
 """
 

@@ -105,7 +105,8 @@ _DRIFT_ORACLE = f"""
 {_DRIFT_LONG_SQL}
     ),
     counts AS (
-      SELECT f, c, s, COUNT(*) AS o FROM longf GROUP BY f, c, s
+      SELECT f, COALESCE(c, '__null__') AS c, s, COUNT(*) AS o
+      FROM longf WHERE s IS NOT NULL GROUP BY 1, 2, 3
     ),
     rt AS (SELECT f, c, SUM(o) AS rt FROM counts GROUP BY f, c),
     ct AS (SELECT f, s, SUM(o) AS ct FROM counts GROUP BY f, s),
@@ -124,7 +125,7 @@ _DRIFT_ORACLE = f"""
                list((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
                     ORDER BY c, s),
                (a, b) -> a + b) AS chi2,
-             COUNT(DISTINCT c) - 1 AS dof
+             (COUNT(DISTINCT c) - 1) * (COUNT(DISTINCT s) - 1) AS dof
       FROM cells GROUP BY f
     ),
     zt AS (

@@ -28,11 +28,13 @@ _MINMAX_ORACLE = """
              CASE WHEN rng.hi > rng.lo
                   THEN ROUND((l.l_extendedprice - rng.lo)
                              / (rng.hi - rng.lo), 6) END AS x
-      FROM lineitem l JOIN rng ON l.l_returnflag = rng.g
+      FROM lineitem l LEFT JOIN rng
+        ON l.l_returnflag IS NOT DISTINCT FROM rng.g
     )
     SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(MIN(x), 6) AS min_scaled, ROUND(MAX(x), 6) AS max_scaled,
-           ROUND(AVG(x), 6) AS mean_scaled
+           ROUND(CAST(SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(x), 6) AS mean_scaled
     FROM scaled GROUP BY g
 """
 
@@ -42,7 +44,10 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-max scale extended price within each return flag
     (operators/sampling.py::minmax_scale), then pin the scaled
     distribution per group: min 0, max 1, and the mean — which moves
-    if the range join or the rounding drifts. Two group-keyed shuffles,
+    if the range join or the rounding drifts. The mean is an EXACT
+    integer micro-unit sum (round(x,6)·1e6 as BIGINT) divided once at
+    the end — summation order cannot flip a decimal on any engine or
+    scale, the anova_oneway discipline. Two group-keyed shuffles,
     O(groups) range table."""
     from weather_api_automate_etl_spark.operators import sampling
 
@@ -50,11 +55,14 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
         out_col="x",
     )
+    micro = F.round(F.col("x") * 1_000_000, 0).cast("long")
     return scaled.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.min("x"), 6).alias("min_scaled"),
         F.round(F.max("x"), 6).alias("max_scaled"),
-        F.round(F.avg("x"), 6).alias("mean_scaled"),
+        F.round(
+            F.sum(micro).cast("double") / 1_000_000.0 / F.count("x"), 6
+        ).alias("mean_scaled"),
     )
 
 
