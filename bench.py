@@ -78,8 +78,8 @@ BENCH_QUERIES = [
     "q_hard_negatives",      # LSH-blocked cross-label pair join + top-k
     "q_fellegi_sunter",      # blocked probabilistic linkage scoring
     # round-7 additions
-    "q_profile_table_approx",  # same profile, HLL sketches — no Expand (pair
-                               # with q_profile_table to read the saving)
+    "q_profile_table_approx",  # same profile, portable md5-HLL registers —
+                               # no Expand (pair with q_profile_table)
     "q_bloom_prune",           # literal-bitmap codegen prefilter + exact semi join
     "q_ledger_merge",          # atomic manifest swap: partition-granular merge
     "q_ledger_skip",           # manifest zone-map pruning + stats-pruned scan
@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     "q_trimmed_mean",          # rank window + exact kept-mass sums
     "q_minmax_scale",          # group range join + bounded rescale
     "q_ordinal_encode",        # vocab-sized rank window + keyed join
+    # round-9 additions
+    "q_multimodal_decode_interlaced",  # Adam7 7-pass de-interlace decode
+    "q_compression_ratio",     # zlib deflate scan + decile histogram
 ]
 
 

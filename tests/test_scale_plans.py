@@ -254,3 +254,67 @@ def test_profile_table_is_one_aggregate(spark):
         quality.profile_table(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_lsh_band_join_skew_split_engages(spark):
+    """Skew-stress differential for the LSH candidate-pair join
+    (dedup.py::minhash_candidate_pairs): inject one pathological hot
+    (band, bucket) holding 2,000 ids beside 5,000 near-empty buckets —
+    the worst case banding is supposed to prevent but a real corpus can
+    still produce (boilerplate pages hashing to one bucket). With AQE
+    skew handling on (thresholds scaled down to local data sizes;
+    forceOptimizeSkewedJoin because the downstream distinct would
+    otherwise suppress the split to avoid an extra shuffle), the hot
+    partition must be SPLIT across tasks — per-task input stays bounded
+    by the advisory size instead of one straggler task absorbing the
+    whole bucket — and the pair count must stay exactly right:
+    C(2000,2) hot pairs + 5,000 singleton-bucket pairs."""
+    from weather_api_automate_etl_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    hot = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("int").alias("band_id"),
+        F.lit("hotbucket").alias("bucket"),
+    )
+    cold = spark.range(2000, 12000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("int").alias("band_id"),
+        F.md5((F.col("id") % 5000).cast("string")).alias("bucket"),
+    )
+    sigs = hot.unionByName(cold)
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # the shared test session runs 4 shuffle partitions; at that
+        # granularity the hot bucket hides inside a partition whose size
+        # is within the skew factor of the median — 32 partitions (the
+        # bench/production layout) isolates it, which is exactly the
+        # point: skew handling composes with partition sizing
+        "spark.sql.shuffle.partitions": "32",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        pairs = minhash_candidate_pairs(sigs, "doc_id")
+        # toPandas drives pairs' OWN QueryExecution, so the finalized
+        # adaptive plan is inspectable afterwards (count() would plan a
+        # separate query and hide the skew markers)
+        n = len(pairs.toPandas())
+        assert n == 2000 * 1999 // 2 + 5000
+        plan = _plan(pairs)
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

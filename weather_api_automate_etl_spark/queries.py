@@ -569,6 +569,7 @@ def _load_extensions() -> None:
         queries_wave37,
         queries_wave38,
         queries_wave39,
+        queries_wave40,
     )
 
 
@@ -913,6 +914,8 @@ ROUND10_NEW: tuple[str, ...] = (
     # triple-green rows next round
     "q_profile_table_approx",
     "q_compression_ratio",
+    # round-9 addition: Adam7 interlaced PNG decode (wave 40)
+    "q_multimodal_decode_interlaced",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]

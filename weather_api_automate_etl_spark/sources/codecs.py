@@ -16,10 +16,11 @@ Formats (public specs):
   4-byte boundary, pixels in BGR order.
 - PNG (RFC 2083 / W3C spec): 8-byte signature, length-type-data-CRC
   chunks, IHDR + IDAT (zlib-compressed filtered scanlines) + IEND.
-  Supported subset: bit depth 8, color type 2 (RGB) / 6 (RGBA),
-  non-interlaced — the dominant shape of real-corpus PNGs. All five
-  scanline filters (None/Sub/Up/Average/Paeth) are implemented on both
-  the encode and decode side, so each unfilter path is round-trippable.
+  Supported subset: bit depth 8, color type 2 (RGB) / 6 (RGBA), both
+  non-interlaced and Adam7 interlaced (spec §8.2: seven independently
+  filtered reduced passes, empty passes omitted). All five scanline
+  filters (None/Sub/Up/Average/Paeth) are implemented on both the
+  encode and decode side, so each unfilter path is round-trippable.
 - JPEG (ITU T.81 baseline + JFIF): marker segments, file-supplied
   quant/Huffman tables, interleaved Huffman-coded MCUs — see the JPEG
   section below for the exact supported subset.
@@ -193,20 +194,25 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """(h, w, 3|4) uint8 array → PNG bytes, applying ``filter_type``
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth) uniformly to every scanline.
+#: Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
+#: Pass k holds the pixels at (y_start + i·y_step, x_start + j·x_step);
+#: passes whose grid misses a small image entirely are simply absent
+#: from the stream (spec: "empty passes are omitted").
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    The filter choice changes the bytes but never the decoded image, which
-    is exactly what makes generated PNGs oracle-checkable while still
-    exercising every unfilter path in :func:`decode_png`."""
-    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
-        raise ValueError(f"expected (h, w, 3|4) array, got {pixels.shape}")
-    if filter_type not in range(5):
-        raise ValueError(f"bad filter type {filter_type}")
-    h, w, bpp = pixels.shape
-    color_type = 2 if bpp == 3 else 6
-    raw = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(h, w * bpp)
+
+def _filter_raster(raw: np.ndarray, bpp: int, filter_type: int) -> np.ndarray:
+    """Apply one PNG scanline filter uniformly to an (h, stride) uint8
+    raster; returns (h, 1+stride) scanlines with the filter byte."""
+    h, stride = raw.shape
     cur = raw.astype(np.int16)
     left = np.zeros_like(cur)
     left[:, bpp:] = cur[:, :-bpp]
@@ -224,64 +230,69 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         filt = cur - (left + up) // 2
     else:
         filt = cur - _paeth(left, up, ul)
-    scanlines = np.empty((h, 1 + w * bpp), dtype=np.uint8)
+    scanlines = np.empty((h, 1 + stride), dtype=np.uint8)
     scanlines[:, 0] = filter_type
     scanlines[:, 1:] = (filt % 256).astype(np.uint8)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return scanlines
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """(h, w, 3|4) uint8 array → PNG bytes, applying ``filter_type``
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) uniformly to every scanline.
+
+    The filter choice changes the bytes but never the decoded image, which
+    is exactly what makes generated PNGs oracle-checkable while still
+    exercising every unfilter path in :func:`decode_png`.
+
+    ``interlace=True`` writes Adam7 (spec §8.2): the image is serialized
+    as up to seven reduced sub-images, each filtered INDEPENDENTLY (the
+    filter's left/up neighbors are within the pass raster, and each pass
+    restarts with a zero prior row) — the property a correct decoder must
+    honor and a naive sequential unfilter gets wrong."""
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4) array, got {pixels.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter type {filter_type}")
+    h, w, bpp = pixels.shape
+    color_type = 2 if bpp == 3 else 6
+    raw = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = raw[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: omitted from the stream
+            parts.append(
+                _filter_raster(
+                    sub.reshape(sub.shape[0], sub.shape[1] * bpp),
+                    bpp,
+                    filter_type,
+                ).tobytes()
+            )
+        stream = b"".join(parts)
+    else:
+        stream = _filter_raster(
+            raw.reshape(h, w * bpp), bpp, filter_type
+        ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 6))
+        + _png_chunk(b"IDAT", zlib.compress(stream, 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, 3|4) uint8 array.
-
-    Supports the 8-bit RGB/RGBA non-interlaced subset; grayscale, palette,
-    16-bit, and Adam7 raise ValueError (they need wider raster plumbing —
-    extend here, not in callers). Unfiltering is NumPy-wide per scanline:
-    Up is a whole-row add, Sub is a per-lane prefix sum, Average/Paeth
-    walk pixels left-to-right but stay vectorized across channel lanes."""
-    if payload[:8] != PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
-        if pos + 12 + length > len(payload):  # data + CRC must both fit
-            raise ValueError("truncated PNG chunk")
-        data = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if crc != zlib.crc32(ctype + data):
-            raise ValueError(f"bad CRC in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    if len(ihdr) != 13:
-        raise ValueError(f"malformed IHDR chunk ({len(ihdr)} bytes, want 13)")
-    w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8 or color_type not in (2, 6):
-        raise ValueError(f"only 8-bit RGB/RGBA supported (depth={depth}, color={color_type})")
-    if comp != 0 or filt_method != 0 or interlace != 0:
-        raise ValueError("only deflate/adaptive-filter/non-interlaced PNG supported")
-    bpp = 3 if color_type == 2 else 4
-    stride = w * bpp
-    try:
-        raster = zlib.decompress(b"".join(idat))
-    except zlib.error as e:  # CRC-valid chunk with corrupt deflate stream
-        raise ValueError(f"bad IDAT deflate stream: {e}") from e
-    if len(raster) != h * (1 + stride):
-        raise ValueError(f"raster size mismatch: want {h * (1 + stride)}, got {len(raster)}")
-    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, 1 + stride)
+def _unfilter_raster(rows: np.ndarray, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering over an (h, 1+w·bpp) byte matrix
+    (filter byte + filtered scanline per row) → (h, w·bpp) uint8 raster.
+    NumPy-wide per scanline: Up is a whole-row add, Sub is a per-lane
+    prefix sum, Average/Paeth walk pixels left-to-right but stay
+    vectorized across channel lanes. One call per image — or per Adam7
+    pass, whose filters are independent by spec (prior row resets)."""
+    h, stride = rows.shape[0], w * bpp
     filters, data = rows[:, 0], rows[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
@@ -315,7 +326,77 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad scanline filter {f}")
         prev = (recon % 256).astype(np.int16)
         out[y] = prev.astype(np.uint8)
-    return out.reshape(h, w, bpp)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3|4) uint8 array.
+
+    Supports the 8-bit RGB/RGBA subset, BOTH non-interlaced and Adam7
+    interlaced (spec §8.2: seven reduced passes, each unfiltered
+    independently, scattered back on the pass grid; empty passes are
+    omitted from the stream). Grayscale, palette, and 16-bit raise
+    ValueError (they need wider raster plumbing — extend here, not in
+    callers)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):  # data + CRC must both fit
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError(f"malformed IHDR chunk ({len(ihdr)} bytes, want 13)")
+    w, h, depth, color_type, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError(f"only 8-bit RGB/RGBA supported (depth={depth}, color={color_type})")
+    if comp != 0 or filt_method != 0 or interlace not in (0, 1):
+        raise ValueError("only deflate/adaptive-filter PNG supported")
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    try:
+        raster = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # CRC-valid chunk with corrupt deflate stream
+        raise ValueError(f"bad IDAT deflate stream: {e}") from e
+    if interlace == 1:
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass carries no scanlines at all
+            nbytes = ph * (1 + pw * bpp)
+            if pos + nbytes > len(raster):
+                raise ValueError("truncated Adam7 pass data")
+            rows = np.frombuffer(
+                raster, dtype=np.uint8, count=nbytes, offset=pos
+            ).reshape(ph, 1 + pw * bpp)
+            pos += nbytes
+            sub = _unfilter_raster(rows, pw, bpp).reshape(ph, pw, bpp)
+            out[y0::dy, x0::dx] = sub
+        if pos != len(raster):
+            raise ValueError(f"trailing bytes after Adam7 passes: {len(raster) - pos}")
+        return out
+    if len(raster) != h * (1 + stride):
+        raise ValueError(f"raster size mismatch: want {h * (1 + stride)}, got {len(raster)}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, 1 + stride)
+    return _unfilter_raster(rows, w, bpp).reshape(h, w, bpp)
 
 
 # ---------------------------------------------------------------------------

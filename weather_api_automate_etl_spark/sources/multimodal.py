@@ -235,6 +235,52 @@ def documents_as_png_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
 
 
+def documents_as_interlaced_png_assets(documents: DataFrame) -> DataFrame:
+    """Adam7-interlaced sibling of ``documents_as_png_assets``: identical
+    deterministic per-doc parameters (dims, color types, all five
+    scanline filters, inverted first pixel) but every payload is written
+    with ``interlace=True`` — seven independently-filtered reduced
+    passes, with the 2..12 × 2..6 dims guaranteeing empty-pass omission
+    is exercised in-pipeline (a w=2 image has no pass-2 pixels at all).
+    A decoder that ignored the interlace flag, merged pass filters, or
+    scattered a pass on the wrong grid moves pixels — caught by the
+    first-pixel and mean checks in the oracle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = doc_id % 11 + 2, doc_id % 5 + 2
+                r, g, b = doc_id % 256, n_chars % 256, doc_id * 7 % 256
+                bpp = 3 if doc_id % 2 == 0 else 4
+                px = np.empty((h, w, bpp), dtype=np.uint8)
+                px[:, :, :3] = (r, g, b)
+                if bpp == 4:
+                    px[:, :, 3] = doc_id * 11 % 256
+                px[0, 0, :3] = (255 - r, 255 - g, 255 - b)
+                payloads.append(
+                    codecs.encode_png(
+                        px, filter_type=doc_id % 5, interlace=True
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["image/png"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+
+
 def _jpeg_expected_pixels(doc_id: int) -> "np.ndarray":  # noqa: F821
     """The deterministic pre-encode image for doc_id: block-aligned dims
     (w = (doc_id%3+1)*8, h = (doc_id%2+1)*8), each 8x8 block solid with a
