@@ -175,19 +175,24 @@ def profile_table(
       Expand-vs-sketch cost delta is measured in SCALING.md.
     - ``"portable"``: an EXPLICIT HyperLogLog (Flajolet et al., AofA
       2007: 32-bit md5 hash word, m=64 registers, α₆₄=0.709, linear
-      counting below 2.5·m) built from plain expressions — 64
-      ``max(when(bucket=j, rho))`` register aggregates per column in
-      the SAME single pass. Same no-Expand, map-combinable shape as
-      ``"approx"`` (a register max is the canonical mergeable HLL
-      state), but the estimate is a deterministic function of md5, so
-      ANY engine reproduces it bit-for-bit — this is the mode whose
-      profile the DuckDB oracle hash-matches. Values hash on a
-      canonical string form (integers/strings/dates as-cast; doubles
-      in 1e-6 units via round — exact for fixtures with ≤6 decimals);
-      estimate error is the textbook 1.04/√64 ≈ 13 % rsd. The
-      large-range (hash-collision) correction is deliberately omitted:
-      it only matters past 2³²/30 ≈ 1.4e8 distincts, where the engine
-      HLL++ mode is the right tool anyway."""
+      counting below 2.5·m) built from plain expressions: one explode
+      of (column, bucket, rho) entries reduced by a two-level
+      (column, bucket) ``max`` — the canonical mergeable-sketch plan,
+      where partial aggregation collapses every partition to ≤ cols·64
+      register rows before the shuffle (a register max is the
+      mergeable HLL state; see the in-body note for why the registers
+      do NOT live in the base aggregate). Unlike ``"approx"``, the
+      estimate is a deterministic function of md5, so ANY engine
+      reproduces it bit-for-bit — this is the mode whose profile the
+      DuckDB oracle hash-matches. Values hash on a canonical string
+      form (integers/strings/dates as-cast; doubles in 1e-6 units via
+      round — exact for fixtures with ≤6 decimals); estimate error is
+      the textbook 1.04/√64 ≈ 13 % rsd. The large-range
+      (hash-collision) correction is deliberately omitted: it only
+      matters past 2³²/30 ≈ 1.4e8 distincts, where the engine HLL++
+      mode is the right tool anyway. Measured at sf0.1 (SCALING.md):
+      exact 2.3 s / portable 2.1 s / approx 0.5 s — portability costs
+      the md5 pass; 'approx' stays the pure-speed path."""
     from pyspark.sql import types as T
 
     if distinct_mode not in ("exact", "approx", "portable"):
@@ -215,22 +220,7 @@ def profile_table(
             _s(F.min(F.col(c)), c).alias(f"__min_{c}"),
             _s(F.max(F.col(c)), c).alias(f"__max_{c}"),
         ]
-        if distinct_mode == "portable":
-            h = F.conv(F.substring(F.md5(_canon(c)), 1, 8), 16, 10).cast(
-                "long"
-            )
-            bucket = (h % M).cast("int")
-            w = F.shiftright(h, 6)
-            rho = F.when(w == 0, F.lit(27)).otherwise(
-                (F.lit(26) - F.floor(F.log2(w))).cast("int")
-            )
-            aggs += [
-                F.max(
-                    F.when(F.col(c).isNotNull() & (bucket == j), rho)
-                ).alias(f"__r{j}_{c}")
-                for j in range(M)
-            ]
-        else:
+        if distinct_mode != "portable":
             nd = (
                 F.count_distinct(F.col(c))
                 if distinct_mode == "exact"
@@ -238,34 +228,6 @@ def profile_table(
             )
             aggs.append(nd.alias(f"__nd_{c}"))
     row = df.agg(*aggs)
-    if distinct_mode == "portable":
-        # estimate from the 64 registers — metadata-scale arithmetic on
-        # the single aggregated row. Every 2^-rho term is an exact binary
-        # fraction and the 64-term sum spans < 53 mantissa bits, so the
-        # denominator (hence the raw estimate) is bit-identical on any
-        # IEEE engine; the ln() in the linear-counting branch is the one
-        # libm call, guarded by a boundary-margin test (test_wave12).
-        exprs = []
-        for c in columns:
-            regs = [F.col(f"__r{j}_{c}") for j in range(M)]
-            denom = None
-            for r in regs:
-                term = F.coalesce(
-                    F.pow(F.lit(2.0), -r.cast("double")), F.lit(1.0)
-                )
-                denom = term if denom is None else denom + term
-            zeros = None
-            for r in regs:
-                z = F.when(r.isNull(), 1).otherwise(0)
-                zeros = z if zeros is None else zeros + z
-            raw = F.lit(0.709 * M * M) / denom
-            est = F.when(
-                (raw <= F.lit(2.5 * M)) & (zeros > 0),
-                F.lit(float(M))
-                * F.log(F.lit(float(M)) / F.greatest(zeros, F.lit(1)).cast("double")),
-            ).otherwise(raw)
-            exprs.append(F.round(est, 0).cast("long").alias(f"__nd_{c}"))
-        row = row.select("*", *exprs)
     packed = row.select(
         F.explode(
             F.array(
@@ -274,7 +236,15 @@ def profile_table(
                         F.lit(c).alias("column_name"),
                         F.col(f"__n_{c}").cast("long").alias("n_rows"),
                         F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
-                        F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                        *(
+                            []
+                            if distinct_mode == "portable"
+                            else [
+                                F.col(f"__nd_{c}")
+                                .cast("long")
+                                .alias("n_distinct")
+                            ]
+                        ),
                         F.col(f"__min_{c}").alias("min_value"),
                         F.col(f"__max_{c}").alias("max_value"),
                     )
@@ -283,7 +253,79 @@ def profile_table(
             )
         ).alias("p")
     )
-    return packed.select("p.*")
+    base = packed.select("p.*")
+    if distinct_mode != "portable":
+        return base
+    # Portable register build: ONE explode of n_cols (column, bucket, rho)
+    # entries per row, reduced by a two-level (column, bucket) max — the
+    # canonical mergeable-sketch plan. Partial aggregation collapses each
+    # partition to ≤ cols·64 register rows BEFORE the shuffle (unlike
+    # count_distinct's Expand, whose distinct values cannot combine
+    # map-side), so the shuffle stays metadata-scale at any input size.
+    # NOT folded into the base aggregate: 64 register buffers per column
+    # there means cols·64 aggregate functions in one HashAggregate, which
+    # falls out of whole-stage codegen (janino 64 KB method limit) and
+    # runs interpreted — measured 16× slower than this shape at sf0.1.
+    # Cost: a second column-pruned scan (cache the projection at 100 TB,
+    # or use the engine-native 'approx' mode where oracle portability
+    # isn't needed).
+    entries = []
+    for c in columns:
+        h = F.conv(F.substring(F.md5(_canon(c)), 1, 8), 16, 10).cast("long")
+        w = F.shiftright(h, 6)
+        rho = F.when(w == 0, F.lit(27)).otherwise(
+            (F.lit(26) - F.floor(F.log2(w))).cast("int")
+        )
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.when(F.col(c).isNotNull(), (h % M).cast("int")).alias("b"),
+                F.when(F.col(c).isNotNull(), rho).alias("rho"),
+            )
+        )
+    regs = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .filter(F.col("rho").isNotNull())
+        .groupBy("column_name", "b")
+        .agg(F.max("rho").alias("mj"))
+    )
+    # estimate from the ≤64 registers per column — metadata-scale. Every
+    # 2^-mj term is an exact binary fraction and the 64-term sum spans
+    # < 53 mantissa bits, so the denominator (hence the raw estimate) is
+    # bit-identical on any IEEE engine regardless of summation order; the
+    # ln() in the linear-counting branch is the one libm call, guarded by
+    # a boundary-margin test (test_wave12).
+    denom = F.col("__sum_occ") + (F.lit(M) - F.col("__n_occ"))
+    v = (F.lit(M) - F.col("__n_occ")).cast("int")
+    raw = F.lit(0.709 * M * M) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * M)) & (v > 0),
+        F.lit(float(M))
+        * F.log(F.lit(float(M)) / F.greatest(v, F.lit(1)).cast("double")),
+    ).otherwise(raw)
+    hll = (
+        regs.groupBy("column_name")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mj").cast("double"))).alias(
+                "__sum_occ"
+            ),
+            F.count(F.lit(1)).alias("__n_occ"),
+        )
+        .select(
+            "column_name",
+            F.round(est, 0).cast("long").alias("__nd_port"),
+        )
+    )
+    return base.join(F.broadcast(hll), "column_name", "left").select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        # an all-NULL column has no registers at all → empty estimate = 0
+        F.coalesce(F.col("__nd_port"), F.lit(0)).alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
 
 
 def test_suite(
