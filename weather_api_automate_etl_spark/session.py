@@ -57,6 +57,17 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Bound the status-store history: even with the UI off, the app
+        # status listeners retain per-execution plan graphs and per-stage
+        # task state at 1000-entry defaults; a resident session running
+        # hundreds of queries (the bench suite, a long service) pays for
+        # that in driver heap + GC, which shows up as round-over-round
+        # warm-time drift on sub-second queries. History depth is not a
+        # correctness surface; keep just enough for debugging.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
