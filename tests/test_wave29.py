@@ -88,6 +88,17 @@ def test_ndcg_perfect_ranking_is_one(spark):
     assert r["dcg"] == pytest.approx(r["idcg"], abs=1e-6)
 
 
+def test_ndcg_empty_relevance_yields_null_not_inf(spark):
+    """Round-8 advice: a relevance frame with no positive labels has no
+    ideal ranking (idcg = 0); ndcg must be NULL by contract, never
+    Inf/NaN from a 0-division."""
+    system = [(1, 0.9), (2, 0.8)]
+    rels = [(1, 0), (2, 0)]
+    r = _ndcg(spark, system, rels, k=2)
+    assert r["idcg"] == 0.0 and r["dcg"] == 0.0
+    assert r["ndcg"] is None
+
+
 def test_ndcg_hand_computed_swap(spark):
     """System retrieves rel [1, 3] in that order; ideal is [3, 1].
     DCG = (2^1-1)/log2(2) + (2^3-1)/log2(3)

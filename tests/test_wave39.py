@@ -32,6 +32,18 @@ def test_minmax_constant_group_yields_null(spark):
     assert all(r["v_scaled"] is None for r in got)
 
 
+def test_minmax_null_group_rows_survive_and_scale_together(spark):
+    """Round-8 advice: the range join must preserve every input row.
+    NULL-group rows match the NULL group groupBy itself emits (null-safe
+    left join), so they scale against each other — SQL grouping
+    semantics, same row-preserving contract as median_impute."""
+    rows = [("a", 10.0), ("a", 30.0), (None, 0.0), (None, 50.0)]
+    got = _scale(spark, rows)
+    assert len(got) == 4  # nothing dropped
+    nulls = {r["v"]: r["v_scaled"] for r in got if r["g"] is None}
+    assert nulls == {0.0: 0.0, 50.0: 1.0}
+
+
 # ---------------------------------------------------------------------------
 # ordinal encoding
 # ---------------------------------------------------------------------------
