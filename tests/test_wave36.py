@@ -92,6 +92,49 @@ def test_drift_sweep_chi2_matches_hand_computation(spark):
     assert r["dof"] == 1 and r["significant"]
 
 
+def test_drift_sweep_null_category_sentinel_coded(spark):
+    """NULL feature values form a real '__null__' category whose
+    observed counts enter the table — not o=0 ghost cells that
+    inflate chi2 (the r8 advisor's null-unsafe-grid finding).
+
+    Hand table: split 0 -> 20 'a', 10 NULL; split 1 -> 20 'a', 0 NULL.
+    Totals: a=40 null=10; col0=30 col1=20; n=50 — identical to the
+    densified-zero-cell case above, so the same chi2 must come out."""
+    seq = [("a", 0)] * 20 + [("a", 1)] * 20 + [(None, 0)] * 10
+    rows = [(2 * idx + s, g) for idx, (g, s) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "i long, grp string")
+    got = {
+        r["feature"]: r
+        for r in stats.chi2_drift_fdr(
+            df, {"grp": F.col("grp")}, F.col("i") % 2, q=0.1
+        ).collect()
+    }
+    r = got["grp"]
+    want = (20 - 24) ** 2 / 24 + (20 - 16) ** 2 / 16 \
+        + (10 - 6) ** 2 / 6 + 4.0
+    assert r["chi2"] == pytest.approx(want, abs=1e-6)
+    assert r["dof"] == 1
+
+
+def test_drift_sweep_multiarm_dof(spark):
+    """Three split arms x three categories -> dof=(3-1)*(3-1)=4, not
+    the binary ncat-1 the pre-fix code silently assumed."""
+    seq = [(c, s) for c in ("a", "b", "c") for s in (0, 1, 2)] * 10
+    rows = [(3 * idx + s, g) for idx, (g, s) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "i long, grp string")
+    got = {
+        r["feature"]: r
+        for r in stats.chi2_drift_fdr(
+            df, {"grp": F.col("grp")}, F.col("i") % 3, q=0.1
+        ).collect()
+    }
+    r = got["grp"]
+    assert r["dof"] == 4
+    # perfectly balanced grid: every o == e, chi2 == 0, never flagged
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert not r["significant"]
+
+
 def test_drift_sweep_zero_cells_densified(spark):
     """Category present in only one split: its zero cell contributes
     the full expected mass instead of being dropped."""
