@@ -80,6 +80,60 @@ def test_kneser_ney_continuation_beats_frequency(spark):
     assert p_day == pytest.approx(0.25 + 0.75 * 6 / 7, 1e-4)
 
 
+def test_kneser_ney_mass_conservation_property(spark):
+    """The docstring's normalization contract, on random corpora: for
+    every history ``a``, the OBSERVED rows sum to
+    ``1 − λ(a)·(1 − Σ_{b observed after a} P_cont(b))`` — i.e. the full
+    vocabulary sums to 1 and the missing mass is exactly the
+    interpolated weight of unseen continuations. Counts are replayed in
+    plain Python from the same lowercase/whitespace tokenization.
+    """
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    words = st.sampled_from(["a", "b", "c", "d", "e"])
+    corpus_st = st.lists(
+        st.lists(words, min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(texts=corpus_st, discount=st.sampled_from([0.25, 0.75]))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(texts, discount):
+        cab: dict[tuple[str, str], int] = {}
+        for t in texts:
+            ts = [w for w in t.lower().split() if w]
+            for x, y in zip(ts, ts[1:]):
+                cab[(x, y)] = cab.get((x, y), 0) + 1
+        got = _kn(spark, texts, discount)
+        assert set(got) == set(cab)
+        if not cab:
+            return
+        n_types = len(cab)
+        c_a: dict[str, int] = {}
+        n1p_fwd: dict[str, int] = {}
+        n1p_rev: dict[str, int] = {}
+        for (x, y), c in cab.items():
+            c_a[x] = c_a.get(x, 0) + c
+            n1p_fwd[x] = n1p_fwd.get(x, 0) + 1
+            n1p_rev[y] = n1p_rev.get(y, 0) + 1
+        for a in c_a:
+            lam = discount * n1p_fwd[a] / c_a[a]
+            seen_cont = sum(
+                n1p_rev[y] / n_types for (x, y) in cab if x == a
+            )
+            want = 1.0 - lam * (1.0 - seen_cont)
+            have = sum(got[(x, y)]["p_kn"] for (x, y) in cab if x == a)
+            # each emitted row is rounded to 6 places
+            assert have == pytest.approx(want, abs=5e-6 * n1p_fwd[a] + 1e-9)
+
+    check()
+
+
 def test_kneser_ney_rejects_bad_discount(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError, match="discount"):
