@@ -183,6 +183,13 @@ BENCH_QUERIES = [
     # round-9 additions
     "q_multimodal_decode_interlaced",  # Adam7 7-pass de-interlace decode
     "q_compression_ratio",     # zlib deflate scan + decile histogram
+    "q_roc_auc",               # distinct-score rank-identity AUC
+    "q_pr_sweep",              # single-row 9-threshold conditional agg
+    "q_interval_coalesce",     # running-max-end interval islands
+    "q_cross_corr",            # daily collapse + 15-lag tiny self-join
+    "q_jl_project",            # zero-shuffle +-1 projection fold
+    "q_brier_decomposition",   # fixed-width bins + 10-row window sums
+    "q_caliper_match",         # union-merge score matching, date blocks
 ]
 
 

@@ -21,6 +21,8 @@ sensitive in the last ulp, so standardized outputs are compared rounded
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -658,4 +660,80 @@ def als_factorize_k2(
     return (
         users.select(F.col("u").alias(user_col), "f1", "f2"),
         items.select(F.col("i").alias(item_col), "f1", "f2"),
+    )
+
+
+def jl_sign_matrix(out_dim: int, in_dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (Achlioptas
+    2003: Rademacher entries satisfy the JL lemma with the same
+    distortion bound as Gaussians): entry (j, i) is +1 iff the first
+    hex nibble of md5("{seed}:{j}:{i}") is even. Pure stdlib, identical
+    on any host — the projection is reproducible across engines,
+    re-runs, and cluster restarts without persisting a model artifact."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    signs: list[list[int]],
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: v ∈ ℝᵈ → (S·v)/√k with
+    S the ±1 matrix from ``jl_sign_matrix`` — the dimensionality-
+    reduction front end for ANN/dedup at 100 TB (d=64 → k=16 cuts every
+    downstream shuffle and distance kernel 4×, while the JL lemma
+    bounds pairwise-distance distortion). Unlike ``pca_project`` it
+    needs NO training pass, no Gram aggregate, no eigh: the matrix is a
+    broadcast literal baked into the plan.
+
+    Shape: pure projection — higher-order array expressions (zip_with
+    multiply, ordered aggregate fold), JVM-side, zero shuffle,
+    scan-rate at any corpus size. Returns
+    ``(id, proj, orig_norm, proj_norm, distortion)`` with the projected
+    coordinates and norms rounded to 6; distortion = ‖Sv/√k‖/‖v‖ is the
+    per-vector JL quality readout (→ 1 for well-spread vectors).
+    """
+    if not signs or not signs[0]:
+        raise ValueError("jl_project needs a non-empty sign matrix")
+    k = len(signs)
+    inv_sqrt_k = 1.0 / math.sqrt(float(k))
+    vec = F.col(vec_col)
+    rows = []
+    for j in range(k):
+        srow = F.array(*[F.lit(float(s)) for s in signs[j]])
+        dot = F.aggregate(
+            F.zip_with(vec, srow, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        rows.append(dot * F.lit(inv_sqrt_k))
+    proj = F.array(*rows)
+    sq = lambda a: F.aggregate(  # noqa: E731 — local fold helper
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    orig_norm = F.sqrt(sq(vec))
+    proj_norm = F.sqrt(sq(proj))
+    return df.select(
+        F.col(id_col),
+        F.transform(proj, lambda x: F.round(x, 6)).alias("proj"),
+        F.round(orig_norm, 6).alias("orig_norm"),
+        F.round(proj_norm, 6).alias("proj_norm"),
+        F.round(
+            proj_norm / F.nullif(orig_norm, F.lit(0.0)), 6
+        ).alias("distortion"),
     )

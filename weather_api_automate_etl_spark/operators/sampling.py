@@ -295,3 +295,82 @@ def ordinal_encode(
     return df.join(
         codes, F.col(cat_col) == F.col("__c"), "left"
     ).drop("__c")
+
+
+def caliper_match(
+    df: DataFrame,
+    block_col,
+    score_col,
+    treated_col,
+    unit_col: str,
+    caliper: float,
+) -> DataFrame:
+    """Nearest-neighbor propensity-score matching with replacement and a
+    caliper (Rosenbaum & Rubin 1985) — the observational-causal-inference
+    prep step: each treated unit is paired with the control whose score
+    is closest within the same block, if the distance is within
+    ``caliper``; otherwise it stays unmatched (the caliper is what stops
+    garbage pairs off the common support).
+
+    Shape: the asof-join union-merge trick applied to the SCORE axis —
+    tag both arms, ONE shuffle on the block key, one window pass ordered
+    by (score, is_treated, unit) per block: the nearest control at-or-
+    below is a running ``last(control, ignorenulls)``, the nearest above
+    a ``first(...)`` over the following frame. Never a treated×control
+    pairwise join; equal-score controls sort BEFORE the treated row, so
+    an exact tie matches at distance 0 deterministically (ties between
+    sides break toward the lower score, then lower control unit id —
+    fully reproducible). Blocks (here: coarse strata like dates or
+    sites) bound each window partition, so no global score sort exists.
+
+    Returns one row per treated unit:
+    ``(block, treated_id, treated_score, control_id, control_score,
+    dist, matched)`` — unmatched treated rows keep NULL control columns
+    and matched = false; dist is the exact double |Δscore|.
+    """
+    if caliper <= 0:
+        raise ValueError(f"caliper_match needs caliper > 0, got {caliper}")
+    b = block_col if isinstance(block_col, Column) else F.col(block_col)
+    s = (
+        score_col if isinstance(score_col, Column) else F.col(score_col)
+    ).cast("double")
+    base = df.select(
+        b.alias("__b"),
+        s.alias("__s"),
+        treated_col.cast("boolean").alias("__t"),
+        F.col(unit_col).alias("__u"),
+    )
+    w = Window.partitionBy("__b").orderBy(
+        "__s", F.col("__t").cast("int"), "__u"
+    )
+    ctrl = F.when(
+        ~F.col("__t"), F.struct(F.col("__s").alias("s"), F.col("__u").alias("u"))
+    )
+    below = F.last(ctrl, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    above = F.first(ctrl, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    cand = base.select(
+        "__b", "__s", "__t", "__u", below.alias("__lo"), above.alias("__hi")
+    ).filter(F.col("__t"))
+    d_lo = F.col("__s") - F.col("__lo.s")
+    d_hi = F.col("__hi.s") - F.col("__s")
+    # Prefer the nearer side; ties (d_lo = d_hi) take the lower score.
+    use_lo = F.col("__lo").isNotNull() & (
+        F.col("__hi").isNull() | (d_lo <= d_hi)
+    )
+    pick_s = F.when(use_lo, F.col("__lo.s")).otherwise(F.col("__hi.s"))
+    pick_u = F.when(use_lo, F.col("__lo.u")).otherwise(F.col("__hi.u"))
+    dist = F.abs(F.col("__s") - pick_s)
+    ok = dist <= F.lit(float(caliper))
+    return cand.select(
+        F.col("__b").alias("block"),
+        F.col("__u").alias("treated_id"),
+        F.col("__s").alias("treated_score"),
+        F.when(ok, pick_u).alias("control_id"),
+        F.when(ok, pick_s).alias("control_score"),
+        F.when(ok, dist).alias("dist"),
+        F.coalesce(ok, F.lit(False)).alias("matched"),
+    )

@@ -2406,3 +2406,227 @@ def trimmed_mean(
             6,
         ).alias("mean_trimmed"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """ROC AUC via the rank statistic (tie-aware), never a per-row rank:
+    AUC is P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), i.e. the
+    Mann-Whitney U₁/(n₁n₂) — so it reduces to the SAME distinct-value
+    shape as ``mann_whitney_u``: one score-keyed aggregate (positive /
+    negative counts per distinct score), one running-sum window over
+    the distinct-score domain (≪ rows; here the caller quantizes the
+    score so the domain is bounded), and one scalar reduction
+
+        AUC = Σ_s pos_s · (neg_below(s) + neg_s/2) / (P·N).
+
+    The pairwise-concordance sum is over exact BIGINT counts, so it is
+    order-independent — only the final division is floating-point. The
+    unpartitioned window runs over the aggregated distinct-score table,
+    the one place this repo allows it (same dispensation as
+    ``mann_whitney_u``); at 100 TB the domain is the quantization grid,
+    not the row count. Degenerate inputs (no positives or no negatives)
+    yield NULL auc/gini rather than a division error.
+
+    Returns one row ``(n, n_pos, n_neg, n_scores, auc, gini)`` with
+    auc/gini rounded to 6; gini = 2·AUC − 1 (the accuracy ratio).
+    """
+    s = (
+        score_col if isinstance(score_col, Column) else F.col(score_col)
+    ).cast("double")
+    y = label_col.cast("int")
+    per_score = (
+        df.select(s.alias("__s"), y.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("long").alias("__pos"),
+            F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__neg"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "__s",
+        "__pos",
+        "__neg",
+        (F.sum("__neg").over(w) - F.col("__neg")).alias("__neg_below"),
+    )
+    # 2× the concordance numerator keeps the tie half-credit integral.
+    num2 = F.sum(
+        F.col("__pos") * (F.lit(2) * F.col("__neg_below") + F.col("__neg"))
+    ).cast("long")
+    agg = cum.agg(
+        (F.sum("__pos") + F.sum("__neg")).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        num2.alias("__num2"),
+    )
+    auc = F.col("__num2").cast("double") / (
+        F.lit(2.0)
+        * F.nullif(
+            (F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)
+        )
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    score_col,
+    label_col,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """Precision / recall / F1 at a fixed threshold grid — the
+    operating-point sweep behind choosing a classifier cutoff. ONE scan,
+    one single-row aggregate: every threshold contributes two exact
+    BIGINT buffers (true positives, predicted positives) via conditional
+    sums, the base rate rides in two more, and the per-threshold rows
+    are unfolded from the aggregated row with an inline explode — no
+    T-way crossJoin row expansion before the combine, so map-side
+    partials stay at one row per partition regardless of input size.
+
+    Predicted positive ⇔ score ≥ threshold. Zero-denominator operating
+    points (no predicted positives / no actual positives / P+R = 0)
+    yield NULL precision/recall/f1, the documented contract. Returns
+    ``(threshold, n, n_pos, pred_pos, tp, precision, recall, f1)``
+    rounded to 6, one row per threshold in grid order.
+    """
+    if not thresholds:
+        raise ValueError("pr_threshold_sweep needs a non-empty grid")
+    s = (
+        score_col if isinstance(score_col, Column) else F.col(score_col)
+    ).cast("double")
+    y = label_col.cast("int")
+    base = df.select(s.alias("__s"), y.alias("__y"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__pos"),
+    ]
+    for i, thr in enumerate(thresholds):
+        hit = F.col("__s") >= F.lit(float(thr))
+        aggs.append(
+            F.sum(F.when(hit, F.col("__y"))).cast("long").alias(f"__tp{i}")
+        )
+        aggs.append(F.count(F.when(hit, 1)).cast("long").alias(f"__pp{i}"))
+    row = base.agg(*aggs)
+    points = F.array(
+        *[
+            F.struct(
+                F.lit(float(thr)).alias("threshold"),
+                F.col(f"__tp{i}").alias("tp"),
+                F.col(f"__pp{i}").alias("pp"),
+            )
+            for i, thr in enumerate(thresholds)
+        ]
+    )
+    un = row.select(
+        "__n", "__pos", F.explode(points).alias("__pt")
+    ).select(
+        F.col("__pt.threshold").alias("threshold"),
+        F.col("__n").alias("n"),
+        F.col("__pos").alias("n_pos"),
+        F.col("__pt.pp").alias("pred_pos"),
+        F.coalesce(F.col("__pt.tp"), F.lit(0)).cast("long").alias("tp"),
+    )
+    prec = F.col("tp").cast("double") / F.nullif(
+        F.col("pred_pos").cast("double"), F.lit(0.0)
+    )
+    rec = F.col("tp").cast("double") / F.nullif(
+        F.col("n_pos").cast("double"), F.lit(0.0)
+    )
+    f1 = (F.lit(2.0) * prec * rec) / F.nullif(prec + rec, F.lit(0.0))
+    return un.select(
+        "threshold",
+        "n",
+        "n_pos",
+        "pred_pos",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over fixed-width
+    probability bins: beside ``calibration_bins``'s |gap| reliability
+    diagram, this is the variance-style audit —
+
+        BS  = avg((s − y)²)            (overall)
+        REL = Σ n_b/N · (f̄_b − ō_b)²  (calibration error, want 0)
+        RES = Σ n_b/N · (ō_b − ō)²     (discrimination, want large)
+        UNC = ō·(1 − ō)                (irreducible base-rate entropy)
+
+    with BS ≈ REL − RES + UNC (exact when scores are constant within a
+    bin). Bin = min(⌊s·n_bins⌋, n_bins−1) — fixed-width bins are pure
+    arithmetic (deterministic on every engine), unlike ntile's global
+    rank. One score-binned aggregate (map-side combine) plus
+    unpartitioned window sums over the n_bins-row result, the same
+    dispensation as ``calibration_bins``. Returns one row per non-empty
+    bin ``(bin, n, f_mean, o_rate)`` with the four decomposition
+    scalars riding every row, all rounded to 6.
+    """
+    if n_bins < 2:
+        raise ValueError(f"brier_decomposition needs n_bins >= 2, got {n_bins}")
+    s = (
+        score_col if isinstance(score_col, Column) else F.col(score_col)
+    ).cast("double")
+    y = label_col.cast("int")
+    binned = df.select(
+        s.alias("__s"),
+        y.alias("__y"),
+        F.least(
+            F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__s").alias("__f"),
+        F.avg("__y").alias("__o"),
+        F.sum(
+            (F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y"))
+        ).alias("__se"),
+    )
+    tot = Window.partitionBy()
+    nn = F.sum("n").over(tot).cast("double")
+    obar = (
+        F.sum(F.col("__o") * F.col("n")).over(tot) / nn
+    )
+    wgt = F.col("n").cast("double") / nn
+    rel = F.sum(
+        wgt * (F.col("__f") - F.col("__o")) * (F.col("__f") - F.col("__o"))
+    ).over(tot)
+    # Σ w·(o−ō)² expanded to Σ w·o² − ō² (Σw = 1): nesting the ō window
+    # sum inside another window sum is illegal in Spark, the expansion
+    # keeps both terms first-level window results.
+    res = (
+        F.sum(wgt * F.col("__o") * F.col("__o")).over(tot) - obar * obar
+    )
+    brier = F.sum("__se").over(tot) / nn
+    return agg.select(
+        "bin",
+        "n",
+        round0(F.col("__f"), 6).alias("f_mean"),
+        round0(F.col("__o"), 6).alias("o_rate"),
+        round0(brier, 6).alias("brier"),
+        round0(rel, 6).alias("reliability"),
+        round0(res, 6).alias("resolution"),
+        round0(obar * (F.lit(1.0) - obar), 6).alias("uncertainty"),
+    )

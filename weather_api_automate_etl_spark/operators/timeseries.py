@@ -737,3 +737,71 @@ def lag_features(
           if c.startswith(("lag_", "delta"))],
         F.col(f"ma_{ma_window}"),
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    x_val,
+    y_val,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged cross-correlation function (CCF) between two daily series
+    derived from one event stream: r(ℓ) = corr(x_t, y_{t+ℓ}) for
+    ℓ ∈ [−max_lag, max_lag] — the does-X-lead-Y screen (marketing spend
+    vs signups, errors vs churn) that ``autocorr_lag1`` is the
+    single-series special case of.
+
+    Shape: the stream collapses to ONE daily aggregate (exact integer
+    sums — the caller passes 0/1 indicator expressions, so every moment
+    input is exact), then a 15-row lag explode and a self-join of the
+    days-sized table with itself — at any input scale the join operands
+    are |days| rows, so AQE broadcasts them; the event stream is
+    touched exactly once. Pearson r per lag comes from the five
+    mergeable moment sums with the shared relative variance floor
+    (stats.ols_from_moments), so degenerate series yield NULL, never
+    NaN. Returns ``(lag, n_days, r_xy)`` rounded to 6.
+    """
+    from weather_api_automate_etl_spark.operators.stats import (
+        _pearson_from_moments,
+        round0,
+    )
+
+    if max_lag < 1:
+        raise ValueError(f"cross_correlation needs max_lag >= 1, got {max_lag}")
+    daily = (
+        df.groupBy(
+            F.to_date(F.col(ts_col).cast("timestamp")).alias("__d")
+        )
+        .agg(
+            F.sum(x_val).cast("double").alias("__x"),
+            F.sum(y_val).cast("double").alias("__y"),
+        )
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    )
+    left = daily.select("__d", "__x", lags.alias("lag")).withColumn(
+        "__dt", F.date_add(F.col("__d"), F.col("lag"))
+    )
+    right = daily.select(
+        F.col("__d").alias("__dt"), F.col("__y").alias("__y2")
+    )
+    p = left.join(right, "__dt").select("lag", "__x", "__y2")
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y2").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y2")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y2") * F.col("__y2")).alias("syy"),
+    )
+    r = _pearson_from_moments(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        round0(r, 6).alias("r_xy"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
@@ -171,4 +171,68 @@ def longest_streak(
         F.col("__n_days").cast("long").alias("n_active_days"),
         F.col("__len").cast("long").alias("longest_streak"),
         F.col("__start").alias("streak_start"),
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col,
+    end_col,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (interval union —
+    the other gaps-and-islands: ``longest_streak`` merges consecutive
+    DAYS, this merges arbitrary [start, end] ranges): an interval opens
+    a new island iff its start exceeds the running max end of everything
+    before it in start order. Covered-time arithmetic runs on exact
+    BIGINT epoch micros, so island membership and durations are
+    order-independent and engine-reproducible.
+
+    Shape: ONE shuffle on the key; both window passes (running-max end,
+    running island count) and the final island aggregate share that
+    partitioning, so Spark plans a single Exchange and the whole merge
+    is map-side after it. Skewed keys ride AQE; nothing is ever
+    collected. Returns one row per merged island:
+    ``(key, island_seq, island_start_us, island_end_us, n_intervals,
+    covered_us)`` — island_seq is 1-based in start order.
+    """
+    s = (
+        start_col if isinstance(start_col, Column) else F.col(start_col)
+    ).cast("long")
+    e = (end_col if isinstance(end_col, Column) else F.col(end_col)).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(key_col).alias("__k"), s.alias("__s"), e.alias("__e")
+    )
+    w = Window.partitionBy("__k").orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opened = base.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island_seq",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        opened.groupBy("__k", "island_seq")
+        .agg(
+            F.min("__s").alias("island_start_us"),
+            F.max("__e").alias("island_end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("island_seq").cast("long").alias("island_seq"),
+            "island_start_us",
+            "island_end_us",
+            "n_intervals",
+            (F.col("island_end_us") - F.col("island_start_us")).alias(
+                "covered_us"
+            ),
+        )
     )

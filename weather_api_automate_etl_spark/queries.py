@@ -570,6 +570,10 @@ def _load_extensions() -> None:
         queries_wave38,
         queries_wave39,
         queries_wave40,
+        queries_wave41,
+        queries_wave42,
+        queries_wave43,
+        queries_wave44,
     )
 
 
@@ -916,6 +920,16 @@ ROUND10_NEW: tuple[str, ...] = (
     "q_compression_ratio",
     # round-9 addition: Adam7 interlaced PNG decode (wave 40)
     "q_multimodal_decode_interlaced",
+    # round-9 additions, waves 41-44: classifier evaluation (ROC AUC,
+    # PR sweep), interval union + lagged cross-correlation, JL random
+    # projection + Brier decomposition, caliper propensity matching
+    "q_roc_auc",
+    "q_pr_sweep",
+    "q_interval_coalesce",
+    "q_cross_corr",
+    "q_jl_project",
+    "q_brier_decomposition",
+    "q_caliper_match",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
