@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     "q_jl_project",            # zero-shuffle +-1 projection fold
     "q_brier_decomposition",   # fixed-width bins + 10-row window sums
     "q_caliper_match",         # union-merge score matching, date blocks
+    "q_kruskal_wallis",        # distinct-value k-group rank test
+    "q_attribution_decay",     # user-keyed decay-weighted credit join
+    "q_lsh_recall",            # truth-vs-candidates full-outer audit
 ]
 
 

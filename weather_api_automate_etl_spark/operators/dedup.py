@@ -899,3 +899,77 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH banding scheme against
+    EXACT shingle-set Jaccard — the measure-your-dedup step every
+    corpus pipeline needs before trusting a banding config: theory says
+    a (bands, rows) scheme catches a J-similar pair with probability
+    1−(1−J^rows)^bands; this measures it on the actual corpus.
+
+    Truth side: exact Jaccard ≥ ``threshold`` pairs over the SAME
+    k-shingle sets the sketch hashes (inverted-index join on the
+    shingle — candidate space bounded by shared shingles, never
+    all-pairs). Candidate side: ``minhash_signatures`` →
+    ``minhash_candidate_pairs`` with the audited (num_hashes,
+    band_size). One full-outer join on the pair key classifies every
+    pair as hit / miss / false-candidate; all counts are exact.
+
+    Returns ONE row ``(threshold, n_true, n_candidates, n_hit, recall,
+    precision)`` — recall = hits/true (NULL when no true pairs),
+    precision = hits/candidates (NULL when no candidates; it is
+    expected to be well below 1: sub-threshold candidates are the
+    verify stage's job, recall is what banding must deliver).
+    """
+    truth = ngram_jaccard_pairs(
+        df.withColumn("__all", F.lit(1)),
+        id_col,
+        text_col,
+        block_col="__all",
+        threshold=threshold,
+        shingle_k=shingle_k,
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    cand = minhash_candidate_pairs(
+        minhash_signatures(
+            df,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            shingle_k=shingle_k,
+        ),
+        id_col,
+    ).select("id_a", "id_b", F.lit(1).alias("__c"))
+    tagged = truth.join(cand, ["id_a", "id_b"], "full")
+    agg = tagged.agg(
+        F.count("__t").cast("long").alias("n_true"),
+        F.count("__c").cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        F.lit(float(threshold)).alias("threshold"),
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.col("n_hit")
+            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+    )

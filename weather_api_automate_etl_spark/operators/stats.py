@@ -2630,3 +2630,174 @@ def brier_decomposition(
         round0(res, 6).alias("resolution"),
         round0(obar * (F.lit(1.0) - obar), 6).alias("uncertainty"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H (the k-group extension of ``mann_whitney_u``,
+    and the nonparametric twin of ``anova_oneway``): rank-based
+    location comparison across ALL groups at once, with the standard
+    tie correction
+
+        H = [ 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1) ]
+              / (1 − Σ_v(t_v³−t_v)/(N³−N)).
+
+    Shape: ranks are computed per DISTINCT VALUE, never per row — one
+    (value, group) count aggregate, one distinct-value running-sum
+    window (value-domain-sized, the mann_whitney_u dispensation), a
+    value-keyed join of avg-ranks back onto the per-group counts, and a
+    k-row reduction. Average ranks are halves of integers, so every
+    R_g is EXACT in doubles; only H's final divisions are inexact
+    (rounded to 6). NULL values and NULL groups are excluded up front
+    (the chi_square_independence convention). Degenerate inputs (all
+    values tied, or a single group) yield NULL h_stat.
+
+    Returns one row per group ``(group, n, rank_sum, mean_rank,
+    h_stat, dof)`` — H and dof = k−1 ride every row.
+    """
+    base = df.select(
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(group_col).alias("__g"),
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    vg = base.groupBy("__v", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    tot = vg.groupBy("__v").agg(F.sum("__c").alias("__cnt"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = tot.select(
+        "__v",
+        "__cnt",
+        (
+            F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+            + (F.col("__cnt") + F.lit(1)) / F.lit(2.0)
+        ).alias("__avg_rank"),
+    )
+    scalars = tot.agg(
+        F.sum("__cnt").cast("double").alias("__N"),
+        F.sum(
+            F.col("__cnt").cast("double") * F.col("__cnt") * F.col("__cnt")
+            - F.col("__cnt")
+        ).alias("__tie"),
+    )
+    per_g = (
+        vg.join(ranks.select("__v", "__avg_rank"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.sum(F.col("__c") * F.col("__avg_rank")).alias("rank_sum"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+    tw = Window.partitionBy()
+    n_d = F.col("__N")
+    sum_term = F.sum(
+        F.col("rank_sum") * F.col("rank_sum") / F.col("n")
+    ).over(tw)
+    k = F.count(F.lit(1)).over(tw)
+    correction = F.lit(1.0) - F.col("__tie") / F.nullif(
+        n_d * n_d * n_d - n_d, F.lit(0.0)
+    )
+    h = (
+        (F.lit(12.0) / (n_d * (n_d + 1)) * sum_term - F.lit(3.0) * (n_d + 1))
+        / F.nullif(correction, F.lit(0.0))
+    )
+    return per_g.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.col("rank_sum"),
+        F.round(F.col("rank_sum") / F.col("n"), 6).alias("mean_rank"),
+        F.round(F.when(k > 1, h), 6).alias("h_stat"),
+        (k - 1).cast("long").alias("dof"),
+    )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_days: int = 7,
+    half_life_days: float = 2.0,
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the recency-weighted member
+    of the attribution family (first_touch = all credit to the oldest
+    touch, linear = equal split, this = exponential split): each
+    conversion splits one unit of credit across its in-window touches
+    proportionally to w = 2^(−Δt/half_life), so the touch nearest the
+    conversion earns the most. Same join shape as
+    ``linear_attribution`` — a USER-keyed join of two filtered scans
+    with a range predicate (per-key fan-out bounded by
+    events-per-user-per-window, never a time-only interval join), one
+    conversion-keyed weight-sum, one channel rollup. Δt runs on exact
+    epoch-micro BIGINTs; only the 2^x weights and the final shares are
+    floating-point (rounded to 6). Zero-touch conversions report under
+    ``'(direct)'`` so total credit = total conversions (the family
+    invariant).
+
+    Returns ``(channel, n_touchpoints, n_conversions, credit)``.
+    """
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if half_life_days <= 0:
+        raise ValueError(
+            f"half_life_days must be > 0, got {half_life_days}"
+        )
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__cus"),
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__channel"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__tus"),
+    )
+    horizon_us = int(window_days) * 86_400_000_000
+    hl_us = float(half_life_days) * 86_400_000_000.0
+    touched = (
+        conv.join(touch, "__u")
+        .filter(
+            (F.col("__tus") < F.col("__cus"))
+            & (F.col("__tus") >= F.col("__cus") - F.lit(horizon_us))
+        )
+        .withColumn(
+            "__w",
+            F.pow(
+                F.lit(2.0),
+                -(F.col("__cus") - F.col("__tus")).cast("double")
+                / F.lit(hl_us),
+            ),
+        )
+    )
+    per_conv = touched.groupBy("__cid").agg(F.sum("__w").alias("__wsum"))
+    credited = (
+        touched.join(per_conv, "__cid")
+        .groupBy(F.col("__channel").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+            F.count_distinct(F.col("__cid"))
+            .cast("long")
+            .alias("n_conversions"),
+            F.round(
+                F.sum(F.col("__w") / F.col("__wsum")), 6
+            ).alias("credit"),
+        )
+    )
+    direct = (
+        conv.join(per_conv, conv["__cid"] == per_conv["__cid"], "anti")
+        .agg(F.count(F.lit(1)).alias("__n_direct"))
+        .filter(F.col("__n_direct") > 0)
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.lit(0).cast("long").alias("n_touchpoints"),
+            F.col("__n_direct").cast("long").alias("n_conversions"),
+            F.round(F.col("__n_direct").cast("double"), 6).alias("credit"),
+        )
+    )
+    return credited.unionByName(direct)

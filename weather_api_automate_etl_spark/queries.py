@@ -574,6 +574,8 @@ def _load_extensions() -> None:
         queries_wave42,
         queries_wave43,
         queries_wave44,
+        queries_wave45,
+        queries_wave46,
     )
 
 
@@ -930,6 +932,11 @@ ROUND10_NEW: tuple[str, ...] = (
     "q_jl_project",
     "q_brier_decomposition",
     "q_caliper_match",
+    # round-9 additions, waves 45-46: k-group rank test, time-decay
+    # attribution, LSH banding recall audit
+    "q_kruskal_wallis",
+    "q_attribution_decay",
+    "q_lsh_recall",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
