@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "q_kruskal_wallis",        # distinct-value k-group rank test
     "q_attribution_decay",     # user-keyed decay-weighted credit join
     "q_lsh_recall",            # truth-vs-candidates full-outer audit
+    "q_reshard_stability",     # 4x map-side md5 shard assignments
+    "q_embedding_drift",       # posexplode partials + 64-row windows
 ]
 
 

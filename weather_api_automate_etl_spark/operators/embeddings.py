@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -736,4 +736,58 @@ def jl_project(
         F.round(
             proj_norm / F.nullif(orig_norm, F.lit(0.0)), 6
         ).alias("distortion"),
+    )
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str,
+    is_current,
+) -> DataFrame:
+    """Embedding-distribution drift monitor between a reference and a
+    current cohort (model-ops: did the encoder, the corpus mix, or an
+    upstream preprocessing change move the embedding cloud?): per
+    dimension, the two cohort means and their delta; riding every row,
+    the two whole-cloud summaries — the L2 norm of the mean-shift
+    vector and the cosine between the two mean vectors (→ 1 when only
+    scale, not direction, changed).
+
+    Shape: the ``standardize_dims`` recipe — one posexplode to
+    (dim, cohort) grain where map-side partial aggregation collapses
+    each partition to ≤ 2·d rows before the one shuffle; summary stats
+    are window sums over the d-row result. Cohort flags come from the
+    caller (a snapshot tag, a time cut), so the operator never assumes
+    how "current" is defined. Returns one row per dimension
+    ``(dim, n_ref, n_cur, mean_ref, mean_cur, delta, l2_shift,
+    cosine_means)`` rounded to 6; cosine is NULL if either mean vector
+    is numerically zero.
+    """
+    cur = is_current.cast("int")
+    base = df.select(
+        cur.alias("__cur"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+    ).select("__cur", "dim", F.col("__x").cast("double").alias("__x"))
+    per = base.groupBy("dim").agg(
+        F.count(F.when(F.col("__cur") == 0, 1)).cast("long").alias("n_ref"),
+        F.count(F.when(F.col("__cur") == 1, 1)).cast("long").alias("n_cur"),
+        F.avg(F.when(F.col("__cur") == 0, F.col("__x"))).alias("__mr"),
+        F.avg(F.when(F.col("__cur") == 1, F.col("__x"))).alias("__mc"),
+    )
+    tw = Window.partitionBy()
+    delta = F.col("__mc") - F.col("__mr")
+    l2 = F.sqrt(F.sum(delta * delta).over(tw))
+    dot = F.sum(F.col("__mr") * F.col("__mc")).over(tw)
+    nr = F.sqrt(F.sum(F.col("__mr") * F.col("__mr")).over(tw))
+    nc = F.sqrt(F.sum(F.col("__mc") * F.col("__mc")).over(tw))
+    return per.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_ref",
+        "n_cur",
+        F.round(F.col("__mr"), 6).alias("mean_ref"),
+        F.round(F.col("__mc"), 6).alias("mean_cur"),
+        F.round(delta, 6).alias("delta"),
+        F.round(l2, 6).alias("l2_shift"),
+        F.round(
+            dot / F.nullif(nr * nc, F.lit(0.0)), 6
+        ).alias("cosine_means"),
     )

@@ -374,3 +374,96 @@ def caliper_match(
         F.when(ok, dist).alias("dist"),
         F.coalesce(ok, F.lit(False)).alias("matched"),
     )
+
+
+def rendezvous_shard(
+    key: Column,
+    n_shards: int,
+    salt: str = "",
+) -> Column:
+    """Rendezvous (highest-random-weight) shard id for a key: argmax
+    over shards s of md5("{s}:{salt}{key}") — Thaler-Ravishankar HRW
+    hashing, the placement rule whose defining property is MINIMAL
+    MOVEMENT under resharding: growing n→n+1 relocates only the keys
+    whose new shard wins the argmax, an expected 1/(n+1) of the corpus,
+    versus ~n/(n+1) for mod-hash. Pure expression (n md5s + one struct
+    array_max), zero shuffle, reproducible on any engine; md5 collisions
+    aside, the argmax is unique so no tiebreak state is needed."""
+    if n_shards < 1:
+        raise ValueError(f"rendezvous_shard needs n_shards >= 1, got {n_shards}")
+    k = key.cast("string")
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.md5(
+                        F.concat(F.lit(f"{s}:{salt}"), k)
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    ).getField("s")
+
+
+def mod_shard(key: Column, n_shards: int) -> Column:
+    """Baseline mod-hash shard id: first 8 md5 hex chars of the key as
+    an integer, mod ``n_shards`` — uniform, but resharding n→n+1
+    relocates ~n/(n+1) of all keys (the instability rendezvous_shard
+    exists to avoid)."""
+    if n_shards < 1:
+        raise ValueError(f"mod_shard needs n_shards >= 1, got {n_shards}")
+    bucket = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (bucket % n_shards).cast("int")
+
+
+def reshard_stability(
+    df: DataFrame,
+    key_col: str,
+    n_from: int,
+    n_to: int,
+) -> DataFrame:
+    """Resharding-movement audit: assign every key to shards under
+    ``n_from`` and ``n_to`` with BOTH placement rules and report how
+    much data each would relocate — the capacity-planning readout
+    before scaling a sharded corpus/index (HRW theory: ≈ 1/n_to moves;
+    mod-hash: ≈ 1 − 1/lcm-ish, nearly everything). One scan, all four
+    assignments are map-side expressions, one single-row aggregate.
+
+    Returns ONE row ``(n_keys, rdv_moved, rdv_moved_frac, mod_moved,
+    mod_moved_frac)`` with fractions rounded to 6.
+    """
+    k = F.col(key_col)
+    tagged = df.select(
+        rendezvous_shard(k, n_from).alias("__r1"),
+        rendezvous_shard(k, n_to).alias("__r2"),
+        mod_shard(k, n_from).alias("__m1"),
+        mod_shard(k, n_to).alias("__m2"),
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(
+            (F.col("__r1") != F.col("__r2")).cast("int")
+        ).cast("long").alias("rdv_moved"),
+        F.sum(
+            (F.col("__m1") != F.col("__m2")).cast("int")
+        ).cast("long").alias("mod_moved"),
+    )
+    return agg.select(
+        "n_keys",
+        "rdv_moved",
+        F.round(
+            F.col("rdv_moved")
+            / F.nullif(F.col("n_keys").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rdv_moved_frac"),
+        "mod_moved",
+        F.round(
+            F.col("mod_moved")
+            / F.nullif(F.col("n_keys").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("mod_moved_frac"),
+    )

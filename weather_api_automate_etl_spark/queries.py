@@ -576,6 +576,7 @@ def _load_extensions() -> None:
         queries_wave44,
         queries_wave45,
         queries_wave46,
+        queries_wave47,
     )
 
 
@@ -937,6 +938,9 @@ ROUND10_NEW: tuple[str, ...] = (
     "q_kruskal_wallis",
     "q_attribution_decay",
     "q_lsh_recall",
+    # round-9 additions, wave 47: HRW resharding audit, embedding drift
+    "q_reshard_stability",
+    "q_embedding_drift",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
