@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "q_lsh_recall",            # truth-vs-candidates full-outer audit
     "q_reshard_stability",     # 4x map-side md5 shard assignments
     "q_embedding_drift",       # posexplode partials + 64-row windows
+    "q_conformal",             # group order-stat windows + coverage join
+    "q_good_turing",           # shingle counts -> freq-of-freqs + tiny join
 ]
 
 

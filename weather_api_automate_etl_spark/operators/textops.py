@@ -1329,3 +1329,80 @@ def textrank_keywords(
         .orderBy(F.desc("rank_n"), F.asc("word"))
         .limit(top)
     )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str,
+    max_r: int = 10,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Good-Turing frequency re-estimation (Good 1953; the smoothing
+    behind Katz backoff, and the classical complement to this module's
+    Kneser-Ney): from the frequency-of-frequencies table S(r) = number
+    of word types seen exactly r times, the adjusted count is
+    r* = (r+1)·S(r+1)/S(r), and the probability mass reserved for
+    UNSEEN types is S(1)/N — the leave-one-out estimate every
+    vocabulary-coverage plan (tokenizer sizing, OOV budgeting) starts
+    from.
+
+    Shape: token counts (one term-keyed aggregate, map-side combine) →
+    frequency-of-frequencies (an aggregate over the vocabulary-sized
+    count table) → a self-join of the tiny S(r) table on r+1 and one
+    window total. Everything after the first aggregate is
+    vocabulary-of-counts-sized (≪ vocabulary ≪ corpus). All counts are
+    exact BIGINTs; only r* and the masses are divisions (rounded
+    to 6). Returns one row per r ∈ [1, max_r] present in the corpus:
+    ``(r, s_r, s_r_next, r_star, unseen_mass)`` — r* is NULL where
+    S(r+1) = 0 (the classical estimator is undefined there; smoothed
+    variants regress S, out of scope), unseen_mass rides every row.
+    """
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    # the "type" is a word for shingle_k=1, else a k-word shingle —
+    # shingles are what give a synthetic-vocabulary fixture a realistic
+    # Zipf tail (S(1) ≫ S(2) ≫ ...); docs shorter than k contribute none
+    from weather_api_automate_etl_spark.functions.text import word_shingles
+
+    unit = (
+        tokens(text_col)
+        if shingle_k == 1
+        else word_shingles(tokens(text_col), shingle_k)
+    )
+    tok = df.select(F.explode(unit).alias("__t")).filter(F.col("__t") != "")
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__r"))
+    fof = counts.groupBy("__r").agg(
+        F.count(F.lit(1)).cast("long").alias("__s")
+    )
+    tw = Window.partitionBy()
+    with_tot = fof.select(
+        "__r",
+        "__s",
+        F.sum(F.col("__r") * F.col("__s")).over(tw).alias("__N"),
+        F.sum(F.when(F.col("__r") == 1, F.col("__s"))).over(tw).alias("__s1"),
+    )
+    nxt = fof.select(
+        (F.col("__r") - 1).alias("__r"), F.col("__s").alias("__s_next")
+    )
+    out = (
+        with_tot.filter(F.col("__r") <= max_r)
+        .join(nxt, "__r", "left")
+    )
+    return out.select(
+        F.col("__r").cast("long").alias("r"),
+        F.col("__s").alias("s_r"),
+        F.coalesce(F.col("__s_next"), F.lit(0)).cast("long").alias("s_r_next"),
+        F.round(
+            (F.col("__r") + 1)
+            * F.col("__s_next").cast("double")
+            / F.col("__s"),
+            6,
+        ).alias("r_star"),
+        F.round(
+            F.coalesce(F.col("__s1"), F.lit(0))
+            / F.col("__N").cast("double"),
+            6,
+        ).alias("unseen_mass"),
+    )

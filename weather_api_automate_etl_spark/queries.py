@@ -577,6 +577,7 @@ def _load_extensions() -> None:
         queries_wave45,
         queries_wave46,
         queries_wave47,
+        queries_wave48,
     )
 
 
@@ -941,6 +942,9 @@ ROUND10_NEW: tuple[str, ...] = (
     # round-9 additions, wave 47: HRW resharding audit, embedding drift
     "q_reshard_stability",
     "q_embedding_drift",
+    # round-9 additions, wave 48: conformal intervals, Good-Turing
+    "q_conformal",
+    "q_good_turing",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
