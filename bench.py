@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "q_embedding_drift",       # posexplode partials + 64-row windows
     "q_conformal",             # group order-stat windows + coverage join
     "q_good_turing",           # shingle counts -> freq-of-freqs + tiny join
+    "q_test_functional_dep",   # determinant-keyed FD violation aggregate
+    "q_test_monotonic",        # per-key lag window violation filter
 ]
 
 

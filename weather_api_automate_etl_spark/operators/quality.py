@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def unique_violations(df: DataFrame, key: str) -> DataFrame:
@@ -360,3 +360,73 @@ def test_suite(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def functional_dependency_violations(
+    df: DataFrame, determinant: str, dependent: str
+) -> DataFrame:
+    """Contract test: ``determinant → dependent`` functional dependency
+    (the dbt-utils ``unique_combination``-adjacent check the reference's
+    test vocabulary lacks): every determinant value must map to exactly
+    ONE dependent value — the invariant behind any dimension lookup
+    (nation → region, sku → category). Violations = determinants with
+    ≥ 2 distinct dependents, reported with the multiplicity and the
+    min/max dependent as a debugging sample (deterministic, no
+    arbitrary first()). One determinant-keyed aggregate, map-side
+    combine, empty result on a healthy table. NULL dependents count as
+    a distinct mapping (a NULL beside a real value IS a violation);
+    NULL determinants are skipped like dbt's ``unique``.
+
+    Returns ``(determinant, n_rows, n_distinct_dependents,
+    dependent_min, dependent_max)`` for violating keys only.
+    """
+    d = F.col(determinant)
+    return (
+        df.filter(d.isNotNull())
+        .groupBy(d.alias("determinant"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.count_distinct(F.col(dependent))
+                + F.max(F.col(dependent).isNull().cast("int"))
+            )
+            .cast("long")
+            .alias("n_distinct_dependents"),
+            F.min(F.col(dependent)).alias("dependent_min"),
+            F.max(F.col(dependent)).alias("dependent_max"),
+        )
+        .filter(F.col("n_distinct_dependents") > 1)
+    )
+
+
+def monotonic_violations(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Contract test: ``value_col`` must be non-decreasing (or strictly
+    increasing) along ``order_col`` within each key — the invariant of
+    cumulative counters, ledger balances, version numbers, and
+    watermark columns. One window shuffle on the key; each violating
+    row is reported with its predecessor's value so the break is
+    self-explanatory. Ties on ``order_col`` are ordered by value so a
+    same-timestamp pair can only violate under ``strict``.
+
+    Returns ``(key, order, value, prev_value)`` for violating rows
+    only (empty = pass).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col, value_col)
+    out = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("order"),
+        F.col(value_col).alias("value"),
+        F.lag(value_col).over(w).alias("prev_value"),
+    )
+    broke = (
+        F.col("value") <= F.col("prev_value")
+        if strict
+        else F.col("value") < F.col("prev_value")
+    )
+    return out.filter(F.col("prev_value").isNotNull() & broke)

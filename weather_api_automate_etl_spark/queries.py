@@ -578,6 +578,7 @@ def _load_extensions() -> None:
         queries_wave46,
         queries_wave47,
         queries_wave48,
+        queries_wave49,
     )
 
 
@@ -945,6 +946,9 @@ ROUND10_NEW: tuple[str, ...] = (
     # round-9 additions, wave 48: conformal intervals, Good-Turing
     "q_conformal",
     "q_good_turing",
+    # round-9 additions, wave 49: FD + monotonicity contract tests
+    "q_test_functional_dep",
+    "q_test_monotonic",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
