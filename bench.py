@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "q_good_turing",           # shingle counts -> freq-of-freqs + tiny join
     "q_test_functional_dep",   # determinant-keyed FD violation aggregate
     "q_test_monotonic",        # per-key lag window violation filter
+    "q_cuped",                 # unit-keyed pairs + 1-row moment reduce
 ]
 
 

@@ -579,6 +579,7 @@ def _load_extensions() -> None:
         queries_wave47,
         queries_wave48,
         queries_wave49,
+        queries_wave50,
     )
 
 
@@ -949,6 +950,8 @@ ROUND10_NEW: tuple[str, ...] = (
     # round-9 additions, wave 49: FD + monotonicity contract tests
     "q_test_functional_dep",
     "q_test_monotonic",
+    # round-9 addition, wave 50: CUPED variance-reduced A/B readout
+    "q_cuped",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
