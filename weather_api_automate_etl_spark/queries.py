@@ -903,17 +903,18 @@ ROUND9_PENDING: tuple[str, ...] = (
 ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
 
 #: Round-10 rotation schedule, committed now (round-8 verdict item 2) so
-#: no query's latest green row turns 4+ rounds stale:
-#:   - slots 1-40: the remaining ROUND9_PENDING tail (q_kaplan_meier ..
-#:     q_ordinal_encode, waves 20-39) — never driver-checked;
-#:   - slots 41-50: the 10 stalest r4-era rows in registration order
-#:     (q_array_agg, q_asof_join, q_decontaminate, q_dedup_incremental,
-#:     q_group_centroids, q_interval_join, q_length_hist,
-#:     q_mixture_sample, q_multimodal_decode_png, q_multimodal_decode_wav).
-#: Round 11 then takes the other 12 r4-era rows (q_multimodal_video_frames,
-#: q_pack_assign, q_pii_redact, q_quality_gate, q_range_join,
-#: q_salted_join, q_snapshot_diff, q_sql_interface, q_top_revenue,
-#: q_topn_per_group, q_unigram_logprob, q_winsorize) plus the r5 cohort.
+#: no query's latest green row turns 4+ rounds stale. With round 9's 20
+#: ROUND10_NEW entries (below) taking the window head, round 10's 50
+#: slots are: 20 ROUND10_NEW + the first 30 of the ROUND9_PENDING tail
+#: (q_kaplan_meier .., waves 20+ in registration order). Round 11 then
+#: takes the remaining 10 pending-tail names (through q_ordinal_encode),
+#: the 22 r4-era stale rows (q_array_agg, q_asof_join, q_decontaminate,
+#: q_dedup_incremental, q_group_centroids, q_interval_join,
+#: q_length_hist, q_mixture_sample, q_multimodal_decode_png,
+#: q_multimodal_decode_wav, q_multimodal_video_frames, q_pack_assign,
+#: q_pii_redact, q_quality_gate, q_range_join, q_salted_join,
+#: q_snapshot_diff, q_sql_interface, q_top_revenue, q_topn_per_group,
+#: q_unigram_logprob, q_winsorize), and the r5 cohort head.
 #: Queries added during round 9 land in ROUND10_NEW below and take the
 #: head of round 10's window ahead of the tail (they are the only
 #: never-verified names outside this round's head).
