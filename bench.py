@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "q_test_functional_dep",   # determinant-keyed FD violation aggregate
     "q_test_monotonic",        # per-key lag window violation filter
     "q_cuped",                 # unit-keyed pairs + 1-row moment reduce
+    "q_median_ci",             # group rank window + order-stat picks
 ]
 
 

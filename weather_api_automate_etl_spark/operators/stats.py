@@ -2988,3 +2988,61 @@ def cuped_adjusted_lift(
         F.round(raw, 6).alias("raw_diff"),
         F.round(adj, 6).alias("adj_diff"),
     )
+
+
+def median_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Distribution-free confidence interval for the median via order
+    statistics (the sign-test inversion, normal-approximated ranks:
+    l = ⌊n/2 − z√n/2⌋, u = ⌈n/2 + 1 + z√n/2⌉, clamped to [1, n]) —
+    the lightweight exact-rank complement to ``poisson_bootstrap_ci``:
+    no replicates, no row expansion, one window pass; the interval
+    endpoints are ACTUAL data values selected by rank, so the whole
+    row is bit-reproducible on any engine (the conformal_calibration
+    discipline).
+
+    Shape: one group-partitioned rank window folded into the same-keyed
+    aggregate — scan-rate, nothing global. Returns one row per group
+    ``(group, n, median, ci_lo, ci_hi)`` (lower median at rank
+    ⌊(n+1)/2⌋; singleton groups collapse to median = lo = hi).
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("__g"), v.alias("__v"))
+    w = Window.partitionBy("__g").orderBy("__v")
+    ng = Window.partitionBy("__g")
+    ranked = base.select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(ng).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    half_width = F.lit(float(z)) * F.sqrt(n) / F.lit(2.0)
+    lo_rank = F.greatest(
+        F.floor(n / 2 - half_width).cast("long"), F.lit(1).cast("long")
+    )
+    hi_rank = F.least(
+        F.ceil(n / 2 + 1 + half_width).cast("long"), F.col("__n")
+    )
+    med_rank = F.floor((F.col("__n") + 1) / 2).cast("long")
+    agg = ranked.groupBy("__g").agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(F.when(F.col("__rn") == med_rank, F.col("__v"))).alias(
+            "median"
+        ),
+        F.max(F.when(F.col("__rn") == lo_rank, F.col("__v"))).alias(
+            "ci_lo"
+        ),
+        F.max(F.when(F.col("__rn") == hi_rank, F.col("__v"))).alias(
+            "ci_hi"
+        ),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col), "n", "median", "ci_lo", "ci_hi"
+    )

@@ -580,6 +580,7 @@ def _load_extensions() -> None:
         queries_wave48,
         queries_wave49,
         queries_wave50,
+        queries_wave51,
     )
 
 
@@ -953,6 +954,8 @@ ROUND10_NEW: tuple[str, ...] = (
     "q_test_monotonic",
     # round-9 addition, wave 50: CUPED variance-reduced A/B readout
     "q_cuped",
+    # round-9 addition, wave 51: order-statistic median CI
+    "q_median_ci",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
