@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "q_test_monotonic",        # per-key lag window violation filter
     "q_cuped",                 # unit-keyed pairs + 1-row moment reduce
     "q_median_ci",             # group rank window + order-stat picks
+    "q_mcnemar",               # 1-scan paired contingency cells
+    "q_cohens_kappa",          # 1-scan agreement cells + kappa
 ]
 
 

@@ -3046,3 +3046,97 @@ def median_ci(
     return agg.select(
         F.col("__g").alias(group_col), "n", "median", "ci_lo", "ci_hi"
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    label_col,
+    pred_a,
+    pred_b,
+) -> DataFrame:
+    """McNemar's test for comparing two classifiers on PAIRED
+    predictions (the right test when both models score the same rows —
+    ab_test_welch's independent-samples assumption is wrong there):
+    only the discordant cells matter, b = A-correct/B-wrong,
+    c = A-wrong/B-correct, χ² = (b−c)²/(b+c) with 1 dof
+    (continuity-uncorrected; the CC variant is a one-line caller
+    change). All four contingency cells are exact BIGINTs from ONE
+    conditional aggregate over one scan — map-side combined, 1-row
+    output, nothing shuffles but four counters. b + c = 0 (identical
+    error patterns) yields NULL χ², the documented degenerate case.
+
+    Returns one row ``(n, both_correct, both_wrong, a_only_correct,
+    b_only_correct, chi2)`` with χ² rounded to 6.
+    """
+    y = label_col.cast("boolean")
+    a_ok = (pred_a.cast("boolean") == y).cast("int")
+    b_ok = (pred_b.cast("boolean") == y).cast("int")
+    m = df.select(a_ok.alias("__a"), b_ok.alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("both_correct"),
+        F.sum((1 - F.col("__a")) * (1 - F.col("__b")))
+        .cast("long")
+        .alias("both_wrong"),
+        F.sum(F.col("__a") * (1 - F.col("__b")))
+        .cast("long")
+        .alias("a_only_correct"),
+        F.sum((1 - F.col("__a")) * F.col("__b"))
+        .cast("long")
+        .alias("b_only_correct"),
+    )
+    b_, c_ = F.col("a_only_correct"), F.col("b_only_correct")
+    chi2 = ((b_ - c_) * (b_ - c_)).cast("double") / F.nullif(
+        (b_ + c_).cast("double"), F.lit(0.0)
+    )
+    return m.select(
+        "n",
+        "both_correct",
+        "both_wrong",
+        "a_only_correct",
+        "b_only_correct",
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a,
+    rater_b,
+) -> DataFrame:
+    """Cohen's κ for inter-rater agreement on binary verdicts (the
+    labeling-QA readout before trusting human or model annotations:
+    raw agreement overstates consensus when the base rate is skewed;
+    κ = (p_o − p_e)/(1 − p_e) discounts chance agreement). The four
+    cells are exact BIGINTs from ONE conditional aggregate; p_o and
+    p_e are the only divisions. p_e = 1 (both raters constant) yields
+    NULL κ — chance-corrected agreement is undefined there, reported
+    honestly. Returns one row ``(n, n11, n00, n10, n01, p_o, p_e,
+    kappa)`` rounded to 6.
+    """
+    a = rater_a.cast("boolean").cast("int")
+    b = rater_b.cast("boolean").cast("int")
+    m = df.select(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n11"),
+        F.sum((1 - F.col("__a")) * (1 - F.col("__b")))
+        .cast("long")
+        .alias("n00"),
+        F.sum(F.col("__a") * (1 - F.col("__b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("__a")) * F.col("__b")).cast("long").alias("n01"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pa1 = (F.col("n11") + F.col("n10")).cast("double") / n
+    pb1 = (F.col("n11") + F.col("n01")).cast("double") / n
+    pe = pa1 * pb1 + (F.lit(1.0) - pa1) * (F.lit(1.0) - pb1)
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    return m.select(
+        "n",
+        "n11",
+        "n00",
+        "n10",
+        "n01",
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+    )

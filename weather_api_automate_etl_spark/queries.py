@@ -581,6 +581,7 @@ def _load_extensions() -> None:
         queries_wave49,
         queries_wave50,
         queries_wave51,
+        queries_wave52,
     )
 
 
@@ -956,6 +957,9 @@ ROUND10_NEW: tuple[str, ...] = (
     "q_cuped",
     # round-9 addition, wave 51: order-statistic median CI
     "q_median_ci",
+    # round-9 additions, wave 52: paired-classifier + agreement stats
+    "q_mcnemar",
+    "q_cohens_kappa",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
