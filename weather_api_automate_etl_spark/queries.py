@@ -905,11 +905,11 @@ ROUND9_PENDING: tuple[str, ...] = (
 ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
 
 #: Round-10 rotation schedule, committed now (round-8 verdict item 2) so
-#: no query's latest green row turns 4+ rounds stale. With round 9's 20
+#: no query's latest green row turns 4+ rounds stale. With round 9's 23
 #: ROUND10_NEW entries (below) taking the window head, round 10's 50
-#: slots are: 20 ROUND10_NEW + the first 30 of the ROUND9_PENDING tail
+#: slots are: 23 ROUND10_NEW + the first 27 of the ROUND9_PENDING tail
 #: (q_kaplan_meier .., waves 20+ in registration order). Round 11 then
-#: takes the remaining 10 pending-tail names (through q_ordinal_encode),
+#: takes the remaining 13 pending-tail names (through q_ordinal_encode),
 #: the 22 r4-era stale rows (q_array_agg, q_asof_join, q_decontaminate,
 #: q_dedup_incremental, q_group_centroids, q_interval_join,
 #: q_length_hist, q_mixture_sample, q_multimodal_decode_png,
