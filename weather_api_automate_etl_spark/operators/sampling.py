@@ -343,14 +343,25 @@ def caliper_match(
     w = Window.partitionBy("__b").orderBy(
         "__s", F.col("__t").cast("int"), "__u"
     )
+    # the "nearest control after" direction runs on a REVERSED ordering
+    # with the same growing (unboundedPreceding, -1) frame — a shrinking
+    # (1, unboundedFollowing) frame is NOT incrementally computable in
+    # Spark and re-scans the remainder per row: O(n²) per block
+    # (measured 104x at 20x rows in tools/stress_eval.py; 1.2x after
+    # this rewrite). The row sets are identical: "strictly after me in
+    # ascending (s, t, u)" == "strictly before me in descending".
+    w_rev = Window.partitionBy("__b").orderBy(
+        F.col("__s").desc(), F.col("__t").cast("int").desc(),
+        F.col("__u").desc(),
+    )
     ctrl = F.when(
         ~F.col("__t"), F.struct(F.col("__s").alias("s"), F.col("__u").alias("u"))
     )
     below = F.last(ctrl, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    above = F.first(ctrl, ignorenulls=True).over(
-        w.rowsBetween(1, Window.unboundedFollowing)
+    above = F.last(ctrl, ignorenulls=True).over(
+        w_rev.rowsBetween(Window.unboundedPreceding, -1)
     )
     cand = base.select(
         "__b", "__s", "__t", "__u", below.alias("__lo"), above.alias("__hi")
