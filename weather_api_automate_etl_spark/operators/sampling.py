@@ -313,10 +313,13 @@ def caliper_match(
     garbage pairs off the common support).
 
     Shape: the asof-join union-merge trick applied to the SCORE axis —
-    tag both arms, ONE shuffle on the block key, one window pass ordered
-    by (score, is_treated, unit) per block: the nearest control at-or-
-    below is a running ``last(control, ignorenulls)``, the nearest above
-    a ``first(...)`` over the following frame. Never a treated×control
+    tag both arms, ONE shuffle on the block key, two window passes over
+    the same block partitioning ordered by (score, is_treated, unit):
+    the nearest control at-or-below is a running ``last(control,
+    ignorenulls)``, the nearest above the same running ``last`` over
+    the REVERSED ordering (growing frames only — a shrinking
+    (1, following) frame re-scans per row, O(n²) per block; see
+    tools/stress_eval.py). Never a treated×control
     pairwise join; equal-score controls sort BEFORE the treated row, so
     an exact tie matches at distance 0 deterministically (ties between
     sides break toward the lower score, then lower control unit id —

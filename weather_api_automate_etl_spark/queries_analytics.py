@@ -882,10 +882,16 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    # the forward bracket runs as a running `last` over the REVERSED
+    # ordering: a shrinking (current, unboundedFollowing) frame is not
+    # incrementally computable (Spark re-scans the remainder per row —
+    # the O(n²)-per-partition hazard tools/stress_eval.py measured on
+    # caliper_match); "at-or-after me ascending" == "at-or-before me
+    # descending", same rows, one extra in-partition sort, no shuffle.
+    wf_rev = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ev = t(spark, sf_dir, "events").select(
         "event_id",
@@ -893,8 +899,8 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(on_purchase(F.col("value")), ignorenulls=True).over(wp).alias("prev_v"),
         F.last(on_purchase(F.col("ts")), ignorenulls=True).over(wp).alias("prev_ts"),
-        F.first(on_purchase(F.col("value")), ignorenulls=True).over(wf).alias("next_v"),
-        F.first(on_purchase(F.col("ts")), ignorenulls=True).over(wf).alias("next_ts"),
+        F.last(on_purchase(F.col("value")), ignorenulls=True).over(wf_rev).alias("next_v"),
+        F.last(on_purchase(F.col("ts")), ignorenulls=True).over(wf_rev).alias("next_ts"),
     )
     # session TZ is UTC (sources/tables.py), so ntz -> instant cast is exact
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
