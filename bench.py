@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "q_median_ci",             # group rank window + order-stat picks
     "q_mcnemar",               # 1-scan paired contingency cells
     "q_cohens_kappa",          # 1-scan agreement cells + kappa
+    "q_youden_cutoff",         # distinct-score cutoff argmax
+    "q_gains_table",           # global ntile + 10-row window sums
 ]
 
 

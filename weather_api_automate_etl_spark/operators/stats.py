@@ -3140,3 +3140,145 @@ def cohens_kappa(
         F.round(pe, 6).alias("p_e"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def youden_optimal_cutoff(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Optimal classification threshold by Youden's J = TPR − FPR (the
+    ROC point farthest above the diagonal) — the operating-point
+    SELECTION step after ``roc_auc`` measures discrimination and
+    ``pr_threshold_sweep`` tabulates a fixed grid: this scans EVERY
+    distinct score as a candidate cutoff (predict positive ⇔
+    score ≥ s) and returns the maximizer.
+
+    Same distinct-score-domain shape as ``roc_auc``: one score-keyed
+    aggregate, one running-sum window over the (bounded, caller-
+    quantized) score domain giving pos/neg at-or-above each score via
+    total − below, then a deterministic argmax (ties on J break toward
+    the LOWEST threshold — the more sensitive operating point — then
+    exact rational comparison, never float J). TPR/FPR are exact count
+    ratios rounded at the edge. Degenerate single-class inputs return
+    an empty frame (no cutoff is meaningful).
+
+    Returns ONE row ``(threshold, n_pos, n_neg, tp, fp, tpr, fpr,
+    youden_j)``.
+    """
+    s = (
+        score_col if isinstance(score_col, Column) else F.col(score_col)
+    ).cast("double")
+    y = label_col.cast("int")
+    per = (
+        df.select(s.alias("__s"), y.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("long").alias("__pos"),
+            F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__neg"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    tw = Window.partitionBy()
+    cum = per.select(
+        "__s",
+        F.coalesce(F.sum("__pos").over(w), F.lit(0)).alias("__pos_below"),
+        F.coalesce(F.sum("__neg").over(w), F.lit(0)).alias("__neg_below"),
+        F.sum("__pos").over(tw).alias("__P"),
+        F.sum("__neg").over(tw).alias("__N"),
+    ).filter((F.col("__P") > 0) & (F.col("__N") > 0))
+    tp = F.col("__P") - F.col("__pos_below")
+    fp = F.col("__N") - F.col("__neg_below")
+    # J = tp/P - fp/N maximized via the exact integer cross-multiple
+    # tp*N - fp*P: float division can't reorder candidates, and the
+    # (J desc, threshold asc) argmax is a 1-row TakeOrdered, no window.
+    scored = cum.select(
+        F.col("__s").alias("threshold"),
+        F.col("__P").alias("n_pos"),
+        F.col("__N").alias("n_neg"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (tp * F.col("__N") - fp * F.col("__P")).alias("__jnum"),
+    )
+    best = scored.orderBy(
+        F.col("__jnum").desc(), F.col("threshold").asc()
+    ).limit(1)
+    return best.select(
+        "threshold",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        F.round(F.col("tp") / F.col("n_pos").cast("double"), 6).alias("tpr"),
+        F.round(F.col("fp") / F.col("n_neg").cast("double"), 6).alias("fpr"),
+        F.round(
+            F.col("tp") / F.col("n_pos").cast("double")
+            - F.col("fp") / F.col("n_neg").cast("double"),
+            6,
+        ).alias("youden_j"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_buckets: int = 10,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Decile gains/lift table — the campaign-targeting readout (send to
+    the top k% by score; how many responders does that capture?):
+    rank by score DESCENDING into equal-count buckets, then per bucket
+    the response rate, lift vs the base rate, and the cumulative gain
+    (fraction of ALL responders captured by buckets 1..b).
+
+    One global ntile — the ``calibration_bins`` dispensation (bucket
+    boundaries are global rank properties; swap approx-quantile
+    boundaries in at 100 TB) — with ties broken by ``order_cols`` so
+    bucketing is deterministic; everything after is a bucket-keyed
+    aggregate plus window sums over the n_buckets-row result. Counts
+    exact; rates/lift/gain rounded to 6 (NULL lift when no responders
+    at all). Returns one row per bucket ``(bucket, n, responders,
+    response_rate, lift, cum_gain)``.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"gains_table needs n_buckets >= 2, got {n_buckets}")
+    s = (
+        score_col if isinstance(score_col, Column) else F.col(score_col)
+    ).cast("double")
+    # the window must rank the ALIASED score: the projection below drops
+    # the source columns the score expression referenced
+    w = Window.orderBy(
+        F.col("__s").desc(), *[F.col(c) for c in order_cols]
+    )
+    binned = df.select(
+        s.alias("__s"),
+        label_col.cast("int").alias("__y"),
+        *order_cols,
+    ).withColumn("bucket", F.ntile(n_buckets).over(w))
+    agg = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("responders"),
+    )
+    tw = Window.partitionBy()
+    cw = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_resp = F.sum("responders").over(tw)
+    total_n = F.sum("n").over(tw)
+    rate = F.col("responders") / F.col("n").cast("double")
+    base = total_resp.cast("double") / total_n.cast("double")
+    return agg.select(
+        "bucket",
+        "n",
+        "responders",
+        F.round(rate, 6).alias("response_rate"),
+        F.round(
+            rate / F.nullif(base, F.lit(0.0)), 6
+        ).alias("lift"),
+        F.round(
+            F.sum("responders").over(cw)
+            / F.nullif(total_resp.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("cum_gain"),
+    )

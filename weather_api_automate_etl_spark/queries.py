@@ -582,6 +582,7 @@ def _load_extensions() -> None:
         queries_wave50,
         queries_wave51,
         queries_wave52,
+        queries_wave53,
     )
 
 
@@ -905,11 +906,11 @@ ROUND9_PENDING: tuple[str, ...] = (
 ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
 
 #: Round-10 rotation schedule, committed now (round-8 verdict item 2) so
-#: no query's latest green row turns 4+ rounds stale. With round 9's 23
+#: no query's latest green row turns 4+ rounds stale. With round 9's 25
 #: ROUND10_NEW entries (below) taking the window head, round 10's 50
-#: slots are: 23 ROUND10_NEW + the first 27 of the ROUND9_PENDING tail
+#: slots are: 25 ROUND10_NEW + the first 25 of the ROUND9_PENDING tail
 #: (q_kaplan_meier .., waves 20+ in registration order). Round 11 then
-#: takes the remaining 13 pending-tail names (through q_ordinal_encode),
+#: takes the remaining 15 pending-tail names (through q_ordinal_encode),
 #: the 22 r4-era stale rows (q_array_agg, q_asof_join, q_decontaminate,
 #: q_dedup_incremental, q_group_centroids, q_interval_join,
 #: q_length_hist, q_mixture_sample, q_multimodal_decode_png,
@@ -960,6 +961,9 @@ ROUND10_NEW: tuple[str, ...] = (
     # round-9 additions, wave 52: paired-classifier + agreement stats
     "q_mcnemar",
     "q_cohens_kappa",
+    # round-9 additions, wave 53: Youden cutoff + decile gains/lift
+    "q_youden_cutoff",
+    "q_gains_table",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
