@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "q_cohens_kappa",          # 1-scan agreement cells + kappa
     "q_youden_cutoff",         # distinct-score cutoff argmax
     "q_gains_table",           # global ntile + 10-row window sums
+    "q_rolling_actives",       # grain dedupe + bounded x7 contribute
+    "q_new_vs_returning",      # first-day join on the grain key
 ]
 
 

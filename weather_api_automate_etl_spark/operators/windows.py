@@ -236,3 +236,75 @@ def coalesce_intervals(
             ),
         )
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct active users per day (the WAU/rolling-
+    actives engagement metric): for each event day d, the count of
+    users with ≥ 1 event in [d−(w−1), d]. A sliding DISTINCT cannot be
+    a window function (distinct state doesn't retract), so the scale
+    shape is the standard contribute-forward rewrite: dedupe to
+    (user, day) grain first — the ONLY row-scale shuffle — then each
+    user-day contributes to its w target days (a bounded ×w map-side
+    explode of the already-deduped grain), dedupe (user, target), and
+    count per target day. Target days are clamped to days that exist
+    in the data (tiny distinct-days broadcast), so the tail beyond the
+    last event day is not reported.
+
+    Returns ``(day, n_active)`` with exact counts.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    user_days = df.select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("__d"),
+    ).distinct()
+    days = user_days.select(F.col("__d").alias("day")).distinct()
+    offsets = F.explode(
+        F.array(*[F.lit(i) for i in range(window_days)])
+    )
+    contrib = (
+        user_days.select("__u", "__d", offsets.alias("__i"))
+        .select("__u", F.date_add(F.col("__d"), F.col("__i")).alias("day"))
+        .distinct()
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Daily new-vs-returning split (the acquisition-vs-retention lens
+    every engagement dashboard opens with): a user is NEW on their
+    first-ever event day, RETURNING on any later day. One dedupe to
+    (user, day) grain, one per-user min-day aggregate joined back on
+    the user key (co-partitioned with the grain shuffle), one day
+    rollup. Exact counts; days with no users never appear.
+
+    Returns ``(day, n_new, n_returning, n_active)``.
+    """
+    user_days = df.select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("__d"),
+    ).distinct()
+    first_day = user_days.groupBy("__u").agg(F.min("__d").alias("__first"))
+    tagged = user_days.join(first_day, "__u").select(
+        F.col("__d").alias("day"),
+        (F.col("__d") == F.col("__first")).cast("int").alias("__new"),
+    )
+    return tagged.groupBy("day").agg(
+        F.sum("__new").cast("long").alias("n_new"),
+        F.sum(F.lit(1) - F.col("__new")).cast("long").alias("n_returning"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+    )
