@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "q_gains_table",           # global ntile + 10-row window sums
     "q_rolling_actives",       # grain dedupe + bounded x7 contribute
     "q_new_vs_returning",      # first-day join on the grain key
+    "q_daily_percentiles",     # day rank windows, order-stat picks
+    "q_stickiness",            # two rolling-active grains + day join
 ]
 
 

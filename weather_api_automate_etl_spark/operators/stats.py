@@ -3282,3 +3282,60 @@ def gains_table(
             6,
         ).alias("cum_gain"),
     )
+
+
+def group_percentiles_exact(
+    df: DataFrame,
+    group_col,
+    value_col,
+    quantiles: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group (the p50/p95/p99 ops
+    readout): quantile q picks the value at rank ⌈q·n⌉ (clamped ≥ 1) —
+    an ACTUAL data value, no interpolation, so the whole row is
+    bit-reproducible on any engine (the same discipline as median_ci /
+    conformal_calibration, vs the interpolating ``weighted_quantiles``).
+
+    One group-partitioned rank window folded into the same-keyed
+    aggregate; per-group state is the sort, nothing global. Returns one
+    row per group ``(group, n, p_<q> ...)`` with one column per
+    requested quantile (e.g. p_50, p_95).
+    """
+    if not quantiles:
+        raise ValueError("group_percentiles_exact needs >= 1 quantile")
+    for q in quantiles:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    g = group_col if isinstance(group_col, Column) else F.col(group_col)
+    v = (
+        value_col if isinstance(value_col, Column) else F.col(value_col)
+    ).cast("double")
+    base = df.select(g.alias("__g"), v.alias("__v"))
+    w = Window.partitionBy("__g").orderBy("__v")
+    ng = Window.partitionBy("__g")
+    ranked = base.select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(ng).alias("__n"),
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for q in quantiles:
+        rank = F.greatest(
+            F.ceil(F.col("__n") * F.lit(float(q))).cast("long"),
+            F.lit(1).cast("long"),
+        )
+        col_name = "p_" + str(round(q * 100, 4)).rstrip("0").rstrip(
+            "."
+        ).replace(".", "_")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == rank, F.col("__v"))).alias(
+                col_name
+            )
+        )
+    out_group = (
+        group_col if isinstance(group_col, str) else "group"
+    )
+    return ranked.groupBy("__g").agg(*aggs).withColumnRenamed(
+        "__g", out_group
+    )

@@ -584,6 +584,7 @@ def _load_extensions() -> None:
         queries_wave52,
         queries_wave53,
         queries_wave54,
+        queries_wave55,
     )
 
 
@@ -907,11 +908,11 @@ ROUND9_PENDING: tuple[str, ...] = (
 ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
 
 #: Round-10 rotation schedule, committed now (round-8 verdict item 2) so
-#: no query's latest green row turns 4+ rounds stale. With round 9's 27
+#: no query's latest green row turns 4+ rounds stale. With round 9's 29
 #: ROUND10_NEW entries (below) taking the window head, round 10's 50
-#: slots are: 27 ROUND10_NEW + the first 23 of the ROUND9_PENDING tail
+#: slots are: 29 ROUND10_NEW + the first 21 of the ROUND9_PENDING tail
 #: (q_kaplan_meier .., waves 20+ in registration order). Round 11 then
-#: takes the remaining 17 pending-tail names (through q_ordinal_encode),
+#: takes the remaining 19 pending-tail names (through q_ordinal_encode),
 #: the 22 r4-era stale rows (q_array_agg, q_asof_join, q_decontaminate,
 #: q_dedup_incremental, q_group_centroids, q_interval_join,
 #: q_length_hist, q_mixture_sample, q_multimodal_decode_png,
@@ -968,6 +969,9 @@ ROUND10_NEW: tuple[str, ...] = (
     # round-9 additions, wave 54: rolling actives + new-vs-returning
     "q_rolling_actives",
     "q_new_vs_returning",
+    # round-9 additions, wave 55: exact daily percentiles + stickiness
+    "q_daily_percentiles",
+    "q_stickiness",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
