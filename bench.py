@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "q_new_vs_returning",      # first-day join on the grain key
     "q_daily_percentiles",     # day rank windows, order-stat picks
     "q_stickiness",            # two rolling-active grains + day join
+    "q_cohort_ltv",            # customer min join + months-sized rollup
 ]
 
 

@@ -17,7 +17,7 @@ only the partitions it touched, not the world.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from weather_api_automate_etl_spark.functions.core import pg_dow, pg_hour, surrogate_key
 
@@ -97,4 +97,65 @@ def write_bucketed(
         .sortBy(bucket_by)
         .format("parquet")
         .saveAsTable(table)
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    revenue_col: str,
+) -> DataFrame:
+    """Cohort lifetime-value curve (the revenue twin of the retention
+    triangle): customers are cohorted by their FIRST purchase month;
+    for each (cohort, months-since-first) cell the curve reports the
+    cell revenue, the running cumulative revenue, and cumulative LTV
+    per cohort customer — the number a growth team compares against
+    acquisition cost.
+
+    Shape: one per-customer min aggregate, joined back on the customer
+    key the orders are then grouped by (co-partitioned), one
+    (cohort, age) rollup — months-sized — and a cumulative window over
+    that tiny table. Month arithmetic is exact integers
+    (months_between on truncated months); revenue sums round to 6.
+    Returns ``(cohort_month, age_months, n_customers, revenue,
+    cum_revenue, ltv_per_customer)``.
+    """
+    c = F.col(customer_col)
+    month = F.date_trunc("month", F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        c.alias("__c"), month.alias("__m"), F.col(revenue_col).alias("__r")
+    )
+    first = base.groupBy("__c").agg(F.min("__m").alias("__cohort"))
+    sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    cells = (
+        base.join(first, "__c")
+        .select(
+            "__cohort",
+            F.months_between(F.col("__m"), F.col("__cohort"))
+            .cast("int")
+            .alias("age_months"),
+            "__r",
+        )
+        .groupBy("__cohort", "age_months")
+        .agg(F.sum("__r").alias("__rev"))
+    )
+    w = Window.partitionBy("__cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.withColumn("__cum", F.sum("__rev").over(w))
+        .join(sizes, "__cohort")
+        .select(
+            F.col("__cohort").cast("date").alias("cohort_month"),
+            "age_months",
+            "n_customers",
+            F.round(F.col("__rev"), 6).alias("revenue"),
+            F.round(F.col("__cum"), 6).alias("cum_revenue"),
+            F.round(
+                F.col("__cum") / F.col("n_customers").cast("double"), 6
+            ).alias("ltv_per_customer"),
+        )
     )
