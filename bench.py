@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "q_daily_percentiles",     # day rank windows, order-stat picks
     "q_stickiness",            # two rolling-active grains + day join
     "q_cohort_ltv",            # customer min join + months-sized rollup
+    "q_time_to_convert",       # first-ts aggregate + delay-domain ranks
+    "q_mde",                   # 1-scan conditional moments + closed form
 ]
 
 

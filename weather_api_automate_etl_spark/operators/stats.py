@@ -3339,3 +3339,155 @@ def group_percentiles_exact(
     return ranked.groupBy("__g").agg(*aggs).withColumnRenamed(
         "__g", out_group
     )
+
+
+def time_to_convert(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """Funnel TIMING readout (q_funnel counts stage reach; this measures
+    how long conversion takes): per user, the first ``from_type`` and
+    first ``to_type`` timestamps; a user converts iff the destination
+    follows the origin. Reports the conversion rate plus the median and
+    p90 of the conversion delay.
+
+    The delay percentiles are order statistics over the DISTINCT
+    second-quantized delay domain (group the converted users' ⌊Δs⌋,
+    one running-count window over distinct delays, pick the first value
+    whose cumulative count crosses ⌈q·n⌉) — the mann_whitney_u
+    dispensation, so no per-row global rank exists even with billions
+    of converters. All inputs exact (epoch-micro diffs, integer
+    counts); only the rate divides. Returns one row ``(n_from,
+    n_converted, conv_rate, median_delay_s, p90_delay_s)`` — NULL
+    delays when nobody converts.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.when(F.col(type_col) == from_type, ts)).alias("__fv"),
+        F.min(F.when(F.col(type_col) == to_type, ts)).alias("__fp"),
+    )
+    delays = per_user.filter(
+        F.col("__fv").isNotNull()
+        & F.col("__fp").isNotNull()
+        & (F.col("__fp") > F.col("__fv"))
+    ).select(
+        F.floor(
+            (
+                F.unix_micros(F.col("__fp")) - F.unix_micros(F.col("__fv"))
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("__ds")
+    )
+    g = delays.groupBy("__ds").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__ds").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy()
+    cum = g.select(
+        "__ds",
+        F.sum("__c").over(w).alias("__cc"),
+        F.sum("__c").over(tw).alias("__n"),
+    )
+    med = F.min(
+        F.when(
+            F.col("__cc") >= F.ceil(F.col("__n") * F.lit(0.5)),
+            F.col("__ds"),
+        )
+    )
+    p90 = F.min(
+        F.when(
+            F.col("__cc") >= F.ceil(F.col("__n") * F.lit(0.9)),
+            F.col("__ds"),
+        )
+    )
+    qs = cum.agg(
+        F.max("__n").cast("long").alias("__nconv"),
+        med.alias("median_delay_s"),
+        p90.alias("p90_delay_s"),
+    )
+    counts = per_user.agg(
+        F.count("__fv").cast("long").alias("n_from")
+    )
+    return counts.crossJoin(F.broadcast(qs)).select(
+        "n_from",
+        F.coalesce(F.col("__nconv"), F.lit(0)).cast("long").alias(
+            "n_converted"
+        ),
+        F.round(
+            F.coalesce(F.col("__nconv"), F.lit(0))
+            / F.nullif(F.col("n_from").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conv_rate"),
+        "median_delay_s",
+        "p90_delay_s",
+    )
+
+
+def minimum_detectable_effect(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    salt: str = "exp1",
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Post-hoc minimum detectable effect — the experiment-DESIGN
+    companion to ``ab_test_welch``'s readout: given the arms this hash
+    split actually produced, the smallest absolute (and relative) mean
+    difference the test could detect at α = 5% two-sided / 80% power:
+
+        MDE = (z_{α/2} + z_β) · √(s²_A/n_A + s²_B/n_B).
+
+    "Your experiment can only see lifts above X" is the sanity check
+    that stops teams shipping underpowered tests. Same ONE conditional
+    aggregate as ab_test_welch (map-side combined, 1-row output), same
+    rounded-moment discipline so the statistic derives from hash-stable
+    inputs. Degenerate arms (empty, or zero variance in both) yield
+    NULL. Returns ``(n_a, n_b, mean_a, sd_a, sd_b, mde_abs, mde_rel)``
+    rounded to 6.
+    """
+    from weather_api_automate_etl_spark.functions.core import salted_hash64
+
+    arm = salted_hash64(F.col(unit_col), f"{salt}:") % 2
+    v = F.col(value_col)
+    m = df.select(arm.alias("__arm"), v.alias("__v")).agg(
+        F.count(F.when(F.col("__arm") == 0, F.col("__v")))
+        .cast("long")
+        .alias("n_a"),
+        F.count(F.when(F.col("__arm") == 1, F.col("__v")))
+        .cast("long")
+        .alias("n_b"),
+        F.round(
+            F.avg(F.when(F.col("__arm") == 0, F.col("__v"))), 6
+        ).alias("mean_a"),
+        F.round(
+            F.stddev_samp(F.when(F.col("__arm") == 0, F.col("__v"))), 6
+        ).alias("sd_a"),
+        F.round(
+            F.stddev_samp(F.when(F.col("__arm") == 1, F.col("__v"))), 6
+        ).alias("sd_b"),
+    )
+    se = F.sqrt(
+        F.col("sd_a") * F.col("sd_a") / F.col("n_a")
+        + F.col("sd_b") * F.col("sd_b") / F.col("n_b")
+    )
+    mde = F.lit(float(z_alpha) + float(z_beta)) * se
+    return m.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "sd_a",
+        "sd_b",
+        F.round(F.when(se > 0, mde), 6).alias("mde_abs"),
+        F.round(
+            F.when(se > 0, mde)
+            / F.nullif(F.col("mean_a"), F.lit(0.0)),
+            6,
+        ).alias("mde_rel"),
+    )
