@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "q_cohort_ltv",            # customer min join + months-sized rollup
     "q_time_to_convert",       # first-ts aggregate + delay-domain ranks
     "q_mde",                   # 1-scan conditional moments + closed form
+    "q_dup_rate_by_source",    # hash-group + join-back + source rollup
+    "q_heaps_law",             # first-bucket mins + 10-row OLS fit
 ]
 
 

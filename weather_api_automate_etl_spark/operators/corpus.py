@@ -482,3 +482,57 @@ def dsir_importance(
             F.round(F.sum("_lw"), 6).alias("dsir_weight"),
         )
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Exact-duplicate rate per source — the which-feed-sends-copies
+    corpus-health readout that decides crawler dedupe placement: a
+    document is a duplicate iff its content hash occurs more than once
+    CORPUS-WIDE (cross-source copies count against every source holding
+    one), and additionally a non-survivor iff it is not the
+    lowest-id holder (the dedup_exact keep rule). One hash-keyed
+    aggregate over md5(text), one co-partitioned join-back, one source
+    rollup — the same shuffle class as dedup_exact itself.
+
+    Returns ``(source, n_docs, n_in_dup_groups, n_would_drop,
+    dup_rate, drop_rate)`` with rates rounded to 6.
+    """
+    h = F.md5(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+        h.alias("__h"),
+    )
+    groups = base.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__id").alias("__keep"),
+    )
+    tagged = base.join(groups, "__h").select(
+        "__src",
+        (F.col("__n") > 1).cast("int").alias("__dup"),
+        ((F.col("__n") > 1) & (F.col("__id") != F.col("__keep")))
+        .cast("int")
+        .alias("__drop"),
+    )
+    agg = tagged.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__dup").cast("long").alias("n_in_dup_groups"),
+        F.sum("__drop").cast("long").alias("n_would_drop"),
+    )
+    return agg.select(
+        F.col("__src").alias(source_col),
+        "n_docs",
+        "n_in_dup_groups",
+        "n_would_drop",
+        F.round(
+            F.col("n_in_dup_groups") / F.col("n_docs").cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.col("n_would_drop") / F.col("n_docs").cast("double"), 6
+        ).alias("drop_rate"),
+    )

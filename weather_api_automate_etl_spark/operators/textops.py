@@ -1406,3 +1406,81 @@ def good_turing_counts(
             6,
         ).alias("unseen_mass"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve V(n) ≈ K·n^β over ordered
+    corpus prefixes — the tokenizer-sizing / OOV-budget companion to
+    ``good_turing_counts``: how fast does the vocabulary keep growing
+    as the corpus grows (β ≈ 0.4-0.6 for natural text; a flat curve
+    means a closed synthetic vocabulary, a β near 1 means noise).
+
+    Docs are split into ``n_buckets`` ordered prefixes (one global
+    ntile over the doc id — the calibration_bins dispensation; at
+    100 TB swap approx-quantile id boundaries and keep the rest);
+    each token's FIRST bucket is a min-aggregate, so the cumulative
+    vocabulary at prefix d is a 10-row running sum, never a distinct
+    over a prefix. β comes from the shared moment-OLS on
+    (ln Σtokens, ln V) across the bucket points. Returns one row per
+    bucket ``(bucket, cum_tokens, vocab, beta, k_factor)`` with the
+    fit riding every row (rounded to 6).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"heaps_law needs n_buckets >= 2, got {n_buckets}")
+    w = Window.orderBy(F.col(id_col))
+    # bucket on the DOC relation first, in its own projection: a select
+    # mixing a window with explode() evaluates the window on the
+    # post-Generate rows (token-positional deciles, not doc deciles)
+    bucketed = df.select(
+        F.ntile(n_buckets).over(w).alias("__b"),
+        F.col(text_col).alias("__txt"),
+    )
+    toks = bucketed.select(
+        "__b", F.explode(tokens("__txt")).alias("__t")
+    ).filter(F.col("__t") != "")
+    per_bucket = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__ntok")
+    )
+    first_seen = toks.groupBy("__t").agg(F.min("__b").alias("__fb"))
+    new_types = first_seen.groupBy("__fb").agg(
+        F.count(F.lit(1)).alias("__nnew")
+    )
+    cw = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        per_bucket.join(
+            new_types.withColumnRenamed("__fb", "__b"), "__b", "left"
+        )
+        .select(
+            "__b",
+            F.sum("__ntok").over(cw).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("__nnew"), F.lit(0)))
+            .over(cw)
+            .alias("vocab"),
+        )
+    )
+    tw = Window.partitionBy()
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    n = F.count(F.lit(1)).over(tw).cast("double")
+    sx = F.sum(lx).over(tw)
+    sy = F.sum(ly).over(tw)
+    sxy = F.sum(lx * ly).over(tw)
+    sxx = F.sum(lx * lx).over(tw)
+    beta = (n * sxy - sx * sy) / F.nullif(
+        n * sxx - sx * sx, F.lit(0.0)
+    )
+    intercept = (sy - beta * sx) / n
+    return curve.select(
+        F.col("__b").cast("int").alias("bucket"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(intercept), 6).alias("k_factor"),
+    )

@@ -587,6 +587,7 @@ def _load_extensions() -> None:
         queries_wave55,
         queries_wave56,
         queries_wave57,
+        queries_wave58,
     )
 
 
@@ -910,11 +911,11 @@ ROUND9_PENDING: tuple[str, ...] = (
 ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
 
 #: Round-10 rotation schedule, committed now (round-8 verdict item 2) so
-#: no query's latest green row turns 4+ rounds stale. With round 9's 32
+#: no query's latest green row turns 4+ rounds stale. With round 9's 34
 #: ROUND10_NEW entries (below) taking the window head, round 10's 50
-#: slots are: 32 ROUND10_NEW + the first 18 of the ROUND9_PENDING tail
+#: slots are: 34 ROUND10_NEW + the first 16 of the ROUND9_PENDING tail
 #: (q_kaplan_meier .., waves 20+ in registration order). Round 11 then
-#: takes the remaining 22 pending-tail names (through q_ordinal_encode),
+#: takes the remaining 24 pending-tail names (through q_ordinal_encode),
 #: the 22 r4-era stale rows (q_array_agg, q_asof_join, q_decontaminate,
 #: q_dedup_incremental, q_group_centroids, q_interval_join,
 #: q_length_hist, q_mixture_sample, q_multimodal_decode_png,
@@ -979,6 +980,9 @@ ROUND10_NEW: tuple[str, ...] = (
     # round-9 additions, wave 57: funnel timing + MDE power check
     "q_time_to_convert",
     "q_mde",
+    # round-9 additions, wave 58: corpus-health diagnostics
+    "q_dup_rate_by_source",
+    "q_heaps_law",
 )
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
