@@ -519,12 +519,20 @@ def test_jpeg_decoder_reads_tables_from_file_and_rejects_unsupported():
     # not a JPEG
     with _pytest.raises(ValueError, match="SOI"):
         codecs.decode_jpeg(b"\x00\x01rubbish")
-    # progressive SOF2 must be rejected as the documented plug point
+    # SOF2 decodes since round 10 — but a relabeled baseline stream is
+    # MALFORMED progressive (its full-band Ss=0/Se=63 scan header is
+    # illegal per G.1.1: a progressive DC scan needs Se=0), and the
+    # decoder must say so rather than misread the entropy data
     prog = bytearray(payload)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with _pytest.raises(ValueError, match="baseline"):
+    with _pytest.raises(ValueError, match="Se=0"):
         codecs.decode_jpeg(bytes(prog))
+    # progressive-only frame types stay rejected
+    lossless = bytearray(payload)
+    lossless[i + 1] = 0xC3
+    with _pytest.raises(ValueError, match="SOF0/SOF2"):
+        codecs.decode_jpeg(bytes(lossless))
     # subsampled files are outside the supported subset
     sub = bytearray(payload)
     sof_at = sub.find(b"\xff\xc0")
@@ -542,6 +550,56 @@ def test_jpeg_decoder_reads_tables_from_file_and_rejects_unsupported():
             continue
         assert out.shape == (8, 8, 3)
     assert codecs.decode_image(payload).shape == (8, 8, 3)  # magic sniffing
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The exact progressive contract: encode_jpeg_progressive codes the
+    IDENTICAL quantized coefficients as encode_jpeg, so the two streams
+    must decode bit-for-bit equal — across dims (incl. single-row/column
+    and non-block-aligned), qualities, and content with dense AC energy
+    (gradients + checkerboard: refinement scans carry live history
+    bits, EOB runs interleave correction bits)."""
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    rng = np.random.default_rng(7)
+    dims = [(8, 8), (16, 24), (17, 9), (1, 1), (1, 36), (40, 1), (5, 13),
+            (64, 48)]
+    for h, w in dims:
+        for q in (90, 60, 30):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=q))
+            prog_bytes = codecs.encode_jpeg_progressive(px, quality=q)
+            assert prog_bytes[:2] == b"\xff\xd8"
+            assert b"\xff\xc2" in prog_bytes  # SOF2, not SOF0
+            prog = codecs.decode_jpeg(prog_bytes)
+            assert np.array_equal(base, prog), f"{h}x{w} q={q}"
+    # structured content (the fixture family the query decodes)
+    from weather_api_automate_etl_spark.sources.multimodal import (
+        _jpeg_progressive_pixels,
+    )
+
+    for doc_id in range(0, 40):
+        px = _jpeg_progressive_pixels(doc_id)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=75))
+        prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(px, quality=75))
+        assert np.array_equal(base, prog), f"doc {doc_id}"
+
+
+def test_jpeg_progressive_spark_pipeline_stats(spark):
+    from weather_api_automate_etl_spark.sources import multimodal
+    from weather_api_automate_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(24)
+    stats = multimodal.progressive_jpeg_stats(
+        multimodal.documents_as_progressive_jpeg_assets(docs)
+    ).collect()
+    assert len(stats) == 24
+    for r in stats:
+        assert r.width == (r.asset_id % 3 + 1) * 8 + r.asset_id % 7
+        assert r.height == (r.asset_id % 2 + 1) * 8 + r.asset_id % 5
+        assert r.exact_match, f"asset {r.asset_id} lost pixel equality"
 
 
 def test_jpeg_spark_pipeline_stats(spark):

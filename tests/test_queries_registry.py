@@ -98,19 +98,20 @@ def _last_verified_round() -> dict[str, int]:
 
 def test_priority_prefix_covers_every_family():
     """External verification records exactly the first 50 registry entries
-    per round; the union of rounds 1-8 drove 205 of 295 queries green, and
-    the 90-name residue (ROUND9_PENDING, waves 13-39) has never been
-    sampled. Pin round 9's evidence strategy: the whole window is the
-    first 50 pending names in registration order (no re-verification
-    slots — every §2 backbone query holds an r07/r08 green row, the
-    freshest possible), the remaining 40 plus any round-9 additions are
-    explicitly queued for round 10 (ROUND10_PENDING), and everything
-    outside the window already holds a green driver row (or is queued, or
-    is rows-only-by-nature with a hash twin)."""
+    per round; the union of rounds 1-9 drove 255 of 327 queries green,
+    leaving the 72-name residue (waves 40-58 + the ROUND9_PENDING tail)
+    never-sampled. Pin round 10's evidence strategy, executed exactly as
+    staged last round (round-9 verdict item 1): the window is the 34
+    ROUND10_NEW names plus the first 16 of the ROUND9_PENDING tail; the
+    remaining 24 tail names, any round-10 additions (ROUND11_NEW), and
+    the 22 r4-era stale rows are explicitly queued for round 11; and
+    everything outside the window already holds a green driver row (or
+    is queued)."""
     from weather_api_automate_etl_spark.queries import (
         ROUND9_PENDING,
-        ROUND9_WINDOW_HEAD,
-        ROUND10_PENDING,
+        ROUND10_NEW,
+        ROUND10_WINDOW_HEAD,
+        ROUND11_PENDING,
         queries,
     )
 
@@ -119,50 +120,54 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND9_WINDOW_HEAD)
+    k = len(ROUND10_WINDOW_HEAD)
     assert k == 50, "the driver records exactly the first 50 entries"
-    assert names[:k] == list(ROUND9_WINDOW_HEAD)
-    assert ROUND9_WINDOW_HEAD == ROUND9_PENDING[:50], (
-        "round 9's window is exactly the first 50 never-driver-checked "
-        "names in registration order (round-8 verdict item 1)"
+    assert names[:k] == list(ROUND10_WINDOW_HEAD)
+    assert ROUND10_WINDOW_HEAD == ROUND10_NEW + ROUND9_PENDING[50:66], (
+        "round 10's window is exactly the staged schedule: all 34 round-9 "
+        "additions + the first 16 pending-tail names (round-9 verdict item 1)"
     )
-    # the former rows-only residue gained hash oracles in round 9
-    # (portable md5-HLL profile; precomputed zlib lookup) and is queued
-    # in ROUND10_NEW for its first triple-green driver rows — no
-    # registered query records `no_oracle` anymore.
+    # every registered query carries a DuckDB oracle (no no_oracle rows
+    # since the round-9 portable-HLL / zlib-lookup upgrades).
     from weather_api_automate_etl_spark.queries import oracle_sql
 
     assert set(oracle_sql()) == set(REGISTRY), (
         "every registered query must carry a DuckDB oracle: "
         f"missing {set(REGISTRY) - set(oracle_sql())}"
     )
-    rows_only: set[str] = set()
-    assert unverified - rows_only <= set(ROUND9_WINDOW_HEAD) | set(
-        ROUND10_PENDING
-    ), (
-        "every never-driver-verified query must open the round-9 window "
-        "(or be explicitly queued in ROUND10_PENDING): "
-        f"missing {unverified - rows_only - set(ROUND9_WINDOW_HEAD) - set(ROUND10_PENDING)}"
+    assert unverified <= set(ROUND10_WINDOW_HEAD) | set(ROUND11_PENDING), (
+        "every never-driver-verified query must open the round-10 window "
+        "(or be explicitly queued in ROUND11_PENDING): "
+        f"missing {unverified - set(ROUND10_WINDOW_HEAD) - set(ROUND11_PENDING)}"
     )
-    # staleness guard: after r8 landed, the stalest green rows are the 22
-    # r4-era names; the committed round-10 schedule (queries.py docstring
-    # at ROUND10_PENDING) takes 10 of them in slots 41-50 and round 11
-    # takes the rest, so nothing pre-r4 may exist at all.
+    # staleness guard: the stalest green rows are the 22 r4-era names,
+    # all explicitly queued in ROUND11_PENDING; nothing pre-r4 may exist.
     last = _last_verified_round()
     stalest = {n for n, r in last.items() if r <= 3}
     assert not stalest, (
         f"rows with pre-r4 evidence must have re-verified by round 8: {stalest}"
     )
+    from weather_api_automate_etl_spark.queries import R4_ERA_STALE, ROUND11_NEW
+
+    r4_era = {n for n, r in last.items() if r == 4}
+    assert r4_era <= set(R4_ERA_STALE) | set(ROUND10_WINDOW_HEAD), (
+        f"r4-era rows missing from the round-11 schedule: "
+        f"{r4_era - set(R4_ERA_STALE) - set(ROUND10_WINDOW_HEAD)}"
+    )
+    assert set(ROUND11_NEW).isdisjoint(verified), (
+        "ROUND11_NEW is reserved for never-driver-sampled round-10 additions"
+    )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
-    # ingest is deliberately absent this round: its members all hold
-    # r07/r08 rows and the window is 100% never-checked rotation.
-    for family in ("dedup", "similarity", "text", "windows", "streaming",
-                   "multimodal", "ledger", "cdc", "stats"):
+    # the round-10 window is 100% never-checked rotation; the staged names
+    # span the stats/eval/multimodal/text/quality/corpus families. Ledger,
+    # streaming, dedup and the §2 ingest backbone all hold r07-r09 rows
+    # (the freshest possible) so they take no slots this round.
+    for family in ("stats", "multimodal", "text", "quality", "corpus"):
         assert family in tags_in_prefix, f"family {family!r} missing from prefix"
     # everything outside the window must already be driver-verified, save
-    # the explicitly-queued round-10 schedule and the rows-only residue
-    outside = set(names[50:]) - verified - set(ROUND10_PENDING) - rows_only
+    # the explicitly-queued round-11 schedule
+    outside = set(names[50:]) - verified - set(ROUND11_PENDING)
     assert not outside, (
         f"queries outside the window lack prior driver rows: {outside}"
     )

@@ -67,6 +67,56 @@ def test_no_registry_query_regresses_to_slow_paths(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
 
 
+#: The explicit bounded-cardinality dispensations: unpartitioned windows
+#: whose input is row-scale BY DESIGN, each with its documented 100 TB
+#: swap. Anything else flagged by the audit is a regression.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # global ntile over the score column — equal-count calibration bins
+    # are a global rank property; the docstring documents the
+    # approx-quantile boundary swap (q_quantile_normalize's recipe)
+    "q_calibration_ece",
+    # same dispensation: decile gains buckets are global score ranks
+    "q_gains_table",
+}
+
+
+def test_no_unpartitioned_window_over_row_scale(spark):
+    """Round-9 verdict item 2: no registry query may plan an
+    unpartitioned Window/WindowGroupLimit over non-aggregated,
+    non-limited input — a single-partition sort of the full relation —
+    unless it is an explicitly allowlisted global-rank dispensation.
+    (This audit caught q_hits ranking all node-cardinality rows in
+    round 10; the allowlist must stay minimal and documented.)"""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from audit_plans import SKIP, unpartitioned_rowscale_windows
+
+    from weather_api_automate_etl_spark.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    flagged = {}
+    for name, spec in REGISTRY.items():
+        if name in SKIP:
+            continue
+        plan = _plan(spec.fn(spark, SF)).split("== Initial Plan ==")[0]
+        n = unpartitioned_rowscale_windows(plan)
+        if n:
+            flagged[name] = n
+    unlisted = set(flagged) - GLOBAL_WINDOW_ALLOWLIST
+    assert not unlisted, (
+        f"unpartitioned row-scale windows outside the allowlist: "
+        f"{ {k: flagged[k] for k in unlisted} }"
+    )
+    stale = GLOBAL_WINDOW_ALLOWLIST - set(flagged)
+    assert not stale, (
+        f"allowlist entries no longer flagged (prune them): {stale}"
+    )
+
+
 @pytest.mark.usefixtures("spark")
 def test_bucketed_join_has_no_shuffle(spark):
     orders = load_table(spark, SF, "orders").limit(500)

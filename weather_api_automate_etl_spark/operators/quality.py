@@ -190,9 +190,10 @@ def profile_table(
       the textbook 1.04/√64 ≈ 13 % rsd. The large-range
       (hash-collision) correction is deliberately omitted: it only
       matters past 2³²/30 ≈ 1.4e8 distincts, where the engine HLL++
-      mode is the right tool anyway. Measured at sf0.1 (SCALING.md):
-      exact 2.3 s / portable 2.1 s / approx 0.5 s — portability costs
-      the md5 pass; 'approx' stays the pure-speed path."""
+      mode is the right tool anyway. Measured at sf0.1 (SCALING.md,
+      round-10 isolated best-of-3): exact 3.2 s / portable 2.0 s /
+      approx 0.9 s — portability costs one md5 pass plus a second
+      column-pruned scan; 'approx' stays the pure-speed path."""
     from pyspark.sql import types as T
 
     if distinct_mode not in ("exact", "approx", "portable"):
@@ -269,9 +270,24 @@ def profile_table(
     # Cost: a second column-pruned scan (cache the projection at 100 TB,
     # or use the engine-native 'approx' mode where oracle portability
     # isn't needed).
+    # hash word projected ONCE per column before the struct array: inside
+    # the array each h would otherwise re-evaluate md5+conv per use site
+    # (b, w, rho — CSE does not reach across struct fields), measured
+    # 2.7× slower at sf0.1 (round-9 verdict item 4)
+    hashed = df.select(
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.conv(F.substring(F.md5(_canon(c)), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            ).alias(f"__h_{c}")
+            for c in columns
+        ]
+    )
     entries = []
     for c in columns:
-        h = F.conv(F.substring(F.md5(_canon(c)), 1, 8), 16, 10).cast("long")
+        h = F.col(f"__h_{c}")
         w = F.shiftright(h, 6)
         rho = F.when(w == 0, F.lit(27)).otherwise(
             (F.lit(26) - F.floor(F.log2(w))).cast("int")
@@ -279,12 +295,12 @@ def profile_table(
         entries.append(
             F.struct(
                 F.lit(c).alias("column_name"),
-                F.when(F.col(c).isNotNull(), (h % M).cast("int")).alias("b"),
-                F.when(F.col(c).isNotNull(), rho).alias("rho"),
+                (h % M).cast("int").alias("b"),
+                rho.alias("rho"),
             )
         )
     regs = (
-        df.select(F.explode(F.array(*entries)).alias("e"))
+        hashed.select(F.explode(F.array(*entries)).alias("e"))
         .select("e.*")
         .filter(F.col("rho").isNotNull())
         .groupBy("column_name", "b")

@@ -101,6 +101,29 @@ def round0(col: Column, scale: int) -> Column:
     return F.round(col, scale) + F.lit(0.0)
 
 
+def as_col(c) -> Column:
+    """str-or-Column argument normalizer (round-9 advice: label-like
+    args must accept names exactly like score_col does, not raise
+    AttributeError on a string)."""
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def score_label(df: DataFrame, score_col, label_col) -> DataFrame:
+    """Normalize the classifier-evaluation argument pair — each arg is a
+    column NAME or a Column, the chi_square_independence convention
+    (round-9 advice: the shim must cover label-like args too, or a string
+    label raises AttributeError) — and drop NULL score/label rows up
+    front: Spark orders NULLs FIRST ascending while DuckDB orders them
+    LAST, so a NULL score group silently diverges engine vs oracle
+    (round-9 advice; kruskal_wallis set the filter-first precedent).
+    Returns the filtered two-column ``(__s double, __y int)`` frame."""
+    s = as_col(score_col).cast("double")
+    y = as_col(label_col).cast("int")
+    return df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+
+
 def ols_from_moments(
     n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
 ) -> tuple[Column, Column, Column, Column]:
@@ -1034,7 +1057,7 @@ def calibration_bins(
     score, compare each bin's mean score (confidence) against its
     observed positive rate (accuracy) — the standard screen for whether
     a model's scores mean what they say (Guo et al., ICML 2017 framing,
-    equal-COUNT bins). ``label_col`` is any boolean Column.
+    equal-COUNT bins). ``label_col`` is a boolean Column or a name.
 
     ECE = Σ (n_b/N)·|acc_b − conf_b| rides every row as a window sum so
     the result is a single self-contained frame. One global ntile — an
@@ -1049,7 +1072,7 @@ def calibration_bins(
     w = Window.orderBy(F.col("_s"), *[F.col(c) for c in order_cols])
     binned = df.select(
         F.col(score_col).cast("double").alias("_s"),
-        label_col.cast("int").alias("_y"),
+        as_col(label_col).cast("int").alias("_y"),
         *order_cols,
     ).withColumn("bin", F.ntile(n_bins).over(w))
     agg = binned.groupBy("bin").agg(
@@ -1369,18 +1392,8 @@ def logrank_test(
     """
     two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         F.col(group_col).alias("__g"),
-        (
-            duration_col
-            if isinstance(duration_col, Column)
-            else F.col(duration_col)
-        ).alias("__t"),
-        (
-            observed_col
-            if isinstance(observed_col, Column)
-            else F.col(observed_col)
-        )
-        .cast("int")
-        .alias("__obs"),
+        as_col(duration_col).alias("__t"),
+        as_col(observed_col).cast("int").alias("__obs"),
     )
     grain = two.groupBy("__g", "__t").agg(
         F.sum("__obs").alias("__d"),
@@ -1731,9 +1744,7 @@ def theil_sen_trend(
     """
     ser = df.groupBy(
         F.col(group_col).alias("g"),
-        (
-            period_col if isinstance(period_col, Column) else F.col(period_col)
-        ).alias("p"),
+        as_col(period_col).alias("p"),
     ).agg(F.count(F.lit(1)).alias("y"))
     a = ser.select("g", F.col("p").alias("pi"), F.col("y").alias("yi"))
     b = ser.select("g", F.col("p").alias("pj"), F.col("y").alias("yj"))
@@ -1815,9 +1826,7 @@ def anova_oneway(
 
     Returns one row ``(k, n, ssb, ssw, f_stat)`` rounded to 6 places.
     """
-    y = (
-        value_col if isinstance(value_col, Column) else F.col(value_col)
-    ).cast("long")
+    y = as_col(value_col).cast("long")
     per = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(y).alias("s"),
@@ -1946,7 +1955,7 @@ def decision_stump(
     Returns ``(group, split_x, n_left, n_right, mean_left, mean_right,
     gain)`` with floats rounded to 6.
     """
-    y = (y_col if isinstance(y_col, Column) else F.col(y_col)).cast("long")
+    y = as_col(y_col).cast("long")
     per = df.groupBy(
         F.col(group_col).alias("g"), F.col(x_col).alias("x")
     ).agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("s"))
@@ -2197,9 +2206,7 @@ def chi2_drift_fdr(
     Returns bh_fdr's ``(feature, p, rank, threshold, significant)``
     plus ``chi2``, ``dof`` and ``z`` per feature.
     """
-    split = (
-        split_col if isinstance(split_col, Column) else F.col(split_col)
-    ).cast("int")
+    split = as_col(split_col).cast("int")
     long = None
     for name, expr in sorted(features.items()):
         part = df.select(
@@ -2319,9 +2326,7 @@ def srm_check(
         raise ValueError(
             f"srm needs p_threshold in (0, 1), got {p_threshold}"
         )
-    arm = (
-        arm_col if isinstance(arm_col, Column) else F.col(arm_col)
-    ).cast("int")
+    arm = as_col(arm_col).cast("int")
     units = df.select(
         F.col(group_col).alias("__g"),
         F.col(unit_col).alias("__u"),
@@ -2368,9 +2373,7 @@ def trimmed_mean(
     """
     if not (0.0 <= trim_frac < 0.5):
         raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
-    y = (
-        value_col if isinstance(value_col, Column) else F.col(value_col)
-    ).cast("long")
+    y = as_col(value_col).cast("long")
     base = df.select(F.col(group_col).alias("__g"), y.alias("__y"))
     w = Window.partitionBy("__g").orderBy("__y")
     n = Window.partitionBy("__g")
@@ -2429,17 +2432,16 @@ def roc_auc(
     the one place this repo allows it (same dispensation as
     ``mann_whitney_u``); at 100 TB the domain is the quantization grid,
     not the row count. Degenerate inputs (no positives or no negatives)
-    yield NULL auc/gini rather than a division error.
+    yield NULL auc/gini rather than a division error. NULL scores/labels
+    are dropped up front (``score_label``); the concordance sum
+    accumulates as decimal(38,0) since 2·P·N wraps int64 past P·N ≈
+    4.6e18 — reachable at 100 TB row counts (round-9 advice, both).
 
     Returns one row ``(n, n_pos, n_neg, n_scores, auc, gini)`` with
     auc/gini rounded to 6; gini = 2·AUC − 1 (the accuracy ratio).
     """
-    s = (
-        score_col if isinstance(score_col, Column) else F.col(score_col)
-    ).cast("double")
-    y = label_col.cast("int")
     per_score = (
-        df.select(s.alias("__s"), y.alias("__y"))
+        score_label(df, score_col, label_col)
         .groupBy("__s")
         .agg(
             F.sum("__y").cast("long").alias("__pos"),
@@ -2455,10 +2457,14 @@ def roc_auc(
         "__neg",
         (F.sum("__neg").over(w) - F.col("__neg")).alias("__neg_below"),
     )
-    # 2× the concordance numerator keeps the tie half-credit integral.
+    # 2× the concordance numerator keeps the tie half-credit integral;
+    # decimal(38,0) because the exact sum approaches 2·P·N (> int64 once
+    # P·N > 4.6e18, i.e. ~3e9 rows per class — real at 100 TB).
     num2 = F.sum(
-        F.col("__pos") * (F.lit(2) * F.col("__neg_below") + F.col("__neg"))
-    ).cast("long")
+        (
+            F.col("__pos") * (F.lit(2) * F.col("__neg_below") + F.col("__neg"))
+        ).cast("decimal(38,0)")
+    )
     agg = cum.agg(
         (F.sum("__pos") + F.sum("__neg")).cast("long").alias("n"),
         F.sum("__pos").cast("long").alias("n_pos"),
@@ -2505,11 +2511,7 @@ def pr_threshold_sweep(
     """
     if not thresholds:
         raise ValueError("pr_threshold_sweep needs a non-empty grid")
-    s = (
-        score_col if isinstance(score_col, Column) else F.col(score_col)
-    ).cast("double")
-    y = label_col.cast("int")
-    base = df.select(s.alias("__s"), y.alias("__y"))
+    base = score_label(df, score_col, label_col)
     aggs = [
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__y").cast("long").alias("__pos"),
@@ -2585,16 +2587,11 @@ def brier_decomposition(
     """
     if n_bins < 2:
         raise ValueError(f"brier_decomposition needs n_bins >= 2, got {n_bins}")
-    s = (
-        score_col if isinstance(score_col, Column) else F.col(score_col)
-    ).cast("double")
-    y = label_col.cast("int")
-    binned = df.select(
-        s.alias("__s"),
-        y.alias("__y"),
+    binned = score_label(df, score_col, label_col).withColumn(
+        "bin",
         F.least(
-            F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
-        ).alias("bin"),
+            F.floor(F.col("__s") * n_bins).cast("int"), F.lit(n_bins - 1)
+        ),
     )
     agg = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3068,9 +3065,9 @@ def mcnemar_test(
     Returns one row ``(n, both_correct, both_wrong, a_only_correct,
     b_only_correct, chi2)`` with χ² rounded to 6.
     """
-    y = label_col.cast("boolean")
-    a_ok = (pred_a.cast("boolean") == y).cast("int")
-    b_ok = (pred_b.cast("boolean") == y).cast("int")
+    y = as_col(label_col).cast("boolean")
+    a_ok = (as_col(pred_a).cast("boolean") == y).cast("int")
+    b_ok = (as_col(pred_b).cast("boolean") == y).cast("int")
     m = df.select(a_ok.alias("__a"), b_ok.alias("__b")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("__a") * F.col("__b")).cast("long").alias("both_correct"),
@@ -3113,8 +3110,8 @@ def cohens_kappa(
     honestly. Returns one row ``(n, n11, n00, n10, n01, p_o, p_e,
     kappa)`` rounded to 6.
     """
-    a = rater_a.cast("boolean").cast("int")
-    b = rater_b.cast("boolean").cast("int")
+    a = as_col(rater_a).cast("boolean").cast("int")
+    b = as_col(rater_b).cast("boolean").cast("int")
     m = df.select(a.alias("__a"), b.alias("__b")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n11"),
@@ -3164,14 +3161,12 @@ def youden_optimal_cutoff(
     an empty frame (no cutoff is meaningful).
 
     Returns ONE row ``(threshold, n_pos, n_neg, tp, fp, tpr, fpr,
-    youden_j)``.
+    youden_j)``. NULL scores/labels are dropped up front
+    (``score_label``); the argmax key accumulates as decimal(38,0)
+    since tp·N − fp·P wraps int64 past P·N ≈ 4.6e18 (round-9 advice).
     """
-    s = (
-        score_col if isinstance(score_col, Column) else F.col(score_col)
-    ).cast("double")
-    y = label_col.cast("int")
     per = (
-        df.select(s.alias("__s"), y.alias("__y"))
+        score_label(df, score_col, label_col)
         .groupBy("__s")
         .agg(
             F.sum("__y").cast("long").alias("__pos"),
@@ -3198,7 +3193,10 @@ def youden_optimal_cutoff(
         F.col("__N").alias("n_neg"),
         tp.alias("tp"),
         fp.alias("fp"),
-        (tp * F.col("__N") - fp * F.col("__P")).alias("__jnum"),
+        (
+            tp.cast("decimal(38,0)") * F.col("__N")
+            - fp.cast("decimal(38,0)") * F.col("__P")
+        ).alias("__jnum"),
     )
     best = scored.orderBy(
         F.col("__jnum").desc(), F.col("threshold").asc()
@@ -3243,9 +3241,7 @@ def gains_table(
     """
     if n_buckets < 2:
         raise ValueError(f"gains_table needs n_buckets >= 2, got {n_buckets}")
-    s = (
-        score_col if isinstance(score_col, Column) else F.col(score_col)
-    ).cast("double")
+    s = as_col(score_col).cast("double")
     # the window must rank the ALIASED score: the projection below drops
     # the source columns the score expression referenced
     w = Window.orderBy(
@@ -3253,7 +3249,7 @@ def gains_table(
     )
     binned = df.select(
         s.alias("__s"),
-        label_col.cast("int").alias("__y"),
+        as_col(label_col).cast("int").alias("__y"),
         *order_cols,
     ).withColumn("bucket", F.ntile(n_buckets).over(w))
     agg = binned.groupBy("bucket").agg(
@@ -3306,10 +3302,8 @@ def group_percentiles_exact(
     for q in quantiles:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
-    g = group_col if isinstance(group_col, Column) else F.col(group_col)
-    v = (
-        value_col if isinstance(value_col, Column) else F.col(value_col)
-    ).cast("double")
+    g = as_col(group_col)
+    v = as_col(value_col).cast("double")
     base = df.select(g.alias("__g"), v.alias("__v"))
     w = Window.partitionBy("__g").orderBy("__v")
     ng = Window.partitionBy("__g")

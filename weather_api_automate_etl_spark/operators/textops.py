@@ -1420,24 +1420,43 @@ def heaps_law(
     as the corpus grows (β ≈ 0.4-0.6 for natural text; a flat curve
     means a closed synthetic vocabulary, a β near 1 means noise).
 
-    Docs are split into ``n_buckets`` ordered prefixes (one global
-    ntile over the doc id — the calibration_bins dispensation; at
-    100 TB swap approx-quantile id boundaries and keep the rest);
-    each token's FIRST bucket is a min-aggregate, so the cumulative
-    vocabulary at prefix d is a 10-row running sum, never a distinct
-    over a prefix. β comes from the shared moment-OLS on
-    (ln Σtokens, ln V) across the bucket points. Returns one row per
-    bucket ``(bucket, cum_tokens, vocab, beta, k_factor)`` with the
-    fit riding every row (rounded to 6).
+    Docs are split into ``n_buckets`` ordered prefixes by RANGE over
+    the id domain — bucket = (id − min)·k div (max − min + 1), exact
+    BIGINT arithmetic off two scalar aggregates broadcast back — so
+    there is NO global sort / ntile over the doc relation (the round-9
+    finding): the only windows left run over the ≤ k-row curve. For a
+    skewed id domain, swap the min/max span for approx-quantile
+    boundaries (buckets stay deterministic here because the arithmetic
+    is exact, which an engine-specific sketch is not). Each token's
+    FIRST bucket is a min-aggregate, so the cumulative vocabulary at
+    prefix d is a k-row running sum, never a distinct over a prefix.
+    β comes from the shared moment-OLS on (ln Σtokens, ln V) across
+    the bucket points; degenerate points (cum_tokens or vocab = 0,
+    e.g. leading all-empty prefixes) are filtered before the fit so
+    ln() NULLs can't silently skew the moments (round-9 advice).
+    Returns one row per non-degenerate bucket ``(bucket, cum_tokens,
+    vocab, beta, k_factor)`` with the fit riding every row (rounded
+    to 6).
     """
     if n_buckets < 2:
         raise ValueError(f"heaps_law needs n_buckets >= 2, got {n_buckets}")
-    w = Window.orderBy(F.col(id_col))
-    # bucket on the DOC relation first, in its own projection: a select
-    # mixing a window with explode() evaluates the window on the
-    # post-Generate rows (token-positional deciles, not doc deciles)
-    bucketed = df.select(
-        F.ntile(n_buckets).over(w).alias("__b"),
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("long").alias("__lo"),
+        F.max(F.col(id_col)).cast("long").alias("__hi"),
+    )
+    bucketed = df.join(F.broadcast(bounds)).select(
+        (
+            F.least(
+                # SQL `div`: exact BIGINT division (a float floor() would
+                # wobble once (id − lo)·k crosses 2^53)
+                F.expr(
+                    f"(cast({id_col} as bigint) - __lo) * {n_buckets}"
+                    " div (__hi - __lo + 1)"
+                ),
+                F.lit(n_buckets - 1).cast("long"),
+            ).cast("int")
+            + 1
+        ).alias("__b"),
         F.col(text_col).alias("__txt"),
     )
     toks = bucketed.select(
@@ -1464,6 +1483,10 @@ def heaps_law(
             .over(cw)
             .alias("vocab"),
         )
+        # degenerate prefixes (all-empty leading docs) would feed NULL
+        # ln() terms that F.sum skips while n counts them — drop them
+        # from the fit AND the output (round-9 advice)
+        .filter((F.col("cum_tokens") > 0) & (F.col("vocab") > 0))
     )
     tw = Window.partitionBy()
     lx = F.log(F.col("cum_tokens").cast("double"))

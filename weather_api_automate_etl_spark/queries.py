@@ -588,6 +588,7 @@ def _load_extensions() -> None:
         queries_wave56,
         queries_wave57,
         queries_wave58,
+        queries_wave59,
     )
 
 
@@ -987,18 +988,82 @@ ROUND10_NEW: tuple[str, ...] = (
 
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
 
+#: Round-10 window, executed exactly as staged last round (round-9
+#: verdict item 1): all 34 ROUND10_NEW names (the round-9 wave-40-58
+#: additions plus the two oracle-upgraded former no_oracle entries) take
+#: the head, and the first 16 of the ROUND9_PENDING tail (q_kaplan_meier
+#: through q_mann_kendall, waves 20-27 in registration order) fill slots
+#: 35-50. Every name is never-driver-sampled; a green round-10 row
+#: shrinks the never-sampled set from 72 to 22.
+ROUND10_WINDOW_HEAD: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:66]
+
+#: The 22 r4-era rows — the stalest green driver evidence (6 rounds old
+#: by round 10's close). They re-verify in round 11 per the committed
+#: schedule below.
+R4_ERA_STALE: tuple[str, ...] = (
+    "q_array_agg",
+    "q_asof_join",
+    "q_decontaminate",
+    "q_dedup_incremental",
+    "q_group_centroids",
+    "q_interval_join",
+    "q_length_hist",
+    "q_mixture_sample",
+    "q_multimodal_decode_png",
+    "q_multimodal_decode_wav",
+    "q_multimodal_video_frames",
+    "q_pack_assign",
+    "q_pii_redact",
+    "q_quality_gate",
+    "q_range_join",
+    "q_salted_join",
+    "q_snapshot_diff",
+    "q_sql_interface",
+    "q_top_revenue",
+    "q_topn_per_group",
+    "q_unigram_logprob",
+    "q_winsorize",
+)
+
+#: Queries added during round 10 land here local-oracle green and open
+#: round 11's window ahead of the rotation tail (they are the only
+#: never-verified names outside round 10's head).
+ROUND11_NEW: tuple[str, ...] = (
+    # round-10 addition, wave 59: progressive (spectral-selection) JPEG
+    # decode — the last documented codec plug seam (round-9 verdict
+    # item 7)
+    "q_multimodal_decode_progressive",
+)
+
+#: Round-11 rotation schedule, committed now (round-9 verdict item 6) so
+#: every query's latest driver row stays ≤4 rounds old: round-10
+#: additions first, then the remaining 24 never-sampled ROUND9_PENDING
+#: tail names (q_attribution_linear .. q_ordinal_encode, waves 28-39),
+#: then the 22 r4-era stale rows above. That fills 47+ of round 11's 50
+#: slots; the balance comes from the r5-era cohort head (oldest driver
+#: rows after the r4 set re-verifies), taken in CORRECTNESS_r05 order.
+ROUND11_PENDING: tuple[str, ...] = ROUND11_NEW + ROUND9_PENDING[66:] + R4_ERA_STALE
+
 PRIORITY_ORDER: tuple[str, ...] = (
-    ROUND9_WINDOW_HEAD
-    # slots 51+: round 10's committed schedule, then the prior heads in
-    # freshness order (r8 head first — its rows are the newest) — rounds
+    ROUND10_WINDOW_HEAD
+    # slots 51+: round 11's committed schedule, then the prior heads in
+    # freshness order (r9 head first — its rows are the newest) — rounds
     # record only the 50-entry prefix, so placement past 50 is
     # documentation, not evidence
-    + ROUND10_PENDING
-    + tuple(n for n in ROUND8_WINDOW_HEAD if n not in ROUND9_PENDING)
+    + ROUND11_PENDING
+    + tuple(n for n in ROUND9_WINDOW_HEAD if n not in ROUND11_PENDING)
+    + tuple(
+        n
+        for n in ROUND8_WINDOW_HEAD
+        if n not in ROUND9_PENDING and n not in ROUND11_PENDING
+    )
     + tuple(
         n
         for n in ROUND7_WINDOW_HEAD
-        if n not in ROUND8_WINDOW_HEAD and n not in ROUND9_PENDING
+        if n not in ROUND8_WINDOW_HEAD
+        and n not in ROUND9_PENDING
+        and n not in ROUND11_PENDING
+        and n not in ROUND10_WINDOW_HEAD
     )
 )
 

@@ -124,10 +124,15 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     _hubs, auths = graph.hits_bipartite(edges, iterations=2)
     from pyspark.sql import Window
 
+    # TakeOrdered head FIRST (per-partition top-20 + 20-row merge), THEN
+    # the rank window over the 20-row head — the round-10 window audit
+    # caught the old shape (row_number over ALL node-cardinality rows
+    # through one partition, a genuine 100 TB global sort)
     w = Window.orderBy(F.desc("authority"), F.asc("node"))
     return (
-        auths.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        auths.orderBy(F.desc("authority"), F.asc("node"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .select(
             F.col("node").alias("l_partkey"), "authority", "rank"
         )

@@ -58,10 +58,15 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HEAPS_ORACLE = """
-    WITH docs AS (
-      SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS b,
+    WITH bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    docs AS (
+      SELECT doc_id,
+             CAST(LEAST((doc_id - lo) * 10 // (hi - lo + 1), 9)
+                  AS INTEGER) + 1 AS b,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-      FROM documents
+      FROM documents, bounds
     ),
     toks AS (
       SELECT b, t FROM docs, UNNEST(tk) AS u(t) WHERE t != ''
@@ -84,6 +89,7 @@ _HEAPS_ORACLE = """
              ln(CAST(cum_tokens AS DOUBLE)) AS lx,
              ln(CAST(vocab AS DOUBLE)) AS ly
       FROM curve
+      WHERE cum_tokens > 0 AND vocab > 0
     ),
     f AS (
       SELECT b, cum_tokens, vocab,
@@ -109,8 +115,9 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth (operators/textops.py::heaps_law,
     10 ordered prefixes): per-token first-bucket min aggregate →
     10-row cumulative curve → moment-OLS β/K fit riding every row.
-    The one global ntile is over DOC IDS (calibration dispensation;
-    approx-quantile boundaries at 100 TB)."""
+    Prefix buckets come from exact BIGINT range arithmetic over the
+    broadcast (min, max) id span — no ntile / global sort over the doc
+    relation (round-9 verdict item 3)."""
     from weather_api_automate_etl_spark.operators import textops
 
     return textops.heaps_law(

@@ -577,21 +577,26 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (baseline JFIF: SOF0, Huffman entropy coding, 8-bit precision)
+# JPEG (JFIF: SOF0 baseline + SOF2 progressive, Huffman entropy coding)
 # ---------------------------------------------------------------------------
 #
 # Pure NumPy + struct — no libjpeg/PIL. Supported subset, chosen to cover
-# real baseline files while staying auditable:
-#   decode: SOF0, 3-component YCbCr with 1x1 sampling (no chroma
+# real baseline AND progressive files while staying auditable:
+#   decode: SOF0 and SOF2 (full Annex G: spectral selection and
+#           successive approximation — DC/AC first + refinement scans,
+#           EOB runs), 3-component YCbCr with 1x1 sampling (no chroma
 #           subsampling), 8-bit DQT tables, any DHT tables (read from the
-#           file, as the spec requires — never assumed), restart markers,
-#           byte stuffing. Progressive (SOF2), 12-bit, subsampled, or
-#           arithmetic-coded files raise ValueError — the libjpeg plug
-#           point.
+#           file, as the spec requires — never assumed), restart markers
+#           (sequential scans), byte stuffing. 12-bit, subsampled,
+#           arithmetic-coded, or DRI-inside-progressive files raise
+#           ValueError — the libjpeg plug point.
 #   encode: the matching shape (4:4:4, quality-scaled Annex-K quant
 #           tables, uniform-length Huffman tables written into DHT — any
 #           conformant decoder reads tables from DHT, so fixed-length
-#           codes are valid baseline JPEG, just less compressed).
+#           codes are valid JPEG, just less compressed). encode_jpeg
+#           writes one baseline scan; encode_jpeg_progressive writes the
+#           libjpeg-style _PROG_SCRIPT over the IDENTICAL quantized
+#           coefficients, so the two streams decode bit-identically.
 #
 # Rounding discipline: quantization and final pixel conversion use
 # floor(x + 0.5) (half-up, sign-deterministic) — never np.round (banker's)
@@ -648,13 +653,17 @@ _DCT_T = np.array(
 )
 
 #: uniform-length Huffman spec: all 12 DC size categories as 4-bit codes,
-#: all 162 AC run/size symbols as 8-bit codes. Written into DHT verbatim;
-#: valid canonical tables (12 <= 2^4, 162 <= 2^8, no all-ones code issue).
+#: all AC run/size symbols as 8-bit codes — the 162 baseline symbols
+#: plus the 14 progressive EOBn codes (r<<4 for r=1..14, T.81 G.1.2.2;
+#: harmless in baseline streams, which never emit them). Written into
+#: DHT verbatim; valid canonical tables (12 <= 2^4, 176 <= 2^8).
 _DC_HUFF_BITS = tuple(12 if ln == 4 else 0 for ln in range(1, 17))
 _DC_HUFF_VALS = tuple(range(12))
-_AC_HUFF_BITS = tuple(162 if ln == 8 else 0 for ln in range(1, 17))
-_AC_HUFF_VALS = (0x00, 0xF0) + tuple(
-    (r << 4) | s for r in range(16) for s in range(1, 11)
+_AC_HUFF_BITS = tuple(176 if ln == 8 else 0 for ln in range(1, 17))
+_AC_HUFF_VALS = (
+    (0x00, 0xF0)
+    + tuple((r << 4) | s for r in range(16) for s in range(1, 11))
+    + tuple(r << 4 for r in range(1, 15))
 )
 
 
@@ -750,8 +759,14 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, SOF0)."""
+def _jpeg_quantized_coeffs(
+    pixels: np.ndarray, quality: int
+) -> tuple[np.ndarray, list[np.ndarray], int, int]:
+    """Shared encoder front half: RGB → per-component quantized zigzag
+    coefficient blocks. Returns ``(coeffs[3, n_blocks, 64], qt, h, w)``
+    with blocks in raster order — the baseline and progressive encoders
+    differ only in how these exact integers are entropy-coded, which is
+    what makes the progressive-equals-baseline decode contract exact."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
     h, w = pixels.shape[:2]
@@ -765,49 +780,240 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     ycc = _rgb_to_ycbcr(pixels)
     ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-    dc_tab = _huff_encode_table(_DC_HUFF_BITS, _DC_HUFF_VALS)
-    ac_tab = _huff_encode_table(_AC_HUFF_BITS, _AC_HUFF_VALS)
-    bw = _BitWriter()
-    prev_dc = [0, 0, 0]
+    n_blocks = (ph // 8) * (pw // 8)
+    coeffs = np.empty((3, n_blocks, 64), dtype=np.int64)
     for by in range(ph // 8):
-        for bx in range(pw // 8):  # MCU = one block per component (1x1)
+        for bx in range(pw // 8):
             for comp in range(3):
                 block = ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
                 coeff = _DCT_T @ (block - 128.0) @ _DCT_T.T
                 q = qt[0 if comp == 0 else 1].reshape(8, 8)
-                zz = np.floor(coeff / q + 0.5).astype(np.int64).ravel()[_ZIGZAG]
-                prev_dc[comp] = _entropy_encode_block(
-                    bw, zz, prev_dc[comp], dc_tab, ac_tab
+                coeffs[comp, by * (pw // 8) + bx] = (
+                    np.floor(coeff / q + 0.5).astype(np.int64).ravel()[_ZIGZAG]
                 )
-    bw.flush()
+    return coeffs, qt, h, w
 
-    def seg(marker: int, data: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(data) + 2) + data
 
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+def _jpeg_seg(marker: int, data: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(data) + 2) + data
+
+
+def _jpeg_headers(qt, h: int, w: int, sof_marker: int) -> bytes:
+    """SOI..DHT common header run; ``sof_marker`` picks SOF0/SOF2."""
+    app0 = _jpeg_seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
     dqt = b"".join(
-        seg(0xFFDB, bytes([tq]) + bytes(qt[tq].ravel()[_ZIGZAG].astype(np.uint8)))
+        _jpeg_seg(
+            0xFFDB, bytes([tq]) + bytes(qt[tq].ravel()[_ZIGZAG].astype(np.uint8))
+        )
         for tq in (0, 1)
     )
-    sof = seg(
-        0xFFC0,
+    sof = _jpeg_seg(
+        sof_marker,
         struct.pack(">BHHB", 8, h, w, 3)
         + b"".join(struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
                    for cid in (1, 2, 3)),
     )
-    dht = seg(
+    dht = _jpeg_seg(
         0xFFC4,
         bytes([0x00]) + bytes(_DC_HUFF_BITS) + bytes(_DC_HUFF_VALS)
         + bytes([0x10]) + bytes(_AC_HUFF_BITS) + bytes(_AC_HUFF_VALS),
     )
-    sos = seg(
+    return b"\xff\xd8" + app0 + dqt + sof + dht
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, SOF0)."""
+    coeffs, qt, h, w = _jpeg_quantized_coeffs(pixels, quality)
+    dc_tab = _huff_encode_table(_DC_HUFF_BITS, _DC_HUFF_VALS)
+    ac_tab = _huff_encode_table(_AC_HUFF_BITS, _AC_HUFF_VALS)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for m in range(coeffs.shape[1]):  # MCU = one block per component (1x1)
+        for comp in range(3):
+            prev_dc[comp] = _entropy_encode_block(
+                bw, coeffs[comp, m], prev_dc[comp], dc_tab, ac_tab
+            )
+    bw.flush()
+    sos = _jpeg_seg(
         0xFFDA,
         bytes([3]) + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
         + bytes([0, 63, 0]),
     )
-    return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(bw.buf) + b"\xff\xd9"
-    )
+    return _jpeg_headers(qt, h, w, 0xFFC0) + sos + bytes(bw.buf) + b"\xff\xd9"
+
+
+#: The progressive scan script (T.81 Annex G, libjpeg-style): spectral
+#: selection AND successive approximation. (comps, Ss, Se, Ah, Al) —
+#: DC first at Al=1 interleaved, per-component AC first scans at Al=2
+#: (luma split into two spectral bands to exercise band boundaries),
+#: DC refinement, then two AC refinement rounds down to full precision.
+_PROG_SCRIPT: tuple[tuple[tuple[int, ...], int, int, int, int], ...] = (
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first, point-transformed
+    ((0,), 1, 5, 0, 2),        # AC first, luma low band
+    ((0,), 6, 63, 0, 2),       # AC first, luma high band
+    ((1,), 1, 63, 0, 2),       # AC first, Cb
+    ((2,), 1, 63, 0, 2),       # AC first, Cr
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refinement (raw bits)
+    ((0,), 1, 63, 2, 1),       # AC refinement round 1
+    ((1,), 1, 63, 2, 1),
+    ((2,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),       # AC refinement round 2 (full precision)
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+def _enc_ac_first(bw, blocks, Ss, Se, Al, ac_tab, state) -> None:
+    """Progressive AC first scan (G.1.2.2) for one component's blocks:
+    band run-size coding on the point-transformed magnitudes with
+    EOB-run accumulation across blocks (EOBn codes)."""
+
+    def flush_eob():
+        if state["eobrun"] > 0:
+            r = state["eobrun"].bit_length() - 1
+            c, ln = ac_tab[r << 4]
+            bw.write(c, ln)
+            bw.write(state["eobrun"] - (1 << r), r)
+            state["eobrun"] = 0
+
+    for blk in blocks:
+        run = 0
+        for k in range(Ss, Se + 1):
+            v = int(blk[k])
+            t = (abs(v) >> Al)  # AC point transform truncates toward 0
+            if t == 0:
+                run += 1
+                continue
+            flush_eob()
+            while run >= 16:
+                c, ln = ac_tab[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size = t.bit_length()
+            if size > 10:
+                raise ValueError(f"AC coefficient {v} exceeds size 10")
+            c, ln = ac_tab[(run << 4) | size]
+            bw.write(c, ln)
+            # negative magnitudes code as value-1 in size bits (F.1.2.2):
+            # the signed point-transformed value is -t, so -t + 2^size - 1
+            bw.write(t if v > 0 else (1 << size) - 1 - t, size)
+            run = 0
+        if run:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(bw, blocks, Ss, Se, Al, ac_tab, state) -> None:
+    """Progressive AC refinement scan (G.1.2.3, the libjpeg
+    encode_mcu_AC_refine shape): newly-significant coefficients emit
+    run-size 1 codes, history coefficients append correction bits, and
+    all-insignificant tails fold into EOB runs carrying their pending
+    correction bits."""
+
+    def flush_eob():
+        if state["eobrun"] > 0:
+            r = state["eobrun"].bit_length() - 1
+            c, ln = ac_tab[r << 4]
+            bw.write(c, ln)
+            bw.write(state["eobrun"] - (1 << r), r)
+            state["eobrun"] = 0
+        for bit in state["br"]:
+            bw.write(bit, 1)
+        state["br"] = []
+
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> Al for k in range(Ss, Se + 1)]
+        eob = 0  # index AFTER the last newly-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        run, br = 0, []
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            # pending ZRLs flush HERE — before a history bit buffers, not
+            # deferred to the next significant coefficient: the decoder's
+            # skip walk consumes correction bits positionally, so the
+            # libjpeg emission order is the only one that round-trips
+            while run > 15 and i < eob:
+                flush_eob()
+                c, ln = ac_tab[0xF0]
+                bw.write(c, ln)
+                run -= 16
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+            if t > 1:  # history coefficient: correction bit, run unbroken
+                br.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            flush_eob()
+            c, ln = ac_tab[(run << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if int(blk[Ss + i]) > 0 else 0, 1)
+            for bit in br:
+                bw.write(bit, 1)
+            run, br = 0, []
+        if run > 0 or br:
+            state["eobrun"] += 1
+            state["br"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive JFIF bytes (4:4:4, SOF2,
+    ``_PROG_SCRIPT``). Entropy-codes the IDENTICAL quantized
+    coefficients as ``encode_jpeg``, so decoding either stream yields
+    bit-identical pixels — the exact contract the progressive query
+    hashes."""
+    coeffs, qt, h, w = _jpeg_quantized_coeffs(pixels, quality)
+    dc_tab = _huff_encode_table(_DC_HUFF_BITS, _DC_HUFF_VALS)
+    ac_tab = _huff_encode_table(_AC_HUFF_BITS, _AC_HUFF_VALS)
+    out = bytearray(_jpeg_headers(qt, h, w, 0xFFC2))
+    n_blocks = coeffs.shape[1]
+    for comps, Ss, Se, Ah, Al in _PROG_SCRIPT:
+        sos = _jpeg_seg(
+            0xFFDA,
+            bytes([len(comps)])
+            + b"".join(struct.pack(">BB", c + 1, 0x00) for c in comps)
+            + bytes([Ss, Se, (Ah << 4) | Al]),
+        )
+        out += sos
+        bw = _BitWriter()
+        if Ss == 0:  # DC scan, interleaved over all listed components
+            if Ah == 0:
+                pred = [0] * len(comps)
+                for m in range(n_blocks):
+                    for j, comp in enumerate(comps):
+                        dc = int(coeffs[comp, m, 0]) >> Al  # arithmetic
+                        diff = dc - pred[j]
+                        pred[j] = dc
+                        size = abs(diff).bit_length()
+                        c, ln = dc_tab[size]
+                        bw.write(c, ln)
+                        if size:
+                            bw.write(
+                                diff if diff > 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+            else:  # DC refinement: one raw bit per block per component
+                for m in range(n_blocks):
+                    for comp in comps:
+                        bw.write((int(coeffs[comp, m, 0]) >> Al) & 1, 1)
+        else:  # AC scan: exactly one component (T.81 G.1.1)
+            state = {"eobrun": 0, "br": []}
+            enc = _enc_ac_first if Ah == 0 else _enc_ac_refine
+            enc(bw, coeffs[comps[0]], Ss, Se, Al, ac_tab, state)
+        bw.flush()
+        out += bw.buf
+    return bytes(out) + b"\xff\xd9"
 
 
 class _BitReader:
@@ -887,100 +1093,8 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB.
-
-    Tables (DQT/DHT) are read from the file as the spec requires, so files
-    from any conformant baseline encoder decode — not just ours. Outside
-    the supported subset (SOF0 3-component 1x1 8-bit) raises ValueError."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
-    pos = 2
-    qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict] = {}
-    frame = None
-    restart_interval = 0
-    while True:
-        if pos + 4 > len(payload):
-            raise ValueError("truncated JPEG (no SOS/EOI)")
-        if payload[pos] != 0xFF:
-            raise ValueError(f"bad marker alignment at {pos}")
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("EOI before scan data")
-        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
-        seg = payload[pos + 4 : pos + 2 + seg_len]
-        if len(seg) != seg_len - 2:
-            raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT
-            sp = 0
-            while sp < len(seg):
-                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                tab = np.frombuffer(seg[sp + 1 : sp + 65], dtype=np.uint8)
-                if len(tab) != 64:
-                    raise ValueError("short DQT table")
-                qtabs[tq] = tab.astype(np.int64)[_UNZIGZAG]
-                sp += 65
-        elif marker == 0xC4:  # DHT
-            sp = 0
-            while sp < len(seg):
-                tc, th = seg[sp] >> 4, seg[sp] & 0xF
-                bits = list(seg[sp + 1 : sp + 17])
-                n = sum(bits)
-                vals = list(seg[sp + 17 : sp + 17 + n])
-                if len(bits) != 16 or len(vals) != n:
-                    raise ValueError("short DHT table")
-                htabs[(tc, th)] = _huff_decode_table(bits, vals)
-                sp += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise ValueError(f"{prec}-bit precision unsupported")
-            if nc != 3:
-                raise ValueError(f"{nc}-component JPEG unsupported (YCbCr only)")
-            comps = []
-            for c in range(nc):
-                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                if samp != 0x11:
-                    raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline SOF0 JPEG supported")
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
-            if frame is None:
-                raise ValueError("SOS before SOF0")
-            ns = seg[0]
-            if ns != 3:
-                raise ValueError("scan must cover all 3 components")
-            scan_tabs = []
-            for c in range(ns):
-                _, tdta = struct.unpack_from(">BB", seg, 1 + 2 * c)
-                td, ta = tdta >> 4, tdta & 0xF
-                dc = htabs.get((0, td))
-                ac = htabs.get((1, ta))
-                if dc is None or ac is None:
-                    raise ValueError("scan references missing DHT table")
-                scan_tabs.append((dc, ac))
-            pos = pos + 2 + seg_len
-            break
-        pos = pos + 2 + seg_len
-
-    fh, fw, comps = frame
-    for _, tq in comps:
-        if tq not in qtabs:
-            raise ValueError("frame references missing DQT table")
-    bw_, bh_ = -(-fw // 8), -(-fh // 8)
-    n_mcus = bw_ * bh_
-    coeffs = np.zeros((3, n_mcus, 64), dtype=np.int64)
-    br = _BitReader(payload, pos)
+def _dec_scan_baseline(br, coeffs, scan_tabs, n_mcus, restart_interval, payload):
+    """Baseline sequential scan: full-precision blocks, interleaved."""
     pred = [0, 0, 0]
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
@@ -1015,6 +1129,264 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("AC run past end of block")
                 blk[k] = _extend(br.receive(size), size)
                 k += 1
+
+
+def _dec_scan_prog_dc(br, coeffs, comp_idx, dc_tabs, n_mcus, ah, al):
+    """Progressive DC scan, interleaved (T.81 G.1.2.1): first pass is
+    baseline DC prediction on the point-transformed values; refinement
+    is one raw bit per block OR-ed in at bit ``al``."""
+    if ah == 0:
+        pred = [0] * len(comp_idx)
+        for m in range(n_mcus):
+            for j, comp in enumerate(comp_idx):
+                size = _huff_decode(br, dc_tabs[j])
+                if size > 11:
+                    raise ValueError(f"bad DC size {size}")
+                diff = _extend(br.receive(size), size) if size else 0
+                pred[j] += diff
+                coeffs[comp, m, 0] = pred[j] << al
+    else:
+        for m in range(n_mcus):
+            for comp in comp_idx:
+                if br.read_bit():
+                    # low bits of the partial value are zero, so OR = add
+                    coeffs[comp, m, 0] = int(coeffs[comp, m, 0]) | (1 << al)
+
+
+def _dec_scan_prog_ac_first(br, blocks, ss, se, al, ac_tab, n_mcus):
+    """Progressive AC first scan (G.1.2.2), single component: band
+    run-size decode with EOB-run skipping, values scaled by 2^al."""
+    eobrun = 0
+    for m in range(n_mcus):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        blk = blocks[m]
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) + (br.receive(r) if r else 0) - 1
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+
+def _dec_scan_prog_ac_refine(br, blocks, ss, se, al, ac_tab, n_mcus):
+    """Progressive AC refinement scan (G.1.2.3, the libjpeg
+    decode_mcu_AC_refine walk): newly-significant coefficients arrive as
+    run-size 1 codes, every nonzero-history coefficient passed on the
+    way consumes one correction bit, EOB runs sweep correction bits
+    through the rest of the band."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+
+    def correct(blk, k):
+        c = int(blk[k])
+        if br.read_bit() and (c & p1) == 0:
+            blk[k] = c + (p1 if c >= 0 else m1)
+
+    for m in range(n_mcus):
+        blk = blocks[m]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (br.receive(r) if r else 0)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if int(blk[k]) != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline (SOF0) or progressive (SOF2) JFIF bytes → (h, w, 3)
+    uint8 RGB.
+
+    Tables (DQT/DHT) are read from the file as the spec requires, so
+    files from any conformant encoder decode — not just ours.
+    Progressive streams take the full Annex-G multi-scan path: spectral
+    selection AND successive approximation (DC+AC first and refinement
+    scans, EOB runs). Outside the supported subset (3-component 1x1
+    8-bit; no DRI inside progressive scans) raises ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    progressive = False
+    restart_interval = 0
+    coeffs = None
+    saw_scan = False
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (no EOI)")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            if not saw_scan:
+                raise ValueError("EOI before scan data")
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.frombuffer(seg[sp + 1 : sp + 65], dtype=np.uint8)
+                if len(tab) != 64:
+                    raise ValueError("short DQT table")
+                qtabs[tq] = tab.astype(np.int64)[_UNZIGZAG]
+                sp += 65
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("short DHT table")
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                sp += 17 + n
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            if nc != 3:
+                raise ValueError(f"{nc}-component JPEG unsupported (YCbCr only)")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+            n_mcus = (-(-fw // 8)) * (-(-fh // 8))
+            coeffs = np.zeros((3, n_mcus, 64), dtype=np.int64)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only SOF0/SOF2 JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            cid_index = {cid: i for i, (cid, _) in enumerate(frame[2])}
+            comp_idx, tdtas = [], []
+            for c in range(ns):
+                cid, tdta = struct.unpack_from(">BB", seg, 1 + 2 * c)
+                if cid not in cid_index:
+                    raise ValueError(f"scan references unknown component {cid}")
+                comp_idx.append(cid_index[cid])
+                tdtas.append(tdta)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = pos + 2 + seg_len
+            br = _BitReader(payload, pos)
+            if not progressive:
+                if ns != 3:
+                    raise ValueError("baseline scan must cover all 3 components")
+                scan_tabs = []
+                for tdta in tdtas:
+                    dc = htabs.get((0, tdta >> 4))
+                    ac = htabs.get((1, tdta & 0xF))
+                    if dc is None or ac is None:
+                        raise ValueError("scan references missing DHT table")
+                    scan_tabs.append((dc, ac))
+                _dec_scan_baseline(
+                    br, coeffs, scan_tabs, coeffs.shape[1],
+                    restart_interval, payload,
+                )
+            else:
+                if restart_interval:
+                    raise ValueError("DRI inside progressive unsupported")
+                if ss == 0:  # DC scan (se must be 0 per G.1.1)
+                    if se != 0:
+                        raise ValueError("progressive DC scan needs Se=0")
+                    dc_tabs = None
+                    if ah == 0:
+                        dc_tabs = [htabs.get((0, t >> 4)) for t in tdtas]
+                        if any(t is None for t in dc_tabs):
+                            raise ValueError("scan references missing DHT table")
+                    _dec_scan_prog_dc(
+                        br, coeffs, comp_idx, dc_tabs, coeffs.shape[1], ah, al
+                    )
+                else:  # AC scan: exactly one component
+                    if ns != 1:
+                        raise ValueError("progressive AC scan must be 1-component")
+                    ac_tab = htabs.get((1, tdtas[0] & 0xF))
+                    if ac_tab is None:
+                        raise ValueError("scan references missing DHT table")
+                    dec = (
+                        _dec_scan_prog_ac_first
+                        if ah == 0
+                        else _dec_scan_prog_ac_refine
+                    )
+                    dec(br, coeffs[comp_idx[0]], ss, se, al, ac_tab,
+                        coeffs.shape[1])
+            saw_scan = True
+            # resynchronize: advance to the next true marker (skip
+            # stuffed 0xFF00 and any stray RSTn)
+            p = br.pos
+            while p + 1 < len(payload):
+                if payload[p] == 0xFF and payload[p + 1] != 0x00:
+                    if 0xD0 <= payload[p + 1] <= 0xD7:
+                        p += 2
+                        continue
+                    break
+                p += 1
+            pos = p
+            continue
+        pos = pos + 2 + seg_len
+
+    fh, fw, comps = frame
+    for _, tq in comps:
+        if tq not in qtabs:
+            raise ValueError("frame references missing DQT table")
+    bw_, bh_ = -(-fw // 8), -(-fh // 8)
     # dequantize, de-zigzag, batched IDCT per component
     planes = []
     for comp in range(3):

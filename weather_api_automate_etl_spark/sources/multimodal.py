@@ -333,6 +333,109 @@ def documents_as_jpeg_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
 
 
+def _jpeg_progressive_pixels(doc_id: int) -> "np.ndarray":  # noqa: F821
+    """Deterministic pre-encode image for the progressive query:
+    NON-block-aligned dims (w = (doc_id%3+1)*8 + doc_id%7,
+    h = (doc_id%2+1)*8 + doc_id%5 — exercising edge-replication padding)
+    and gradient+checkerboard content with real AC energy in every
+    block, so every progressive scan kind (AC first, both refinement
+    rounds, EOB runs, ZRL-with-history) carries live bits — a solid
+    fixture would leave the AC paths trivially empty."""
+    import numpy as np
+
+    w = (doc_id % 3 + 1) * 8 + doc_id % 7
+    h = (doc_id % 2 + 1) * 8 + doc_id % 5
+    yy, xx = np.mgrid[0:h, 0:w]
+    chk = ((yy // 2 + xx // 2) % 2) * 96
+    return np.stack(
+        [
+            (yy * 7 + xx * 3 + doc_id) % 256,
+            (yy * 2 + xx * 11 + chk) % 256,
+            ((yy + xx) * 5 + doc_id * 13) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def documents_as_progressive_jpeg_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL progressive (SOF2) JFIF payloads deterministically
+    from doc_id (codecs.py::encode_jpeg_progressive — the full Annex-G
+    scan script: spectral selection + successive approximation)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            payloads = [
+                codecs.encode_jpeg_progressive(
+                    _jpeg_progressive_pixels(int(d)), quality=75
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": ["image/jpeg"] * len(payloads),
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+
+
+PROG_JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("exact_match", T.BooleanType()),
+    ]
+)
+
+
+def progressive_jpeg_stats(assets: DataFrame) -> DataFrame:
+    """REAL progressive JPEG decode → per-image stats via Arrow-batched
+    mapInPandas. The contract hashed here is EXACT (stronger than the
+    baseline query's ±2 bound): a progressive stream entropy-codes the
+    same quantized coefficients as the baseline stream of the same
+    image, so ``decode(progressive) == decode(baseline)`` bit-for-bit —
+    any defect in the multi-scan state (EOB runs, refinement bits,
+    band boundaries, DC point transform) breaks pixel equality, which
+    flips ``exact_match`` and breaks the hash."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from weather_api_automate_etl_spark.sources import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in PROG_JPEG_STATS_SCHEMA.fieldNames()}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                arr = codecs.decode_jpeg(bytes(content))
+                baseline = codecs.decode_jpeg(
+                    codecs.encode_jpeg(
+                        _jpeg_progressive_pixels(int(aid)), quality=75
+                    )
+                )
+                out["asset_id"].append(aid)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["n_channels"].append(arr.shape[2])
+                out["n_blocks"].append(
+                    -(-arr.shape[1] // 8) * -(-arr.shape[0] // 8)
+                )
+                out["exact_match"].append(bool(np.array_equal(arr, baseline)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, PROG_JPEG_STATS_SCHEMA)
+
+
 JPEG_STATS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
