@@ -50,11 +50,21 @@ def test_oracle_keys_subset():
 def test_priority_order_names_are_registered():
     """Every PRIORITY_ORDER name must exist in the registry — a dangling
     name is silently skipped by _ordered_registry, which would quietly
-    shift the verification window (the round-3 advice finding)."""
-    from weather_api_automate_etl_spark.queries import PRIORITY_ORDER
+    shift the verification window (the round-3 advice finding). Names
+    retired via the documented displacement ledger (DISPLACED) are the
+    one exception: the historical window-head tuples stay verbatim."""
+    from weather_api_automate_etl_spark.queries import DISPLACED, PRIORITY_ORDER
 
-    dangling = [n for n in PRIORITY_ORDER if n not in REGISTRY]
+    dangling = [
+        n for n in PRIORITY_ORDER if n not in REGISTRY and n not in DISPLACED
+    ]
     assert not dangling, f"PRIORITY_ORDER lists unregistered queries: {dangling}"
+    ghosts = set(DISPLACED) & set(REGISTRY)
+    assert not ghosts, f"DISPLACED queries still registered: {ghosts}"
+    # a displaced name must not occupy a slot in the CURRENT window
+    from weather_api_automate_etl_spark.queries import ROUND10_WINDOW_HEAD
+
+    assert not set(DISPLACED) & set(ROUND10_WINDOW_HEAD)
 
 
 def _driver_verified() -> set[str]:

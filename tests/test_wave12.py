@@ -1,11 +1,9 @@
-"""Round-7 wave-12 tests: the constructed-payload compression oracle's
-robustness margins, and the approximate profile's error bound + plan
-shape (no Expand)."""
+"""Round-7 wave-12 tests: the approximate profile's error bound + plan
+shape (no Expand). (The constructed-payload compression margin tests
+lived here rounds 7-9; they retired with q_compression_fixed's round-10
+displacement — queries.py::DISPLACED.)"""
 
 from __future__ import annotations
-
-import math
-import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -13,63 +11,6 @@ from pyspark.sql import functions as F
 from weather_api_automate_etl_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
-
-
-def _payload(d: int) -> str:
-    import hashlib
-
-    def md5(s: str) -> str:
-        return hashlib.md5(s.encode()).hexdigest()
-
-    chain = "".join(md5(f"{d}-{i}") for i in range(16))
-    r = d % 4
-    if r == 0:
-        return "a" * (200 + 13 * d)
-    if r == 1:
-        return "the quick brown fox jumps " * (20 + d)
-    return chain if r == 2 else chain + "a" * 400
-
-
-EXPECTED_BUCKET = {0: 0.0, 1: 0.0, 2: 0.5, 3: 0.3}
-
-
-def test_fixed_payload_buckets_have_margin_across_levels():
-    """The literal buckets in q_compression_fixed's oracle are only honest
-    if every payload's ratio sits WELL inside its decile for ANY
-    conformant deflate. Re-derive each payload locally and pin: bucket
-    matches the oracle formula at every zlib level 1-9, and the level-6
-    ratio keeps ≥0.02 margin to both bucket edges."""
-    for d in range(40):
-        p = _payload(d).encode()
-        want = EXPECTED_BUCKET[d % 4]
-        for lvl in range(1, 10):
-            ratio = round(len(zlib.compress(p, lvl)) / len(p), 6)
-            bucket = math.floor(ratio * 10) / 10
-            assert bucket == want, (d, lvl, ratio)
-            if lvl == 6:
-                margin = min(ratio - bucket, bucket + 0.1 - ratio)
-                assert margin >= 0.02, (d, ratio, margin)
-
-
-def test_fixed_payloads_match_spark_construction(spark):
-    """The Spark-side payload construction (repeat/md5 columns) must
-    produce byte-identical strings to the local reference build — the
-    same strings the DuckDB oracle constructs."""
-    from weather_api_automate_etl_spark.queries_wave12 import (
-        _fixed_payload_col,
-    )
-
-    got = {
-        r.doc_id: r.text
-        for r in load_table(spark, SF, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") < 40)
-        .withColumn("text", _fixed_payload_col())
-        .collect()
-    }
-    assert len(got) == 40
-    for d in range(40):
-        assert got[d] == _payload(d), d
 
 
 def test_profile_approx_error_bound_and_shape(spark):

@@ -525,378 +525,84 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _load_extensions() -> None:
-    """Extension queries register themselves on import (kept in a separate
-    module so the core §2 inventory stays readable)."""
-    from weather_api_automate_etl_spark import (  # noqa: F401
-        queries_advanced,
-        queries_analytics,
-        queries_ext,
-        queries_mlprep,
-        queries_statml,
-        queries_wave4,
-        queries_wave5,
-        queries_wave6,
-        queries_wave7,
-        queries_wave8,
-        queries_wave9,
-        queries_wave10,
-        queries_wave11,
-        queries_wave12,
-        queries_wave13,
-        queries_wave14,
-        queries_wave15,
-        queries_wave16,
-        queries_wave17,
-        queries_wave18,
-        queries_wave19,
-        queries_wave20,
-        queries_wave21,
-        queries_wave22,
-        queries_wave23,
-        queries_wave24,
-        queries_wave25,
-        queries_wave26,
-        queries_wave27,
-        queries_wave28,
-        queries_wave29,
-        queries_wave30,
-        queries_wave31,
-        queries_wave32,
-        queries_wave33,
-        queries_wave34,
-        queries_wave35,
-        queries_wave36,
-        queries_wave37,
-        queries_wave38,
-        queries_wave39,
-        queries_wave40,
-        queries_wave41,
-        queries_wave42,
-        queries_wave43,
-        queries_wave44,
-        queries_wave45,
-        queries_wave46,
-        queries_wave47,
-        queries_wave48,
-        queries_wave49,
-        queries_wave50,
-        queries_wave51,
-        queries_wave52,
-        queries_wave53,
-        queries_wave54,
-        queries_wave55,
-        queries_wave56,
-        queries_wave57,
-        queries_wave58,
-        queries_wave59,
-    )
+    """Extension queries register themselves on import (kept in separate
+    modules so the core §2 inventory stays readable). Every sibling
+    ``queries_*`` module is imported, numerically ordered (wave4 before
+    wave40) — adding a wave file needs no edit here, and a typo'd module
+    name can't be silently skipped (the round-10 consolidation of the
+    former 56-line literal import list)."""
+    import importlib
+    import re
+    from pathlib import Path
+
+    here = Path(__file__)
+    for p in sorted(
+        here.parent.glob("queries_*.py"),
+        key=lambda p: [
+            int(s) if s.isdigit() else s
+            for s in re.split(r"(\d+)", p.stem)
+        ],
+    ):
+        importlib.import_module(f"{__package__}.{p.stem}")
 
 
 # Priority order for the registry as exposed to the driver. External
 # verification records exactly the first 50 registry entries per round, so
 # window placement is evidence strategy: the union of per-round CORRECTNESS
 # files should converge on the whole registry and no green row should turn
-# 4+ rounds stale. Evidence state at round-7 close (regenerated from the
-# tracked CORRECTNESS_r01..r07 files, which test_queries_registry also
-# reads): 192 of 205 registered queries hold a green driver row — 47 last
-# verified r7, 43 r6, 41 r5, 42 r4, 19 r3 — and 13 hold none (the 10
-# ROUND8_PENDING hand-off queries plus the 3 rows-only-by-nature entries,
-# which record `no_oracle` rather than green rows). The round-8 window
-# therefore opens with the full 10-query round-7 hand-off (the ledger
-# capstone + TIFF/Bloom/drift, each local-oracle green at all three SFs),
-# then ALL 19 r3-era rows (the stalest evidence in the union), then a
-# 21-slot backfill drawn from the r4-era cohort chosen to re-verify the
-# §2 reference backbone (ingest/tests/joins/aggs) plus one query per
-# LLM-pipeline family, with q_pca_project taking the final slot on the
-# strength of its round-8 hash-oracle upgrade (fixed-round deflated power
-# iteration — the q_kmeans trick).
-# Anything registered but unlisted is appended in registration order (new
-# queries are never silently dropped); test_queries_registry asserts every
-# listed name is registered, that the head is exactly the prefix, and that
-# nothing unverified sits outside the head except ROUND9_PENDING.
+# 4+ rounds stale. Anything registered but unlisted is appended in
+# registration order (new queries are never silently dropped);
+# test_queries_registry asserts every listed name is registered, that the
+# head is exactly the prefix, and that nothing unverified sits outside the
+# head except the committed forward schedule.
 
-ROUND8_WINDOW_HEAD: tuple[str, ...] = (
-    # -- never driver-verified: the round-7 hand-off (ROUND8_PENDING) ------
-    "q_multimodal_decode_tiff",
-    "q_bloom_prune",
-    "q_ledger_merge",
-    "q_ledger_skip",
-    "q_streaming_ledger_sink",
-    "q_ledger_delete",
-    "q_ledger_cdf",
-    "q_psi_drift",
-    "q_ks_drift",
-    "q_seasonal_decompose",
-    # -- stalest evidence first: ALL 19 remaining r3-era rows --------------
-    "q_cluster_survivors",
-    "q_dup_shingles",
-    "q_multimodal_resize",
-    "q_multimodal_resize_real",
-    "q_pack_estimate",
-    "q_pagerank",
-    "q_percentiles",
-    "q_pivot",
-    "q_repetition",
-    "q_rollup",
-    "q_scd2",
-    "q_semi_anti_join",
-    "q_set_ops",
-    "q_source_mix",
-    "q_stats_moments",
-    "q_streaming_sessions",
-    "q_test_relationships",
-    "q_text_chunks",
-    "q_weighted_sample",
-    # -- 21-slot backfill from the r4 cohort: the §2 reference backbone ----
-    "q_json_extract",
-    "q_lineage_cols",
-    "q_string_normalize",
-    "q_quality_filter",
-    "q_range_bucket",
-    "q_test_unique",
-    "q_test_not_null",
-    "q_test_accepted_values",
-    "q_join_fct_dim",
-    "q_groupby_minmax_count",
-    "q_distinct",
-    "q_pricing_summary",
-    # -- plus one per LLM-pipeline family (all r4-era) ---------------------
-    "q_dedup_exact",
-    "q_minhash_pairs",
-    "q_topk_similarity",
-    "q_knn_join",
-    "q_text_tokens",
-    "q_event_windows",
-    "q_streaming_event_windows",
-    "q_multimodal_decode",
-    # -- round-8 hash upgrade: eigh replaced by fixed-round deflated power
-    # iteration so the projection is recursive-CTE oracle-able ------------
-    "q_pca_project",
-)
 
-# Round-7 window head, retained verbatim for the evidence audit trail (it
-# is the exact 50-entry prefix CORRECTNESS_r07.json recorded).
-ROUND7_WINDOW_HEAD: tuple[str, ...] = (
-    # -- never driver-verified: the round-6 hand-off (ROUND7_PENDING) ------
-    "q_e2e_weather_pipeline",
-    "q_profile_table",
-    "q_zorder_layout",
-    "q_bpe_pair_counts",
-    "q_bpe_merge",
-    "q_hard_negatives",
-    "q_ann_recall_kmeans",
-    "q_streaming_merge_sink",
-    "q_kcore",
-    "q_preagg_reuse",
-    "q_pca_power_project",
-    "q_late_events",
-    "q_bpe_merge_table",
-    "q_mode_by_group",
-    "q_scd2_asof",
-    "q_schema_evolution",
-    "q_fellegi_sunter",
-    "q_chi_square",
-    # -- the (former) no-oracle residue and its round-7 hash evidence ------
-    "q_kmeans",                # UPGRADED r7: convergence-gated recursive-CTE oracle
-    "q_kmeans_fixed",          # fresh triple-pass row beside it (r6 verdict task 4)
-    "q_pca_project",           # no_oracle by nature (eigh); hash twin q_pca_power_project above
-    "q_compression_ratio",     # no_oracle by nature (corpus text is not SF-stable)
-    "q_compression_fixed",     # NEW r7: constructed-payload deflate hash twin
-    "q_profile_table_approx",  # NEW r7: rows-only by nature (HLL estimate)
-    # -- §2 core sentinels (semantics traps + the ingest family) -----------
-    "q_case_ilike",
-    "q_date_parts",
-    "q_surrogate_key",
-    "q_ingest_smoke",
-    # -- backfill, stalest driver row first: all 18 remaining r2 rows ------
-    "q_ann_ivf",
-    "q_char_ngrams",
-    "q_dedup_clusters",
-    "q_embedding_norm",
-    "q_fingerprint",
-    "q_lang_id",
-    "q_lsh_buckets",
-    "q_minhash_jaccard_estimate",
-    "q_multimodal_meta",
-    "q_neardup_cosine",
-    "q_neardup_lsh",
-    "q_ngram_jaccard",
-    "q_quality_score",
-    "q_session_windows",
-    "q_simhash",
-    "q_simhash_pairs",
-    "q_token_count",
-    "q_window_rank",
-    # -- four stalest r3 rows; q_streaming_stateful = streaming family rep
-    # AND the round-6 bench watch item ------------------------------------
-    "q_streaming_stateful",
-    "q_bm25",
-    "q_centroid_assign",
-    "q_moving_avg",
-)
+def _recorded_window(round_no: int) -> tuple[str, ...]:
+    """The exact 50-name window a past round's driver run recorded, read
+    from the committed CORRECTNESS file (which preserves sample order) —
+    the file IS the audit trail, so the historical window heads are no
+    longer duplicated here as literal tuples (round-10 consolidation;
+    the round-8/7 window rationales live in the git history of this
+    block and in PARITY.md)."""
+    import json
+    from pathlib import Path
 
-#: The round-7 hand-off, now fully absorbed into ROUND8_WINDOW_HEAD (its
-#: first ten entries, in this order). Kept as a named tuple because the
-#: registry test and PARITY.md narrate the hand-off mechanism by name.
-ROUND8_PENDING: tuple[str, ...] = (
-    "q_multimodal_decode_tiff",
-    "q_bloom_prune",
-    "q_ledger_merge",
-    "q_ledger_skip",
-    "q_streaming_ledger_sink",
-    "q_ledger_delete",
-    "q_ledger_cdf",
-    "q_psi_drift",
-    "q_ks_drift",
-    "q_seasonal_decompose",
-)
+    p = (
+        Path(__file__).resolve().parent.parent
+        / f"CORRECTNESS_r{round_no:02d}.json"
+    )
+    return tuple(json.loads(p.read_text()))
 
-#: Round-8 additions that arrive AFTER the 50-entry window froze. New
-#: queries land here local-oracle green and open round 9's window —
-#: together with the stale-row rotation: once round 8's rows land, the
-#: stalest evidence is the 22 remaining r4-era rows (q_array_agg,
-#: q_asof_join, q_decontaminate, q_dedup_incremental, q_group_centroids,
-#: q_interval_join, q_length_hist, q_mixture_sample,
-#: q_multimodal_decode_png, q_multimodal_decode_wav,
-#: q_multimodal_video_frames, q_pack_assign, q_pii_redact, q_quality_gate,
-#: q_range_join, q_salted_join, q_snapshot_diff, q_sql_interface,
-#: q_top_revenue, q_topn_per_group, q_unigram_logprob, q_winsorize).
-#: With 90 pending entries below and only 50 slots, round 9's head is
-#: the FIRST 50 pending entries in registration order; the remaining 40
-#: (q_kaplan_meier, q_benford, q_org_hierarchy, q_skyline_2d,
-#: q_dynamic_partition_pruning, q_csv_error_routing, q_link_prediction,
-#: q_hits, q_wilcoxon, q_weighted_quantile, q_kneser_ney,
-#: q_clustering_coeff, q_logrank, q_t_closeness, q_ridge_normal_eq,
-#: q_mann_kendall, q_attribution_linear, q_theil_sen, q_rrf_fusion,
-#: q_ndcg, q_orc_roundtrip, q_mrr, q_anova_oneway, q_holt_winters,
-#: q_textrank, q_paired_t, q_decision_stump, q_backtest_naive,
-#: q_impute_median, q_bh_fdr, q_streaks, q_control_chart,
-#: q_rare_collapse, q_drift_sweep_fdr, q_srm_check, q_lag_features,
-#: q_quality_suite, q_trimmed_mean, q_minmax_scale, q_ordinal_encode)
-#: plus all 22 r4-era rows
-#: open round 10's head — the r4 rows will then be 6 rounds old, the
-#: price of this round's 33-query surface growth, so round 10's window
-#: must NOT take new-query hand-offs ahead of them.
-ROUND9_PENDING: tuple[str, ...] = (
-    "q_ledger_skip_files",
-    "q_mv_incremental",
-    "q_ledger_delete_dv",
-    "q_streaming_mv",
-    "q_ledger_zorder",
-    "q_ann_pq",
-    "q_ledger_evolve",
-    "q_js_drift",
-    "q_bpe_encode",
-    # wave 14: multi-writer ledger semantics + round-8 operator additions
-    "q_ledger_timetravel",
-    "q_ledger_restore",
-    "q_ledger_concurrent",
-    "q_ledger_vacuum",
-    "q_ann_ivfpq",
-    "q_cdc_apply",
-    "q_perplexity_buckets",
-    # wave 15: streaming CDC consumer, residual PQ, nonparametric test
-    "q_streaming_cdc_apply",
-    "q_ann_ivfadc",
-    "q_mann_whitney",
-    "q_ledger_clone",
-    "q_ledger_constraint",
-    "q_streaming_left_join",
-    "q_ledger_history",
-    "q_merge_when",
-    "q_kfold",
-    "q_k_anonymity",
-    "q_bpe_fertility",
-    # wave 16: co-located joins, graph search, rank stats, forecasting,
-    # governance releases, data selection, perceptual image dedup
-    "q_bucketed_join",
-    "q_bfs_distance",
-    "q_spearman_corr",
-    "q_holt_linear",
-    "q_l_diversity",
-    "q_dp_counts",
-    "q_dsir_weights",
-    "q_image_dhash",
-    # wave 17: distributed uncertainty, dependence, weighted search,
-    # spatial joins, asymmetric dedup
-    "q_bootstrap_ci",
-    "q_mutual_info",
-    "q_sssp",
-    "q_geo_join",
-    "q_containment",
-    # wave 18: leakage-safe encoding, audio features, partition-spec
-    # evolution, readability, path mining
-    "q_target_encode",
-    "q_audio_features",
-    "q_ledger_repartition",
-    "q_readability",
-    "q_path_ngrams",
-    # wave 19: recommendations, calibration, diversity re-ranking,
-    # held-out LM scoring
-    "q_item_cf",
-    "q_calibration_ece",
-    "q_mmr_rerank",
-    "q_stupid_backoff",
-    # wave 20: matrix factorization, survival analysis, fraud screens
-    "q_als_factors",
-    "q_kaplan_meier",
-    "q_benford",
-    # wave 21: logarithmic hierarchy flattening, Pareto frontiers
-    "q_org_hierarchy",
-    "q_skyline_2d",
-    # wave 22: runtime partition pruning, format-layer error routing
-    "q_dynamic_partition_pruning",
-    "q_csv_error_routing",
-    # wave 23: link prediction, asymmetric link analysis
-    "q_link_prediction",
-    "q_hits",
-    # wave 24: paired nonparametric testing, weighted quantiles
-    "q_wilcoxon",
-    "q_weighted_quantile",
-    # wave 25: Kneser-Ney smoothing, local clustering coefficients
-    "q_kneser_ney",
-    "q_clustering_coeff",
-    # wave 26: log-rank survival comparison, t-closeness release gate
-    "q_logrank",
-    "q_t_closeness",
-    # wave 27: closed-form ridge normal equations, Mann-Kendall trend
-    "q_ridge_normal_eq",
-    "q_mann_kendall",
-    # wave 28: linear multi-touch attribution, Theil-Sen robust trend
-    "q_attribution_linear",
-    "q_theil_sen",
-    # wave 29: reciprocal-rank fusion, NDCG ranking evaluation
-    "q_rrf_fusion",
-    "q_ndcg",
-    # wave 30: ORC interchange roundtrip, mean reciprocal rank
-    "q_orc_roundtrip",
-    "q_mrr",
-    # wave 31: one-way ANOVA, Holt-Winters seasonal smoothing
-    "q_anova_oneway",
-    "q_holt_winters",
-    # wave 32: TextRank keywords, paired t-test
-    "q_textrank",
-    "q_paired_t",
-    # wave 33: CART decision stump, seasonal-naive backtest
-    "q_decision_stump",
-    "q_backtest_naive",
-    # wave 34: per-group median imputation, Benjamini-Hochberg FDR
-    "q_impute_median",
-    "q_bh_fdr",
-    # wave 35: gaps-and-islands streaks, Shewhart control chart
-    "q_streaks",
-    "q_control_chart",
-    # wave 36: rare-category collapse, chi-square drift sweep + FDR
-    "q_rare_collapse",
-    "q_drift_sweep_fdr",
-    # wave 37: sample-ratio-mismatch guardrail, lag-feature matrix
-    "q_srm_check",
-    "q_lag_features",
-    # wave 38: dbt-style test-suite report, trimmed means
-    "q_quality_suite",
-    "q_trimmed_mean",
-    # wave 39: min-max feature scaling, frequency-ordinal encoding
-    "q_minmax_scale",
+
+ROUND8_WINDOW_HEAD: tuple[str, ...] = _recorded_window(8)
+ROUND7_WINDOW_HEAD: tuple[str, ...] = _recorded_window(7)
+
+#: The round-7 hand-off, absorbed into ROUND8_WINDOW_HEAD as its first
+#: ten entries (PARITY.md narrates the hand-off mechanism by name).
+ROUND8_PENDING: tuple[str, ...] = ROUND8_WINDOW_HEAD[:10]
+
+#: The round-8 hand-off ledger: round-8 additions landed here
+#: local-oracle green and opened round 9's 50-slot window (its exact
+#: composition is now read from CORRECTNESS_r09.json above); the 40-name
+#: tail below plus the 22 r4-era stale rows (R4_ERA_STALE, further down)
+#: fill rounds 10-11 per the committed schedule.
+ROUND9_PENDING: tuple[str, ...] = _recorded_window(9) + (
+    # the 40 names past round 9's 50-slot window (waves 20-39, in
+    # registration order) — the head 50 are read from the committed
+    # CORRECTNESS_r09.json, which recorded them in exactly this order
+    "q_kaplan_meier", "q_benford", "q_org_hierarchy",
+    "q_skyline_2d", "q_dynamic_partition_pruning", "q_csv_error_routing",
+    "q_link_prediction", "q_hits", "q_wilcoxon",
+    "q_weighted_quantile", "q_kneser_ney", "q_clustering_coeff",
+    "q_logrank", "q_t_closeness", "q_ridge_normal_eq",
+    "q_mann_kendall", "q_attribution_linear", "q_theil_sen",
+    "q_rrf_fusion", "q_ndcg", "q_orc_roundtrip",
+    "q_mrr", "q_anova_oneway", "q_holt_winters",
+    "q_textrank", "q_paired_t", "q_decision_stump",
+    "q_backtest_naive", "q_impute_median", "q_bh_fdr",
+    "q_streaks", "q_control_chart", "q_rare_collapse",
+    "q_drift_sweep_fdr", "q_srm_check", "q_lag_features",
+    "q_quality_suite", "q_trimmed_mean", "q_minmax_scale",
     "q_ordinal_encode",
 )
 
@@ -928,61 +634,27 @@ ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
 #: head of round 10's window ahead of the tail (they are the only
 #: never-verified names outside this round's head).
 ROUND10_NEW: tuple[str, ...] = (
-    # round-9 oracle upgrades: the registry's last two no_oracle entries,
-    # now hash-oracled (portable md5-HLL profile; precomputed zlib lookup)
-    # — queued so the driver converts their rows-only history into real
-    # triple-green rows next round
-    "q_profile_table_approx",
-    "q_compression_ratio",
-    # round-9 addition: Adam7 interlaced PNG decode (wave 40)
-    "q_multimodal_decode_interlaced",
-    # round-9 additions, waves 41-44: classifier evaluation (ROC AUC,
-    # PR sweep), interval union + lagged cross-correlation, JL random
-    # projection + Brier decomposition, caliper propensity matching
-    "q_roc_auc",
-    "q_pr_sweep",
-    "q_interval_coalesce",
-    "q_cross_corr",
-    "q_jl_project",
-    "q_brier_decomposition",
-    "q_caliper_match",
-    # round-9 additions, waves 45-46: k-group rank test, time-decay
-    # attribution, LSH banding recall audit
-    "q_kruskal_wallis",
-    "q_attribution_decay",
-    "q_lsh_recall",
-    # round-9 additions, wave 47: HRW resharding audit, embedding drift
-    "q_reshard_stability",
-    "q_embedding_drift",
-    # round-9 additions, wave 48: conformal intervals, Good-Turing
-    "q_conformal",
-    "q_good_turing",
-    # round-9 additions, wave 49: FD + monotonicity contract tests
-    "q_test_functional_dep",
-    "q_test_monotonic",
-    # round-9 addition, wave 50: CUPED variance-reduced A/B readout
-    "q_cuped",
-    # round-9 addition, wave 51: order-statistic median CI
-    "q_median_ci",
-    # round-9 additions, wave 52: paired-classifier + agreement stats
-    "q_mcnemar",
-    "q_cohens_kappa",
-    # round-9 additions, wave 53: Youden cutoff + decile gains/lift
-    "q_youden_cutoff",
-    "q_gains_table",
-    # round-9 additions, wave 54: rolling actives + new-vs-returning
-    "q_rolling_actives",
-    "q_new_vs_returning",
-    # round-9 additions, wave 55: exact daily percentiles + stickiness
-    "q_daily_percentiles",
-    "q_stickiness",
-    # round-9 addition, wave 56: monthly-cohort LTV curve
-    "q_cohort_ltv",
-    # round-9 additions, wave 57: funnel timing + MDE power check
-    "q_time_to_convert",
-    "q_mde",
-    # round-9 additions, wave 58: corpus-health diagnostics
-    "q_dup_rate_by_source",
+    # the two round-9 oracle upgrades (portable md5-HLL profile;
+    # precomputed zlib lookup — the registry's last no_oracle rows,
+    # queued for their first triple-green driver rows) followed by the
+    # wave 40-58 additions in registration order: interlaced PNG,
+    # classifier evaluation (ROC/PR/Brier/Youden/gains), intervals,
+    # cross-correlation, JL projection, matching, rank tests,
+    # attribution, LSH recall, resharding, drift, conformal,
+    # Good-Turing, FD/monotonic contracts, CUPED, median CI, paired
+    # stats, rolling actives, percentiles, stickiness, LTV, funnel
+    # timing, MDE, corpus health (dup rates, Heaps law)
+    "q_profile_table_approx", "q_compression_ratio", "q_multimodal_decode_interlaced",
+    "q_roc_auc", "q_pr_sweep", "q_interval_coalesce",
+    "q_cross_corr", "q_jl_project", "q_brier_decomposition",
+    "q_caliper_match", "q_kruskal_wallis", "q_attribution_decay",
+    "q_lsh_recall", "q_reshard_stability", "q_embedding_drift",
+    "q_conformal", "q_good_turing", "q_test_functional_dep",
+    "q_test_monotonic", "q_cuped", "q_median_ci",
+    "q_mcnemar", "q_cohens_kappa", "q_youden_cutoff",
+    "q_gains_table", "q_rolling_actives", "q_new_vs_returning",
+    "q_daily_percentiles", "q_stickiness", "q_cohort_ltv",
+    "q_time_to_convert", "q_mde", "q_dup_rate_by_source",
     "q_heaps_law",
 )
 
@@ -1001,29 +673,33 @@ ROUND10_WINDOW_HEAD: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:66]
 #: by round 10's close). They re-verify in round 11 per the committed
 #: schedule below.
 R4_ERA_STALE: tuple[str, ...] = (
-    "q_array_agg",
-    "q_asof_join",
-    "q_decontaminate",
-    "q_dedup_incremental",
-    "q_group_centroids",
-    "q_interval_join",
-    "q_length_hist",
-    "q_mixture_sample",
-    "q_multimodal_decode_png",
-    "q_multimodal_decode_wav",
-    "q_multimodal_video_frames",
-    "q_pack_assign",
-    "q_pii_redact",
-    "q_quality_gate",
-    "q_range_join",
-    "q_salted_join",
-    "q_snapshot_diff",
-    "q_sql_interface",
-    "q_top_revenue",
-    "q_topn_per_group",
-    "q_unigram_logprob",
+    "q_array_agg", "q_asof_join", "q_decontaminate",
+    "q_dedup_incremental", "q_group_centroids", "q_interval_join",
+    "q_length_hist", "q_mixture_sample", "q_multimodal_decode_png",
+    "q_multimodal_decode_wav", "q_multimodal_video_frames", "q_pack_assign",
+    "q_pii_redact", "q_quality_gate", "q_range_join",
+    "q_salted_join", "q_snapshot_diff", "q_sql_interface",
+    "q_top_revenue", "q_topn_per_group", "q_unigram_logprob",
     "q_winsorize",
 )
+
+#: Queries DISPLACED from the registry (round-9 verdict item 5: a new
+#: operator must displace a weaker one and delete equivalent LoC). The
+#: historical window-head tuples above stay verbatim — the audit trail —
+#: so the registry tests filter through this map instead of rewriting
+#: them. name -> why it was safe to retire.
+DISPLACED: dict[str, str] = {
+    "q_compression_fixed": (
+        "round 10, displaced by q_multimodal_decode_progressive: the "
+        "constructed-payload twin existed solely as hash evidence for "
+        "the zlib operator while q_compression_ratio was rows-only; the "
+        "corpus entry gained a real zlib-lookup oracle in round 9 "
+        "(tools/gen_compression_oracle.py), so the same operator is "
+        "still triple-checked every round — on corpus text, not a "
+        "synthetic stand-in. Driver history: green r07 "
+        "(CORRECTNESS_r07.json)."
+    ),
+}
 
 #: Queries added during round 10 land here local-oracle green and open
 #: round 11's window ahead of the rotation tail (they are the only

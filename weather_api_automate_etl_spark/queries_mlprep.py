@@ -820,9 +820,9 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     defect anywhere in the path — utf-8 byte handling, deflate call,
     ratio math, bucket rule — moves a doc between deciles and breaks the
     hash. Per-doc invariants (bounds, monotonicity, cross-level bucket
-    stability, regime anchors) stay pinned in tests/test_mlprep.py; the
-    constructed-payload twin q_compression_fixed keeps the
-    version-robust literal-bucket check."""
+    stability, regime anchors) stay pinned in tests/test_mlprep.py.
+    (The constructed-payload twin q_compression_fixed covered this
+    operator rounds 7-9; displaced in round 10 — queries.py::DISPLACED.)"""
     per_doc = textops.compression_ratio(t(spark, sf_dir, "documents"))
     return (
         per_doc.filter(F.col("ratio").isNotNull())

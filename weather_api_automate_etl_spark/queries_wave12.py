@@ -2,14 +2,10 @@
 that were previously rows-only "by nature", each via a different oracle
 discipline:
 
-- ``q_compression_fixed``: the zlib compression-ratio operator driven over
-  CONSTRUCTED payloads both engines can build verbatim (repeat/md5 — the
-  codec family's generation-parameter-oracle pattern), with the
-  version-robust decile bucket as the hashed readout and literal expected
-  buckets in the oracle. The corpus entry q_compression_ratio stays
-  rows-only because the fixture's text differs between scale factors (the
-  per-SF md5s are recorded in PARITY.md), so no literal oracle over corpus
-  text can hold across the sf0.001/0.01/0.1 sweeps.
+- ``q_compression_fixed`` lived here rounds 7-9 (constructed-payload
+  hash twin for the zlib operator while the corpus entry was rows-only);
+  it was DISPLACED in round 10 (queries.py::DISPLACED) once
+  q_compression_ratio gained its real zlib-lookup oracle.
 - ``q_profile_table_approx``: the 100 TB profile path — HLL++
   ``approx_count_distinct`` replacing the exact count's per-column Expand
   (the round-6 verdict's named watch item on q_profile_table). The
@@ -55,98 +51,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weather_api_automate_etl_spark.queries import query, t
 from weather_api_automate_etl_spark.queries_wave9 import _PROFILE_COLS
-
-# ---------------------------------------------------------------------------
-# compression ratio over constructed payloads (hash-oracle twin)
-# ---------------------------------------------------------------------------
-
-#: Four deterministic compressibility regimes, keyed by doc_id % 4. Both
-#: engines construct the IDENTICAL strings (repeat + md5-chain are
-#: bit-portable), and the expected level-6 deflate decile of every payload
-#: was verified stable across zlib levels 1-9 with ≥0.0225 margin to the
-#: nearest bucket edge (tests/test_wave12.py re-pins the margin), so the
-#: literal buckets in the oracle are robust to any conformant deflate:
-#:   0 → 'a' run                  (ratio ≈ 0.03-0.06 → bucket 0.0)
-#:   1 → repeated 26-char phrase  (ratio ≈ 0.04-0.08 → bucket 0.0)
-#:   2 → 16-link md5 hex chain    (ratio ≈ 0.57     → bucket 0.5)
-#:   3 → hex chain + 'a'*400 tail (ratio ≈ 0.33     → bucket 0.3)
-_N_FIXED_PAYLOADS = 40
-
-
-def _fixed_payload_col() -> F.Column:
-    d = F.col("doc_id")
-    chain = F.concat(
-        *[
-            F.md5(F.concat(d.cast("string"), F.lit(f"-{i}")))
-            for i in range(16)
-        ]
-    )
-    r = d % 4
-    return (
-        F.when(r == 0, F.repeat(F.lit("a"), (200 + 13 * d).cast("int")))
-        .when(
-            r == 1,
-            F.repeat(
-                F.lit("the quick brown fox jumps "), (20 + d).cast("int")
-            ),
-        )
-        .when(r == 2, chain)
-        .otherwise(F.concat(chain, F.lit("a" * 400)))
-    )
-
-
-def _fixed_payload_oracle() -> str:
-    chain = "concat(" + ", ".join(
-        f"md5(concat(CAST(doc_id AS VARCHAR), '-{i}'))" for i in range(16)
-    ) + ")"
-    return f"""
-    WITH p AS (
-      SELECT doc_id,
-             CASE CAST(doc_id % 4 AS INTEGER)
-               WHEN 0 THEN repeat('a', CAST(200 + 13 * doc_id AS INTEGER))
-               WHEN 1 THEN repeat('the quick brown fox jumps ',
-                                  CAST(20 + doc_id AS INTEGER))
-               WHEN 2 THEN {chain}
-               ELSE concat({chain}, repeat('a', 400))
-             END AS text
-      FROM documents WHERE doc_id < {_N_FIXED_PAYLOADS}
-    )
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS raw_bytes,
-           CASE CAST(doc_id % 4 AS INTEGER)
-             WHEN 2 THEN 0.5e0 WHEN 3 THEN 0.3e0 ELSE 0.0e0
-           END AS ratio_bucket
-    FROM p
-    """
-
-
-@query(
-    "q_compression_fixed",
-    oracle=_fixed_payload_oracle(),
-    tags=("text", "quality"),
-)
-def q_compression_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The compression-ratio operator (operators/textops.py::
-    compression_ratio — real zlib deflate in Arrow batches) driven over
-    payloads CONSTRUCTED identically in both engines, reduced to the
-    version-robust decile bucket. Any defect in the operator's byte
-    handling, ratio math, or bucket rule moves a payload out of its
-    predicted decile and breaks the hash — upgrading the compression
-    signal from rows-only to a full triple-check (round-6 verdict task 7;
-    the corpus-text entry q_compression_ratio remains rows-only because
-    fixture text is not SF-stable — see module docstring)."""
-    from weather_api_automate_etl_spark.operators import textops
-
-    payloads = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") < _N_FIXED_PAYLOADS)
-        .withColumn("text", _fixed_payload_col())
-    )
-    return textops.compression_ratio(payloads).select(
-        "doc_id", "raw_bytes", "ratio_bucket"
-    )
-
 
 # ---------------------------------------------------------------------------
 # approximate table profile (the no-Expand 100 TB path)

@@ -865,18 +865,28 @@ _PROG_SCRIPT: tuple[tuple[tuple[int, ...], int, int, int, int], ...] = (
 )
 
 
+def _flush_eobrun(bw, ac_tab, state) -> None:
+    """Emit the pending EOBn code + extension bits and any buffered
+    correction bits (refinement scans) — shared by both progressive AC
+    scan encoders (G.1.2.2 / G.1.2.3)."""
+    if state["eobrun"] > 0:
+        r = state["eobrun"].bit_length() - 1
+        c, ln = ac_tab[r << 4]
+        bw.write(c, ln)
+        bw.write(state["eobrun"] - (1 << r), r)
+        state["eobrun"] = 0
+    for bit in state["br"]:
+        bw.write(bit, 1)
+    state["br"] = []
+
+
 def _enc_ac_first(bw, blocks, Ss, Se, Al, ac_tab, state) -> None:
     """Progressive AC first scan (G.1.2.2) for one component's blocks:
     band run-size coding on the point-transformed magnitudes with
     EOB-run accumulation across blocks (EOBn codes)."""
 
     def flush_eob():
-        if state["eobrun"] > 0:
-            r = state["eobrun"].bit_length() - 1
-            c, ln = ac_tab[r << 4]
-            bw.write(c, ln)
-            bw.write(state["eobrun"] - (1 << r), r)
-            state["eobrun"] = 0
+        _flush_eobrun(bw, ac_tab, state)
 
     for blk in blocks:
         run = 0
@@ -915,15 +925,7 @@ def _enc_ac_refine(bw, blocks, Ss, Se, Al, ac_tab, state) -> None:
     correction bits."""
 
     def flush_eob():
-        if state["eobrun"] > 0:
-            r = state["eobrun"].bit_length() - 1
-            c, ln = ac_tab[r << 4]
-            bw.write(c, ln)
-            bw.write(state["eobrun"] - (1 << r), r)
-            state["eobrun"] = 0
-        for bit in state["br"]:
-            bw.write(bit, 1)
-        state["br"] = []
+        _flush_eobrun(bw, ac_tab, state)
 
     for blk in blocks:
         absv = [abs(int(blk[k])) >> Al for k in range(Ss, Se + 1)]

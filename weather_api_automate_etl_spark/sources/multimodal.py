@@ -9,10 +9,11 @@ The codec step has two tiers:
 
 - ``decode_stub=True`` — deterministic fake feature row (any media type);
 - ``decode_stub=False`` — a REAL pure-stdlib+NumPy decode for binary PPM,
-  24-bpp BMP, 8-bit PNG (all five scanline filters, RGB/RGBA), baseline
-  JFIF JPEG (4:4:4 SOF0, file-supplied Huffman/quant tables, restart
-  markers) and RIFF/PCM-16 WAV payloads (sources/codecs.py); formats that
-  genuinely need a codec library (progressive/subsampled JPEG, compressed
+  24-bpp BMP, 8-bit PNG (all five scanline filters, RGB/RGBA, Adam7),
+  JFIF JPEG (4:4:4, baseline SOF0 AND progressive SOF2 with successive
+  approximation, file-supplied Huffman/quant tables, restart markers)
+  and RIFF/PCM-16 WAV payloads (sources/codecs.py); formats that
+  genuinely need a codec library (subsampled/12-bit JPEG, compressed
   audio, compressed video) still raise — that is the documented
   PIL/ffmpeg plug point.
 
@@ -64,6 +65,34 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+def _asset_frame(documents, build, media_type=None, cols=("doc_id", "n_chars")):
+    """Shared Arrow scaffolding for the deterministic payload generators:
+    ``build(*ints)`` returns payload bytes (tagged with the fixed
+    ``media_type``) or a ``(payload, media_type)`` pair. Bytes are
+    synthesized AND consumed on executors — the driver never sees one."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, fmts = [], []
+            for vals in zip(*[pdf[c] for c in cols]):
+                out = build(*(int(v) for v in vals))
+                p, mt = out if isinstance(out, tuple) else (out, media_type)
+                payloads.append(p)
+                fmts.append(mt)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": fmts,
+                    "content": payloads,
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select(*cols).mapInPandas(run, ASSET_SCHEMA)
+
+
 def documents_as_image_assets(documents: DataFrame) -> DataFrame:
     """Synthesize REAL image payloads (binary PPM / 24-bpp BMP, alternating
     by doc_id parity) deterministically from document columns, so the
@@ -75,36 +104,21 @@ def documents_as_image_assets(documents: DataFrame) -> DataFrame:
     and pixel (0,0) inverted — a flipped/offset decode moves that pixel and
     is caught by the first-pixel check."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d, n):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads, fmts = [], []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                w, h = int(doc_id) % 13 + 2, int(doc_id) % 7 + 2
-                r, g, b = int(doc_id) % 256, int(n_chars) % 256, int(doc_id) * 7 % 256
-                px = np.empty((h, w, 3), dtype=np.uint8)
-                px[:, :] = (r, g, b)
-                px[0, 0] = (255 - r, 255 - g, 255 - b)
-                if int(doc_id) % 2 == 0:
-                    payloads.append(codecs.encode_bmp(px))
-                    fmts.append("image/bmp")
-                else:
-                    payloads.append(codecs.encode_ppm(px))
-                    fmts.append("image/x-portable-pixmap")
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": fmts,
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        w, h = d % 13 + 2, d % 7 + 2
+        r, g, b = d % 256, n % 256, d * 7 % 256
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :] = (r, g, b)
+        px[0, 0] = (255 - r, 255 - g, 255 - b)
+        if d % 2 == 0:
+            return codecs.encode_bmp(px), "image/bmp"
+        return codecs.encode_ppm(px), "image/x-portable-pixmap"
 
-    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build)
 
 
 def documents_as_gif_assets(documents: DataFrame) -> DataFrame:
@@ -118,32 +132,19 @@ def documents_as_gif_assets(documents: DataFrame) -> DataFrame:
     runs grow the LZW string table across a code-width bump, so the
     variable-width path runs in-pipeline, not just in unit fuzz."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d, n):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                d, n = int(doc_id), int(n_chars)
-                w, h = d % 9 + 2, d % 6 + 2
-                fill = (d % 256, d * 5 % 256, d * 11 % 256)
-                first = (255 - d % 256, 255 - n % 256, 255 - d * 7 % 256)
-                idx = np.zeros((h, w), dtype=np.uint8)
-                idx[0, 0] = 1
-                payloads.append(codecs.encode_gif(idx, [fill, first]))
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["image/gif"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        w, h = d % 9 + 2, d % 6 + 2
+        fill = (d % 256, d * 5 % 256, d * 11 % 256)
+        first = (255 - d % 256, 255 - n % 256, 255 - d * 7 % 256)
+        idx = np.zeros((h, w), dtype=np.uint8)
+        idx[0, 0] = 1
+        return codecs.encode_gif(idx, [fill, first])
 
-    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "image/gif")
 
 
 def documents_as_tiff_assets(documents: DataFrame) -> DataFrame:
@@ -157,39 +158,24 @@ def documents_as_tiff_assets(documents: DataFrame) -> DataFrame:
     big-endian byte order when doc_id%5==0, and a 2-row multi-strip
     layout when doc_id%3==0 (external StripOffsets/ByteCounts arrays)."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d, n):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                d, n = int(doc_id), int(n_chars)
-                w, h = d % 10 + 2, d % 7 + 2
-                fill = (d % 256, n % 256, d * 13 % 256)
-                arr = np.empty((h, w, 3), dtype=np.uint8)
-                arr[:, :] = fill
-                arr[0, 0] = tuple(255 - v for v in fill)
-                payloads.append(
-                    codecs.encode_tiff(
-                        arr,
-                        packbits=d % 2 == 1,
-                        rows_per_strip=2 if d % 3 == 0 else None,
-                        big_endian=d % 5 == 0,
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["image/tiff"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        w, h = d % 10 + 2, d % 7 + 2
+        fill = (d % 256, n % 256, d * 13 % 256)
+        arr = np.empty((h, w, 3), dtype=np.uint8)
+        arr[:, :] = fill
+        arr[0, 0] = tuple(255 - v for v in fill)
+        return codecs.encode_tiff(
+            arr,
+            packbits=d % 2 == 1,
+            rows_per_strip=2 if d % 3 == 0 else None,
+            big_endian=d % 5 == 0,
+        )
 
-    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "image/tiff")
 
 
 def documents_as_png_assets(documents: DataFrame) -> DataFrame:
@@ -204,35 +190,22 @@ def documents_as_png_assets(documents: DataFrame) -> DataFrame:
     from (doc_id, n_chars) — i.e. SQL-oracle-able — while the bytes still
     take the full chunk-parse → zlib → unfilter path."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d, n):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                doc_id, n_chars = int(doc_id), int(n_chars)
-                w, h = doc_id % 11 + 2, doc_id % 5 + 2
-                r, g, b = doc_id % 256, n_chars % 256, doc_id * 7 % 256
-                bpp = 3 if doc_id % 2 == 0 else 4
-                px = np.empty((h, w, bpp), dtype=np.uint8)
-                px[:, :, :3] = (r, g, b)
-                if bpp == 4:
-                    px[:, :, 3] = doc_id * 11 % 256
-                px[0, 0, :3] = (255 - r, 255 - g, 255 - b)
-                payloads.append(codecs.encode_png(px, filter_type=doc_id % 5))
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["image/png"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        w, h = d % 11 + 2, d % 5 + 2
+        r, g, b = d % 256, n % 256, d * 7 % 256
+        bpp = 3 if d % 2 == 0 else 4
+        px = np.empty((h, w, bpp), dtype=np.uint8)
+        px[:, :, :3] = (r, g, b)
+        if bpp == 4:
+            px[:, :, 3] = d * 11 % 256
+        px[0, 0, :3] = (255 - r, 255 - g, 255 - b)
+        return codecs.encode_png(px, filter_type=d % 5)
 
-    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "image/png")
 
 
 def documents_as_interlaced_png_assets(documents: DataFrame) -> DataFrame:
@@ -246,39 +219,22 @@ def documents_as_interlaced_png_assets(documents: DataFrame) -> DataFrame:
     scattered a pass on the wrong grid moves pixels — caught by the
     first-pixel and mean checks in the oracle."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d, n):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                doc_id, n_chars = int(doc_id), int(n_chars)
-                w, h = doc_id % 11 + 2, doc_id % 5 + 2
-                r, g, b = doc_id % 256, n_chars % 256, doc_id * 7 % 256
-                bpp = 3 if doc_id % 2 == 0 else 4
-                px = np.empty((h, w, bpp), dtype=np.uint8)
-                px[:, :, :3] = (r, g, b)
-                if bpp == 4:
-                    px[:, :, 3] = doc_id * 11 % 256
-                px[0, 0, :3] = (255 - r, 255 - g, 255 - b)
-                payloads.append(
-                    codecs.encode_png(
-                        px, filter_type=doc_id % 5, interlace=True
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["image/png"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        w, h = d % 11 + 2, d % 5 + 2
+        r, g, b = d % 256, n % 256, d * 7 % 256
+        bpp = 3 if d % 2 == 0 else 4
+        px = np.empty((h, w, bpp), dtype=np.uint8)
+        px[:, :, :3] = (r, g, b)
+        if bpp == 4:
+            px[:, :, 3] = d * 11 % 256
+        px[0, 0, :3] = (255 - r, 255 - g, 255 - b)
+        return codecs.encode_png(px, filter_type=d % 5, interlace=True)
 
-    return documents.select("doc_id", "n_chars").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "image/png")
 
 
 def _jpeg_expected_pixels(doc_id: int) -> "np.ndarray":  # noqa: F821
@@ -311,26 +267,12 @@ def documents_as_jpeg_assets(documents: DataFrame) -> DataFrame:
     parse → DHT/DQT build → Huffman entropy decode → dequant → IDCT →
     color-convert path on decode."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
+    def build(d):
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = [
-                codecs.encode_jpeg(_jpeg_expected_pixels(int(d)), quality=90)
-                for d in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["image/jpeg"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        return codecs.encode_jpeg(_jpeg_expected_pixels(d), quality=90)
 
-    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "image/jpeg", cols=("doc_id",))
 
 
 def _jpeg_progressive_pixels(doc_id: int) -> "np.ndarray":  # noqa: F821
@@ -362,28 +304,14 @@ def documents_as_progressive_jpeg_assets(documents: DataFrame) -> DataFrame:
     from doc_id (codecs.py::encode_jpeg_progressive — the full Annex-G
     scan script: spectral selection + successive approximation)."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
+    def build(d):
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = [
-                codecs.encode_jpeg_progressive(
-                    _jpeg_progressive_pixels(int(d)), quality=75
-                )
-                for d in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["image/jpeg"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        return codecs.encode_jpeg_progressive(
+            _jpeg_progressive_pixels(d), quality=75
+        )
 
-    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "image/jpeg", cols=("doc_id",))
 
 
 PROG_JPEG_STATS_SCHEMA = T.StructType(
@@ -545,36 +473,21 @@ def documents_as_wav_assets(documents: DataFrame) -> DataFrame:
     decoded property is an integer function of doc_id — SQL-oracle-able —
     while the bytes take the full RIFF chunk-walk + PCM parse."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                n_ch = 1 + doc_id % 2
-                n_frames = doc_id % 50 + 10
-                rate = 8000 + (doc_id % 3) * 4000
-                k = np.arange(n_frames * n_ch, dtype=np.int64)
-                flat = (doc_id * 31 + k * 7) % 65536 - 32768
-                payloads.append(
-                    codecs.encode_wav(
-                        flat.astype(np.int16).reshape(n_frames, n_ch), rate
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["audio/wav"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        n_ch = 1 + d % 2
+        n_frames = d % 50 + 10
+        rate = 8000 + (d % 3) * 4000
+        k = np.arange(n_frames * n_ch, dtype=np.int64)
+        flat = (d * 31 + k * 7) % 65536 - 32768
+        return codecs.encode_wav(
+            flat.astype(np.int16).reshape(n_frames, n_ch), rate
+        )
 
-    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "audio/wav", cols=("doc_id",))
 
 
 WAV_STATS_SCHEMA = T.StructType(
@@ -627,36 +540,23 @@ def documents_as_avi_assets(documents: DataFrame) -> DataFrame:
     pixel (0,0) RGB-inverted — per-frame location- and value-sensitive,
     and every decoded property an integer function of (doc_id, f)."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                doc_id = int(doc_id)
-                nf, w, h = doc_id % 6 + 2, doc_id % 7 + 2, doc_id % 4 + 2
-                fps = 5 + (doc_id % 3) * 5
-                frames = np.empty((nf, h, w, 3), dtype=np.uint8)
-                for f in range(nf):
-                    r = (doc_id + f * 11) % 256
-                    g = (doc_id * 3 + f * 17) % 256
-                    b = (doc_id * 7 + f * 23) % 256
-                    frames[f, :, :] = (r, g, b)
-                    frames[f, 0, 0] = (255 - r, 255 - g, 255 - b)
-                payloads.append(codecs.encode_avi(frames, fps=fps))
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "media_type": ["video/x-msvideo"] * len(payloads),
-                    "content": payloads,
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+        nf, w, h = d % 6 + 2, d % 7 + 2, d % 4 + 2
+        fps = 5 + (d % 3) * 5
+        frames = np.empty((nf, h, w, 3), dtype=np.uint8)
+        for f in range(nf):
+            r = (d + f * 11) % 256
+            g = (d * 3 + f * 17) % 256
+            b = (d * 7 + f * 23) % 256
+            frames[f, :, :] = (r, g, b)
+            frames[f, 0, 0] = (255 - r, 255 - g, 255 - b)
+        return codecs.encode_avi(frames, fps=fps)
 
-    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(documents, build, "video/x-msvideo", cols=("doc_id",))
 
 
 VIDEO_FRAME_STATS_SCHEMA = T.StructType(
@@ -903,33 +803,22 @@ def documents_as_gradient_assets(documents: DataFrame) -> DataFrame:
     byte-identical classes — the perceptual-duplicate structure the
     dHash query groups on."""
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    def build(d):
         import numpy as np
-        import pandas as pd
 
         from weather_api_automate_etl_spark.sources import codecs
 
-        for pdf in batches:
-            out = {k: [] for k in ASSET_SCHEMA.fieldNames()}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                a = (d % 5) * 48 + 16
-                b = (d % 3) * 37 + 11
-                s = (d % 16) * 16
-                xs = np.arange(DHASH_W, dtype=np.int64)
-                ys = np.arange(DHASH_H, dtype=np.int64)
-                v = ((a * xs[None, :] + b * ys[:, None] + s) % 256).astype(
-                    np.uint8
-                )
-                px = np.repeat(v[:, :, None], 3, axis=2)
-                payload = codecs.encode_ppm(px)
-                out["asset_id"].append(d)
-                out["media_type"].append("image/x-portable-pixmap")
-                out["content"].append(payload)
-                out["byte_len"].append(len(payload))
-            yield pd.DataFrame(out)
+        a = (d % 5) * 48 + 16
+        b = (d % 3) * 37 + 11
+        s = (d % 16) * 16
+        xs = np.arange(DHASH_W, dtype=np.int64)
+        ys = np.arange(DHASH_H, dtype=np.int64)
+        v = ((a * xs[None, :] + b * ys[:, None] + s) % 256).astype(np.uint8)
+        return codecs.encode_ppm(np.repeat(v[:, :, None], 3, axis=2))
 
-    return documents.select("doc_id").mapInPandas(run, ASSET_SCHEMA)
+    return _asset_frame(
+        documents, build, "image/x-portable-pixmap", cols=("doc_id",)
+    )
 
 
 def image_dhash(assets: DataFrame) -> DataFrame:
