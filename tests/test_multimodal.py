@@ -1014,3 +1014,36 @@ def test_jpeg_progressive_arbitrary_scan_scripts():
             )
     finally:
         codecs._PROG_SCRIPT = saved
+
+
+def test_jpeg_missing_eoi_and_bad_band_bounds():
+    """Foreign-file robustness: a stream truncated right after its
+    entropy data (no EOI — common in the wild) must still decode in
+    full; a corrupt progressive scan header (Se > 63) must raise the
+    documented ValueError, never an IndexError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    base = codecs.encode_jpeg(px, quality=75)
+    assert base.endswith(b"\xff\xd9")
+    assert np.array_equal(
+        codecs.decode_jpeg(base[:-2]), codecs.decode_jpeg(base)
+    )
+    prog = codecs.encode_jpeg_progressive(px, quality=75)
+    assert np.array_equal(
+        codecs.decode_jpeg(prog[:-2]), codecs.decode_jpeg(prog)
+    )
+    # corrupt an AC scan's Se byte: SOS payload = len(2) ns(1) + 2*ns
+    # component bytes, then Ss, Se, AhAl. Find a 1-component scan.
+    broken = bytearray(prog)
+    i = 2
+    while i < len(broken):
+        if broken[i] == 0xFF and broken[i + 1] == 0xDA and broken[i + 4] == 1:
+            broken[i + 8] = 200  # Se
+            break
+        i += 1
+    with _pytest.raises(ValueError, match="spectral band"):
+        codecs.decode_jpeg(bytes(broken))

@@ -118,7 +118,7 @@ def test_priority_prefix_covers_every_family():
     everything outside the window already holds a green driver row (or
     is queued)."""
     from weather_api_automate_etl_spark.queries import (
-        ROUND9_PENDING,
+        ROUND9_TAIL,
         ROUND10_NEW,
         ROUND10_WINDOW_HEAD,
         ROUND11_PENDING,
@@ -133,7 +133,7 @@ def test_priority_prefix_covers_every_family():
     k = len(ROUND10_WINDOW_HEAD)
     assert k == 50, "the driver records exactly the first 50 entries"
     assert names[:k] == list(ROUND10_WINDOW_HEAD)
-    assert ROUND10_WINDOW_HEAD == ROUND10_NEW + ROUND9_PENDING[50:66], (
+    assert ROUND10_WINDOW_HEAD == ROUND10_NEW + ROUND9_TAIL[:16], (
         "round 10's window is exactly the staged schedule: all 34 round-9 "
         "additions + the first 16 pending-tail names (round-9 verdict item 1)"
     )

@@ -46,6 +46,26 @@ def _art_depth(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-|"))
 
 
+def _split_args(s: str) -> list[str]:
+    """Split an expression list on TOP-LEVEL commas only — a bare
+    ``split(",")`` would shred comma-bearing expressions (CASE WHEN,
+    coalesce(a, b)) into fragments that misread as partition columns
+    and silently exempt a genuinely global window from the audit."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return [a for a in out if a]
+
+
 def _is_unpartitioned_window(body: str) -> bool:
     """True if this plan line is a Window-family node with NO partition
     spec. Window nodes list partition columns as windowspecdefinition
@@ -59,8 +79,12 @@ def _is_unpartitioned_window(body: str) -> bool:
             r"windowspecdefinition\((.*?)specifiedwindowframe\(", body
         ):
             prefix = m.group(1).strip().rstrip(",")
-            args = [a.strip() for a in prefix.split(",") if a.strip()]
-            if any(" ASC" not in a and " DESC" not in a for a in args):
+            args = _split_args(prefix)
+            if any(
+                not a.endswith(("ASC NULLS FIRST", "ASC NULLS LAST",
+                                "DESC NULLS FIRST", "DESC NULLS LAST"))
+                for a in args
+            ):
                 return False  # has partition columns
         return True
     return False

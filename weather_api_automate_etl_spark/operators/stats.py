@@ -1070,11 +1070,18 @@ def calibration_bins(
     if n_bins < 2:
         raise ValueError(f"calibration_bins needs n_bins >= 2, got {n_bins}")
     w = Window.orderBy(F.col("_s"), *[F.col(c) for c in order_cols])
-    binned = df.select(
-        F.col(score_col).cast("double").alias("_s"),
-        as_col(label_col).cast("int").alias("_y"),
-        *order_cols,
-    ).withColumn("bin", F.ntile(n_bins).over(w))
+    # NULL scores/labels drop up front (the score_label discipline):
+    # a NULL score sorts FIRST in Spark and LAST in DuckDB, so leaving
+    # it in would silently shift every ntile boundary vs the oracle
+    binned = (
+        df.select(
+            F.col(score_col).cast("double").alias("_s"),
+            as_col(label_col).cast("int").alias("_y"),
+            *order_cols,
+        )
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .withColumn("bin", F.ntile(n_bins).over(w))
+    )
     agg = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("_s").alias("_conf"),
@@ -2458,12 +2465,13 @@ def roc_auc(
         (F.sum("__neg").over(w) - F.col("__neg")).alias("__neg_below"),
     )
     # 2× the concordance numerator keeps the tie half-credit integral;
-    # decimal(38,0) because the exact sum approaches 2·P·N (> int64 once
-    # P·N > 4.6e18, i.e. ~3e9 rows per class — real at 100 TB).
+    # the OPERAND casts to decimal(38,0) BEFORE the multiply (the youden
+    # discipline): a long×long product wraps silently at 2·P·N > 2^63
+    # (~3e9 rows per class — real at 100 TB) and casting the wrapped
+    # result would launder the garbage.
     num2 = F.sum(
-        (
-            F.col("__pos") * (F.lit(2) * F.col("__neg_below") + F.col("__neg"))
-        ).cast("decimal(38,0)")
+        F.col("__pos").cast("decimal(38,0)")
+        * (F.lit(2) * F.col("__neg_below") + F.col("__neg"))
     )
     agg = cum.agg(
         (F.sum("__pos") + F.sum("__neg")).cast("long").alias("n"),
@@ -3247,11 +3255,17 @@ def gains_table(
     w = Window.orderBy(
         F.col("__s").desc(), *[F.col(c) for c in order_cols]
     )
-    binned = df.select(
-        s.alias("__s"),
-        as_col(label_col).cast("int").alias("__y"),
-        *order_cols,
-    ).withColumn("bucket", F.ntile(n_buckets).over(w))
+    # NULL scores/labels drop up front — same boundary-shift hazard as
+    # calibration_bins (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    binned = (
+        df.select(
+            s.alias("__s"),
+            as_col(label_col).cast("int").alias("__y"),
+            *order_cols,
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )
     agg = binned.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__y").cast("long").alias("responders"),

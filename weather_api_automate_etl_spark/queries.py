@@ -571,7 +571,15 @@ def _recorded_window(round_no: int) -> tuple[str, ...]:
         Path(__file__).resolve().parent.parent
         / f"CORRECTNESS_r{round_no:02d}.json"
     )
-    return tuple(json.loads(p.read_text()))
+    try:
+        return tuple(json.loads(p.read_text()))
+    except OSError:
+        # packaged without the repo-root evidence files (wheel,
+        # --py-files zip): the historical heads only refine ordering
+        # PAST the 50-slot window, so degrade to empty rather than
+        # failing the whole import. The current window never depends on
+        # these — see ROUND9_TAIL.
+        return ()
 
 
 ROUND8_WINDOW_HEAD: tuple[str, ...] = _recorded_window(8)
@@ -586,10 +594,11 @@ ROUND8_PENDING: tuple[str, ...] = ROUND8_WINDOW_HEAD[:10]
 #: composition is now read from CORRECTNESS_r09.json above); the 40-name
 #: tail below plus the 22 r4-era stale rows (R4_ERA_STALE, further down)
 #: fill rounds 10-11 per the committed schedule.
-ROUND9_PENDING: tuple[str, ...] = _recorded_window(9) + (
-    # the 40 names past round 9's 50-slot window (waves 20-39, in
-    # registration order) — the head 50 are read from the committed
-    # CORRECTNESS_r09.json, which recorded them in exactly this order
+#: The 40 names past round 9's 50-slot window (waves 20-39, in
+#: registration order). Kept LITERAL — the current rotation windows
+#: slice from here, so they must not depend on the evidence files
+#: being present in a packaged deployment.
+ROUND9_TAIL: tuple[str, ...] = (
     "q_kaplan_meier", "q_benford", "q_org_hierarchy",
     "q_skyline_2d", "q_dynamic_partition_pruning", "q_csv_error_routing",
     "q_link_prediction", "q_hits", "q_wilcoxon",
@@ -615,7 +624,9 @@ ROUND9_PENDING: tuple[str, ...] = _recorded_window(9) + (
 #: item. No §2 re-verification slots this round: every §2 backbone query
 #: holds an r07/r08 green row (the freshest possible), so the whole
 #: window goes to never-checked names.
-ROUND9_WINDOW_HEAD: tuple[str, ...] = ROUND9_PENDING[:50]
+#: head 50 = the committed CORRECTNESS_r09.json sample, in order
+ROUND9_PENDING: tuple[str, ...] = _recorded_window(9) + ROUND9_TAIL
+ROUND9_WINDOW_HEAD: tuple[str, ...] = _recorded_window(9)
 
 #: Round-10 rotation schedule, committed now (round-8 verdict item 2) so
 #: no query's latest green row turns 4+ rounds stale. With round 9's 34
@@ -658,7 +669,7 @@ ROUND10_NEW: tuple[str, ...] = (
     "q_heaps_law",
 )
 
-ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
+ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_TAIL
 
 #: Round-10 window, executed exactly as staged last round (round-9
 #: verdict item 1): all 34 ROUND10_NEW names (the round-9 wave-40-58
@@ -667,7 +678,7 @@ ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:]
 #: through q_mann_kendall, waves 20-27 in registration order) fill slots
 #: 35-50. Every name is never-driver-sampled; a green round-10 row
 #: shrinks the never-sampled set from 72 to 22.
-ROUND10_WINDOW_HEAD: tuple[str, ...] = ROUND10_NEW + ROUND9_PENDING[50:66]
+ROUND10_WINDOW_HEAD: tuple[str, ...] = ROUND10_NEW + ROUND9_TAIL[:16]
 
 #: The 22 r4-era rows — the stalest green driver evidence (6 rounds old
 #: by round 10's close). They re-verify in round 11 per the committed
@@ -718,7 +729,7 @@ ROUND11_NEW: tuple[str, ...] = (
 #: then the 22 r4-era stale rows above. That fills 47+ of round 11's 50
 #: slots; the balance comes from the r5-era cohort head (oldest driver
 #: rows after the r4 set re-verifies), taken in CORRECTNESS_r05 order.
-ROUND11_PENDING: tuple[str, ...] = ROUND11_NEW + ROUND9_PENDING[66:] + R4_ERA_STALE
+ROUND11_PENDING: tuple[str, ...] = ROUND11_NEW + ROUND9_TAIL[16:] + R4_ERA_STALE
 
 PRIORITY_ORDER: tuple[str, ...] = (
     ROUND10_WINDOW_HEAD

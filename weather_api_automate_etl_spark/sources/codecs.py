@@ -1253,6 +1253,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     saw_scan = False
     while True:
         if pos + 2 > len(payload):
+            if saw_scan:
+                break  # missing EOI: decode what arrived (truncated
+                # foreign files are common; progressive is incremental)
             raise ValueError("truncated JPEG (no EOI)")
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -1326,6 +1329,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tdtas.append(tdta)
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
+            if not (ss <= se <= 63):
+                raise ValueError(f"bad spectral band Ss={ss} Se={se}")
             pos = pos + 2 + seg_len
             br = _BitReader(payload, pos)
             if not progressive:
