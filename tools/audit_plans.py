@@ -47,10 +47,9 @@ def _art_depth(line: str) -> int:
 
 
 def _split_args(s: str) -> list[str]:
-    """Split an expression list on TOP-LEVEL commas only — a bare
-    ``split(",")`` would shred comma-bearing expressions (CASE WHEN,
-    coalesce(a, b)) into fragments that misread as partition columns
-    and silently exempt a genuinely global window from the audit."""
+    """Split an expression list on TOP-LEVEL commas only: comma-bearing
+    expressions (CASE WHEN, coalesce) must not shred into fragments
+    that misread as partition columns and exempt a global window."""
     out, depth, start = [], 0, 0
     for i, ch in enumerate(s):
         if ch == "(":

@@ -109,14 +109,11 @@ def as_col(c) -> Column:
 
 
 def score_label(df: DataFrame, score_col, label_col) -> DataFrame:
-    """Normalize the classifier-evaluation argument pair — each arg is a
-    column NAME or a Column, the chi_square_independence convention
-    (round-9 advice: the shim must cover label-like args too, or a string
-    label raises AttributeError) — and drop NULL score/label rows up
-    front: Spark orders NULLs FIRST ascending while DuckDB orders them
-    LAST, so a NULL score group silently diverges engine vs oracle
-    (round-9 advice; kruskal_wallis set the filter-first precedent).
-    Returns the filtered two-column ``(__s double, __y int)`` frame."""
+    """Normalize the classifier-evaluation argument pair (name or
+    Column) and drop NULL score/label rows up front: Spark orders NULLs
+    FIRST ascending, DuckDB LAST, so a NULL score group silently
+    diverges engine vs oracle (round-9 advice; kruskal_wallis set the
+    filter-first precedent). Returns ``(__s double, __y int)``."""
     s = as_col(score_col).cast("double")
     y = as_col(label_col).cast("int")
     return df.select(s.alias("__s"), y.alias("__y")).filter(

@@ -1420,23 +1420,17 @@ def heaps_law(
     as the corpus grows (β ≈ 0.4-0.6 for natural text; a flat curve
     means a closed synthetic vocabulary, a β near 1 means noise).
 
-    Docs are split into ``n_buckets`` ordered prefixes by RANGE over
-    the id domain — bucket = (id − min)·k div (max − min + 1), exact
-    BIGINT arithmetic off two scalar aggregates broadcast back — so
-    there is NO global sort / ntile over the doc relation (the round-9
-    finding): the only windows left run over the ≤ k-row curve. For a
-    skewed id domain, swap the min/max span for approx-quantile
-    boundaries (buckets stay deterministic here because the arithmetic
-    is exact, which an engine-specific sketch is not). Each token's
-    FIRST bucket is a min-aggregate, so the cumulative vocabulary at
-    prefix d is a k-row running sum, never a distinct over a prefix.
-    β comes from the shared moment-OLS on (ln Σtokens, ln V) across
-    the bucket points; degenerate points (cum_tokens or vocab = 0,
-    e.g. leading all-empty prefixes) are filtered before the fit so
-    ln() NULLs can't silently skew the moments (round-9 advice).
-    Returns one row per non-degenerate bucket ``(bucket, cum_tokens,
-    vocab, beta, k_factor)`` with the fit riding every row (rounded
-    to 6).
+    Docs split into ``n_buckets`` ordered prefixes by RANGE over the id
+    domain — bucket = (id − min)·k div (max − min + 1), exact BIGINT
+    arithmetic off two broadcast scalar aggregates — so there is NO
+    global sort/ntile over the doc relation (the round-9 finding); the
+    only windows left run over the ≤ k-row curve. (Skewed id domain:
+    swap the span for approx-quantile boundaries.) Each token's FIRST
+    bucket is a min-aggregate; β comes from the shared moment-OLS over
+    the bucket points, with degenerate points (cum_tokens or vocab = 0)
+    filtered before the fit so ln() NULLs can't skew the moments
+    (round-9 advice). Returns one row per non-degenerate bucket
+    ``(bucket, cum_tokens, vocab, beta, k_factor)``, rounded to 6.
     """
     if n_buckets < 2:
         raise ValueError(f"heaps_law needs n_buckets >= 2, got {n_buckets}")

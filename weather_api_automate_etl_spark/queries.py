@@ -574,11 +574,9 @@ def _recorded_window(round_no: int) -> tuple[str, ...]:
     try:
         return tuple(json.loads(p.read_text()))
     except OSError:
-        # packaged without the repo-root evidence files (wheel,
-        # --py-files zip): the historical heads only refine ordering
-        # PAST the 50-slot window, so degrade to empty rather than
-        # failing the whole import. The current window never depends on
-        # these — see ROUND9_TAIL.
+        # packaged without the repo-root evidence files: these heads
+        # only refine ordering PAST the 50-slot window (the current
+        # window slices ROUND9_TAIL), so degrade instead of failing
         return ()
 
 
@@ -646,15 +644,10 @@ ROUND9_WINDOW_HEAD: tuple[str, ...] = _recorded_window(9)
 #: never-verified names outside this round's head).
 ROUND10_NEW: tuple[str, ...] = (
     # the two round-9 oracle upgrades (portable md5-HLL profile;
-    # precomputed zlib lookup — the registry's last no_oracle rows,
-    # queued for their first triple-green driver rows) followed by the
-    # wave 40-58 additions in registration order: interlaced PNG,
-    # classifier evaluation (ROC/PR/Brier/Youden/gains), intervals,
-    # cross-correlation, JL projection, matching, rank tests,
-    # attribution, LSH recall, resharding, drift, conformal,
-    # Good-Turing, FD/monotonic contracts, CUPED, median CI, paired
-    # stats, rolling actives, percentiles, stickiness, LTV, funnel
-    # timing, MDE, corpus health (dup rates, Heaps law)
+    # precomputed zlib lookup) queued for their first triple-green
+    # driver rows, then the wave 40-58 additions in registration order
+    # (classifier evaluation, intervals, matching, rank tests, drift,
+    # contracts, funnel/cohort analytics, corpus health)
     "q_profile_table_approx", "q_compression_ratio", "q_multimodal_decode_interlaced",
     "q_roc_auc", "q_pr_sweep", "q_interval_coalesce",
     "q_cross_corr", "q_jl_project", "q_brier_decomposition",
@@ -672,12 +665,10 @@ ROUND10_NEW: tuple[str, ...] = (
 ROUND10_PENDING: tuple[str, ...] = ROUND10_NEW + ROUND9_TAIL
 
 #: Round-10 window, executed exactly as staged last round (round-9
-#: verdict item 1): all 34 ROUND10_NEW names (the round-9 wave-40-58
-#: additions plus the two oracle-upgraded former no_oracle entries) take
-#: the head, and the first 16 of the ROUND9_PENDING tail (q_kaplan_meier
-#: through q_mann_kendall, waves 20-27 in registration order) fill slots
-#: 35-50. Every name is never-driver-sampled; a green round-10 row
-#: shrinks the never-sampled set from 72 to 22.
+#: verdict item 1): the 34 ROUND10_NEW names take the head, the first
+#: 16 tail names (q_kaplan_meier .. q_mann_kendall) fill slots 35-50.
+#: Every name is never-driver-sampled: a green round-10 row shrinks the
+#: never-sampled set from 72 to 22.
 ROUND10_WINDOW_HEAD: tuple[str, ...] = ROUND10_NEW + ROUND9_TAIL[:16]
 
 #: The 22 r4-era rows — the stalest green driver evidence (6 rounds old
@@ -701,14 +692,11 @@ R4_ERA_STALE: tuple[str, ...] = (
 #: them. name -> why it was safe to retire.
 DISPLACED: dict[str, str] = {
     "q_compression_fixed": (
-        "round 10, displaced by q_multimodal_decode_progressive: the "
-        "constructed-payload twin existed solely as hash evidence for "
-        "the zlib operator while q_compression_ratio was rows-only; the "
-        "corpus entry gained a real zlib-lookup oracle in round 9 "
-        "(tools/gen_compression_oracle.py), so the same operator is "
-        "still triple-checked every round — on corpus text, not a "
-        "synthetic stand-in. Driver history: green r07 "
-        "(CORRECTNESS_r07.json)."
+        "round 10, displaced by q_multimodal_decode_progressive: it was "
+        "hash evidence for the zlib operator while q_compression_ratio "
+        "was rows-only; the corpus entry gained a real zlib-lookup "
+        "oracle in round 9, so the operator stays triple-checked on "
+        "corpus text. Driver history: green r07."
     ),
 }
 
