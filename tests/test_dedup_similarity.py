@@ -341,3 +341,117 @@ def test_kmeans_fit_clamped_is_partition_invariant(spark):
     for _, cent in a[0]:
         for x in cent:
             assert x == round(x, 6)
+
+
+def test_round10_dedup_review_fixes(spark):
+    """Regression pins for the round-10 dedup review findings."""
+    from pyspark.sql import functions as F
+
+    from weather_api_automate_etl_spark.operators import dedup
+
+    # (1) dedup_incremental: NULL text hashes like '' — re-ingesting the
+    # same contentless row across batches dedupes instead of leaking
+    b1 = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    known = spark.createDataFrame([], "content_hash string")
+    s1 = dedup.dedup_incremental(b1, known, "doc_id", "text")
+    assert s1.count() == 2
+    state = s1.select(
+        F.md5(F.coalesce("text", F.lit(""))).alias("content_hash")
+    )
+    b2 = spark.createDataFrame([(3, None), (4, "y")], "doc_id long, text string")
+    s2 = dedup.dedup_incremental(b2, state, "doc_id", "text")
+    assert [r.doc_id for r in s2.collect()] == [4]
+
+    # (2) simhash validates bits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 4"):
+        dedup.simhash(b1, "doc_id", "text", bits=18)
+
+    # (3) connected_components: fractional ids take the exact join probe
+    # (the decimal-sum probe can round a real label change away)
+    e = spark.createDataFrame(
+        [(2.4, 1.6), (1.6, 0.9)], "id_a double, id_b double"
+    )
+    comps = {
+        (r.id, r.comp) for r in dedup.connected_components(e).collect()
+    }
+    assert comps == {(2.4, 0.9), (1.6, 0.9), (0.9, 0.9)}
+
+    # (4) span removal reports n_removed = 0 for NULL text, never -1/NULL
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_removed for r in
+           dedup.remove_intradoc_repeats(docs, k=3).collect()}
+    assert out[1] == 0
+
+    # (5) vectorized neardup drops NULL blocks/vectors like the HOF twin
+    rows = [
+        (1, [1.0, 0.0], None),     # NULL block: join twin emits nothing
+        (2, [1.0, 0.0], None),
+        (3, None, "b"),            # NULL vector: join twin drops it
+        (4, [0.0, 1.0], "b"),
+        (5, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, blk string")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs_vectorized(
+            df, "id", "vec", "blk", threshold=0.99
+        ).collect()
+    )
+    assert got == [(4, 5)]
+
+    # (6) fellegi_sunter: both-NULL fields score as DISAGREEMENT, and
+    # identical key names are rejected loudly
+    a = spark.createDataFrame([(1, "x", None)], "ka long, blk string, f string")
+    b = spark.createDataFrame([(9, "x", None)], "kb long, blk string, f string")
+    score = dedup.fellegi_sunter_link(
+        a, b, "ka", "kb", ["blk"], [("f", 3.0, -1.0)]
+    ).collect()[0]["score"]
+    assert score == -1.0
+    with _pytest.raises(ValueError, match="must differ"):
+        dedup.fellegi_sunter_link(a, b, "ka", "ka", ["blk"], [("f", 3.0, -1.0)])
+
+
+def test_round10_similarity_review_fixes(spark):
+    """Regression pins for the round-10 similarity review findings."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from weather_api_automate_etl_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # (1) k larger than the corpus returns the available picks, no crash
+    out = similarity.mmr_rerank(df, "embedding", [1.0, 0.0], k=5, shortlist=9)
+    assert out.count() == 3
+    assert [r.rank for r in out.orderBy("rank").collect()] == [1, 2, 3]
+    # (2) a zero-norm query yields an empty, well-typed result
+    assert similarity.mmr_rerank(df, "embedding", [0.0, 0.0], k=2).count() == 0
+    # (3) the output id keeps the caller's name and type
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "doc long, embedding array<double>".replace("doc long", "doc string"),
+    )
+    got = similarity.mmr_rerank(sdf, "embedding", [1.0, 0.0], k=2, id_col="doc")
+    assert got.columns == ["rank", "doc", "rel", "mmr_score"]
+    assert {r.doc for r in got.collect()} == {"a", "b"}
+    # (4) lsh validates n_planes
+    with _pytest.raises(ValueError, match="n_planes"):
+        similarity.hyperplane_lsh_buckets(df, "embedding", dim=2, n_planes=0)
+    # (5) kmeans_fit drops NULL embeddings and errors clearly when empty
+    with_null = df.union(
+        spark.createDataFrame([(9, None)], "vec_id long, embedding array<double>")
+    )
+    cents_df, _rounds, _conv = similarity.kmeans_fit(with_null, k=2)
+    assert cents_df.count() == 2
+    with _pytest.raises(ValueError, match="non-null vector"):
+        similarity.kmeans_fit(
+            spark.createDataFrame([], "vec_id long, embedding array<double>"),
+            k=2,
+        )

@@ -85,8 +85,15 @@ def test_crashed_writer_leaves_current_version_intact(spark, mart):
     updates = spark.createDataFrame([(1, -1.0, "2001")], "k long, price double, year string")
     ledger._write_data_dir(updates, path, "year")
     assert _snapshot(spark, path) == before  # readers never see orphans
-    # vacuum removes the orphan without touching live data
-    orphans = ledger.ledger_vacuum(path, keep_versions=1)
+    # a never-referenced FRESH dir is indistinguishable from an in-flight
+    # concurrent writer's data, so default vacuum must NOT touch it
+    # (round-10 review finding: deleting it would corrupt that writer's
+    # about-to-land commit permanently)
+    assert ledger.ledger_vacuum(path, keep_versions=1) == []
+    assert _snapshot(spark, path) == before
+    # past the retention window (retention_s=0 = quiescent maintenance)
+    # the orphan is reclaimed without touching live data
+    orphans = ledger.ledger_vacuum(path, keep_versions=1, retention_s=0.0)
     assert len(orphans) == 1
     assert _snapshot(spark, path) == before
 
@@ -1141,3 +1148,62 @@ def test_clone_carries_checks_and_concurrent_check_change_conflicts(
         ledger.LedgerConcurrentWriteError, match="checks"
     ):
         ledger.ledger_merge(spark, path, upd, "k")
+
+
+def test_round10_review_fixes(spark, tmp_path):
+    """Regression pins for the round-10 ledger review findings."""
+    # table with tracked stats (the per-FILE skip grain)
+    df = spark.createDataFrame(
+        [(k, float(k * 10), str(2000 + k % 2)) for k in range(10)],
+        "k long, price double, year string",
+    )
+    path = str(tmp_path / "m")
+    ledger.ledger_write(spark, df, path, "year", stats_cols=("price",))
+
+    # (1) a NO-MATCH delete must commit NOTHING — even when the keys
+    # frame names the partition column (the old path skipped the confirm
+    # scan, rewrote whole partitions byte-identically, and in dv mode
+    # set dv_key on a table with zero tombstones)
+    ghost = spark.createDataFrame([(999, "2000")], "k long, year string")
+    assert ledger.ledger_delete(spark, path, ghost, "k") == 1
+    assert ledger._manifest_versions(path) == [1]
+    assert ledger.ledger_delete(spark, path, ghost, "k", mode="dv") == 1
+    assert ledger._read_manifest(path, 1).get("dv_key") is None
+
+    # (2) a delete that empties every row of a stats-tracked partition
+    # set must COMMIT the emptied table (the old readback died on
+    # schema inference over a file-less directory)
+    everything = spark.createDataFrame(
+        [(k,) for k in range(10)], "k long"
+    )
+    v = ledger.ledger_delete(spark, path, everything, "k")
+    assert v == 2
+    assert ledger.ledger_read(spark, path).count() == 0
+
+    # (3) merge batches missing EXISTING columns raise the clear
+    # additive-only error regardless of merge_schema — including against
+    # brand-new partitions, which previously NULL-filled silently
+    partial = spark.createDataFrame([(1, "2999")], "k long, year string")
+    with pytest.raises(ValueError, match="missing existing columns"):
+        ledger.ledger_merge(spark, path, partial, "k")
+
+    # (4) OPTIMIZE ZORDER with an all-NULL clustered column treats it as
+    # constant instead of raising TypeError on None min/max
+    df2 = spark.createDataFrame(
+        [(k, None, float(k), "2000") for k in range(6)],
+        "k long, x double, y double, year string",
+    )
+    p2 = str(tmp_path / "m2")
+    ledger.ledger_write(spark, df2, p2, "year")
+    ledger.ledger_merge(
+        spark,
+        p2,
+        spark.createDataFrame(
+            [(99, None, 7.0, "2000")], "k long, x double, y double, year string"
+        ),
+        "k",
+    )
+    want = sorted((r.k, r.x, r.y) for r in ledger.ledger_read(spark, p2).collect())
+    ledger.ledger_compact(spark, p2, zorder_by=("x", "y"))
+    got = sorted((r.k, r.x, r.y) for r in ledger.ledger_read(spark, p2).collect())
+    assert got == want

@@ -65,8 +65,10 @@ def dedup_incremental(
     broadcast; at 100 TB both sides bucket-write on the hash and the
     anti-join (and the batch's survivor window) run shuffle-free. The
     caller appends ``md5(text)`` of the survivors back to the hash table
-    afterward — the pipeline's state update."""
-    h = F.md5(F.col(text_col))
+    afterward — the pipeline's state update. NULL text hashes like the
+    empty string: md5(NULL) is NULL, a NULL join key never anti-matches,
+    and the row would re-ingest every batch (round-10 review)."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     novel = batch.withColumn("__h", h).join(
         known_hashes.select(F.col(hash_col).alias("__h")), "__h", "left_anti"
     )
@@ -168,7 +170,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     Each distinct token votes ±1 per bit position according to its md5-derived
     hash; the signature takes the sign of each bit's tally. Near-duplicate
     documents land within small Hamming distance. Map-only per document
-    (token hash via md5-hex → int, tallies via ``aggregate``)."""
+    (token hash via md5-hex → int, tallies via ``aggregate``). ``bits``
+    must be a multiple of 4 in [4, 60]: the hash word comes from bits/4
+    hex chars, and 2^63 cannot live in a signed long."""
+    if not (4 <= bits <= 60 and bits % 4 == 0):
+        raise ValueError(f"bits must be a multiple of 4 in [4, 60], got {bits}")
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(
         toks,
@@ -296,9 +302,12 @@ def duplicated_shingle_fraction(
     (shuffle on shingle) → join back (co-partitioned on shingle) → per-doc
     aggregate (shuffle on doc). Shingle strings can be md5'd before the
     shuffle to bound row width at scale; kept raw here for oracle parity.
-    """
-    from weather_api_automate_etl_spark.functions.text import tokens, word_shingles
 
+    Documents with fewer than ``k`` tokens (or NULL text) produce no
+    shingles and hence NO output row — by design, the oracle mirrors the
+    same explode. A caller needing a full census left-joins this back to
+    the id table with dup_frac defaulted to 0 (round-10 review note).
+    """
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(tokens(text_col), k))).alias(
@@ -362,7 +371,16 @@ def connected_components(
     # labels. String/other id types fall back to the type-agnostic join probe.
     from pyspark.sql.types import NumericType
 
-    numeric_ids = isinstance(labels.schema["comp"].dataType, NumericType)
+    # INTEGRAL ids only: the probe sums labels cast to decimal(38,0),
+    # and a fractional label change can round to the SAME sum — a silent
+    # early "converged". Fractional id types take the exact join probe.
+    from pyspark.sql.types import DecimalType, FractionalType
+
+    ctype = labels.schema["comp"].dataType
+    numeric_ids = isinstance(ctype, NumericType) and not (
+        isinstance(ctype, FractionalType)
+        or (isinstance(ctype, DecimalType) and ctype.scale != 0)
+    )
     # seed None: round 1 always relabels any graph with an edge, so paying a
     # pre-loop aggregate job just to compare against it buys nothing
     label_sum = None
@@ -514,7 +532,11 @@ def _span_inventory(df, id_col: str, text_col: str, k: int):
     HASH, never the span text, is what shuffles downstream."""
     base = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
-    ).withColumn("__n", F.size("__toks"))
+    ).withColumn(
+        # NULL text counts 0 tokens: size(NULL) is -1 (legacy) or NULL
+        # (ANSI), either of which corrupts n_removed (round-10 review)
+        "__n", F.greatest(F.coalesce(F.size("__toks"), F.lit(0)), F.lit(0))
+    )
     spans = base.filter(F.col("__n") >= k).select(
         id_col,
         F.posexplode(
@@ -732,9 +754,14 @@ def embedding_neardup_pairs_vectorized(
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
 
     # no distinct needed: each row carries exactly one block value, so a
-    # pair can only materialize inside its one shared bucket
+    # pair can only materialize inside its one shared bucket. NULL
+    # blocks/vectors drop up front to MATCH the join twin (equi-joins
+    # never match NULL keys) — groupBy would otherwise pool every
+    # unblockable row into one giant bucket, and np.array over mixed
+    # None/array raises.
     return (
         df.select(F.col(block_col).alias("__blk"), id_col, vec_col)
+        .filter(F.col("__blk").isNotNull() & F.col(vec_col).isNotNull())
         .groupBy("__blk")
         .applyInPandas(pairs_fn, schema=f"id_a {id_type}, id_b {id_type}")
     )
@@ -802,9 +829,13 @@ def fellegi_sunter_link(
 
     Same 100 TB shape as every ER operator here: the quadratic explosion
     is contained by the block equi-join (never all-pairs); the score is a
-    pure per-pair column expression; NULL-safe equality (eqNullSafe) so a
-    missing field compares as a normal disagreement, never a NULL score.
-    Returns (key_a, key_b, score) filtered to score ≥ min_score."""
+    pure per-pair column expression; a missing field on EITHER side
+    compares as a normal disagreement, never a NULL score — including
+    the both-NULL case, which carries zero information and must not earn
+    agreement weight (the eqNullSafe(NULL, NULL)=true trap, round-10
+    review). Returns (key_a, key_b, score) filtered to score ≥
+    min_score. ``key_a`` and ``key_b`` must differ — the output carries
+    both as columns, so identical names would be ambiguous."""
     if not block_cols:
         raise ValueError(
             "fellegi_sunter_link requires blocking columns — an unblocked "
@@ -812,6 +843,11 @@ def fellegi_sunter_link(
         )
     if not fields:
         raise ValueError("fellegi_sunter_link requires at least one field")
+    if key_a == key_b:
+        raise ValueError(
+            f"key_a and key_b must differ (both {key_a!r}): the output "
+            "carries both key columns — rename one side first"
+        )
     av = a.select(
         F.col(key_a),
         *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
@@ -829,7 +865,8 @@ def fellegi_sunter_link(
     score = None
     for f, w_agree, w_disagree in fields:
         term = F.when(
-            F.col(f"__a_{f}").eqNullSafe(F.col(f"__b_{f}")),
+            F.col(f"__a_{f}").eqNullSafe(F.col(f"__b_{f}"))
+            & F.col(f"__a_{f}").isNotNull(),
             F.lit(float(w_agree)),
         ).otherwise(F.lit(float(w_disagree)))
         score = term if score is None else score + term

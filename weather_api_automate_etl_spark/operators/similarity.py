@@ -105,7 +105,14 @@ def _lloyd_partials(cents: list[list[float]]):
             vn = np.linalg.norm(V, axis=1)
             denom = np.outer(vn, cn)
             with np.errstate(divide="ignore", invalid="ignore"):
-                scores = np.round((V @ C.T) / denom, 6)
+                raw = (V @ C.T) / denom * 1e6
+                # half AWAY FROM ZERO, matching nearest_centroid's
+                # F.round — np.round is half-to-even and would flip
+                # assignments at exact half-boundary scores (the same
+                # distinction _clamp makes for the centroid clamp)
+                scores = np.where(
+                    raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+                ) / 1e6
             # zero-norm (null cosine) scores −inf: never beats a real
             # score; an all−inf row argmaxes to list 0 — both matching
             # nearest_centroid's null-last, lowest-id tie-break order
@@ -114,15 +121,34 @@ def _lloyd_partials(cents: list[list[float]]):
             counts += np.bincount(idx, minlength=k)
             np.add.at(sums, idx, V)
         nz = np.flatnonzero(counts)
-        yield pd.DataFrame(
-            {
-                "list_id": nz.astype("int32"),
-                "cnt": counts[nz],
-                "vsum": [sums[j].tolist() for j in nz],
-            }
-        )
+        if nz.size:  # an all-empty partition must yield NOTHING — an
+            # empty object column can't Arrow-cast to list<double>
+            # (pre-existing, exposed by the round-10 review tests)
+            yield pd.DataFrame(
+                {
+                    "list_id": nz.astype("int32"),
+                    "cnt": counts[nz],
+                    "vsum": [sums[j].tolist() for j in nz],
+                }
+            )
 
     return fn
+
+
+def _deterministic_init(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """k lowest-representative DISTINCT vectors as (list_id, centroid) —
+    the init both Lloyd variants share; extracted so the 'deterministic
+    twin' contract cannot desynchronize (round-10 review)."""
+    from pyspark.sql.window import Window
+
+    return (
+        base.groupBy(F.col("_v").alias("centroid"))
+        .agg(F.min(id_col).alias("__id"))
+        .orderBy("__id")
+        .limit(k)
+        .withColumn("list_id", F.row_number().over(Window.orderBy("__id")) - 1)
+        .select("list_id", "centroid")
+    )
 
 
 def kmeans_fit(
@@ -189,20 +215,16 @@ def kmeans_fit(
 
     # loop-invariant corpus: project to (id, vec-as-double) — dropping any
     # pre-existing list_id — and persist so the source is scanned once
-    base = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    init_rows = (
-        # deterministic distinct: one representative (lowest id) per
-        # distinct vector, then the k lowest representatives
-        base.groupBy(F.col("_v").alias("centroid"))
-        .agg(F.min(id_col).alias("__id"))
-        .orderBy("__id")
-        .limit(k)
-        .withColumn("list_id", F.row_number().over(Window.orderBy("__id")) - 1)
-        .select("list_id", "centroid")
-        .collect()
+    base = (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        # NULL embeddings drop (nearest_centroid's convention): a None in
+        # a pandas batch crashes np.array with an inhomogeneous shape
+        .filter(F.col("_v").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    init_rows = _deterministic_init(base, id_col, k).collect()
     if clamp_digits is not None:
         p = 10.0 ** clamp_digits
 
@@ -220,7 +242,9 @@ def kmeans_fit(
         [_clamp(c) for c in r["centroid"]]
         for r in sorted(init_rows, key=lambda r: r["list_id"])
     ]
-    dim = len(cents[0]) if cents else 0
+    if not cents:
+        raise ValueError("kmeans_fit needs at least one non-null vector")
+    dim = len(cents[0])
     converged = False
     rounds = 0
     for rounds in range(1, max_iter + 1):
@@ -285,11 +309,7 @@ def kmeans_fixed_rounds(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     cents = (
-        base.groupBy(F.col("_v").alias("centroid"))
-        .agg(F.min(id_col).alias("__id"))
-        .orderBy("__id")
-        .limit(k)
-        .withColumn("list_id", F.row_number().over(Window.orderBy("__id")) - 1)
+        _deterministic_init(base, id_col, k)
         .select("list_id", clamp(F.col("centroid")).alias("centroid"))
         .localCheckpoint(eager=True)
     )
@@ -325,7 +345,11 @@ def ivf_topk(
     ``nprobe`` lists only, then exact top-k within the probed subset.
 
     At scale the table is partitioned/bucketed by ``list_col``, so the
-    probe is partition pruning — the scan touches nprobe/nlists of the data.
+    probe is partition pruning — the scan touches nprobe/nlists of the
+    data. NOTE: this baseline variant recomputes ``centroids_by`` over
+    the corpus on every call; a real index probes PRECOMPUTED centroids —
+    use ``ivf_topk_from_index`` (the build-once/probe-many split) for
+    anything beyond a one-off query.
     """
     cents = centroids_by(df, vec_col, list_col)
     q = _query_vec_lit(query_vec)
@@ -521,7 +545,10 @@ def ann_recall(
     round-5 judge's missing-metric item).
 
     Both sides are fully deterministic (ROUND(score, 6) + id tie-break, the
-    ivf_topk discipline), so recall is an exact, oracle-able integer ratio:
+    ivf_topk discipline), so recall is an exact, oracle-able integer ratio.
+    The denominator is the FIXED k (the oracle-pinned convention): on a
+    corpus smaller than k even a perfect probe caps at n_exact/k — use
+    the exact-side count as denominator for the size-normalized variant.
 
     - exact side: every query (a small broadcast frame) scored against the
       whole corpus, per-query top-k via WindowGroupLimit — the standard
@@ -608,6 +635,8 @@ def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8):
     """The hyperplane-LSH bucket as a plain Column expression (sign bits of
     ``n_planes`` deterministic projections, packed into an int) — composable
     into any projection without a join."""
+    if n_planes < 1:
+        raise ValueError(f"lsh needs n_planes >= 1, got {n_planes}")
     bucket = None
     for p in range(n_planes):
         proj = dot_product(F.col(vec_col), _query_vec_lit(_hyperplane(p, dim)))
@@ -758,14 +787,22 @@ def mmr_rerank(
             .orderBy(F.desc("mmr"), F.asc("id"))
             .head()
         )
+        if row is None or row["mmr"] is None:
+            # corpus smaller than k, or zero-norm query (NULL cosine):
+            # return the well-defined picks instead of dereferencing None
+            break
         picked.append((row["id"], row["rel"], row["mmr"], list(row["v"])))
     spark = df.sparkSession
+    id_field = df.schema[id_col]
     return spark.createDataFrame(
         [
             (i + 1, p[0], round(p[1], 6), round(p[2], 6))
             for i, p in enumerate(picked)
         ],
-        "rank int, vec_id long, rel double, mmr_score double",
+        # output id keeps the caller's name and type (was hardcoded
+        # 'vec_id long' — a string id crashed createDataFrame)
+        f"rank int, {id_col} {id_field.dataType.simpleString()}, "
+        "rel double, mmr_score double",
     )
 
 

@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import tempfile
 import uuid
 from collections.abc import Sequence
@@ -342,7 +343,14 @@ def _per_file_stats(
     The partition value is re-cast through the table dtype so the keys
     match ``_partition_stats``'s raw string form regardless of what type
     the readback's partition inference picked."""
-    back = df.sparkSession.read.option("basePath", base).parquet(base)
+    # explicit schema: a rewrite that kept ZERO rows wrote only _SUCCESS,
+    # and schema inference on a file-less directory raises — with the
+    # writer's schema supplied the readback is just an empty frame
+    back = (
+        df.sparkSession.read.schema(df.schema)
+        .option("basePath", base)
+        .parquet(base)
+    )
     aggs, kinds = _stats_aggs(back, stats_cols)
     rows = (
         back.groupBy(
@@ -817,12 +825,9 @@ def ledger_scan(
     plan = ledger_plan_files(path, col, lo, hi, version=v)
     keep = [pv for pv, fns in plan.items() if fns is None or fns]
     if not keep:
-        base = (
-            _read_partitions(spark, path, m, list(m["partitions"]))
-            if m["partitions"]
-            else _read_partitions(spark, path, m, [])
-        )
-        return base.filter(F.lit(False))
+        # typed empty frame without opening ANY data directory — the old
+        # fallback planned a read of every partition just to filter(False)
+        return _read_partitions(spark, path, m, []).filter(F.lit(False))
     files = {pv: fns for pv, fns in plan.items() if fns is not None}
     return _read_partitions(spark, path, m, keep, files=files).filter(
         F.col(col).between(F.lit(lo), F.lit(hi))
@@ -877,11 +882,7 @@ def ledger_merge(
     evolution and raises."""
     from weather_api_automate_etl_spark.operators.cdc import merge_into
 
-    versions = _manifest_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no ledger manifest under {path}")
-    v = versions[-1]
-    m = _read_manifest(path, v)
+    v, m = _resolve(path, None)
     if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
         return v  # transaction already applied: replay is a pure no-op
     pcol = m["partition_col"]
@@ -900,7 +901,10 @@ def ledger_merge(
             f"update batch carries columns the table does not have: "
             f"{new_cols} — pass merge_schema=True to evolve additively"
         )
-    if merge_schema and table_cols is not None:
+    if table_cols is not None:
+        # checked regardless of merge_schema: a batch missing existing
+        # columns would otherwise NULL-fill brand-new partitions silently
+        # (and die with an opaque select error on existing ones)
         missing = [c for c in table_cols if c not in updates.columns]
         if missing:
             raise ValueError(
@@ -918,9 +922,7 @@ def ledger_merge(
         return v
     existing = [pv for pv in touched if pv in m["partitions"]]
     if existing:
-        current = _read_partitions(spark, path, m, existing).filter(
-            F.col(pcol).cast("string").isin(touched)
-        )
+        current = _read_partitions(spark, path, m, existing)
         for c in new_cols:
             current = current.withColumn(
                 c, F.lit(None).cast(updates.schema[c].dataType)
@@ -978,11 +980,7 @@ def ledger_replace_partitions(
     ledger_merge: a replay whose txn_id is not newer than the recorded
     watermark returns the current version without writing anything.
     Returns the committed version."""
-    versions = _manifest_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no ledger manifest under {path}")
-    v = versions[-1]
-    m = _read_manifest(path, v)
+    v, m = _resolve(path, None)
     if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
         return v  # transaction already applied: replay is a pure no-op
     pcol = m["partition_col"]
@@ -1056,11 +1054,7 @@ def ledger_compact(
     a single-column sort buys that for one dimension only. This is the
     Delta/Iceberg OPTIMIZE ZORDER layout move at the ledger's grain —
     the answer is untouched, the skipping index just gets sharper."""
-    versions = _manifest_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no ledger manifest under {path}")
-    v = versions[-1]
-    m = _read_manifest(path, v)
+    v, m = _resolve(path, None)
     pcol = m["partition_col"]
     if partitions is None:
         partitions = []
@@ -1100,6 +1094,8 @@ def ledger_compact(
         top = (1 << zorder_bits) - 1
 
         def q(c, mn, mx):
+            if mn is None or mx is None:  # all-NULL column: constant key
+                return F.lit(0).cast("long")
             span = (mx - mn) or 1.0
             return F.least(
                 F.lit(top).cast("long"),
@@ -1137,28 +1133,44 @@ def ledger_compact(
     return v + 1
 
 
-def ledger_vacuum(path: str, keep_versions: int = 2) -> list[str]:
+def ledger_vacuum(
+    path: str, keep_versions: int = 2, retention_s: float = 86_400.0
+) -> list[str]:
     """Drop manifests beyond the ``keep_versions`` newest and delete every
-    data directory none of the retained manifests references — including
-    orphans from crashed writers (present on disk, named in no manifest).
-    Returns the deleted directory names. Safe for stale readers pinned to
-    any RETAINED version; shrinking ``keep_versions`` trades time-travel
-    depth for storage, exactly Delta's retention knob."""
+    data directory none of the retained manifests references. Returns the
+    deleted directory names. Safe for stale readers pinned to any
+    RETAINED version; shrinking ``keep_versions`` trades time-travel
+    depth for storage, exactly Delta's retention knob.
+
+    Dirs a DROPPED manifest referenced were committed and superseded —
+    always collectable. A dir NO manifest ever referenced is ambiguous:
+    crashed-writer orphan, or an IN-FLIGHT concurrent writer's
+    not-yet-committed data (multi-writer OCC is supported) — deleting
+    that corrupts its about-to-land version permanently, so such dirs
+    are reclaimed only once older than ``retention_s`` (Delta's
+    retention guard); pass 0 in a quiescent maintenance window."""
     versions = _manifest_versions(path)
     if not versions:
         return []
     keep = versions[-keep_versions:] if keep_versions > 0 else []
     live: set[str] = set()
-    for v in keep:
+    ever: set[str] = set()
+    for v in versions:
         for e in _read_manifest(path, v)["partitions"].values():
-            live.add(e["dir"])
-            if e.get("dv"):
-                live.add(e["dv"]["dir"])  # tombstone sidecars are live too
+            dirs = [e["dir"]] + ([e["dv"]["dir"]] if e.get("dv") else [])
+            ever.update(dirs)
+            if v in keep:
+                live.update(dirs)  # tombstone sidecars are live too
+    now = time.time()
     deleted = []
     for name in os.listdir(path):
-        if name.startswith("data-") and name not in live:
-            shutil.rmtree(os.path.join(path, name))
-            deleted.append(name)
+        if not name.startswith("data-") or name in live:
+            continue
+        full = os.path.join(path, name)
+        if name not in ever and now - os.path.getmtime(full) < retention_s:
+            continue  # possibly an in-flight writer: age-guarded
+        shutil.rmtree(full)
+        deleted.append(name)
     for v in versions:
         if v not in keep:
             os.unlink(os.path.join(path, _LEDGER_DIR, f"v{v}.json"))
@@ -1176,11 +1188,7 @@ def ledger_add_check(
     named check. Every subsequent write/merge/replace batch is gated on
     it before data lands. Duplicate names are rejected; the scan is the
     unavoidable cost Delta pays too (ADD CONSTRAINT scans the table)."""
-    versions = _manifest_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no ledger manifest under {path}")
-    v = versions[-1]
-    m = _read_manifest(path, v)
+    v, m = _resolve(path, None)
     checks = dict(m.get("checks") or {})
     if name in checks:
         raise ValueError(f"constraint {name!r} already exists on {path}")
@@ -1353,11 +1361,7 @@ def ledger_delete(
     as false negatives — the documented-impossible failure)."""
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
-    versions = _manifest_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no ledger manifest under {path}")
-    v = versions[-1]
-    m = _read_manifest(path, v)
+    v, m = _resolve(path, None)
     if txn is not None and txn[1] <= m.get("txn", {}).get(txn[0], -1):
         return v
     if mode == "dv" and m.get("dv_key") not in (None, key):
@@ -1366,10 +1370,15 @@ def ledger_delete(
             f"{m['dv_key']!r}; cannot mix with {key!r}"
         )
     pcol = m["partition_col"]
-    kdf = keys.select(key).distinct() if pcol not in keys.columns else keys
+    kdf = keys.select(key).distinct()
     ki = m.get("key_index")
     if pcol in keys.columns:
-        candidates = sorted(
+        # caller-named partitions narrow the scope, but the exact
+        # confirm scan below still runs: a no-match delete must commit
+        # NOTHING (round-10 review finding — the old path rewrote whole
+        # partitions byte-identically and, in dv mode, set dv_key on a
+        # table with zero actual tombstones)
+        scan_over = sorted(
             {
                 r["__pv"]
                 for r in keys.select(
@@ -1378,7 +1387,6 @@ def ledger_delete(
             }
             & set(m["partitions"])
         )
-        kdf = keys.select(key).distinct()
     else:
         scan_over = list(m["partitions"])
         if (
@@ -1416,17 +1424,19 @@ def ledger_delete(
                     scan_over.append(pv)
             if not scan_over:
                 return v
-        # exact confirm over the (possibly bloom-pruned) candidates only:
-        # Bloom false positives are confirmed OUT here, so a no-hit
-        # partition is never rewritten
-        snap = _read_partitions(spark, path, m, scan_over)
-        candidates = sorted(
-            r["__pv"]
-            for r in snap.join(kdf, key, "left_semi")
-            .select(F.col(pcol).cast("string").alias("__pv"))
-            .distinct()
-            .collect()
-        )
+    if not scan_over:
+        return v
+    # exact confirm over the (possibly narrowed) candidates only: Bloom
+    # false positives and caller-named no-hit partitions are confirmed
+    # OUT here, so a no-hit partition is never rewritten
+    snap = _read_partitions(spark, path, m, scan_over)
+    candidates = sorted(
+        r["__pv"]
+        for r in snap.join(kdf, key, "left_semi")
+        .select(F.col(pcol).cast("string").alias("__pv"))
+        .distinct()
+        .collect()
+    )
     if not candidates:
         return v
     current = _read_partitions(spark, path, m, candidates)
@@ -1554,14 +1564,10 @@ def ledger_changes(
     from weather_api_automate_etl_spark.operators.cdc import snapshot_diff
 
     pf, pt = m_from["partitions"], m_to["partitions"]
-    changed = sorted(
-        pv
-        for pv in set(pf) | set(pt)
-        # FULL-entry compare, not just the data dir: a dv-mode delete
-        # repoints only the tombstone sidecar, and a dir-only diff would
-        # silently miss those removals in the feed
-        if pf.get(pv) != pt.get(pv)
-    )
+    # FULL-entry compare (shared with the rebase conflict check): a
+    # dv-mode delete repoints only the tombstone sidecar, and a dir-only
+    # diff would silently miss those removals in the feed
+    changed = sorted(_changed_partitions(m_from, m_to))
     old_pvs = [pv for pv in changed if pv in pf]
     new_pvs = [pv for pv in changed if pv in pt]
     cols = [key, *compare_cols]
