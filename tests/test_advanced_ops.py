@@ -196,3 +196,72 @@ def test_k_core_long_chain_converges(spark):
     assert graph.k_core(edges, k=2).count() == 0
     with pytest.raises(RuntimeError, match="fixpoint"):
         graph.k_core(edges, k=2, max_rounds=5)
+
+
+def test_round10_graph_embeddings_review_fixes(spark):
+    """Regression pins for the round-10 graph/embeddings review findings."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from weather_api_automate_etl_spark.operators import embeddings, graph
+
+    # (1) sssp rejects fractional weights instead of truncating per hop
+    e = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.5)], "src long, dst long, w double"
+    )
+    s = spark.createDataFrame([(1,)], "node long")
+    with _pytest.raises(ValueError, match="fractional"):
+        graph.sssp_bounded(e, s, src="src", dst="dst", weight="w",
+                           node_id="node", rounds=2)
+
+    # (2) self-loops don't inflate common-neighbor degrees
+    e2 = spark.createDataFrame(
+        [(10, 10), (10, 1), (10, 2)], "id_a long, id_b long"
+    )
+    got = graph.common_neighbor_scores(
+        e2, src="id_a", dst="id_b", min_common=1
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # pair (1,2) via x=10: deg(10)=2 (self-loop excluded), deg(1)=deg(2)=1
+    # jaccard = 1 / (1 + 1 + ... union) — the key pin: adamic_adar uses
+    # ln(deg=2), not ln(3)
+    import math
+
+    assert r.adamic_adar == round(1.0 / math.log(2.0), 6)
+
+    # (3) constant corpus: pca power raises instead of silent NaN
+    const = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="constant"):
+        embeddings.pca_power_project(const, "embedding", rounds=3)
+    # (4) pca_power_project honors a custom id column
+    renamed = const.withColumnRenamed("vec_id", "doc_id").union(
+        spark.createDataFrame(
+            [(4, [2.0, -1.0])], "doc_id long, embedding array<double>"
+        )
+    )
+    out = embeddings.pca_power_project(
+        renamed, "embedding", rounds=3, id_col="doc_id"
+    )
+    assert out.columns == ["doc_id", "pc1"]
+
+    # (5) pq query-dim validation
+    cbs = embeddings.pq_sampled_codebooks(
+        spark.createDataFrame(
+            [(i, [float(i), float(-i), 1.0, 0.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        ),
+        "vec_id", "embedding", m_sub=2, k=2,
+    )
+    with _pytest.raises(ValueError, match="query dim"):
+        embeddings.pq_adc_expr([1.0, 2.0], cbs)
+
+    # (6) non-numeric ALS item ids rejected loudly
+    ratings = spark.createDataFrame(
+        [(1, "A", 3.0)], "u long, i string, r double"
+    )
+    with _pytest.raises(ValueError, match="non-numeric"):
+        embeddings.als_factorize_k2(ratings, "u", "i", "r")

@@ -75,3 +75,39 @@ def test_heaps_rejects_single_bucket(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textops.heaps_law(df, "doc_id", "text", n_buckets=1)
+
+
+def test_round10_textops_review_fixes(spark):
+    """Regression pins for the round-10 textops review findings."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from weather_api_automate_etl_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "   "), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    # (1) the '' pseudo-token of whitespace docs enters NO vocabulary
+    lp = {r.doc_id: r.n_tokens for r in textops.unigram_logprob(docs).collect()}
+    assert 2 not in lp  # no tokens → no row (it never scored '' before)
+    tt = {r.doc_id: r.ws_tokens for r in textops.text_profile(docs).collect()}
+    assert tt[2] == 0 and tt[1] == 3
+    rp = {r.doc_id: r.n_words for r in
+          textops.repetition_profile(docs).collect()}
+    assert rp[2] == 0
+    assert all(
+        r.term != "" for r in textops.tfidf_top_terms(docs, k=5).collect()
+    )
+    ent = {r.doc_id: r.n_tokens for r in textops.token_entropy(docs).collect()}
+    assert 2 not in ent
+    # (2) bm25 matches uppercase query terms against lowercased tokens
+    hits = textops.bm25_scores(docs, ["ALPHA"]).collect()
+    assert [r.doc_id for r in hits] == [1]
+    # (3) chunk_text validates its shape parameters
+    with _pytest.raises(ValueError, match="stride"):
+        textops.chunk_text(docs, chunk_tokens=4, stride=0)
+    # (4) compression_ratio keeps a non-long id type
+    sdocs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    out = textops.compression_ratio(sdocs)
+    assert dict(out.dtypes)["doc_id"] == "string" and out.count() == 3

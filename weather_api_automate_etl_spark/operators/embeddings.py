@@ -83,7 +83,11 @@ def standardize_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     The dim-row stats table broadcasts back onto the exploded vectors;
     reassembly is a per-row groupBy on ``id_col`` (one shuffle keyed by the
     id — at scale this is the same key the table is already laid out on).
-    Zero-variance dimensions standardize to 0.0 (guarded division)."""
+    Zero-variance dimensions standardize to 0.0 (guarded division).
+    NOTE: rows with NULL or empty vectors emit no exploded rows and are
+    ABSENT from the output (unlike quantize_int8, which preserves them);
+    left-join back on the id for a full census.
+    """
     stats = dim_stats(df, vec_col)
     exploded = df.select(
         F.col(id_col),
@@ -205,7 +209,16 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int | None = None) -> Da
             (
                 F.round(
                     (F.col("gij") - F.col("si") * F.col("sj") / F.col("n"))
-                    / F.when(F.col("n") > 1, F.col("n") - 1),
+                    / F.when(F.col("n") > 1, F.col("n") - 1).otherwise(
+                        # pca_fit raises for the same n<2 input; the
+                        # distributed twin must not silently NULL d²/2
+                        # covariances instead (round-10 review)
+                        F.raise_error(
+                            F.lit(
+                                "covariance_matrix needs at least 2 vectors"
+                            )
+                        ).cast("double")
+                    ),
                     6,
                 )
                 + F.lit(0.0)
@@ -302,7 +315,11 @@ def pca_project(
 
 
 def pca_power_project(
-    df: DataFrame, vec_col: str, rounds: int = 40, dim: int | None = None
+    df: DataFrame,
+    vec_col: str,
+    rounds: int = 40,
+    dim: int | None = None,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Projection onto the TOP principal axis via fixed-round power
     iteration — the hash-oracle-able member of the PCA family (pca_fit's
@@ -335,14 +352,22 @@ def pca_power_project(
     v = np.ones(d) / np.sqrt(float(d))
     for _ in range(rounds):
         v = cov @ v
-        v = v / np.sqrt(float(v @ v))
+        nrm = float(v @ v)
+        if nrm == 0.0:
+            # constant corpus: cov rounds to exactly 0 and 0/0 would
+            # silently NaN every projection (round-10 review)
+            raise ValueError(
+                "pca_power_project: covariance is zero (constant "
+                "vectors) — no principal axis exists"
+            )
+        v = v / np.sqrt(nrm)
     v = np.round(v, 6)
     offset = float(mu @ v)
     from weather_api_automate_etl_spark.functions.vectors import dot_product
 
     axis = F.array(*[F.lit(float(c)) for c in v])
     return df.select(
-        "vec_id",
+        id_col,
         (
             F.round(dot_product(F.col(vec_col), axis) - F.lit(offset), 6)
             + F.lit(0.0)
@@ -553,6 +578,12 @@ def pq_adc_expr(
     per subspace inside codegen. Factored out of ``pq_adc_topk`` so
     residual-quantization callers (IVFADC — the query vector differs PER
     COARSE CELL) can branch between per-cell tables with ``F.when``."""
+    if len(query_vec) != len(codebooks) * len(codebooks[0][0]):
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook grid "
+            f"{len(codebooks)} x {len(codebooks[0][0])} — a short query "
+            "would NULL every distance and return arbitrary top-k"
+        )
     m_sub = len(codebooks)
     sub = len(codebooks[0][0])
     adc = F.lit(0.0)
@@ -618,6 +649,14 @@ def als_factorize_k2(
     boundary."""
     if rounds < 1:
         raise ValueError(f"als_factorize_k2 needs rounds >= 1, got {rounds}")
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(ratings.schema[item_col].dataType, NumericType):
+        raise ValueError(
+            f"als_factorize_k2 initializes item factors from {item_col} % 7 "
+            "— non-numeric item ids would silently NULL every factor; "
+            "map ids to integers first"
+        )
     r = ratings.select(
         F.col(user_col).alias("u"),
         F.col(item_col).alias("i"),

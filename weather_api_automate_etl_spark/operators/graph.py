@@ -165,7 +165,11 @@ def triangle_counts(
         )
         .select("u", "v", "deg_v")
     )
-    oriented = keyed.select("u", "v").localCheckpoint(eager=True)
+    # checkpoint KEYED (not just oriented): the wedge self-join branches
+    # both derive from it, so an un-checkpointed lineage would re-execute
+    # the degree joins once per branch (round-10 review)
+    keyed = keyed.localCheckpoint(eager=True)
+    oriented = keyed.select("u", "v")
     # wedges at apex u: pairs of out-neighbours (v, w), canonicalized by the
     # same (degree, id) order so each wedge is generated once
     a = keyed.select("u", F.col("v").alias("x"), F.col("deg_v").alias("dx"))
@@ -393,6 +397,14 @@ def sssp_bounded(
     relaxations; sources at dist 0."""
     if rounds < 0:
         raise ValueError(f"sssp_bounded needs rounds >= 0, got {rounds}")
+    from pyspark.sql.types import FractionalType
+
+    if isinstance(edges.schema[weight].dataType, FractionalType):
+        raise ValueError(
+            "sssp_bounded keeps distances in exact BIGINT — fractional "
+            "edge weights would be truncated PER HOP (round-10 review); "
+            "scale weights to integers (e.g. cents, millis) first"
+        )
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).alias("w"),
@@ -545,6 +557,8 @@ def common_neighbor_scores(
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))  # a self-loop node must not
+        # count itself as its own neighbor (label_propagation's guard)
         .distinct()
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))

@@ -44,7 +44,8 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics: whitespace tokens, BPE-ish pre-tokens,
     character length — the token-accounting primitive of a data pipeline."""
-    toks = tokens(text_col)
+    # drop the '' pseudo-token of empty docs so ws_tokens reports 0
+    toks = F.filter(tokens(text_col), lambda t: t != "")
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("ws_tokens"),
@@ -87,7 +88,6 @@ def quality_gate(
     the quality_score arithmetic) in one codegen stage — zero shuffles at
     any corpus size, and Catalyst dedups the shared token-array
     subexpressions across rules."""
-    from weather_api_automate_etl_spark.functions.text import quality_score, tokens
 
     t = F.col(text_col)
     n_chars = F.length(F.trim(t))
@@ -158,7 +158,15 @@ def repetition_profile(
     # to columns as ONE expression — getField per column would re-evaluate
     # the whole profile per field.
     return df.select(
-        F.col(id_col), F.inline(F.transform(F.array(tokens(text_col)), profile))
+        F.col(id_col),
+        F.inline(
+            F.transform(
+                # the '' pseudo-token of empty docs must not count as a
+                # word (n_words 0, fractions NULL — not 1/1.0)
+                F.array(F.filter(tokens(text_col), lambda t: t != "")),
+                profile,
+            )
+        ),
     )
 
 
@@ -180,6 +188,11 @@ def chunk_text(
     is introduced; downstream repartition is the consumer's choice.
     Returns (id, chunk_idx, chunk_text, n_tokens).
     """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens and stride must be >= 1, got "
+            f"{chunk_tokens}/{stride} (stride <= 0 would count DOWN)"
+        )
 
     def build(t):
         n = F.size(t)
@@ -232,7 +245,10 @@ def unigram_logprob(
     bm25 pattern), and the per-doc reduction is one map-side-combined
     aggregate. Two shuffles total regardless of corpus size.
     """
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).filter(F.col("t") != "")  # the '' pseudo-token of empty docs must
+    # not enter the vocabulary (the hashing_vectorizer invariant)
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     stats = freq.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
@@ -280,8 +296,9 @@ def bm25_scores(
     def _eq(term: str):
         # closure factory, NOT a defaulted lambda param: a 2-arg lambda makes
         # F.filter bind the second param to the element INDEX (silent
-        # corruption / cast errors)
-        return lambda x: x == F.lit(term)
+        # corruption / cast errors). Terms lowercase to match tokens()'s
+        # normalization — a raw 'Spark' would silently score 0 everywhere.
+        return lambda x: x == F.lit(term.lower())
 
     tf_cols = [
         F.size(F.filter(toks, _eq(term))).alias(f"__tf_{i}")
@@ -348,9 +365,10 @@ def tfidf_top_terms(
     broadcast), the corpus doc count as a 1-row broadcast, and a per-doc
     window top-k that Spark runs as WindowGroupLimit (per-partition
     top-k, no full sort). No step is quadratic; no driver collect."""
-    from pyspark.sql import Window
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -390,6 +408,7 @@ def token_entropy(
     per-term probabilities."""
     counts = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -432,7 +451,11 @@ def compression_ratio(
     each batch is one vectorized pass; zero shuffle, scan-speed."""
     import pandas as pd  # noqa: F401
 
-    out_schema = f"{id_col} long, raw_bytes long, ratio double, ratio_bucket double"
+    id_type = df.schema[id_col].dataType.simpleString()  # not hardcoded
+    out_schema = (
+        f"{id_col} {id_type}, raw_bytes long, ratio double, "
+        "ratio_bucket double"
+    )
 
     def fn(batches):
         import math
@@ -889,6 +912,12 @@ def bpe_merge_once(
     left-to-right merge order of reference BPE and this simultaneous
     non-overlapping substitution agree except on self-overlapping pairs
     ('aa' in 'aaa') — the documented, deterministic difference."""
+    if not placeholder:
+        raise ValueError(
+            "placeholder must be non-empty: replacing the winning pair "
+            "with '' DELETES it, splicing its neighbors into pairs that "
+            "never existed in the corpus"
+        )
     top = (
         bpe_pair_counts(df, id_col, text_col)
         .orderBy(F.desc("n"), F.asc("pair"))
@@ -942,8 +971,12 @@ def bpe_merge_rounds(
     joined back onto the token stream — n_rounds aggregates total, no
     driver-side corpus state, every winner stays a column until the end
     so Catalyst sees ONE lineage."""
-    if len(placeholders) < n_rounds:
-        raise ValueError("need one distinct placeholder symbol per round")
+    if n_rounds < 1:
+        raise ValueError(f"bpe_merge_rounds needs n_rounds >= 1, got {n_rounds}")
+    if len(placeholders) < n_rounds or (
+        len(set(placeholders[:n_rounds])) != n_rounds
+    ):
+        raise ValueError("need one DISTINCT placeholder symbol per round")
     pairs_of = (
         "transform(sequence(1, greatest(length(tok) - 1, 0)), i -> substring(tok, i, 2))"
     )
@@ -1020,7 +1053,20 @@ def bpe_encode(
     def encode(tok: F.Column) -> F.Column:
         out = tok
         for r in range(n):
-            out = F.replace(out, F.col(f"__w{r}"), F.lit(placeholders[r]))
+            # a round the table never learned pivots to NULL, and
+            # F.replace(out, NULL) would NULL every document's
+            # accounting silently — raise IN-PLAN instead (an eager
+            # head() here would re-execute the training aggregates
+            # when composed with bpe_merge_rounds)
+            w = F.when(F.col(f"__w{r}").isNotNull(), F.col(f"__w{r}")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"merge table carries no round {r}: pass "
+                        "n_rounds=<table size>"
+                    )
+                ).cast("string")
+            )
+            out = F.replace(out, w, F.lit(placeholders[r]))
         return out
 
     clen = lambda arr: F.aggregate(  # noqa: E731
@@ -1312,6 +1358,9 @@ def textrank_keywords(
     nodes = (
         df.select(F.explode(ts).alias("word")).distinct()
     )
+    # count ONCE and pass n: pagerank would otherwise run its own
+    # nodes.count(), tokenizing the corpus a second time
+    n = nodes.count()
     ranked = graph.pagerank(
         nodes,
         pairs,
@@ -1320,8 +1369,8 @@ def textrank_keywords(
         node_id="word",
         iterations=iterations,
         damping=damping,
+        n=n,
     )
-    n = nodes.count()
     return (
         ranked.select(
             "word", F.round(F.col("rank") * float(n), 6).alias("rank_n")
@@ -1486,18 +1535,28 @@ def heaps_law(
     lx = F.log(F.col("cum_tokens").cast("double"))
     ly = F.log(F.col("vocab").cast("double"))
     n = F.count(F.lit(1)).over(tw).cast("double")
-    sx = F.sum(lx).over(tw)
-    sy = F.sum(ly).over(tw)
-    sxy = F.sum(lx * ly).over(tw)
-    sxx = F.sum(lx * lx).over(tw)
-    beta = (n * sxy - sx * sy) / F.nullif(
-        n * sxx - sx * sx, F.lit(0.0)
+    # the SHARED guarded moment-OLS (stats.ols_from_moments): a curve of
+    # numerically near-identical ln(cum_tokens) yields NULL beta via the
+    # relative variance floor, never cancellation garbage, and round0
+    # kills the aggregated -0.0 hash hazard (round-10 review; zipf_fit
+    # already followed this discipline)
+    from weather_api_automate_etl_spark.operators.stats import (
+        ols_from_moments,
+        round0,
     )
-    intercept = (sy - beta * sx) / n
+
+    beta, intercept, _, _ = ols_from_moments(
+        n,
+        F.sum(lx).over(tw),
+        F.sum(ly).over(tw),
+        F.sum(lx * ly).over(tw),
+        F.sum(lx * lx).over(tw),
+        F.sum(ly * ly).over(tw),
+    )
     return curve.select(
         F.col("__b").cast("int").alias("bucket"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("vocab").cast("long").alias("vocab"),
-        F.round(beta, 6).alias("beta"),
-        F.round(F.exp(intercept), 6).alias("k_factor"),
+        round0(beta, 6).alias("beta"),
+        round0(F.exp(intercept), 6).alias("k_factor"),
     )

@@ -101,11 +101,17 @@ _HEAPS_ORACLE = """
     SELECT CAST(b AS INTEGER) AS bucket,
            CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(vocab AS BIGINT) AS vocab,
-           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+           -- the shared guarded-OLS discipline (stats.ols_from_moments):
+           -- variance floor is RELATIVE (1e-14 * n * sxx), and + 0.0
+           -- normalizes an aggregated -0.0 (round0)
+           ROUND((n * sxy - sx * sy)
+                 / (CASE WHEN n * sxx - sx * sx > 1e-14 * n * sxx
+                         THEN n * sxx - sx * sx END), 6) + 0.0
              AS beta,
            ROUND(exp((sy - (n * sxy - sx * sy)
-                      / NULLIF(n * sxx - sx * sx, 0) * sx) / n), 6)
-             AS k_factor
+                      / (CASE WHEN n * sxx - sx * sx > 1e-14 * n * sxx
+                              THEN n * sxx - sx * sx END) * sx) / n), 6)
+             + 0.0 AS k_factor
     FROM f
 """
 
