@@ -62,9 +62,9 @@ def test_priority_order_names_are_registered():
     ghosts = set(DISPLACED) & set(REGISTRY)
     assert not ghosts, f"DISPLACED queries still registered: {ghosts}"
     # a displaced name must not occupy a slot in the CURRENT window
-    from weather_api_automate_etl_spark.queries import ROUND10_WINDOW_HEAD
+    from weather_api_automate_etl_spark.queries import ROUND11_WINDOW_HEAD
 
-    assert not set(DISPLACED) & set(ROUND10_WINDOW_HEAD)
+    assert not set(DISPLACED) & set(ROUND11_WINDOW_HEAD)
 
 
 def _driver_verified() -> set[str]:
@@ -108,20 +108,21 @@ def _last_verified_round() -> dict[str, int]:
 
 def test_priority_prefix_covers_every_family():
     """External verification records exactly the first 50 registry entries
-    per round; the union of rounds 1-9 drove 255 of 327 queries green,
-    leaving the 72-name residue (waves 40-58 + the ROUND9_PENDING tail)
-    never-sampled. Pin round 10's evidence strategy, executed exactly as
-    staged last round (round-9 verdict item 1): the window is the 34
-    ROUND10_NEW names plus the first 16 of the ROUND9_PENDING tail; the
-    remaining 24 tail names, any round-10 additions (ROUND11_NEW), and
-    the 22 r4-era stale rows are explicitly queued for round 11; and
-    everything outside the window already holds a green driver row (or
-    is queued)."""
+    per round; the union of rounds 1-10 drove 302 of 327 live queries
+    green, leaving a 25-name residue (ROUND11_NEW + the ROUND9_TAIL
+    remainder) never-sampled. Pin round 11's evidence strategy, executed
+    exactly as staged last round (round-10 verdict item 1): the window is
+    all 47 ROUND11_PENDING names (every never-sampled query + the 22
+    r4-era stale rows) plus the first 3 r5-era names; a green round-11
+    run drives the never-sampled set to ZERO. Everything outside the
+    window already holds a green driver row, and the stalest of those
+    rows are explicitly queued in the committed ROUND12_PENDING
+    schedule."""
     from weather_api_automate_etl_spark.queries import (
-        ROUND9_TAIL,
-        ROUND10_NEW,
-        ROUND10_WINDOW_HEAD,
+        R5_ERA_STALE,
         ROUND11_PENDING,
+        ROUND11_WINDOW_HEAD,
+        ROUND12_PENDING,
         queries,
     )
 
@@ -130,12 +131,12 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND10_WINDOW_HEAD)
+    k = len(ROUND11_WINDOW_HEAD)
     assert k == 50, "the driver records exactly the first 50 entries"
-    assert names[:k] == list(ROUND10_WINDOW_HEAD)
-    assert ROUND10_WINDOW_HEAD == ROUND10_NEW + ROUND9_TAIL[:16], (
-        "round 10's window is exactly the staged schedule: all 34 round-9 "
-        "additions + the first 16 pending-tail names (round-9 verdict item 1)"
+    assert names[:k] == list(ROUND11_WINDOW_HEAD)
+    assert ROUND11_WINDOW_HEAD == ROUND11_PENDING + R5_ERA_STALE[:3], (
+        "round 11's window is exactly the staged schedule: all 47 pending "
+        "names + the r5-era cohort head (round-10 verdict item 1)"
     )
     # every registered query carries a DuckDB oracle (no no_oracle rows
     # since the round-9 portable-HLL / zlib-lookup upgrades).
@@ -145,39 +146,35 @@ def test_priority_prefix_covers_every_family():
         "every registered query must carry a DuckDB oracle: "
         f"missing {set(REGISTRY) - set(oracle_sql())}"
     )
-    assert unverified <= set(ROUND10_WINDOW_HEAD) | set(ROUND11_PENDING), (
-        "every never-driver-verified query must open the round-10 window "
-        "(or be explicitly queued in ROUND11_PENDING): "
-        f"missing {unverified - set(ROUND10_WINDOW_HEAD) - set(ROUND11_PENDING)}"
+    assert unverified <= set(ROUND11_WINDOW_HEAD), (
+        "every never-driver-verified query must sit in the round-11 window: "
+        f"missing {unverified - set(ROUND11_WINDOW_HEAD)}"
     )
-    # staleness guard: the stalest green rows are the 22 r4-era names,
-    # all explicitly queued in ROUND11_PENDING; nothing pre-r4 may exist.
+    # Staleness guard — the HONEST bound. With 327 queries and a 50-slot
+    # window the full cycle is ceil(327/50) = 7 rounds, so "≤4 rounds
+    # stale" is impossible registry-wide. What the committed schedule
+    # guarantees: a row last verified in round r exceeds 7 rounds at the
+    # close of round r+8, so with evidence through round N every row
+    # with r <= N-6 must already sit in the current or committed-next
+    # window (it re-verifies within two rounds, before the bound trips).
     last = _last_verified_round()
-    stalest = {n for n, r in last.items() if r <= 3}
-    assert not stalest, (
-        f"rows with pre-r4 evidence must have re-verified by round 8: {stalest}"
-    )
-    from weather_api_automate_etl_spark.queries import R4_ERA_STALE, ROUND11_NEW
-
-    r4_era = {n for n, r in last.items() if r == 4}
-    assert r4_era <= set(R4_ERA_STALE) | set(ROUND10_WINDOW_HEAD), (
-        f"r4-era rows missing from the round-11 schedule: "
-        f"{r4_era - set(R4_ERA_STALE) - set(ROUND10_WINDOW_HEAD)}"
-    )
-    assert set(ROUND11_NEW).isdisjoint(verified), (
-        "ROUND11_NEW is reserved for never-driver-sampled round-10 additions"
+    n_max = max(last.values())  # latest recorded round
+    overdue = {n for n, r in last.items() if r <= n_max - 6}
+    scheduled = set(ROUND11_WINDOW_HEAD) | set(ROUND12_PENDING)
+    assert overdue <= scheduled, (
+        f"rows about to exceed the 7-round freshness bound are unscheduled: "
+        f"{overdue - scheduled}"
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
-    # the round-10 window is 100% never-checked rotation; the staged names
-    # span the stats/eval/multimodal/text/quality/corpus families. Ledger,
-    # streaming, dedup and the §2 ingest backbone all hold r07-r09 rows
-    # (the freshest possible) so they take no slots this round.
-    for family in ("stats", "multimodal", "text", "quality", "corpus"):
+    # the round-11 window spans the never-sampled stats/eval tail, the
+    # multimodal codecs, and the r4-era dedup/join/quality rows. Ledger,
+    # streaming and the §2 ingest backbone hold r07-r10 rows (the
+    # freshest possible) so they take no slots this round.
+    for family in ("stats", "multimodal", "text", "quality", "dedup"):
         assert family in tags_in_prefix, f"family {family!r} missing from prefix"
-    # everything outside the window must already be driver-verified, save
-    # the explicitly-queued round-11 schedule
-    outside = set(names[50:]) - verified - set(ROUND11_PENDING)
+    # everything outside the window must already be driver-verified
+    outside = set(names[50:]) - verified
     assert not outside, (
         f"queries outside the window lack prior driver rows: {outside}"
     )

@@ -13,7 +13,13 @@ Conventions that keep the hash comparison exact:
 - ``events.ts`` is ns-precision parquet: Spark reads ns-as-long and converts
   with integer div (sources/tables.py), the oracle uses
   ``CAST(ts AS TIMESTAMP)`` — both truncate ns→µs;
-- the Spark session runs in UTC (session.py) so timestamps hash identically.
+- the Spark session runs in UTC (session.py) so timestamps hash identically;
+- content hashes are md5 (portable), never Spark ``hash()``;
+- dot products fold sequentially in double on both engines (Spark
+  ``aggregate``; DuckDB ``list_sum`` over an index-ordered transform), so
+  scores are bit-identical before the defensive round(6);
+- DuckDB ``len()``/``row_number()`` return BIGINT where Spark returns int —
+  oracles cast explicitly.
 """
 
 from __future__ import annotations
@@ -543,6 +549,10 @@ def _load_extensions() -> None:
             for s in re.split(r"(\d+)", p.stem)
         ],
     ):
+        # a stray scratch/backup file matching the glob must fail loudly,
+        # not silently register queries (round-10 advice)
+        if not re.fullmatch(r"queries_(wave\d+|[a-z0-9]+)", p.stem):
+            raise ImportError(f"unexpected query-extension module: {p.name}")
         importlib.import_module(f"{__package__}.{p.stem}")
 
 
@@ -550,7 +560,8 @@ def _load_extensions() -> None:
 # verification records exactly the first 50 registry entries per round, so
 # window placement is evidence strategy: the union of per-round CORRECTNESS
 # files should converge on the whole registry and no green row should turn
-# 4+ rounds stale. Anything registered but unlisted is appended in
+# more than ~7 rounds stale (ceil(327/50) — the honest steady-state bound;
+# see ROUND12_PENDING below). Anything registered but unlisted is appended in
 # registration order (new queries are never silently dropped);
 # test_queries_registry asserts every listed name is registered, that the
 # head is exactly the prefix, and that nothing unverified sits outside the
@@ -563,7 +574,10 @@ def _recorded_window(round_no: int) -> tuple[str, ...]:
     the file IS the audit trail, so the historical window heads are no
     longer duplicated here as literal tuples (round-10 consolidation;
     the round-8/7 window rationales live in the git history of this
-    block and in PARITY.md)."""
+    block and in PARITY.md). The dict's KEY INSERTION ORDER is
+    load-bearing — it preserves the driver's sample order — so a present
+    file that fails the shape checks raises instead of silently
+    reordering downstream windows (round-10 advice)."""
     import json
     from pathlib import Path
 
@@ -572,12 +586,15 @@ def _recorded_window(round_no: int) -> tuple[str, ...]:
         / f"CORRECTNESS_r{round_no:02d}.json"
     )
     try:
-        return tuple(json.loads(p.read_text()))
+        names = tuple(json.loads(p.read_text()))
     except OSError:
         # packaged without the repo-root evidence files: these heads
         # only refine ordering PAST the 50-slot window (the current
-        # window slices ROUND9_TAIL), so degrade instead of failing
+        # window is a literal schedule), so degrade instead of failing
         return ()
+    if len(names) != 50 or not all(n.startswith("q_") for n in names):
+        raise ValueError(f"malformed driver-evidence file {p.name}")
+    return names
 
 
 ROUND8_WINDOW_HEAD: tuple[str, ...] = _recorded_window(8)
@@ -710,8 +727,8 @@ ROUND11_NEW: tuple[str, ...] = (
     "q_multimodal_decode_progressive",
 )
 
-#: Round-11 rotation schedule, committed now (round-9 verdict item 6) so
-#: every query's latest driver row stays ≤4 rounds old: round-10
+#: Round-11 rotation schedule, committed in round 10 (round-9 verdict
+#: item 6): round-10
 #: additions first, then the remaining 24 never-sampled ROUND9_PENDING
 #: tail names (q_attribution_linear .. q_ordinal_encode, waves 28-39),
 #: then the 22 r4-era stale rows above. That fills 47+ of round 11's 50
@@ -719,26 +736,87 @@ ROUND11_NEW: tuple[str, ...] = (
 #: rows after the r4 set re-verifies), taken in CORRECTNESS_r05 order.
 ROUND11_PENDING: tuple[str, ...] = ROUND11_NEW + ROUND9_TAIL[16:] + R4_ERA_STALE
 
+#: The 41 r5-era rows (latest green driver evidence = round 5), in
+#: CORRECTNESS_r05 sample order. Kept LITERAL — the rotation windows
+#: slice from here, so they must not depend on the evidence files being
+#: present in a packaged deployment. The head 3 complete round 11's
+#: window; the remaining 38 open round 12's.
+R5_ERA_STALE: tuple[str, ...] = (
+    "q_approx_stats", "q_sketch_union", "q_multimodal_decode_jpeg",
+    "q_streaming_file_sink", "q_streaming_dedup_sink", "q_dup_span_removal",
+    "q_tfidf_top_terms", "q_token_entropy", "q_semdedup_survivors",
+    "q_train_shuffle", "q_embedding_quantize", "q_embedding_standardize",
+    "q_ann_ivf_bucketed", "q_intradoc_repeats", "q_curriculum_order",
+    "q_corpus_pipeline", "q_neardup_cosine_vectorized", "q_streaming_corpus_clean",
+    "q_holdout_split", "q_hashing_vectorizer", "q_heavy_hitters",
+    "q_pmi_pairs", "q_ewma", "q_anomaly_iqr",
+    "q_ntile_bucket", "q_linreg_by_group", "q_triangle_count",
+    "q_pack_sequences", "q_cms_frequency", "q_bigram_logprob",
+    "q_mad_outliers", "q_autocorr", "q_quantile_normalize",
+    "q_blocklist_filter", "q_basket_pairs", "q_rfm_segments",
+    "q_embedding_covariance", "q_label_propagation", "q_trailing_median",
+    "q_seasonal_baseline", "q_concurrency",
+)
+
+#: Head of the 43-name r6-era cohort (latest green row = round 6), in
+#: CORRECTNESS_r06 sample order; 12 fill round 12's window after the 38
+#: remaining r5 names, the other 31 open round 13's.
+R6_ERA_HEAD: tuple[str, ...] = (
+    "q_cusum_changepoint", "q_fuzzy_match", "q_freshness",
+    "q_skew_profile", "q_cumulative_distinct", "q_sql_macros",
+    "q_zipf_fit", "q_burstiness", "q_gini_sources",
+    "q_ab_lift", "q_first_touch", "q_pagerank_converged",
+)
+
+#: Round-11 window, executed exactly as staged last round (round-10
+#: verdict item 1): all 47 ROUND11_PENDING names (the last 25
+#: never-driver-sampled queries + the 22 r4-era stale rows) plus the
+#: first 3 r5-era names. A green round-11 run drives the
+#: never-driver-sampled set to ZERO for the first time and retires all
+#: r4-era evidence.
+ROUND11_WINDOW_HEAD: tuple[str, ...] = ROUND11_PENDING + R5_ERA_STALE[:3]
+
+#: Round-12 rotation schedule, committed now (round-10 verdict item 5):
+#: the 38 remaining r5-era names + the r6-era cohort head.
+#:
+#: Honest steady-state: with 327 registered queries and a 50-slot
+#: driver window, a full re-verification cycle is ceil(327/50) = 7
+#: rounds. "Every row ≤4 rounds stale" is therefore arithmetically
+#: impossible registry-wide; the bound this schedule actually
+#: guarantees — and test_queries_registry pins — is that no green row
+#: is ever older than 7 rounds, with the stalest cohort always the
+#: next window's head.
+ROUND12_PENDING: tuple[str, ...] = R5_ERA_STALE[3:] + R6_ERA_HEAD
+
 PRIORITY_ORDER: tuple[str, ...] = (
-    ROUND10_WINDOW_HEAD
-    # slots 51+: round 11's committed schedule, then the prior heads in
-    # freshness order (r9 head first — its rows are the newest) — rounds
+    ROUND11_WINDOW_HEAD
+    # slots 51+: round 12's committed schedule, then the prior heads in
+    # freshness order (r10 head first — its rows are the newest) — rounds
     # record only the 50-entry prefix, so placement past 50 is
     # documentation, not evidence
-    + ROUND11_PENDING
-    + tuple(n for n in ROUND9_WINDOW_HEAD if n not in ROUND11_PENDING)
+    + ROUND12_PENDING
+    + tuple(
+        n for n in _recorded_window(10) if n not in ROUND11_WINDOW_HEAD
+    )
+    + tuple(
+        n
+        for n in ROUND9_WINDOW_HEAD
+        if n not in ROUND11_WINDOW_HEAD and n not in ROUND12_PENDING
+    )
     + tuple(
         n
         for n in ROUND8_WINDOW_HEAD
-        if n not in ROUND9_PENDING and n not in ROUND11_PENDING
+        if n not in ROUND9_PENDING
+        and n not in ROUND11_WINDOW_HEAD
+        and n not in ROUND12_PENDING
     )
     + tuple(
         n
         for n in ROUND7_WINDOW_HEAD
         if n not in ROUND8_WINDOW_HEAD
         and n not in ROUND9_PENDING
-        and n not in ROUND11_PENDING
-        and n not in ROUND10_WINDOW_HEAD
+        and n not in ROUND11_WINDOW_HEAD
+        and n not in ROUND12_PENDING
     )
 )
 
