@@ -72,12 +72,74 @@ def test_no_registry_query_regresses_to_slow_paths(spark):
 #: swap. Anything else flagged by the audit is a regression.
 GLOBAL_WINDOW_ALLOWLIST = {
     # global ntile over the score column — equal-count calibration bins
-    # are a global rank property; the docstring documents the
-    # approx-quantile boundary swap (q_quantile_normalize's recipe)
+    # are a global rank property; the registered query keeps the exact
+    # form for cross-engine oracle parity, and the IMPLEMENTED 100 TB
+    # twin (calibration_bins(boundaries="approx"): percentile_approx
+    # edges broadcast + map-side bucket assign, no global sort) is
+    # plan-pinned by test_global_rank_scale_twins below (round-10
+    # verdict item 3)
     "q_calibration_ece",
-    # same dispensation: decile gains buckets are global score ranks
+    # same dispensation + same tested approx twin: decile gains buckets
+    # are global score ranks (gains_table(boundaries="approx"))
     "q_gains_table",
 }
+
+
+def test_global_rank_scale_twins(spark):
+    """Round-10 verdict item 3: both allowlisted global-rank queries now
+    carry an implemented scale mode. Pin (a) the approx-mode plan has
+    ZERO unpartitioned row-scale windows — the edges come from one
+    aggregate broadcast back, bucketing is map-side — and (b) the twin
+    agrees with the exact mode semantically (equal-count-ish bins, same
+    summary statistic within sketch tolerance)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from audit_plans import unpartitioned_rowscale_windows
+
+    from weather_api_automate_etl_spark.operators import stats
+
+    rows = [
+        (i, i / 1000.0, 1 if (i * 37 % 1000) / 1000.0 < i / 1000.0 else 0)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+
+    cal = stats.calibration_bins(
+        df, "s", F.col("y") == 1, n_bins=10, boundaries="approx"
+    )
+    gains = stats.gains_table(
+        df, "s", F.col("y") == 1, n_buckets=10, boundaries="approx"
+    )
+    for twin in (cal, gains):
+        plan = _plan(twin).split("== Initial Plan ==")[0]
+        assert unpartitioned_rowscale_windows(plan) == 0
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    cal_rows = cal.collect()
+    assert len(cal_rows) == 10
+    assert sum(r["n"] for r in cal_rows) == 1000
+    # percentile_approx at n=1000 is near-exact: every bin lands within
+    # a few rows of the equal-count 100
+    assert all(80 <= r["n"] <= 120 for r in cal_rows)
+    exact_ece = stats.calibration_bins(
+        df, "s", F.col("y") == 1, n_bins=10, order_cols=["id"]
+    ).collect()[0]["ece"]
+    approx_ece = cal_rows[0]["ece"]
+    assert abs(approx_ece - exact_ece) < 0.02
+
+    g = {r["bucket"]: r for r in gains.collect()}
+    assert set(g) == set(range(1, 11))
+    assert sum(r["n"] for r in g.values()) == 1000
+    # bucket 1 holds the TOP scores: its response rate dominates
+    assert g[1]["response_rate"] > g[10]["response_rate"]
+    cum = [g[b]["cum_gain"] for b in range(1, 11)]
+    assert cum == sorted(cum) and cum[-1] == 1.0
+    with pytest.raises(ValueError, match="boundaries"):
+        stats.gains_table(df, "s", F.col("y") == 1, boundaries="bogus")
+    with pytest.raises(ValueError, match="boundaries"):
+        stats.calibration_bins(df, "s", F.col("y") == 1, boundaries="bogus")
 
 
 def test_no_unpartitioned_window_over_row_scale(spark):

@@ -1049,6 +1049,7 @@ def calibration_bins(
     label_col,
     n_bins: int = 10,
     order_cols: Sequence[str] = (),
+    boundaries: str = "exact",
 ) -> DataFrame:
     """Reliability diagram + expected calibration error: ntile-bin the
     score, compare each bin's mean score (confidence) against its
@@ -1057,28 +1058,49 @@ def calibration_bins(
     equal-COUNT bins). ``label_col`` is a boolean Column or a name.
 
     ECE = Σ (n_b/N)·|acc_b − conf_b| rides every row as a window sum so
-    the result is a single self-contained frame. One global ntile — an
-    UNPARTITIONED window, the one place this repo allows it, because the
-    bin boundary is a global rank property; at 100 TB swap in
-    approx-quantile boundaries (q_quantile_normalize's recipe) and keep
-    the rest. Ties in the score are broken by ``order_cols`` so binning
-    is deterministic. Returns (bin, n, conf, acc, gap, ece), rounded
-    to 6."""
+    the result is a single self-contained frame. Two binning modes:
+
+    - ``boundaries="exact"`` (default, the oracle-parity twin): one
+      global ntile — an UNPARTITIONED window, because an equal-count
+      bin boundary is a global rank property and only a total order
+      reproduces it bit-for-bit across engines. Ties broken by
+      ``order_cols`` so binning is deterministic. Row-scale sort:
+      test-scale / cross-engine-verification use only.
+    - ``boundaries="approx"`` (the 100 TB plan): bin edges from ONE
+      ``percentile_approx`` aggregate (n_bins−1 values), broadcast back
+      as a 1-row relation, bucket assigned by a map-side array scan —
+      no global sort anywhere, same shape as quantile_normalize_binned.
+      Bins are equal-count up to sketch error and boundary ties.
+
+    Returns (bin, n, conf, acc, gap, ece), rounded to 6."""
     if n_bins < 2:
         raise ValueError(f"calibration_bins needs n_bins >= 2, got {n_bins}")
-    w = Window.orderBy(F.col("_s"), *[F.col(c) for c in order_cols])
+    if boundaries not in ("exact", "approx"):
+        raise ValueError(f"boundaries must be exact|approx, got {boundaries!r}")
     # NULL scores/labels drop up front (the score_label discipline):
     # a NULL score sorts FIRST in Spark and LAST in DuckDB, so leaving
     # it in would silently shift every ntile boundary vs the oracle
-    binned = (
-        df.select(
-            F.col(score_col).cast("double").alias("_s"),
-            as_col(label_col).cast("int").alias("_y"),
-            *order_cols,
+    sel = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        as_col(label_col).cast("int").alias("_y"),
+        *order_cols,
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    if boundaries == "approx":
+        edges = sel.agg(
+            F.percentile_approx(
+                "_s", [i / n_bins for i in range(1, n_bins)]
+            ).alias("_edges")
         )
-        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
-        .withColumn("bin", F.ntile(n_bins).over(w))
-    )
+        binned = sel.crossJoin(F.broadcast(edges)).withColumn(
+            "bin",
+            (
+                F.lit(1)
+                + F.size(F.filter("_edges", lambda b: b < F.col("_s")))
+            ).cast("int"),
+        )
+    else:
+        w = Window.orderBy(F.col("_s"), *[F.col(c) for c in order_cols])
+        binned = sel.withColumn("bin", F.ntile(n_bins).over(w))
     agg = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("_s").alias("_conf"),
@@ -3228,6 +3250,7 @@ def gains_table(
     label_col,
     n_buckets: int = 10,
     order_cols: Sequence[str] = (),
+    boundaries: str = "exact",
 ) -> DataFrame:
     """Decile gains/lift table — the campaign-targeting readout (send to
     the top k% by score; how many responders does that capture?):
@@ -3235,34 +3258,51 @@ def gains_table(
     the response rate, lift vs the base rate, and the cumulative gain
     (fraction of ALL responders captured by buckets 1..b).
 
-    One global ntile — the ``calibration_bins`` dispensation (bucket
-    boundaries are global rank properties; swap approx-quantile
-    boundaries in at 100 TB) — with ties broken by ``order_cols`` so
-    bucketing is deterministic; everything after is a bucket-keyed
-    aggregate plus window sums over the n_buckets-row result. Counts
-    exact; rates/lift/gain rounded to 6 (NULL lift when no responders
-    at all). Returns one row per bucket ``(bucket, n, responders,
-    response_rate, lift, cum_gain)``.
+    Binning modes — the ``calibration_bins`` pair, see its docstring:
+    ``boundaries="exact"`` (default) is the global-ntile oracle-parity
+    twin (ties broken by ``order_cols``, single global sort — test
+    scale only); ``boundaries="approx"`` is the 100 TB plan (one
+    ``percentile_approx`` aggregate broadcast back, map-side bucket
+    assign, bucket 1 = top scores, no global sort). Everything after is
+    a bucket-keyed aggregate plus window sums over the n_buckets-row
+    result. Counts exact; rates/lift/gain rounded to 6 (NULL lift when
+    no responders at all). Returns one row per bucket ``(bucket, n,
+    responders, response_rate, lift, cum_gain)``.
     """
     if n_buckets < 2:
         raise ValueError(f"gains_table needs n_buckets >= 2, got {n_buckets}")
+    if boundaries not in ("exact", "approx"):
+        raise ValueError(f"boundaries must be exact|approx, got {boundaries!r}")
     s = as_col(score_col).cast("double")
-    # the window must rank the ALIASED score: the projection below drops
-    # the source columns the score expression referenced
-    w = Window.orderBy(
-        F.col("__s").desc(), *[F.col(c) for c in order_cols]
-    )
     # NULL scores/labels drop up front — same boundary-shift hazard as
-    # calibration_bins (Spark NULLS FIRST vs DuckDB NULLS LAST)
-    binned = (
-        df.select(
-            s.alias("__s"),
-            as_col(label_col).cast("int").alias("__y"),
-            *order_cols,
+    # calibration_bins (Spark NULLS FIRST vs DuckDB NULLS LAST).
+    # The projection ALIASES the score: the window/bucket expressions
+    # below reference it after the source columns are dropped.
+    sel = df.select(
+        s.alias("__s"),
+        as_col(label_col).cast("int").alias("__y"),
+        *order_cols,
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    if boundaries == "approx":
+        edges = sel.agg(
+            F.percentile_approx(
+                "__s", [i / n_buckets for i in range(1, n_buckets)]
+            ).alias("_edges")
         )
-        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-        .withColumn("bucket", F.ntile(n_buckets).over(w))
-    )
+        # ascending edges, descending buckets: a score above all k−1
+        # edges lands in bucket 1 (the top-score decile)
+        binned = sel.crossJoin(F.broadcast(edges)).withColumn(
+            "bucket",
+            (
+                F.lit(n_buckets)
+                - F.size(F.filter("_edges", lambda b: b < F.col("__s")))
+            ).cast("int"),
+        )
+    else:
+        w = Window.orderBy(
+            F.col("__s").desc(), *[F.col(c) for c in order_cols]
+        )
+        binned = sel.withColumn("bucket", F.ntile(n_buckets).over(w))
     agg = binned.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__y").cast("long").alias("responders"),

@@ -2,19 +2,8 @@
 recommendations, model-calibration audit, diversity re-ranking, and
 held-out LM scoring with backoff.
 
-- ``q_item_cf``: item-item collaborative-filtering cosine neighbors
-  from basket co-occurrence (operators/stats.py::item_item_cosine) —
-  the Amazon item-to-item shape, counts only, never vectors.
-- ``q_calibration_ece``: reliability bins + expected calibration error
-  (operators/stats.py::calibration_bins) over a logistic pseudo-score.
-- ``q_mmr_rerank``: Maximal Marginal Relevance top-k (operators/
-  similarity.py::mmr_rerank) — greedy relevant-but-diverse selection
-  over a retrieval shortlist; the oracle unrolls all five greedy picks.
-- ``q_stupid_backoff``: held-out bigram scoring under Stupid Backoff
-  (operators/textops.py::stupid_backoff_logprob) — 1% train slice so
-  the backoff branch is live in-pipeline, not just in unit tests.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations
@@ -124,7 +113,11 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 equal-count bins): a logistic pseudo-probability of the event
     value is audited against the observed purchase rate per bin, with
     the expected calibration error riding every row — the standard
-    is-the-score-a-probability screen before scores gate anything."""
+    is-the-score-a-probability screen before scores gate anything.
+    Runs the EXACT global-ntile mode for bit-for-bit oracle parity; the
+    100 TB plan is ``boundaries="approx"`` (percentile_approx edges,
+    map-side binning, zero global sorts — plan-pinned in
+    tests/test_scale_plans.py::test_global_rank_scale_twins)."""
     from weather_api_automate_etl_spark.operators import stats
 
     ev = t(spark, sf_dir, "events").select(

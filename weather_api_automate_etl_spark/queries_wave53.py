@@ -1,19 +1,8 @@
 """Round-9 fifty-third-wave queries: operating-point selection and
 campaign gains.
 
-- ``q_youden_cutoff``: the Youden-J-optimal threshold over EVERY
-  distinct score (operators/stats.py::youden_optimal_cutoff) — the
-  selection step the fixed-grid q_pr_sweep can't do; the argmax runs
-  on exact integer cross-multiples (tp·N − fp·P), so no float ordering
-  ambiguity exists, and ties break toward the more sensitive (lower)
-  threshold.
-- ``q_gains_table``: decile gains/lift (operators/stats.py::
-  gains_table) — the send-to-the-top-k% targeting readout: per-decile
-  response rate, lift vs base rate, cumulative responder capture.
-
-Same deterministic score (⌊value·10⌋/10) and label (purchase) as the
-rest of the evaluation family; same registry/oracle conventions as
-every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations
@@ -114,7 +103,9 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile gains/lift table (operators/stats.py::gains_table): one
     global ntile (the calibration_bins dispensation, deterministic via
     the event-id tiebreak), a bucket-keyed aggregate, and window sums
-    over the 10-row result."""
+    over the 10-row result. Exact mode here for oracle parity; the
+    100 TB twin is ``boundaries="approx"`` (plan-pinned in
+    tests/test_scale_plans.py::test_global_rank_scale_twins)."""
     from weather_api_automate_etl_spark.operators import stats
 
     ev = t(spark, sf_dir, "events")
