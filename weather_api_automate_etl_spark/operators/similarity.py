@@ -138,11 +138,15 @@ def _lloyd_partials(cents: list[list[float]]):
 def _deterministic_init(base: DataFrame, id_col: str, k: int) -> DataFrame:
     """k lowest-representative DISTINCT vectors as (list_id, centroid) —
     the init both Lloyd variants share; extracted so the 'deterministic
-    twin' contract cannot desynchronize (round-10 review)."""
+    twin' contract cannot desynchronize (round-10 review). NULL vectors
+    drop HERE — the shared convention — so a NULL with a low id can't
+    become a centroid in one variant and not the other (round-10
+    advice)."""
     from pyspark.sql.window import Window
 
     return (
-        base.groupBy(F.col("_v").alias("centroid"))
+        base.filter(F.col("_v").isNotNull())
+        .groupBy(F.col("_v").alias("centroid"))
         .agg(F.min(id_col).alias("__id"))
         .orderBy("__id")
         .limit(k)
@@ -307,7 +311,7 @@ def kmeans_fixed_rounds(
     clamp = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    ).filter(F.col("_v").isNotNull())  # same NULL convention as kmeans_fit
     cents = (
         _deterministic_init(base, id_col, k)
         .select("list_id", clamp(F.col("centroid")).alias("centroid"))
