@@ -1207,3 +1207,109 @@ def test_round10_review_fixes(spark, tmp_path):
     ledger.ledger_compact(spark, p2, zorder_by=("x", "y"))
     got = sorted((r.k, r.x, r.y) for r in ledger.ledger_read(spark, p2).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# crash-mid-vacuum / crash-mid-delete fault injection (round-10 verdict
+# item 7): the ledger's two non-atomic multi-step maintenance paths must
+# leave every RETAINED version readable when killed between steps, and a
+# rerun must complete the interrupted work.
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_killed_between_data_delete_and_manifest_unlink(
+    spark, mart, monkeypatch
+):
+    """Vacuum is two steps: rmtree collectable data dirs, then unlink
+    dropped manifests. Kill it after the FIRST rmtree and prove (a) the
+    retained snapshot reads byte-identically at both its versions, (b)
+    the rerun finishes the cleanup idempotently."""
+    path, _ = mart
+    # two merges rewriting the SAME partition: v2's 2001-dir becomes
+    # exclusively owned by a soon-dropped version (the init dir stays
+    # live via the untouched 2000/2002 partitions)
+    for price in (999.0, 777.0):
+        updates = spark.createDataFrame(
+            [(1, price, "2001")], "k long, price double, year string"
+        )
+        ledger.ledger_merge(spark, path, updates, "k")
+    assert ledger._manifest_versions(path) == [1, 2, 3]
+    before_v3 = _snapshot(spark, path, version=3)
+    before_latest = _snapshot(spark, path)
+
+    real_rmtree = ledger.shutil.rmtree
+    calls: list[str] = []
+
+    def dying_rmtree(p, *a, **k):
+        real_rmtree(p, *a, **k)
+        calls.append(p)
+        raise KeyboardInterrupt("injected kill after first data delete")
+
+    monkeypatch.setattr(ledger.shutil, "rmtree", dying_rmtree)
+    with pytest.raises(KeyboardInterrupt):
+        # keep only v3: v2's exclusive dir for partition 2001 is
+        # collectable; the crash lands after it is gone but with the
+        # v1/v2 manifests still on disk
+        ledger.ledger_vacuum(path, keep_versions=1, retention_s=0.0)
+    monkeypatch.setattr(ledger.shutil, "rmtree", real_rmtree)
+    assert len(calls) == 1
+
+    # the retained version reads exactly as before the crash, via both
+    # the latest-resolution and the explicit-version path
+    assert _snapshot(spark, path) == before_latest
+    assert _snapshot(spark, path, version=3) == before_v3
+    # the v1/v2 manifests survived the crash and v2 references the
+    # deleted dir — the half-vacuumed state. The RERUN must complete:
+    # drop the stale manifests and any remaining collectable dirs.
+    ledger.ledger_vacuum(path, keep_versions=1, retention_s=0.0)
+    assert ledger._manifest_versions(path) == [3]
+    assert _snapshot(spark, path) == before_latest
+    # third run: nothing left to do
+    assert ledger.ledger_vacuum(path, keep_versions=1, retention_s=0.0) == []
+
+
+def test_delete_killed_between_tombstone_and_manifest_commit(
+    spark, mart, monkeypatch
+):
+    """DV delete is two steps: write the tombstone sidecar dir, then
+    commit the manifest that points at it. Kill between them and prove
+    the table reads consistently at the pre-delete version, the fresh
+    orphan sidecar is protected by the in-flight retention guard, and a
+    retried delete lands cleanly."""
+    path, _ = mart
+    before = _snapshot(spark, path)
+    doomed = spark.createDataFrame([(3,), (4,)], "k long")
+
+    real_commit = ledger._commit
+
+    def dying_commit(*a, **k):
+        raise KeyboardInterrupt("injected kill before manifest commit")
+
+    monkeypatch.setattr(ledger, "_commit", dying_commit)
+    with pytest.raises(KeyboardInterrupt):
+        ledger.ledger_delete(spark, path, doomed, "k", mode="dv")
+    monkeypatch.setattr(ledger, "_commit", real_commit)
+
+    # no manifest landed: readers see the pre-delete table at every
+    # retained version; the orphaned tombstone dir is invisible
+    assert ledger._manifest_versions(path) == [1]
+    assert _snapshot(spark, path) == before
+    # the fresh orphan is indistinguishable from an in-flight writer's
+    # data: default-retention vacuum must NOT reclaim it...
+    assert ledger.ledger_vacuum(path, keep_versions=1) == []
+    assert _snapshot(spark, path) == before
+    # ...and the retried delete commits normally on the intact snapshot
+    v = ledger.ledger_delete(spark, path, doomed, "k", mode="dv")
+    assert v == 2
+    assert _snapshot(spark, path) == [
+        r for r in before if r[0] not in (3, 4)
+    ]
+    # time travel to the pre-delete version still reads the full table
+    assert _snapshot(spark, path, version=1) == before
+    # quiescent-window vacuum reclaims the crashed attempt's orphan
+    # without touching the live DV sidecar the retry committed
+    orphans = ledger.ledger_vacuum(path, keep_versions=2, retention_s=0.0)
+    assert len(orphans) == 1
+    assert _snapshot(spark, path) == [
+        r for r in before if r[0] not in (3, 4)
+    ]
