@@ -2,10 +2,8 @@
 detection, equi-depth binning, grouped OLS regression, triangle counting
 over the near-dup pair graph, and materialized training-sequence packing.
 
-Same registry/oracle conventions as queries_ext.py: every computed column
-aliased identically on both engines, md5-only hashing, integer division
-for position/bucket math, defensive round(6) on aggregation-order-
-sensitive doubles (round(2) where inputs are currency-grade).
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

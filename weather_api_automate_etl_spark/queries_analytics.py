@@ -1,10 +1,8 @@
 """Analytics extension queries: temporal joins, non-equi joins, deterministic
 sampling, cube/grouping sets, conditional aggregation.
 
-These extend the reference surface (whose only join is the implied star
-equi-join — SURVEY.md §2.4) with the operators a time-series / training-data
-engine needs at scale. Same driver-contract registry and oracle-parity
-conventions as queries.py / queries_ext.py.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

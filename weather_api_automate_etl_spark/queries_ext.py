@@ -1,15 +1,8 @@
 """Extension queries: dedup, similarity search, text analysis, event windows,
 multimodal plumbing (SURVEY.md §2.7 E1-E5 + BASELINE.json north star).
 
-Registered into the same driver-contract registry as the core §2 queries.
-Oracle-parity notes:
-- All content hashes are md5 (portable across engines), never Spark hash().
-- Dot products fold sequentially in double on both engines (Spark
-  ``aggregate``; DuckDB ``list_sum`` over an index-ordered transform), so
-  scores are bit-identical before the defensive round(6).
-- DuckDB ``len()``/``row_number()`` return BIGINT where Spark returns int —
-  oracles cast explicitly.
-- ``events.ts`` ordering uses the µs-truncated timestamp on both sides.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

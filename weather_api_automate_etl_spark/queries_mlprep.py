@@ -4,10 +4,8 @@ training shuffle, embedding int8 quantization / standardization, and the
 bucketed on-disk IVF index (the partition-pruned scale path the in-memory
 ``q_ann_ivf`` docstring promises).
 
-Same registry/oracle conventions as queries_ext.py: md5-only hashing,
-double-precision folds in array order on both engines, defensive round(6)
-on aggregation-order-sensitive doubles, explicit BIGINT/INTEGER casts where
-DuckDB widens.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -4,11 +4,8 @@ autocorrelation, binned quantile normalization, blocklist screening,
 market-basket pair lift, RFM segmentation, and the embedding covariance /
 PCA pair.
 
-Same registry/oracle conventions as queries_ext.py: every computed column
-aliased identically on both engines, md5-only hashing, ``floor(x + 0.5)``
-for half-up rounding, NULLIF-style guards on every division, defensive
-round(6) on aggregation-order-sensitive doubles (round(2) where inputs
-are currency-grade), explicit BIGINT/INTEGER casts where DuckDB widens.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -3,9 +3,8 @@
 cleanup with a recursive-CTE oracle, and algebraic pre-aggregate reuse —
 the maintenance patterns a 100 TB deployment runs daily.
 
-Same registry/oracle conventions as queries_ext.py. Registered in
-ROUND7_PENDING (queries.py): local-oracle green this round, queued for
-round 7's driver window.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

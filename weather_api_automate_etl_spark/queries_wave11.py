@@ -2,9 +2,8 @@
 batch twin of streaming eviction semantics), the multi-round BPE merge
 table, and per-group mode — filling the remaining everyday-surface gaps.
 
-Same registry/oracle conventions as queries_ext.py. Registered in
-ROUND7_PENDING (queries.py): local-oracle green this round, queued for
-round 7's driver window.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

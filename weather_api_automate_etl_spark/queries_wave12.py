@@ -2,47 +2,8 @@
 that were previously rows-only "by nature", each via a different oracle
 discipline:
 
-- ``q_compression_fixed`` lived here rounds 7-9 (constructed-payload
-  hash twin for the zlib operator while the corpus entry was rows-only);
-  it was DISPLACED in round 10 (queries.py::DISPLACED) once
-  q_compression_ratio gained its real zlib-lookup oracle.
-- ``q_profile_table_approx``: the 100 TB profile path — HLL++
-  ``approx_count_distinct`` replacing the exact count's per-column Expand
-  (the round-6 verdict's named watch item on q_profile_table). The
-  estimate is engine-specific by nature (DuckDB's HLL is a different
-  sketch), so the driver check is rows-only; the error bound vs the exact
-  profile and the plan shape (no Expand) are pinned in
-  tests/test_wave12.py, and the Expand-vs-sketch cost delta is measured
-  in SCALING.md.
-
-Plus the three post-window round-7 additions (ROUND8_PENDING):
-
-- ``q_multimodal_decode_tiff``: the baseline-TIFF codec end-to-end
-  (both byte orders, multi-strip, PackBits) with a generation-parameter
-  oracle;
-- ``q_bloom_prune``: Bloom-filter join pruning — bitmap build + codegen
-  probe + exact semi join, oracle = the plain semi join it must equal;
-- ``q_ledger_merge``: partitioned MERGE through the atomic snapshot
-  ledger (sources/ledger.py), oracle = the declarative merged state;
-- ``q_ledger_skip``: manifest zone-map data skipping — per-partition
-  min/max stats prune a date-range scan to the two intersecting years,
-  oracle = the unpruned declarative filter;
-- ``q_streaming_ledger_sink``: exactly-once streaming MERGE — the txn
-  watermark rides the same atomic manifest commit as the data, so batch
-  replay is a pure no-op;
-- ``q_ledger_delete``: row-level takedown sweep — Bloom-index locate,
-  rewrite only the hit partitions, commit atomically; oracle = the
-  declarative complement;
-- ``q_ledger_cdf``: change data feed between versions — the manifest
-  diff scopes the read to repointed partitions before the hash-compare
-  classification; oracle = the declarative net delta;
-- ``q_psi_drift``: fixed-bin Population Stability Index — the drift
-  gate between a baseline and a shifted snapshot, per-bin decomposition;
-- ``q_ks_drift``: exact two-sample Kolmogorov–Smirnov statistic — PSI's
-  nonparametric sibling, ECDF sup-distance over distinct values;
-- ``q_seasonal_decompose``: additive trend/seasonal/residual
-  decomposition of the daily event series (exact scaled-integer phase
-  sums — see the operator's grid-boundary note).
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,38 +1,8 @@
 """Round-8 thirteenth-wave queries (ROUND9_PENDING): file-granular ledger
 skipping plus the round-8 operator additions.
 
-- ``q_ledger_skip_files``: data skipping at the Delta/Iceberg FILE grain —
-  the manifest now records per-file min/max inside each partition entry
-  (sources/ledger.py::_per_file_stats), so a narrow range predicate reads
-  a strict subset of a kept partition's files. Oracle = the same unpruned
-  declarative filter discipline as q_ledger_skip; the file-count strictness
-  is asserted in-query and pinned in tests/test_ledger.py.
-- ``q_mv_incremental``: incremental materialized-view maintenance
-  (operators/matview.py) — manifest-diff-scoped re-aggregation swapped in
-  via ledger_replace_partitions; oracle = the full recompute, so the hash
-  checks incremental ≡ full.
-- ``q_ledger_delete_dv``: deletion-vector takedown — tombstone sidecars
-  instead of data rewrites, settled by compaction; oracle = the
-  declarative complement over the whole chain.
-- ``q_streaming_mv``: the DLT streaming-table → materialized-view
-  topology — per micro-batch exactly-once ledger merge chained into an
-  incremental MV refresh; oracle = declarative keep-latest rollup.
-- ``q_ledger_zorder``: OPTIMIZE ZORDER — Morton-clustered file rewrite,
-  per-file stats prune BOTH dimensions; oracle = the unpruned filter.
-- ``q_ann_pq``: product-quantization ANN — codes + ADC literal-table
-  scan, every comparison clamped to integer nanos; oracle reproduces
-  codes, distances, and the top-10 exactly.
-- ``q_ledger_evolve``: additive schema evolution — manifest schema
-  widens, untouched partitions materialize the new column as read-time
-  NULLs; oracle = the declarative merged state.
-- ``q_js_drift``: bounded symmetric Jensen-Shannon drift gate over the
-  PSI bins.
-- ``q_bpe_encode``: the tokenizer family's inference side — learned
-  merges applied corpus-wide as one broadcast-row substitution chain.
-
-Same registry/oracle conventions as every wave: identical aliases on both
-engines, round(6)/round(2) on aggregation-order-sensitive doubles,
-explicit casts where DuckDB widens.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,39 +1,8 @@
 """Round-8 fourteenth-wave queries (ROUND9_PENDING): multi-writer ledger
 semantics plus the round-8 operator additions.
 
-- ``q_ledger_timetravel``: SELECT ... VERSION AS OF — the same ledger
-  table answers at two pinned versions in one result; oracle recomputes
-  both states declaratively, so a reader that mixes versions breaks the
-  hash.
-- ``q_ledger_restore``: RESTORE TO VERSION AS OF — a bad merge and a bad
-  delete are rolled back by a metadata-only FORWARD commit
-  (sources/ledger.py::ledger_restore); the history stays
-  time-travelable; oracle = the original base state.
-- ``q_ledger_concurrent``: two uncoordinated writers merge DISJOINT
-  partition sets concurrently (real threads, a barrier maximizing the
-  race); the optimistic-concurrency commit loop
-  (sources/ledger.py::_commit_with_rebase) rebases the CAS loser and
-  both land — final state is order-invariant, so the oracle is exact.
-  The deterministic interleave proofs (forced CAS loss, overlap
-  conflict, watermark max-merge) live in tests/test_ledger.py.
-- ``q_ledger_vacuum``: VACUUM — retention drops superseded manifests and
-  every data directory no retained version references; the in-query
-  asserts pin that orphans were actually deleted while the answer is
-  bit-identical to the declarative merged state.
-- ``q_ann_ivfpq``: the composed disk-ANN shape — IVF coarse routing
-  (probe the 2 nearest of 4 cells) over PQ-compressed codes with
-  asymmetric distance, every comparison clamped to integer nanos; the
-  oracle reproduces routing, codes, and the top-10 exactly.
-- ``q_cdc_apply``: APPLY CHANGES INTO (operators/cdc.py::apply_cdc) —
-  an out-of-order insert/update/delete log collapses to final state by
-  sequence, deletes drop keys; oracle = one QUALIFY keep-latest.
-- ``q_perplexity_buckets``: the CCNet head/middle/tail split — per-doc
-  unigram-LM scores (textops.unigram_logprob) ranked into terciles;
-  oracle reuses the proven unigram SQL plus NTILE(3).
-
-Same registry/oracle conventions as every wave: identical aliases on both
-engines, round(6)/round(2) on aggregation-order-sensitive doubles,
-explicit casts where DuckDB widens.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

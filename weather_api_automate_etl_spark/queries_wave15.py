@@ -1,23 +1,8 @@
 """Round-8 fifteenth-wave queries (ROUND9_PENDING): the streaming CDC
 consumer, residual product quantization, and the nonparametric test.
 
-- ``q_streaming_cdc_apply``: Debezium/DLT APPLY CHANGES INTO as a
-  foreachBatch ledger sink (streaming/sinks.py::
-  stream_apply_cdc_into_ledger) — three seq-ordered log shipments with
-  OVERLAPPING re-delivered tails drain through batch-collapse → stale-seq
-  guard → exactly-once MERGE + DELETE; the final table must equal the
-  global apply_cdc collapse, which is the oracle.
-- ``q_ann_ivfadc``: true IVFADC (Jégou et al. TPAMI 2011 §V.A) —
-  vectors PQ-encode their RESIDUAL against their coarse cell's centroid,
-  and the query builds a distance table PER PROBED CELL; oracle
-  reproduces routing, residuals, codes, and the top-10 exactly.
-- ``q_mann_whitney``: Mann-Whitney U with average-rank ties and the
-  tie-corrected normal approximation, computed over the distinct-value
-  domain (operators/stats.py::mann_whitney_u).
-
-Same registry/oracle conventions as every wave: identical aliases on both
-engines, round(6) on ulp-sensitive doubles, exact (unrounded) values
-where the arithmetic is exact in IEEE doubles.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -2,34 +2,8 @@
 joins, k-hop graph search, rank statistics, forecasting, governance
 releases, data selection, and perceptual image dedup.
 
-- ``q_bucketed_join``: persistent hash-bucketed tables joined with ZERO
-  Exchange on either side (operators/joins.py::write_bucketed /
-  bucketed_equi_join) — the pay-the-shuffle-once layout for fact-to-fact
-  joins too big to broadcast. The no-Exchange plan shape is pinned by
-  tests/test_wave16.py; the oracle pins the answer.
-- ``q_bfs_distance``: multi-source frontier BFS over the order–part
-  bipartite graph (operators/graph.py::bfs_distances) — minimum hop
-  counts out to 3 hops; the oracle unrolls the frontier rounds as CTEs.
-- ``q_spearman_corr``: per-group Spearman rank correlation with average
-  ties and closed-form rank centering (operators/stats.py::
-  spearman_by_group) — exact in doubles, engine-bit-identical.
-- ``q_holt_linear``: Holt double exponential smoothing per series
-  (operators/timeseries.py::holt_linear), one JVM-side fold per series;
-  the oracle replays the recurrence as a recursive CTE.
-- ``q_l_diversity``: the homogeneity-attack audit beside k-anonymity
-  (operators/privacy.py::l_diversity_violations).
-- ``q_dp_counts``: epsilon-DP Laplace release of group counts with
-  deterministic keyed-hash noise (operators/privacy.py::dp_noisy_counts)
-  — the md5-uniform inverse-CDF construction both engines replay.
-- ``q_dsir_weights``: DSIR hashed-n-gram importance weights for data
-  selection (operators/corpus.py::dsir_importance).
-- ``q_image_dhash``: perceptual difference-hash over REAL decoded PPM
-  gradients (sources/multimodal.py::image_dhash) + exact perceptual-dup
-  grouping; every bit of the 64-bit hash is closed-form in the oracle.
-
-Same registry/oracle conventions as every wave: identical aliases on
-both engines, round(6) on ulp-sensitive doubles, exact (unrounded)
-values where the arithmetic is exact in IEEE doubles.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -2,29 +2,8 @@
 uncertainty, information-theoretic dependence, weighted graph search,
 spatial joins, and asymmetric dedup.
 
-- ``q_bootstrap_ci``: Poisson-bootstrap confidence intervals for group
-  means (operators/stats.py::poisson_bootstrap_ci) — the only bootstrap
-  that distributes (independent Poisson(1) weights per row, all B
-  replicates on one scan), with deterministic md5-keyed draws so the
-  oracle replays the randomness exactly.
-- ``q_mutual_info``: MI + entropies + normalized MI between two
-  categoricals (operators/stats.py::mutual_information) — the
-  feature-dependence / leakage screen.
-- ``q_sssp``: bounded synchronous Bellman-Ford (operators/graph.py::
-  sssp_bounded) — weighted shortest paths within k relaxation rounds;
-  the oracle unrolls the rounds.
-- ``q_geo_join``: grid-cell-blocked spatial radius join
-  (operators/joins.py::geo_radius_join) — 9x neighborhood replication
-  turns "within r km" into a shuffle-keyed equi-join; the oracle blocks
-  the same way (a cross join would not survive sf0.1 either).
-- ``q_containment``: exact shingle-set containment pairs (operators/
-  dedup.py::containment_pairs) — Broder's asymmetric doc-inside-doc
-  measure that Jaccard structurally misses.
-
-Same registry/oracle conventions as every wave: identical aliases on
-both engines, round(6) on ulp-sensitive doubles (round(4) on km
-distances — trig ulps sit far below 0.1 m), exact values where the
-arithmetic is exact in IEEE doubles.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

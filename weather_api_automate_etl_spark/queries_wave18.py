@@ -2,26 +2,8 @@
 feature engineering, audio feature extraction, partition-spec evolution,
 readability gating, and navigation path mining.
 
-- ``q_target_encode``: out-of-fold target encoding (operators/
-  sampling.py::target_encode_oof) — the leakage-safe categorical
-  encoder, riding kfold_assign's content-hash folds so the oracle
-  replays the fold boundaries exactly.
-- ``q_audio_features``: frame-level RMS energy + zero-crossing counts
-  over REAL decoded RIFF/PCM-16 payloads (sources/multimodal.py::
-  audio_frame_features) — every window stat is closed-form in the
-  generation parameters.
-- ``q_ledger_repartition``: partition-spec change as an atomic full
-  rewrite (sources/ledger.py::ledger_repartition — Iceberg partition
-  evolution, Hive-layout style); the hashed output carries the committed
-  version and operation so the physical layer is pinned, while the data
-  oracle proves answer-invariance.
-- ``q_readability``: Flesch reading ease per document (operators/
-  textops.py::readability_scores) — pure codegen regex/array work.
-- ``q_path_ngrams``: top navigation trigrams across users' ordered
-  event sequences (operators/windows.py::path_ngrams) — stacked leads,
-  one window shuffle, global top-k.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

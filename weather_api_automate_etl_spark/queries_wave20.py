@@ -2,19 +2,8 @@
 recommendations, censoring-aware survival curves, and the Benford fraud
 screen.
 
-- ``q_als_factors``: rank-2 alternating least squares (operators/
-  embeddings.py::als_factorize_k2) — MLlib's ALS data movement with the
-  per-entity solve reduced to closed-form 2x2 ridge algebra, so the
-  whole fit is GROUP-BY aggregates and the oracle unrolls all four
-  half-rounds as CTEs.
-- ``q_kaplan_meier``: Kaplan–Meier survival per event type with right
-  censoring (operators/stats.py::kaplan_meier) — reverse-cumulative
-  risk sets + log-space cumulative product, two window passes.
-- ``q_benford``: first-significant-digit distribution vs Benford's law
-  with the per-group chi-square (operators/stats.py::
-  benford_deviation).
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,16 +1,8 @@
 """Round-8 twenty-first-wave queries (ROUND9_PENDING): logarithmic
 hierarchy flattening and Pareto-frontier selection.
 
-- ``q_org_hierarchy``: parent-pointer forest → (node, root, depth) by
-  POINTER DOUBLING (operators/graph.py::pointer_doubling_roots) — path
-  lengths halve per self-join round, so depth-D hierarchies flatten in
-  ⌈log₂ D⌉ shuffles where the naive walk needs D. The oracle walks the
-  chains with a recursive CTE.
-- ``q_skyline_2d``: the SKYLINE operator (Börzsönyi et al., ICDE 2001)
-  as a single running-min window per group — the non-dominated
-  (freshest, cheapest) order shortlist per priority.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

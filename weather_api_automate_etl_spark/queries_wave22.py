@@ -1,19 +1,8 @@
 """Round-8 twenty-second-wave queries (ROUND9_PENDING): runtime
 partition pruning and format-layer error routing, driver-evidenced.
 
-- ``q_dynamic_partition_pruning``: Spark's DPP against a genuinely
-  independent dimension — the dim filter cannot be folded into a static
-  partition predicate, so the fact scan is pruned at RUNTIME via a
-  broadcast-subquery filter (``dynamicpruningexpression`` pinned by
-  tests/test_wave22.py). THE mechanism that makes star joins on
-  date/tenant-partitioned 100 TB facts read only the qualifying
-  partitions.
-- ``q_csv_error_routing``: the PERMISSIVE corrupt-record side-channel
-  (sources/formats.py::read_csv — previously test-pinned only) driven
-  end-to-end over constructed CSV with a deterministic corruption
-  pattern, reduced to per-language good aggregates + the bad-row count.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

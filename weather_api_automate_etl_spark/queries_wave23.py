@@ -1,16 +1,8 @@
 """Round-8 twenty-third-wave queries (ROUND9_PENDING): link prediction
 and asymmetric link analysis.
 
-- ``q_link_prediction``: common-neighbor / Jaccard / Adamic-Adar scores
-  for unconnected node pairs (operators/graph.py::
-  common_neighbor_scores) — the candidate generator of graph-based
-  recommendation, via the inverted-index join (never all-pairs).
-- ``q_hits``: Kleinberg hubs & authorities on the directed order→part
-  graph (operators/graph.py::hits_bipartite) — the asymmetric scoring
-  PageRank's one symmetric number cannot express; fixed rounds keep it
-  declarative and the oracle unrolls them.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

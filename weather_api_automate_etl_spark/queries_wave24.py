@@ -1,16 +1,8 @@
 """Round-8 twenty-fourth-wave queries (ROUND9_PENDING): paired
 nonparametric testing and weighted quantiles.
 
-- ``q_wilcoxon``: Wilcoxon signed-rank per segment (operators/stats.py
-  ::wilcoxon_signed_rank) — the PAIRED complement to q_mann_whitney,
-  with average-rank ties and the tie-corrected normal approximation.
-  Pairs are INTEGER order counts (even vs odd years per customer), so
-  every rank is engine-exact.
-- ``q_weighted_quantile``: survey-weighted quantiles (operators/
-  stats.py::weighted_quantiles) — the left-continuous inverse CDF, no
-  interpolation to diverge between engines.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

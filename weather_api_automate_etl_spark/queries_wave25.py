@@ -1,20 +1,8 @@
 """Round-8 twenty-fifth-wave queries (ROUND9_PENDING): Kneser-Ney
 smoothing and local clustering coefficients.
 
-- ``q_kneser_ney``: the interpolated Kneser-Ney bigram model
-  (operators/textops.py::kneser_ney_bigram) — the continuation-count
-  smoothing that completes the LM family (MLE ``q_bigram_logprob`` →
-  Stupid Backoff ``q_stupid_backoff`` → normalized KN). Every count the
-  formula needs (c(a,b), c(a), N1+(a,·), N1+(·,b), N1+(·,·)) is an
-  integer aggregate, so the only float arithmetic is the final fraction
-  — rounded identically on both sides.
-- ``q_clustering_coeff``: Watts-Strogatz local clustering coefficient
-  over the MinHash+LSH near-dup pair graph (operators/graph.py::
-  local_clustering) — q_triangle_count's ratio form, including the
-  degree-≥2 zero-triangle nodes the raw count query drops (the
-  false-bridge signal for dedup safety).
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

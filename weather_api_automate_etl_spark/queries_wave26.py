@@ -1,18 +1,8 @@
 """Round-8 twenty-sixth-wave queries (ROUND9_PENDING): survival-curve
 comparison and distribution-level privacy release gates.
 
-- ``q_logrank``: two-sample log-rank test (operators/stats.py::
-  logrank_test) — the hypothesis test q_kaplan_meier's curves feed:
-  same censoring model, pooled-event-time risk sets via the same
-  reverse-cumulative window, all-integer counts until the final
-  division.
-- ``q_t_closeness``: t-closeness audit (operators/privacy.py::
-  t_closeness_violations) — the skewness-attack gate that completes
-  the k-anonymity → l-diversity → t-closeness release ladder, via the
-  positive-excess identity ½Σ|p_c−p_g| = Σ max(p_c−p_g, 0) so absent
-  (class, value) cells never need densifying.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

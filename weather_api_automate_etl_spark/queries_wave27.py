@@ -1,19 +1,8 @@
 """Round-8 twenty-seventh-wave queries (ROUND9_PENDING): closed-form
 multi-feature ridge regression and nonparametric trend detection.
 
-- ``q_ridge_normal_eq``: per-group two-feature ridge via exact-decimal
-  normal equations + Cramer solve (operators/stats.py::
-  ridge_regression_2f) — the multi-feature step past
-  q_linreg_by_group, engine-exact because the Gram sufficient
-  statistics are accumulated in DECIMAL (associative) and only the
-  final 3×3 solve runs in doubles, identically on both engines.
-- ``q_mann_kendall``: Mann-Kendall monotonic-trend test on daily event
-  counts per type (operators/stats.py::mann_kendall_trend) — the
-  rank-based drift gate (PSI/KS ask "did the distribution move?";
-  Mann-Kendall asks "is the level trending?"), with the full tie
-  correction exercised by integer daily counts.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,19 +1,8 @@
 """Round-8 twenty-eighth-wave queries (ROUND9_PENDING): multi-touch
 attribution and robust trend estimation.
 
-- ``q_attribution_linear``: linear multi-touch attribution
-  (operators/stats.py::linear_attribution) — the credit-splitting
-  complement to q_first_touch: every purchase divides one credit unit
-  equally across the user's click/view touches in the prior 7 days,
-  with zero-touch purchases reported under '(direct)' so total credit
-  equals total conversions.
-- ``q_theil_sen``: Theil-Sen robust trend line on daily event counts
-  (operators/stats.py::theil_sen_trend) — the estimator beside
-  q_mann_kendall's test: median pairwise slope + median residual
-  intercept, each an exact distributed median (sort-window, no
-  collect), every slope a ratio of exact integers.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

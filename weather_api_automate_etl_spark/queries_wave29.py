@@ -1,17 +1,8 @@
 """Round-8 twenty-ninth-wave queries (ROUND9_PENDING): hybrid-retrieval
 fusion and ranking evaluation.
 
-- ``q_rrf_fusion``: reciprocal-rank fusion of the BM25 lexical list and
-  the embedding-cosine list (operators/similarity.py::rrf_fuse) — the
-  standard hybrid-search merge; rank positions come from ROUNDED
-  scores with id tie-breaks, so both engines cut identical shortlists
-  and assign identical ranks.
-- ``q_ndcg``: NDCG@10 of the semantic (cosine) ranking against lexical
-  graded relevance (#query terms present, 0-3) — the retrieval-eval
-  gate (operators/similarity.py::ndcg_at_k); integer gains and
-  positions, one float log-division at the end.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,19 +1,8 @@
 """Round-8 thirtieth-wave queries (ROUND9_PENDING): ORC interchange
 roundtrip and mean-reciprocal-rank retrieval evaluation.
 
-- ``q_orc_roundtrip``: documents → ORC → filtered read-back → rollup
-  (sources/formats.py::write_orc/read_orc) — the Hive-era interchange
-  format done as a physical-side-effect contract query (the CSV
-  error-routing pattern); the oracle computes the same rollup straight
-  from parquet, pinning format-hop answer invariance, while the ORC
-  read exercises OrcScan's filter pushdown.
-- ``q_mrr``: mean-reciprocal-rank over three query vectors with
-  label-match relevance (operators/similarity.py::mrr_at_k) — the
-  third leg of the retrieval-eval family (recall@k ↔ q_ann_recall,
-  NDCG ↔ q_ndcg, first-hit latency ↔ MRR), with no driver-side loop:
-  the query set is a broadcast side of one scored join.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

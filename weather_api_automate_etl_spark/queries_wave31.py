@@ -1,19 +1,8 @@
 """Round-8 thirty-first-wave queries (ROUND9_PENDING): k-group variance
 analysis and seasonal forecasting.
 
-- ``q_anova_oneway``: one-way ANOVA F-test of quantity across return
-  flags (operators/stats.py::anova_oneway) — the k-group step past
-  q_ab_lift's two-sample Welch readout. Integer sufficient statistics
-  plus ONE strictly left-to-right k-term fold (DuckDB ``list_reduce``
-  ≡ Spark ``F.aggregate``) make even the heavily-cancelling SSB
-  bit-identical across engines.
-- ``q_holt_winters``: Holt-Winters additive smoothing of daily event
-  counts, weekly season (operators/timeseries.py::
-  holt_winters_additive) — q_holt_linear plus an m-slot seasonal ring
-  carried through the fold; the oracle is a recursive CTE whose state
-  includes a LIST seasonal buffer, replaying the fold bit-for-bit.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

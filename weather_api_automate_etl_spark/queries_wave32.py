@@ -1,17 +1,8 @@
 """Round-8 thirty-second-wave queries (ROUND9_PENDING): graph-based
 keyword extraction and the paired parametric test.
 
-- ``q_textrank``: TextRank keywords over the documents corpus
-  (operators/textops.py::textrank_keywords) — word co-occurrence graph
-  (distinct adjacent filtered-word pairs) scored by the SAME
-  fixed-round PageRank kernel as q_pagerank; the oracle unrolls the
-  two power-iteration rounds over the word graph.
-- ``q_paired_t``: paired t-test on the exact pairs q_wilcoxon ranks
-  (operators/stats.py::paired_t_test) — the parametric/nonparametric
-  twin pair on one dataset; integer differences make Σd/Σd² exact, so
-  the t statistic hashes at 6 decimals.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

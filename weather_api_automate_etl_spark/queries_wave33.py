@@ -1,16 +1,8 @@
 """Round-8 thirty-third-wave queries (ROUND9_PENDING): tree-split
 search and forecast backtesting.
 
-- ``q_decision_stump``: best variance-reduction split of quantity on
-  the discount axis per return flag (operators/stats.py::
-  decision_stump) — the CART primitive, searched over cumulative
-  integer sums so no float summation exists anywhere in the argmax.
-- ``q_backtest_naive``: rolling-origin backtest of seasonal-naive vs
-  last-value forecasts on daily event counts (operators/timeseries.py
-  ::backtest_seasonal_naive) — the eval gate for the Holt/Holt-Winters
-  family; integer errors, lag windows, no self-join.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

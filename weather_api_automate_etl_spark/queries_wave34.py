@@ -1,17 +1,8 @@
 """Round-8 thirty-fourth-wave queries (ROUND9_PENDING): robust null
 imputation and multiple-testing control.
 
-- ``q_impute_median``: per-group exact-median NULL fill
-  (operators/stats.py::median_impute) over a deterministically masked
-  events column — the robust imputation default, with the fill value
-  and post-fill mean pinned per group.
-- ``q_bh_fdr``: Benjamini-Hochberg FDR over 25 per-nation balance
-  z-tests (operators/stats.py::bh_fdr + normal_two_sided_p) — the
-  correction a per-group screening fleet needs; p-values come from the
-  Abramowitz-Stegun erf polynomial written IDENTICALLY in both
-  engines, z's from exact decimal sums.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

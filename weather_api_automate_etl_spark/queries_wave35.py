@@ -1,16 +1,8 @@
 """Round-8 thirty-fifth-wave queries (ROUND9_PENDING): activity streaks
 and statistical process control.
 
-- ``q_streaks``: longest consecutive-active-day run per user
-  (operators/windows.py::longest_streak) — the gaps-and-islands
-  row_number-subtraction classic, no self-join, calendar-bounded
-  per-key state.
-- ``q_control_chart``: Shewhart individuals chart over each event
-  type's daily volume (operators/timeseries.py::control_chart) — the
-  "is today normal?" ops gate; integer counts make center/limits
-  exact-input expressions.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,19 +1,8 @@
 """Round-8 thirty-sixth-wave queries (ROUND9_PENDING): categorical
 cardinality hygiene and a fleet drift screen with FDR control.
 
-- ``q_rare_collapse``: rare-category collapse of the (log-skewed)
-  leading-two-digit price bucket (operators/stats.py::
-  rare_category_collapse) — the cardinality guard before encoding,
-  with the collapsed distribution and source-category counts pinned.
-- ``q_drift_sweep_fdr``: six features screened for distribution drift
-  across a binary split in ONE pass (operators/stats.py::
-  chi2_drift_fdr): exact contingency counts → ordered-fold χ² →
-  Wilson-Hilferty z → A&S erf p → Benjamini-Hochberg. Five null
-  features and one deliberately split-correlated feature
-  (event_id % 6 < 3 vs the % 2 split), so the screen must flag
-  exactly the real drift.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

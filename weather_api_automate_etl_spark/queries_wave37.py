@@ -1,16 +1,8 @@
 """Round-8 thirty-seventh-wave queries (ROUND9_PENDING): experiment
 assignment integrity and forecasting feature engineering.
 
-- ``q_srm_check``: sample-ratio-mismatch guardrail per event type
-  (operators/stats.py::srm_check) — unit-level 50/50 split audit with
-  the exact 1-df closed form z = (n₀−n₁)/√n; the gate q_ab_lift's
-  readout should never run without.
-- ``q_lag_features``: dense supervised feature matrix (lags 1 & 7,
-  trailing 7-day mean, first difference) from daily event counts
-  (operators/timeseries.py::lag_features) — the engine-side feature
-  engineering the Holt/backtest family trains against.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,16 +1,8 @@
 """Round-8 thirty-eighth-wave queries (ROUND9_PENDING): the dbt-style
 test-suite report and robust trimmed means.
 
-- ``q_quality_suite``: six schema tests executed as ONE summary table
-  (operators/quality.py::test_suite) — the `dbt test` run shape the
-  reference's pipeline gates on (schema.yml's unique/not_null/
-  accepted_values/relationships bundle), with both passing and
-  deliberately failing rules so the report carries real signal.
-- ``q_trimmed_mean``: 10% symmetric trimmed mean of quantity per
-  return flag (operators/stats.py::trimmed_mean) — the robust
-  location readout between q_percentiles' median and the raw mean.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

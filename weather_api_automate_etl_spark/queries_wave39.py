@@ -1,14 +1,8 @@
 """Round-8 thirty-ninth-wave queries (ROUND9_PENDING): bounded feature
 scaling and deterministic category codes.
 
-- ``q_minmax_scale``: per-flag min-max scaling of extended price
-  (operators/sampling.py::minmax_scale), summarized per group so the
-  scaled distribution's moments are pinned.
-- ``q_ordinal_encode``: frequency-ordinal codes for the ship-mode-like
-  order priority (operators/sampling.py::ordinal_encode) — code 1 is
-  always the modal category, ties lexicographic, NULL passes through.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -3,11 +3,8 @@ near-dup graph, trailing rolling median, seasonal (dow × hour) baseline
 residuals, sweep-line interval concurrency, and CUSUM change-point
 detection.
 
-Same registry/oracle conventions as queries_ext.py. These register AFTER
-the 50-entry driver verification window (now the round-6 head,
-ROUND6_WINDOW_HEAD in queries.py):
-they hold local-oracle green from tools/check_oracle.py this round and
-open round 6's window for driver rows.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

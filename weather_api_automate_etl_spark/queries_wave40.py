@@ -1,22 +1,7 @@
 """Round-9 fortieth-wave query: Adam7 interlaced PNG decode.
 
-The one documented decode gap a real web corpus hits (interlaced PNGs
-are rare but present in any 100 TB crawl; round-8 verdict item 6):
-``codecs.py::decode_png`` now de-interlaces the seven Adam7 passes —
-each pass unfiltered INDEPENDENTLY per spec §8.2, empty passes omitted —
-and this wave drives it end-to-end in-pipeline.
-
-- ``q_multimodal_decode_interlaced``: identical deterministic payload
-  parameters as q_multimodal_decode_png (dims 2..12 × 2..6, RGB/RGBA by
-  parity, all five scanline filters, inverted first pixel) but every
-  byte stream is Adam7. The per-image stats are therefore predicted by
-  the SAME generation-parameter oracle — while the bytes exercise a
-  completely different raster path (pass grids, per-pass filter resets,
-  empty-pass omission at small dims). Any de-interlace defect (wrong
-  pass order, merged filters, wrong scatter grid) moves pixels and
-  breaks the hash.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,24 +1,7 @@
 """Round-9 forty-first-wave queries: binary-classifier evaluation.
 
-The registry had calibration (q_calibration_ece) but no
-threshold-free or threshold-sweep discrimination metrics — the two
-readouts every model gate needs before a score is allowed to filter
-training data (quality classifiers, dedup verdicts, toxicity gates):
-
-- ``q_roc_auc``: tie-aware ROC AUC via the Mann-Whitney rank identity
-  (operators/stats.py::roc_auc) — distinct-score-domain shape, exact
-  integer concordance counts, never a per-row global rank.
-- ``q_pr_sweep``: precision/recall/F1 across a fixed threshold grid
-  (operators/stats.py::pr_threshold_sweep) — one scan, one single-row
-  aggregate with two exact counters per threshold, rows unfolded by an
-  inline explode of the already-aggregated result.
-
-The score is ``floor(value·10)/10`` — multiply / floor / divide are all
-exactly reproducible IEEE ops on both engines (no exp/round half-mode
-hazards), and the quantization gives the AUC a real tie structure
-(~1.8 k distinct scores at sf0.01). Label: event_type = 'purchase'.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,22 +1,8 @@
 """Round-9 forty-second-wave queries: interval union and lead/lag
 series screening.
 
-- ``q_interval_coalesce``: merge overlapping per-user activity
-  intervals (operators/windows.py::coalesce_intervals) — the interval
-  UNION beside the existing interval JOIN (q_interval_join) and
-  day-streak islands (q_streaks): billing/uptime "covered time" needs
-  overlaps merged, not matched. Intervals are [ts, ts + ⌊value·60⌋ s];
-  the ⌊·⌋ keeps duration arithmetic exact BIGINT micros on both
-  engines, and value·60 (≤ ~8.2 h) against the ~7.3 h median
-  inter-event gap makes both merge and break branches live thousands
-  of times at sf0.01.
-- ``q_cross_corr``: ±7-day lagged cross-correlation between daily
-  purchase and click counts (operators/timeseries.py::
-  cross_correlation) — the does-X-lead-Y screen; all moment inputs are
-  exact integer daily counts, so only the final r divisions are
-  floating-point.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

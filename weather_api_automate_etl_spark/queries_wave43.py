@@ -1,20 +1,8 @@
 """Round-9 forty-third-wave queries: training-free dimensionality
 reduction and probabilistic-forecast audit.
 
-- ``q_jl_project``: Johnson-Lindenstrauss ±1 random projection of the
-  64-d embeddings to 16-d (operators/embeddings.py::jl_project) — the
-  no-training-pass front end that cuts every downstream ANN/dedup
-  shuffle 4×; the sign matrix is a deterministic md5-seeded Rademacher
-  matrix (Achlioptas 2003) baked into BOTH engines' plans as a
-  literal, so the projection is reproducible with no model artifact.
-- ``q_brier_decomposition``: Murphy decomposition of the Brier score
-  (operators/stats.py::brier_decomposition) — reliability, resolution,
-  uncertainty over fixed-width probability bins; the variance-style
-  companion to q_calibration_ece's |gap| diagram. Score =
-  ⌊value⌋/491 ∈ [0, 1) — floor and a single division are exactly
-  reproducible IEEE ops on both engines.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

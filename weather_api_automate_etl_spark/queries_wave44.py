@@ -1,15 +1,7 @@
 """Round-9 forty-fourth-wave query: caliper propensity matching.
 
-- ``q_caliper_match``: nearest-control-with-replacement matching within
-  a caliper (operators/sampling.py::caliper_match) — the observational
-  causal-inference prep (Rosenbaum-Rubin 1985) the registry lacked
-  beside its A/B readouts (q_ab_lift, q_srm_check): treated = purchase
-  events, controls = view events, blocks = calendar dates, score = the
-  raw event value (bit-identical double in both engines). Caliper 2.0
-  against a 0.56-median / 3.6-p90 nearest-distance distribution keeps
-  BOTH the matched and the caliper-rejected branches live at sf0.01.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

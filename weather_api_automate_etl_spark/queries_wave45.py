@@ -1,19 +1,8 @@
 """Round-9 forty-fifth-wave queries: k-group rank test and
 recency-weighted attribution.
 
-- ``q_kruskal_wallis``: tie-corrected Kruskal-Wallis H across all five
-  event types (operators/stats.py::kruskal_wallis) — the k-group
-  extension of q_mann_whitney and the nonparametric twin of
-  q_anova_oneway; ranks live on the distinct quantized-value domain,
-  so every rank sum is EXACT (halves of integers) and hashes
-  unrounded.
-- ``q_attribution_decay``: time-decay multi-touch attribution
-  (operators/stats.py::time_decay_attribution, half-life 2 days,
-  7-day lookback) — completes the attribution family (first-touch /
-  linear / decay) with the recency weighting marketers actually
-  deploy; Δt arithmetic on exact epoch micros.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

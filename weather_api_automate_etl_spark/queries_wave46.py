@@ -1,17 +1,7 @@
 """Round-9 forty-sixth-wave query: LSH banding recall audit.
 
-- ``q_lsh_recall``: measured recall/precision of the 8-hash × 4-band
-  MinHash-LSH scheme against EXACT trigram-shingle Jaccard ≥ 0.5
-  (operators/dedup.py::lsh_recall_audit). The dedup family had the
-  sketch (q_minhash_signature), the candidates (q_minhash_pairs), the
-  estimator (q_minhash_jaccard_estimate) and the exact complement
-  (q_ngram_jaccard) — this closes the loop with the number that
-  justifies a banding config in production: how much of the true
-  near-dup mass do the buckets actually catch (theory:
-  1−(1−J²)⁴ ≈ 0.68 at J = 0.5), and how much verify work do
-  sub-threshold candidates add.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

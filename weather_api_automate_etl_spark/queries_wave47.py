@@ -1,20 +1,8 @@
 """Round-9 forty-seventh-wave queries: placement stability and
 embedding-cloud drift.
 
-- ``q_reshard_stability``: rendezvous (HRW) vs mod-hash movement audit
-  when growing 8 → 9 shards (operators/sampling.py::reshard_stability)
-  — THE capacity-planning number for any sharded 100 TB corpus or ANN
-  index: HRW relocates an expected 1/9 ≈ 0.111 of keys, mod-hash
-  ~8/9; both assignments are pure md5 expressions reproducible on any
-  engine (the deterministic-sampling discipline of this module).
-- ``q_embedding_drift``: per-dimension mean shift + whole-cloud L2 /
-  cosine summaries between two deterministic cohorts of the embedding
-  table (operators/embeddings.py::embedding_drift) — the model-ops
-  screen for "did the encoder or corpus mix move the cloud"; cohorts
-  split by vec_id parity so the fixture gives a near-null drift with
-  exact reproducibility.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

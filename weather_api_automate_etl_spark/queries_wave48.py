@@ -1,23 +1,8 @@
 """Round-9 forty-eighth-wave queries: distribution-free intervals and
 classical count smoothing.
 
-- ``q_conformal``: split-conformal prediction-interval calibration per
-  event type (operators/stats.py::conformal_calibration, α = 0.1) —
-  the distribution-free coverage audit: predictor = calibration
-  median, q̂ = the ⌈(n+1)(1−α)⌉-th absolute residual, coverage
-  measured on the held-out slice. Every selected statistic is an
-  order statistic of actual data values, so the whole row is
-  bit-reproducible (no means, no interpolation).
-- ``q_good_turing``: Good-Turing frequency re-estimation over the
-  corpus's word-trigram types (operators/textops.py::
-  good_turing_counts, shingle_k = 3 — the fixture's whitespace
-  vocabulary is 31 types all seen ≥ 26 times, so shingles are what
-  expose a realistic Zipf tail: S(1) ≈ 9.4 k at sf0.01) —
-  r* = (r+1)S(r+1)/S(r) and the unseen-type mass S(1)/N, the
-  classical companion to the module's Kneser-Ney / Stupid-Backoff
-  estimators and the start of any OOV-budget plan.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

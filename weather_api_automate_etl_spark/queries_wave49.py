@@ -1,24 +1,7 @@
 """Round-9 forty-ninth-wave queries: two more data-contract tests.
 
-The reference ships three dbt test predicates (unique / not_null /
-accepted_values — SURVEY.md §2 ops 23-25) plus relationships; this wave
-extends the same family with the two invariants those four can't
-express:
-
-- ``q_test_functional_dep``: determinant → dependent functional
-  dependency (operators/quality.py::functional_dependency_violations).
-  Driven against lineitem's (l_partkey → l_suppkey), which is
-  deliberately VIOLATED in TPC-H (a part has multiple suppliers), so
-  the report shape — multiplicity + deterministic min/max dependent
-  sample — is exercised on real rows, not an empty frame.
-- ``q_test_monotonic``: per-key monotonicity along an ordering
-  (operators/quality.py::monotonic_violations) — the cumulative
-  counter / ledger-balance / watermark invariant. Driven as "order
-  totals non-decreasing per customer over time", again deliberately
-  violated so every output column (including the predecessor value
-  that explains the break) carries data.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

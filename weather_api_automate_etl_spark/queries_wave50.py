@@ -1,19 +1,7 @@
 """Round-9 fiftieth-wave query: CUPED variance reduction.
 
-- ``q_cuped``: CUPED-adjusted A/B readout (operators/stats.py::
-  cuped_adjusted_lift, Deng et al. WSDM 2013) — the missing member of
-  the experimentation family (q_ab_lift raw Welch readout,
-  q_srm_check guardrail, q_holdout_split assignment): each user's
-  post-period metric is adjusted by their pre-period covariate,
-  shrinking the effect variance by the realized ρ². Metric and
-  covariate are INTEGER-EXACT (floored per-event values summed per
-  user), so every moment is an exact BIGINT on both engines; the
-  50/50 arm split is the shared salted-md5 recipe
-  (functions/core.py::salted_hash64 — one definition, never
-  re-spelled). Pre/post cut: 2024-01-16 over the fixture's
-  Jan 1-30 event span.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

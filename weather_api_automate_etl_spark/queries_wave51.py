@@ -1,13 +1,7 @@
 """Round-9 fifty-first-wave query: order-statistic median CI.
 
-- ``q_median_ci``: distribution-free sign-test confidence interval for
-  the per-event-type median value (operators/stats.py::median_ci,
-  z = 1.96) — the exact-rank complement to q_bootstrap_ci: no 32×
-  replicate expansion, one group-partitioned window, and every output
-  number is an actual data value selected by rank (bit-reproducible,
-  the conformal discipline).
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,21 +1,8 @@
 """Round-9 fifty-second-wave queries: paired classifier comparison and
 annotation agreement.
 
-- ``q_mcnemar``: McNemar's χ² for two threshold classifiers scored on
-  the SAME events (operators/stats.py::mcnemar_test) — the paired
-  complement to q_ab_lift's independent-samples readout and the
-  correct test for "is model B actually better than model A on this
-  eval set". Classifiers: value ≥ 100 vs value ≥ 250 predicting
-  'purchase'.
-- ``q_cohens_kappa``: chance-corrected agreement between two derived
-  binary verdicts (operators/stats.py::cohens_kappa) — the labeling-QA
-  number that raw percent-agreement overstates under skewed base
-  rates. Raters: the same two thresholds as verdict sources.
-
-Both are single-scan conditional aggregates with exact BIGINT cells;
-the statistics are the only divisions.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,16 +1,7 @@
 """Round-9 fifty-fourth-wave queries: engagement actives.
 
-- ``q_rolling_actives``: trailing-7-day distinct active users per day
-  (operators/windows.py::rolling_active_users) — WAU, the metric a
-  sliding window CANNOT express (distinct state doesn't retract), so
-  the scale shape is the contribute-forward rewrite: dedupe to
-  (user, day) grain, bounded ×7 explode of that grain, re-dedupe,
-  count.
-- ``q_new_vs_returning``: daily acquisition-vs-retention split
-  (operators/windows.py::new_vs_returning) — first-ever-day flag per
-  user joined back on the co-partitioned user key.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

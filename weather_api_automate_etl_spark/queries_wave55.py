@@ -1,15 +1,7 @@
 """Round-9 fifty-fifth-wave queries: ops percentiles and stickiness.
 
-- ``q_daily_percentiles``: exact nearest-rank p50/p95 of the event
-  value per day (operators/stats.py::group_percentiles_exact) — the
-  daily latency/amount band every ops dashboard draws; endpoints are
-  actual data values (no interpolation), bit-reproducible.
-- ``q_stickiness``: DAU/WAU per day (operators/windows.py::
-  rolling_active_users composed at w=1 and w=7) — the engagement-depth
-  ratio (how much of the weekly audience shows up daily); exact
-  distinct counts, one rounded division.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

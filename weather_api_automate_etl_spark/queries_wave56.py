@@ -1,13 +1,7 @@
 """Round-9 fifty-sixth-wave query: cohort LTV curve.
 
-- ``q_cohort_ltv``: monthly-cohort lifetime-value curve over orders
-  (operators/marts.py::cohort_ltv) — the revenue twin of
-  q_cohort_retention: cell revenue, running cumulative revenue, and
-  cumulative LTV per cohort customer, the growth-team number compared
-  against acquisition cost. Month arithmetic is exact; revenue sums
-  round to 6 on both engines.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

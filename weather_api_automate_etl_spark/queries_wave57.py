@@ -1,19 +1,8 @@
 """Round-9 fifty-seventh-wave queries: funnel timing and experiment
 design power.
 
-- ``q_time_to_convert``: view → purchase conversion delay
-  (operators/stats.py::time_to_convert) — q_funnel counts WHO reaches
-  each stage, this measures HOW LONG the step takes (rate, median,
-  p90 delay); the delay percentiles run over the distinct quantized
-  delay domain (the mann_whitney_u dispensation), never a per-row
-  global rank.
-- ``q_mde``: post-hoc minimum detectable effect for the standard hash
-  split (operators/stats.py::minimum_detectable_effect, α = 5%
-  two-sided, 80% power) — the design-side companion to q_ab_lift's
-  readout and q_cuped's sensitivity booster: the smallest lift this
-  experiment could actually see.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

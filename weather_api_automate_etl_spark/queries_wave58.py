@@ -1,17 +1,7 @@
 """Round-9 fifty-eighth-wave queries: corpus-health diagnostics.
 
-- ``q_dup_rate_by_source``: exact-duplicate rate per source
-  (operators/corpus.py::dup_rate_by_source) — which feed ships copies,
-  and how much a keep-lowest-id dedupe would drop from each; the
-  crawler-placement readout the dedup family's per-corpus totals
-  don't break out.
-- ``q_heaps_law``: vocabulary-growth curve over ordered corpus
-  prefixes with the Heaps β/K fit (operators/textops.py::heaps_law) —
-  the tokenizer-sizing number; the fixture's closed 31-word vocabulary
-  should fit with a near-zero β, which is exactly what the curve is
-  for (detecting synthetic/closed vocabularies vs natural growth).
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -1,22 +1,7 @@
 """Round-10 fifty-ninth-wave query: progressive (SOF2) JPEG decode.
 
-The last documented codec gap a real web corpus hits at volume
-(round-9 verdict item 7): ``codecs.py::decode_jpeg`` now takes the full
-T.81 Annex-G multi-scan path — spectral selection AND successive
-approximation (DC/AC first + refinement scans, EOB runs) — and this
-wave drives it end-to-end in-pipeline.
-
-- ``q_multimodal_decode_progressive``: deterministic progressive
-  payloads (gradient+checkerboard content with real AC energy,
-  non-block-aligned dims) decoded by the pure-NumPy multi-scan path and
-  hashed on an EXACT contract: a progressive stream entropy-codes the
-  same quantized coefficients as the baseline stream of the same image,
-  so decode(progressive) must equal decode(baseline) bit-for-bit. The
-  oracle predicts every output column from the generation parameters
-  alone. Roundtrip fuzz (dims × qualities, incl. single-row/column
-  images) lives in tests/test_multimodal.py.
-
-Same registry/oracle conventions as every wave.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

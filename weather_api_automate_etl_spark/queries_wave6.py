@@ -3,9 +3,8 @@ spectrum, Goh–Barabási burstiness of event inter-arrivals, and
 per-source Gini inequality of document lengths — the corpus-health and
 traffic-shape diagnostics run before mixing or capacity decisions.
 
-Same registry/oracle conventions as queries_ext.py. Registered in
-the round-6 window head (queries.py): local-oracle green in round 5,
-handed to round 6's driver window.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

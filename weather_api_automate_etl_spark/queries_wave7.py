@@ -2,9 +2,8 @@
 (hash split + Welch z) and first-touch conversion attribution — the
 experimentation / funnel-reporting surface.
 
-Same registry/oracle conventions as queries_ext.py. Registered in
-the round-6 window head (queries.py): local-oracle green in round 5,
-handed to round 6's driver window.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

@@ -2,8 +2,8 @@
 and ANN recall measurement — the two operator gaps the round-5 judge
 ranked highest (VERDICT.md "Next round" items 2-3).
 
-Same registry/oracle conventions as queries_ext.py. Registered in the
-round-6 window head (queries.py).
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations

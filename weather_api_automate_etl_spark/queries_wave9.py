@@ -3,9 +3,8 @@ tokenizer-training statistics, hard-negative mining, and the full
 k-means-codebook ANN recall loop — the data-engineering and
 training-data surfaces a 100 TB pipeline reaches for next.
 
-Same registry/oracle conventions as queries_ext.py. Registered in
-ROUND7_PENDING (queries.py): local-oracle green this round, queued for
-round 7's driver window.
+Per-query rationale lives in each function docstring; registry/oracle
+conventions in queries.py.
 """
 
 from __future__ import annotations
