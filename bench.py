@@ -87,6 +87,31 @@ BENCH_QUERIES = [
 ]
 
 
+def _isolate(names: list[str], sf_dir: str) -> None:
+    """Subprocess entry (``--isolate q_a,q_b``): time ONLY the named
+    queries, best-of-3 warm, in a FRESH JVM, and print one JSON line.
+    This is what 'isolated' must mean — re-running inside the sweep's
+    own session measures a JVM carrying 500+ executed plans' worth of
+    GC/codegen state and reads 2-3x slower than reality (observed on
+    q_pagerank: 2.2 s in-sweep, 6.0 s same-JVM 'isolated', 3.4 s fresh
+    JVM ≈ the committed baseline)."""
+    _load_extensions()
+    spark = get_spark("bench-isolate")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        best = float("inf")
+        for _ in range(3):
+            start = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - start)
+        out[name] = round(best, 3)
+    sys.stdout.flush()
+    print(json.dumps(out))
+
+
 def main() -> None:
     _load_extensions()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,25 +172,46 @@ def main() -> None:
         "q_funnel", "q_pagerank", "q_bpe_encode", "q_top_revenue",
         "q_asof_join", "q_multimodal_decode_interlaced",
     }
+    flagged = [
+        name
+        for name, secs in timings.items()
+        if prev.get(name) and (secs > 1.5 * prev[name] or name in force)
+    ]
     remeasures: dict[str, dict[str, float | bool]] = {}
-    for name, secs in timings.items():
-        p = prev.get(name)
-        if not p or (secs <= 1.5 * p and name not in force):
-            continue
-        fn = REGISTRY[name].fn
-        iso = float("inf")
-        for _ in range(3):
-            start = time.monotonic()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            iso = min(iso, time.monotonic() - start)
-        iso = round(iso, 3)
-        remeasures[name] = {
-            "baseline": p,
-            "flagged": secs,
-            "isolated": iso,
-            "regressed": iso > 1.5 * p,
-        }
-        timings[name] = iso
+    if flagged:
+        # true isolation = a FRESH JVM (see _isolate): one subprocess
+        # for the whole flagged batch, best-of-3 per query
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--isolate", ",".join(flagged)],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        iso_map: dict[str, float] = {}
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                iso_map = json.loads(line)
+                break
+            except ValueError:
+                continue
+        for name in flagged:
+            iso = iso_map.get(name)
+            if iso is None:
+                continue  # subprocess failed: keep the sweep value
+            remeasures[name] = {
+                "baseline": prev[name],
+                "flagged": timings[name],
+                "isolated": iso,
+                # a regression must reproduce in the fresh JVM AND be
+                # material in absolute terms: sub-second queries swing
+                # 2-3x between invocations (host variance), so a pure
+                # ratio against a lucky baseline cries wolf
+                "regressed": iso > 1.5 * prev[name]
+                and iso - prev[name] >= 0.75,
+            }
+            timings[name] = iso
 
     payload = {
         "metric": "headline query wall time, noop-materialized",
@@ -213,4 +259,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        _isolate(
+            sys.argv[2].split(","),
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    else:
+        main()
