@@ -231,3 +231,14 @@ def test_path_ngrams_short_sequences_emit_nothing(spark):
     assert windows.path_ngrams(df, "u", ["ts"], "e", n=3).isEmpty()
     with pytest.raises(ValueError, match="n >= 2"):
         windows.path_ngrams(df, "u", ["ts"], "e", n=1)
+
+
+def test_path_ngrams_null_step_never_glues_neighbors(spark):
+    """A NULL step VALUE mid-sequence must invalidate every n-gram that
+    touches it — concat_ws silently skips NULLs, which would otherwise
+    glue non-adjacent steps into a false 'a > c'-style path."""
+    rows = [(1, 1, "a"), (1, 2, None), (1, 3, "c"), (1, 4, "d")]
+    df = spark.createDataFrame(rows, "u long, ts long, e string")
+    got = {r["path"] for r in
+           windows.path_ngrams(df, "u", ["ts"], "e", n=2, top_k=10).collect()}
+    assert got == {"c > d"}  # never "a > c" (glued) nor "a" / "c" singles

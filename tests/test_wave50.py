@@ -69,3 +69,22 @@ def test_cuped_units_missing_a_period_get_zero(spark):
     rows = [(1, 5, False), (1, 6, True), (2, 9, True)]  # user 2: no pre
     got = _cuped(spark, rows)
     assert got["n_a"] + got["n_b"] == 2
+
+
+def test_cuped_second_moments_survive_int64_scale(spark):
+    """Σx², Σxy, Σy² must accumulate exactly past int64: with per-unit
+    covariates near 2^31, four units push Σx² to ~1.8e19 > 2^63−1 — a
+    long-accumulated sum wraps negative and theta/rho2 turn garbage
+    (the roc_auc/youden decimal(38,0) discipline, applied here)."""
+    # x = u·1e9 spreads the covariate so var(x) is real signal (clears
+    # the relative cancellation floor) while Σx² ≈ 2e20 ≫ 2^63−1
+    per_unit = {u: (u * 1_000_000_000, u % 3) for u in range(1, 9)}
+    got = _units(spark, per_unit)
+    assert got["n_a"] + got["n_b"] == 8
+    xs = [x for x, _ in per_unit.values()]
+    ys = [y for _, y in per_unit.values()]
+    n = len(xs)
+    cov_n = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    var_x = n * sum(a * a for a in xs) - sum(xs) ** 2  # exact python ints
+    # a wrapped Σx² flips var_x's sign/magnitude → theta off by orders
+    assert got["theta"] == pytest.approx(cov_n / var_x, abs=1e-6)

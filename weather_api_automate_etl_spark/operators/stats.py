@@ -162,10 +162,14 @@ def autocorr_lag1(
     second pass or a position self-join. Constant series yield NULL."""
     w = Window.partitionBy(series_col).orderBy(*[F.col(c) for c in order_cols])
     p = (
+        # double up front: an integer value column would accumulate the
+        # x·x products in int64, which wraps silently for large values
+        # (the cuped/control-chart overflow discipline); the Pearson
+        # moments are double math regardless
         df.select(
             series_col,
-            F.col(value_col).alias("x"),
-            F.lag(value_col).over(w).alias("xp"),
+            F.col(value_col).cast("double").alias("x"),
+            F.lag(F.col(value_col).cast("double")).over(w).alias("xp"),
         )
         .filter(F.col("xp").isNotNull())
     )
@@ -2983,9 +2987,19 @@ def cuped_adjusted_lift(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__x").cast("long").alias("__sx"),
         F.sum("__y").cast("long").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
-        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
-        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+        # second-order moments accumulate as decimal(38,0): a long×long
+        # product summed in int64 wraps silently near 9.2e18 — reachable
+        # with per-unit counts at 100 TB row counts (the roc_auc/youden
+        # concordance discipline, round-9 advice)
+        F.sum(
+            F.col("__x").cast("decimal(38,0)") * F.col("__y")
+        ).alias("__sxy"),
+        F.sum(
+            F.col("__x").cast("decimal(38,0)") * F.col("__x")
+        ).alias("__sxx"),
+        F.sum(
+            F.col("__y").cast("decimal(38,0)") * F.col("__y")
+        ).alias("__syy"),
     )
     n = F.col("__n").cast("double")
     sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")

@@ -654,7 +654,12 @@ def control_chart(
     st = ser.groupBy("__g").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__y").alias("__s"),
-        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+        # Σcount² as decimal(38,0): periods of ~1e9 events push the
+        # long-accumulated square sum past 2^63 (the cuped/roc_auc
+        # overflow discipline)
+        F.sum(
+            F.col("__y").cast("decimal(38,0)") * F.col("__y")
+        ).alias("__q"),
     )
     n = F.col("__n").cast("double")
     mean = F.col("__s").cast("double") / n

@@ -106,10 +106,14 @@ def path_ngrams(
     steps = [F.col(step_col)] + [
         F.lead(step_col, i).over(w) for i in range(1, n)
     ]
+    # EVERY step must be non-null, not just the last lead: a NULL step
+    # VALUE mid-sequence would otherwise be skipped by concat_ws,
+    # gluing non-adjacent steps into a false (n-1)-length "n-gram"
+    all_present = steps[0].isNotNull()
+    for s in steps[1:]:
+        all_present = all_present & s.isNotNull()
     grams = df.select(
-        F.when(
-            steps[-1].isNotNull(), F.concat_ws(" > ", *steps)
-        ).alias("path")
+        F.when(all_present, F.concat_ws(" > ", *steps)).alias("path")
     ).filter(F.col("path").isNotNull())
     return (
         grams.groupBy("path")
