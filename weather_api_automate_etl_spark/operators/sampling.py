@@ -321,10 +321,14 @@ def caliper_match(
     (1, following) frame re-scans per row, O(n²) per block; see
     tools/stress_eval.py). Never a treated×control
     pairwise join; equal-score controls sort BEFORE the treated row, so
-    an exact tie matches at distance 0 deterministically (ties between
-    sides break toward the lower score, then lower control unit id —
-    fully reproducible). Blocks (here: coarse strata like dates or
-    sites) bound each window partition, so no global score sort exists.
+    an exact tie matches at distance 0 deterministically. Ties between
+    sides (equidistant below vs above) break toward the LOWER score;
+    among equidistant controls on ONE side the pick is the nearest in
+    the window's (score, side, unit) order — the highest unit id below,
+    the lowest above — fully reproducible, pinned by the brute-force
+    differential in tests/test_properties_round11.py. Blocks (here:
+    coarse strata like dates or sites) bound each window partition, so
+    no global score sort exists.
 
     Returns one row per treated unit:
     ``(block, treated_id, treated_score, control_id, control_score,
