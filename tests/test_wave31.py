@@ -129,3 +129,28 @@ def test_hw_rejects_bad_season(spark):
     )
     with pytest.raises(ValueError, match="season"):
         timeseries.holt_winters_additive(df, "g", "o", "y", season=1)
+
+
+def test_anova_survives_int64_scale_sums(spark):
+    """Σy² and the per-group s² fold must not wrap int64: with values
+    near 4e9 a single y² ≈ 1.6e19 > 2^63−1, so a long-accumulated Σy²
+    wraps negative, SSW turns negative, and f_stat silently NULLs (the
+    cuped/roc_auc decimal discipline). Spread the groups wide so the
+    double assembly keeps ~3 significant digits of SSW — the wrap is
+    the only failure mode under test."""
+    from fractions import Fraction as Fr
+
+    ys_a = [0, 4_000_000_000]
+    ys_b = [1_000_000_000, 3_500_000_000]
+    rows = [("a", v) for v in ys_a] + [("b", v) for v in ys_b]
+    df = spark.createDataFrame(rows, "g string, y long")
+    (r,) = stats.anova_oneway(df, "g", "y").collect()
+    n, k = 4, 2
+    t_term = Fr(sum(ys_a)) ** 2 / 2 + Fr(sum(ys_b)) ** 2 / 2
+    corr = Fr(sum(ys_a) + sum(ys_b)) ** 2 / n
+    q = sum(Fr(v) ** 2 for v in ys_a + ys_b)
+    ssb, ssw = t_term - corr, q - t_term
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k"] == 2 and r["n"] == 4
+    assert r["f_stat"] == pytest.approx(float(f), abs=1e-6)  # round-6 output
+    assert r["ssw"] == pytest.approx(float(ssw), rel=1e-6)

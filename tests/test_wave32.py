@@ -102,3 +102,20 @@ def test_paired_t_agrees_with_wilcoxon_direction(spark):
     (w,) = stats.wilcoxon_signed_rank(wdf, "g", "x", "y").collect()
     assert r["t"] is not None and r["t"] > 10
     assert w["z"] > 2.5
+
+
+def test_paired_t_survives_int64_scale_diffs(spark):
+    """Σd² must not wrap int64 when per-pair differences reach 4e9
+    (d² ≈ 1.6e19 > 2^63−1 in one pair — the anova/cuped discipline)."""
+    from fractions import Fraction as Fr
+
+    ds = [0, 4_000_000_000, 1_000_000_000, 3_000_000_000, 2_000_000_000]
+    rows = [("g", d, 0) for d in ds]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = stats.paired_t_test(df, "g", "x", "y").collect()[0]
+    n = len(ds)
+    mean = Fr(sum(ds), n)
+    var = (sum(Fr(d) ** 2 for d in ds) - Fr(sum(ds)) ** 2 / n) / (n - 1)
+    t = float(mean) / math.sqrt(float(var) / n)
+    assert got["mean_d"] == pytest.approx(float(mean), rel=1e-9)
+    assert got["t"] == pytest.approx(t, rel=1e-6)

@@ -1860,7 +1860,9 @@ def anova_oneway(
     per = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(y).alias("s"),
-        F.sum(y * y).alias("q"),
+        # Σy² as decimal(38,0): long×long squares summed in int64 wrap
+        # silently near 9.2e18 (the cuped/roc_auc overflow discipline)
+        F.sum(y.cast("decimal(38,0)") * y).alias("q"),
     )
     packed = per.agg(
         F.sort_array(
@@ -1871,12 +1873,17 @@ def anova_oneway(
     k = F.size(gs)
     n_tot = F.aggregate(gs, F.lit(0).cast("long"), lambda a, x: a + x["n"])
     s_tot = F.aggregate(gs, F.lit(0).cast("long"), lambda a, x: a + x["s"])
-    q_tot = F.aggregate(gs, F.lit(0).cast("long"), lambda a, x: a + x["q"])
+    q_tot = F.aggregate(
+        gs, F.lit(0).cast("decimal(38,0)"), lambda a, x: a + x["q"]
+    )
     t_term = F.aggregate(
         gs,
         F.lit(0.0),
+        # s² via decimal: a long×long product wraps once a group sum
+        # passes ~3.04e9 — trivially reachable (1e6 rows of value 3000)
         lambda a, x: a
-        + (x["s"] * x["s"]).cast("double") / x["n"].cast("double"),
+        + (x["s"].cast("decimal(38,0)") * x["s"]).cast("double")
+        / x["n"].cast("double"),
     )
     stats_row = packed.select(
         k.alias("__k"),
@@ -1929,7 +1936,8 @@ def paired_t_test(
     agg = df.groupBy(F.col(group_col).alias("g")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(d).alias("sd1"),
-        F.sum(d * d).alias("sd2"),
+        # Σd² as decimal(38,0) — the anova/cuped overflow discipline
+        F.sum(d.cast("decimal(38,0)") * d).alias("sd2"),
     )
     n = F.col("n").cast("double")
     mean = F.col("sd1").cast("double") / n
