@@ -166,18 +166,16 @@ def main() -> None:
             prev = json.load(f).get("queries", {})
     except (OSError, ValueError):
         pass
-    # One-time watch list (round-10 verdict item 4): cumulative drifters
-    # below the auto-flag line get a recorded isolated re-measure too.
-    force = {
-        "q_funnel", "q_pagerank", "q_bpe_encode", "q_top_revenue",
-        "q_asof_join", "q_multimodal_decode_interlaced",
-    }
+    # One-time watch list (round-11 verdict item 3): the round-10 watch
+    # cleared; this round re-measures only the single confirmed mover so
+    # its fresh-JVM number lands against the re-based r11 baseline.
+    force = {"q_test_functional_dep"}
     flagged = [
         name
         for name, secs in timings.items()
         if prev.get(name) and (secs > 1.5 * prev[name] or name in force)
     ]
-    remeasures: dict[str, dict[str, float | bool]] = {}
+    remeasures: dict[str, dict[str, float | bool | None]] = {}
     if flagged:
         # true isolation = a FRESH JVM (see _isolate): one subprocess
         # for the whole flagged batch, best-of-3 per query
@@ -196,10 +194,27 @@ def main() -> None:
                 break
             except ValueError:
                 continue
+        if r.returncode != 0 or not iso_map:
+            # a broken isolation path must not read as "no regressions"
+            # (round-11 advice): surface it and record null rows below
+            print(
+                f"bench: --isolate subprocess rc={r.returncode}, "
+                f"{len(iso_map)} results for {len(flagged)} flagged; "
+                f"stderr tail: {r.stderr.strip()[-400:]}",
+                file=sys.stderr,
+            )
         for name in flagged:
             iso = iso_map.get(name)
             if iso is None:
-                continue  # subprocess failed: keep the sweep value
+                # keep the sweep value but make the failure visible in
+                # the sidecar instead of silently dropping the row
+                remeasures[name] = {
+                    "baseline": prev[name],
+                    "flagged": timings[name],
+                    "isolated": None,
+                    "regressed": None,
+                }
+                continue
             remeasures[name] = {
                 "baseline": prev[name],
                 "flagged": timings[name],

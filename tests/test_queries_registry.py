@@ -62,9 +62,9 @@ def test_priority_order_names_are_registered():
     ghosts = set(DISPLACED) & set(REGISTRY)
     assert not ghosts, f"DISPLACED queries still registered: {ghosts}"
     # a displaced name must not occupy a slot in the CURRENT window
-    from weather_api_automate_etl_spark.queries import ROUND11_WINDOW_HEAD
+    from weather_api_automate_etl_spark.queries import ROUND12_WINDOW_HEAD
 
-    assert not set(DISPLACED) & set(ROUND11_WINDOW_HEAD)
+    assert not set(DISPLACED) & set(ROUND12_WINDOW_HEAD)
 
 
 def _driver_verified() -> set[str]:
@@ -108,21 +108,20 @@ def _last_verified_round() -> dict[str, int]:
 
 def test_priority_prefix_covers_every_family():
     """External verification records exactly the first 50 registry entries
-    per round; the union of rounds 1-10 drove 302 of 327 live queries
-    green, leaving a 25-name residue (ROUND11_NEW + the ROUND9_TAIL
-    remainder) never-sampled. Pin round 11's evidence strategy, executed
-    exactly as staged last round (round-10 verdict item 1): the window is
-    all 47 ROUND11_PENDING names (every never-sampled query + the 22
-    r4-era stale rows) plus the first 3 r5-era names; a green round-11
-    run drives the never-sampled set to ZERO. Everything outside the
-    window already holds a green driver row, and the stalest of those
-    rows are explicitly queued in the committed ROUND12_PENDING
-    schedule."""
+    per round; round 11 drove the never-driver-sampled set to ZERO, so
+    from round 12 on the window is pure rotation. Pin round 12's evidence
+    strategy, executed exactly as staged last round (round-11 verdict
+    item 1): the window is the committed ROUND12_PENDING schedule
+    verbatim — the 38 remaining r5-era rows + the 12-name r6-era cohort
+    head. Everything outside the window already holds a green driver row,
+    and the stalest of those rows are explicitly queued in the committed
+    ROUND13_PENDING schedule."""
     from weather_api_automate_etl_spark.queries import (
         R5_ERA_STALE,
-        ROUND11_PENDING,
-        ROUND11_WINDOW_HEAD,
+        R6_ERA_HEAD,
         ROUND12_PENDING,
+        ROUND12_WINDOW_HEAD,
+        ROUND13_PENDING,
         queries,
     )
 
@@ -131,13 +130,22 @@ def test_priority_prefix_covers_every_family():
     names = list(q)
     verified = _driver_verified()
     unverified = set(REGISTRY) - verified
-    k = len(ROUND11_WINDOW_HEAD)
-    assert k == 50, "the driver records exactly the first 50 entries"
-    assert names[:k] == list(ROUND11_WINDOW_HEAD)
-    assert ROUND11_WINDOW_HEAD == ROUND11_PENDING + R5_ERA_STALE[:3], (
-        "round 11's window is exactly the staged schedule: all 47 pending "
-        "names + the r5-era cohort head (round-10 verdict item 1)"
+    assert not unverified, (
+        "round 11 drove the never-driver-sampled set to zero; it must "
+        f"stay zero: {unverified}"
     )
+    k = len(ROUND12_WINDOW_HEAD)
+    assert k == 50, "the driver records exactly the first 50 entries"
+    assert names[:k] == list(ROUND12_WINDOW_HEAD)
+    assert ROUND12_WINDOW_HEAD == R5_ERA_STALE[3:] + R6_ERA_HEAD, (
+        "round 12's window is exactly the staged schedule: the 38 "
+        "remaining r5-era rows + the r6-era cohort head (round-11 "
+        "verdict item 1)"
+    )
+    assert names[50:100] == list(ROUND13_PENDING) and len(ROUND13_PENDING) == 50, (
+        "round 13's committed schedule must hold slots 51-100"
+    )
+    assert not set(ROUND12_PENDING) & set(ROUND13_PENDING)
     # every registered query carries a DuckDB oracle (no no_oracle rows
     # since the round-9 portable-HLL / zlib-lookup upgrades).
     from weather_api_automate_etl_spark.queries import oracle_sql
@@ -145,10 +153,6 @@ def test_priority_prefix_covers_every_family():
     assert set(oracle_sql()) == set(REGISTRY), (
         "every registered query must carry a DuckDB oracle: "
         f"missing {set(REGISTRY) - set(oracle_sql())}"
-    )
-    assert unverified <= set(ROUND11_WINDOW_HEAD), (
-        "every never-driver-verified query must sit in the round-11 window: "
-        f"missing {unverified - set(ROUND11_WINDOW_HEAD)}"
     )
     # Staleness guard — the HONEST bound. With 327 queries and a 50-slot
     # window the full cycle is ceil(327/50) = 7 rounds, so "≤4 rounds
@@ -160,18 +164,18 @@ def test_priority_prefix_covers_every_family():
     last = _last_verified_round()
     n_max = max(last.values())  # latest recorded round
     overdue = {n for n, r in last.items() if r <= n_max - 6}
-    scheduled = set(ROUND11_WINDOW_HEAD) | set(ROUND12_PENDING)
+    scheduled = set(ROUND12_WINDOW_HEAD) | set(ROUND13_PENDING)
     assert overdue <= scheduled, (
         f"rows about to exceed the 7-round freshness bound are unscheduled: "
         f"{overdue - scheduled}"
     )
     prefix = names[:50]
     tags_in_prefix = {tag for name in prefix for tag in REGISTRY[name].tags}
-    # the round-11 window spans the never-sampled stats/eval tail, the
-    # multimodal codecs, and the r4-era dedup/join/quality rows. Ledger,
-    # streaming and the §2 ingest backbone hold r07-r10 rows (the
-    # freshest possible) so they take no slots this round.
-    for family in ("stats", "multimodal", "text", "quality", "dedup"):
+    # the round-12 window spans the r5-era corpus/embedding/streaming
+    # cohort and the r6-era changepoint/analytics head. Multimodal and
+    # the §2 ingest backbone hold r11 rows (the freshest possible) so
+    # they take no slots this round.
+    for family in ("corpus", "streaming", "text", "quality", "dedup"):
         assert family in tags_in_prefix, f"family {family!r} missing from prefix"
     # everything outside the window must already be driver-verified
     outside = set(names[50:]) - verified

@@ -788,36 +788,70 @@ ROUND11_WINDOW_HEAD: tuple[str, ...] = ROUND11_PENDING + R5_ERA_STALE[:3]
 #: next window's head.
 ROUND12_PENDING: tuple[str, ...] = R5_ERA_STALE[3:] + R6_ERA_HEAD
 
-PRIORITY_ORDER: tuple[str, ...] = (
-    ROUND11_WINDOW_HEAD
-    # slots 51+: round 12's committed schedule, then the prior heads in
-    # freshness order (r10 head first — its rows are the newest) — rounds
-    # record only the 50-entry prefix, so placement past 50 is
-    # documentation, not evidence
-    + ROUND12_PENDING
-    + tuple(
-        n for n in _recorded_window(10) if n not in ROUND11_WINDOW_HEAD
-    )
-    + tuple(
-        n
-        for n in ROUND9_WINDOW_HEAD
-        if n not in ROUND11_WINDOW_HEAD and n not in ROUND12_PENDING
-    )
-    + tuple(
-        n
-        for n in ROUND8_WINDOW_HEAD
-        if n not in ROUND9_PENDING
-        and n not in ROUND11_WINDOW_HEAD
-        and n not in ROUND12_PENDING
-    )
-    + tuple(
-        n
-        for n in ROUND7_WINDOW_HEAD
-        if n not in ROUND8_WINDOW_HEAD
-        and n not in ROUND9_PENDING
-        and n not in ROUND11_WINDOW_HEAD
-        and n not in ROUND12_PENDING
-    )
+#: Round-12 window = the committed schedule verbatim (it is exactly 50
+#: names: the 38 remaining r5-era rows + the 12-name r6-era cohort head).
+ROUND12_WINDOW_HEAD: tuple[str, ...] = ROUND12_PENDING
+
+#: The 31 r6-era rows past R6_ERA_HEAD (latest green row = round 6), in
+#: CORRECTNESS_r06 sample order. Kept LITERAL — the rotation windows
+#: slice from here, so they must not depend on the evidence files being
+#: present in a packaged deployment.
+R6_ERA_TAIL: tuple[str, ...] = (
+    "q_merge_upsert", "q_ann_recall", "q_multimodal_decode_gif",
+    "q_stratified_sample", "q_cube", "q_conditional_agg",
+    "q_salted_agg", "q_window_distribution", "q_date_arithmetic",
+    "q_gap_fill", "q_forward_fill", "q_argmax",
+    "q_ratio_to_total", "q_histogram", "q_wordcount",
+    "q_scalar_subquery", "q_grouping_sets", "q_hopping_windows",
+    "q_linear_interpolate", "q_time_weighted_avg", "q_funnel",
+    "q_cohort_retention", "q_union_by_name", "q_unpivot",
+    "q_period_over_period", "q_dedup_keep_latest", "q_trailing_window",
+    "q_event_transitions", "q_zscore", "q_minhash_signature",
+    "q_streaming_join",
+)
+
+#: Head of the 47-name r7-era cohort (latest green row = round 7), in
+#: CORRECTNESS_r07 sample order; 19 fill round 13's window after the 31
+#: remaining r6 names, the other 28 open round 14's.
+R7_ERA_HEAD: tuple[str, ...] = (
+    "q_e2e_weather_pipeline", "q_profile_table", "q_zorder_layout",
+    "q_bpe_pair_counts", "q_bpe_merge", "q_hard_negatives",
+    "q_ann_recall_kmeans", "q_streaming_merge_sink", "q_kcore",
+    "q_preagg_reuse", "q_pca_power_project", "q_late_events",
+    "q_bpe_merge_table", "q_mode_by_group", "q_scd2_asof",
+    "q_schema_evolution", "q_fellegi_sunter", "q_chi_square",
+    "q_kmeans",
+)
+
+#: Round-13 rotation schedule, committed now (round-11 verdict item 2):
+#: by round 12's close the stalest cohorts are the 31 remaining r6-era
+#: rows and the r7-era cohort, so round 13 takes them in CORRECTNESS
+#: sample order — exactly 50 slots, keeping every row inside the honest
+#: 7-round freshness bound documented above ROUND12_PENDING.
+ROUND13_PENDING: tuple[str, ...] = R6_ERA_TAIL + R7_ERA_HEAD
+
+
+def _dedup(names: tuple[str, ...]) -> tuple[str, ...]:
+    """First occurrence wins — applied once to the full concatenation so
+    PRIORITY_ORDER itself keeps the one-slot-per-name invariant instead
+    of relying on per-segment not-in filters that must be maintained
+    symmetrically (round-11 advice)."""
+    return tuple(dict.fromkeys(names))
+
+
+PRIORITY_ORDER: tuple[str, ...] = _dedup(
+    # head 50 = round 12's committed window; slots 51-100 = round 13's
+    # committed schedule; then the prior window heads in freshness order
+    # (r11 first — its rows are the newest). Rounds record only the
+    # 50-entry prefix, so placement past 100 is documentation, not
+    # evidence.
+    ROUND12_WINDOW_HEAD
+    + ROUND13_PENDING
+    + ROUND11_WINDOW_HEAD
+    + _recorded_window(10)
+    + ROUND9_WINDOW_HEAD
+    + ROUND8_WINDOW_HEAD
+    + ROUND7_WINDOW_HEAD
 )
 
 
