@@ -139,7 +139,8 @@ def test_chunk_text_windows_cover_and_overlap(spark):
     docs = spark.createDataFrame(
         [(1, " ".join(f"w{i}" for i in range(20))),   # 20 toks -> starts 0, 8
          (2, "a b c"),                                 # short -> 1 chunk
-         (3, " ".join(f"x{i}" for i in range(16)))],   # exactly chunk -> 1
+         (3, " ".join(f"x{i}" for i in range(16))),    # exactly chunk -> 1
+         (4, "   ")],                                  # whitespace-only doc
         "doc_id long, text string",
     )
     rows = textops.chunk_text(docs, chunk_tokens=16, stride=8).collect()
@@ -153,6 +154,27 @@ def test_chunk_text_windows_cover_and_overlap(spark):
     assert (c1[0].n_tokens, c1[1].n_tokens) == (16, 12)
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
     assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 16
+    # round-12 review: the '' pseudo-token of empty docs is NOT a token —
+    # an empty doc yields one empty chunk with n_tokens 0, never 1
+    assert len(by_doc[4]) == 1
+    assert (by_doc[4][0].chunk_text, by_doc[4][0].n_tokens) == ("", 0)
+
+
+def test_bpe_encode_empty_doc_counts_zero_tokens(spark):
+    # round-12 review: bpe_encode must not count the '' pseudo-token of an
+    # empty doc in n_tokens (the text_profile accounting convention)
+    from weather_api_automate_etl_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "")], "doc_id long, text string"
+    )
+    table = textops.bpe_merge_rounds(docs, n_rounds=1, placeholders="")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_chars, r.n_symbols, r.ratio)
+        for r in textops.bpe_encode(docs, table, "", n_rounds=1).collect()
+    }
+    assert got[1] == (3, 6, 3, 0.5)  # 'ab' merged to one symbol per token
+    assert got[2] == (0, 0, 0, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -219,7 +219,11 @@ def chunk_text(
             ),
         )
 
-    chunks = F.transform(F.array(tokens(text_col)), build)[0]
+    # the '' pseudo-token of empty docs must not count (module-wide
+    # convention): an empty doc yields ONE empty chunk with n_tokens 0
+    chunks = F.transform(
+        F.array(F.filter(tokens(text_col), lambda t: t != "")), build
+    )[0]
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col,
         F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
@@ -1073,7 +1077,12 @@ def bpe_encode(
         F.transform(arr, F.length), F.lit(0).cast("long"), lambda a, x: a + x
     )
     return (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        # drop the '' pseudo-token of empty docs — an empty doc is 0
+        # tokens in the accounting, not 1 (the text_profile convention)
+        df.select(
+            F.col(id_col),
+            F.filter(tokens(text_col), lambda t: t != "").alias("__t"),
+        )
         .crossJoin(F.broadcast(row))
         .select(
             F.col(id_col),

@@ -2681,7 +2681,9 @@ def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_chunks",
     oracle=f"""
-    WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    WITH base AS (SELECT doc_id,
+                         list_filter({_TOKENS_SQL}, t -> t <> '') AS w
+                  FROM documents),
     st AS (
       SELECT doc_id, w, len(w) AS n,
              CASE WHEN len(w) > 16

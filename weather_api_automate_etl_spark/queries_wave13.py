@@ -800,16 +800,26 @@ def _bpe_encode_oracle(n_rounds: int = 3) -> str:
       SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
     ),
     enc AS (
-      SELECT doc_id, tok, {enc_expr} AS etok FROM dtok
+      -- the '' pseudo-token of empty docs is not a token (the Spark
+      -- twin filters it; empty docs fall through the LEFT JOIN below)
+      SELECT doc_id, tok, {enc_expr} AS etok FROM dtok WHERE tok <> ''
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+             CAST(SUM(len(etok)) AS BIGINT) AS n_symbols,
+             CASE WHEN SUM(len(tok)) > 0
+                  THEN ROUND(SUM(len(etok)) / SUM(len(tok)), 6)
+                  ELSE 1.0 END AS ratio
+      FROM enc GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
-           CAST(SUM(len(etok)) AS BIGINT) AS n_symbols,
-           CASE WHEN SUM(len(tok)) > 0
-                THEN ROUND(SUM(len(etok)) / SUM(len(tok)), 6)
-                ELSE 1.0 END AS ratio
-    FROM enc GROUP BY doc_id
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           COALESCE(a.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+           COALESCE(a.n_symbols, CAST(0 AS BIGINT)) AS n_symbols,
+           COALESCE(a.ratio, 1.0) AS ratio
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """
     )
 
