@@ -798,6 +798,43 @@ def test_gif_encode_rejections():
         # first code in the entropy stream = 7 (LSB-first), a non-root,
         # non-clear value beyond the fresh table for min_code_size=2
         codecs._gif_lzw_decompress(bytes([0b00000111]), 2, 4)
+    # round-12 mutation fuzz: every truncation point must raise the
+    # documented ValueError, never struct.error / IndexError
+    with _pytest.raises(ValueError, match="truncated global color table"):
+        codecs.decode_gif(payload[:14])
+    with _pytest.raises(ValueError, match="truncated image descriptor"):
+        codecs.decode_gif(payload[:20])  # header+GCT end at byte 19
+    with _pytest.raises(ValueError, match="truncated extension block"):
+        codecs.decode_gif(payload[:19] + bytes([0x21, 0xFE, 0x02]))
+    with _pytest.raises(ValueError, match="before LZW code size"):
+        codecs.decode_gif(payload[:29])  # descriptor ends at byte 28
+    # a root code that a too-small color table can't cover: rewrite the
+    # 1-entry-palette stream to claim mcs=7 (roots up to 127)
+    mcs_pos = 6 + 7 + 6 + 10  # header, screen, GCT(2), image descriptor
+    assert payload[mcs_pos] == 2
+    idx2 = np.full((4, 4), 200, dtype=np.uint8)
+    pal256 = [(i, i, i) for i in range(256)]
+    big = bytearray(codecs.encode_gif(idx2, pal256))
+    # shrink the screen-descriptor GCT depth to 4 entries but keep the
+    # 8-bit LZW stream: roots up to 255 now exceed the 4-entry table
+    big[10] = (big[10] & ~0x07) | 0x01
+    del big[13 + 3 * 4 : 13 + 3 * 256]
+    with _pytest.raises(ValueError, match="beyond the color table"):
+        codecs.decode_gif(bytes(big))
+
+
+def test_bmp_truncated_header_raises_value_error():
+    # round-12 mutation fuzz: a BMP cut inside the 54-byte header pair
+    # raised struct.error instead of the codec's documented ValueError
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    payload = codecs.encode_bmp(np.zeros((3, 3, 3), dtype=np.uint8))
+    for cut in (2, 13, 25, 40, 53):
+        with _pytest.raises(ValueError, match="truncated BMP header"):
+            codecs.decode_bmp(payload[:cut])
 
 
 def test_gif_spark_pipeline_stats(spark):

@@ -159,6 +159,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bpp uncompressed BMP bytes → (h, w, 3) uint8 RGB array."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:  # 14-byte file header + 40-byte info header
+        raise ValueError("truncated BMP header")
     (data_off,) = struct.unpack_from("<I", payload, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     if hdr_size < 40:
@@ -1593,6 +1595,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     gct = None
     if packed & 0x80:
         n = 3 * (2 << (packed & 0x07))
+        if pos + n > len(payload):
+            raise ValueError("GIF: truncated global color table")
         gct = np.frombuffer(payload[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
         pos += n
     while pos < len(payload):
@@ -1602,21 +1606,32 @@ def decode_gif(payload: bytes) -> np.ndarray:
             break
         if b0 == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos]:
+            # bounds-checked skip: a truncated extension must surface as
+            # the codec's documented ValueError, never IndexError
+            # (round-6 advice class; found by the round-12 mutation fuzz)
+            while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated extension block")
             pos += 1
             continue
         if b0 != 0x2C:
             raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF: truncated image descriptor")
         _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         ct = gct
         if ipacked & 0x80:
             n = 3 * (2 << (ipacked & 0x07))
+            if pos + n > len(payload):
+                raise ValueError("GIF: truncated local color table")
             ct = np.frombuffer(payload[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
             pos += n
         if ct is None:
             raise ValueError("GIF: no color table in scope")
+        if pos >= len(payload):
+            raise ValueError("GIF: truncated before LZW code size")
         mcs = payload[pos]
         pos += 1
         data = bytearray()
@@ -1632,6 +1647,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += 1 + ln
         pos += 1
         idx = _gif_lzw_decompress(bytes(data), mcs, w * h).reshape(h, w)
+        if idx.size and int(idx.max()) >= len(ct):
+            # a legal LZW root (< 2^mcs) can still exceed a smaller color
+            # table — surface the contract ValueError, not an IndexError
+            raise ValueError("GIF: pixel index beyond the color table")
         if ipacked & 0x40:  # 4-pass interlace
             deinter = np.empty_like(idx)
             rows = np.concatenate(
