@@ -392,6 +392,26 @@ def test_dhash_box_reduce_is_scale_invariant(spark):
     assert got[1] != "0000000000000000"
 
 
+def test_dhash_smaller_than_grid_input_is_finite(spark):
+    """round-12 review: an image smaller than the 9x8 dHash grid used to
+    produce empty box-reduce cells whose NaN means silently zeroed every
+    gradient bit. Nearest-span upscaling must yield a real, non-trivial
+    hash, and a 2x3 ramp must hash like its grid-sized nearest upscale."""
+    import numpy as np
+
+    tiny = np.array([[0, 100, 200], [30, 130, 230]], dtype=np.uint8)
+    tiny3 = np.repeat(tiny[:, :, None], 3, axis=2)
+    # the exact nearest-sample upscale of tiny onto the 9x8 grid
+    ys = (np.arange(8) * 2) // 8
+    xs = (np.arange(9) * 3) // 9
+    up3 = np.repeat(tiny[np.ix_(ys, xs)][:, :, None], 3, axis=2)
+    df = _asset_df(spark, [(1, _ppm(tiny3)), (2, _ppm(up3))])
+    got = {r["asset_id"]: r["dhash"] for r in
+           multimodal.image_dhash(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != "0000000000000000"
+
+
 def test_gradient_assets_duplicate_classes(spark):
     """doc_ids congruent mod 240 share (a, b, s) -> byte-identical
     payloads and equal hashes."""

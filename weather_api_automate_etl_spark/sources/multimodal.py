@@ -851,13 +851,21 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                 gray = arr.astype(np.float64).mean(axis=2)
                 h, w = gray.shape
                 if (h, w) != (DHASH_H, DHASH_W):
-                    # box-reduce to the grid: mean over equal cell spans
+                    # box-reduce to the grid: mean over equal cell spans.
+                    # Inputs SMALLER than the grid yield zero-width cells,
+                    # whose empty mean() is NaN and every gradient bit
+                    # silently compares False (round-12 review) — clamp
+                    # each span to >= 1 pixel (nearest-sample upscaling;
+                    # identity at grid size, unchanged when larger)
                     ys = (np.arange(DHASH_H + 1) * h) // DHASH_H
                     xs = (np.arange(DHASH_W + 1) * w) // DHASH_W
                     gray = np.array(
                         [
                             [
-                                gray[ys[j]:ys[j + 1], xs[i]:xs[i + 1]].mean()
+                                gray[
+                                    min(ys[j], h - 1):max(ys[j + 1], ys[j] + 1),
+                                    min(xs[i], w - 1):max(xs[i + 1], xs[i] + 1),
+                                ].mean()
                                 for i in range(DHASH_W)
                             ]
                             for j in range(DHASH_H)
