@@ -40,6 +40,22 @@ def test_decode_routes_api_errors_and_extracts(spark):
     assert err.error_kind == "api_error" and err.api_error_code == 615
 
 
+def test_decode_routes_null_payload_rows_to_errors(spark):
+    # round-12 review: a NULL raw_json (transport failure reaching decode
+    # because the caller skipped split_errors) must route to the error
+    # channel, never pass downstream as an all-NULL "good" observation
+    fetched = spark.createDataFrame(
+        [("Ghent", '{"current": {"temperature": 5}}'), ("Lost", None)],
+        "city string, raw_json string",
+    )
+    decoded = json_ingest.decode_payloads(fetched)
+    obs = json_ingest.extract_observations(decoded, BATCH)
+    errs = json_ingest.error_records(decoded)
+    assert [r.city for r in obs.collect()] == ["Ghent"]
+    err = errs.head()
+    assert err.city == "Lost" and err.error_kind == "parse_error"
+
+
 def test_extract_falls_back_to_queried_city(spark):
     fetched = spark.createDataFrame(
         [("Ghent", '{"current": {"temperature": 5}}')], "city string, raw_json string"

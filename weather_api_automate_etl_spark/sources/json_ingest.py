@@ -28,11 +28,15 @@ from weather_api_automate_etl_spark.schemas import WEATHERSTACK_RESPONSE
 def decode_payloads(fetched: DataFrame) -> DataFrame:
     """(city, raw_json) → parsed struct + error class columns.
 
-    ``parse_error`` marks undecodable JSON (from_json → null);
-    ``api_error`` marks well-formed error envelopes (dag :75-77)."""
+    ``parse_error`` marks undecodable JSON (from_json → null) — including
+    a NULL ``raw_json``, so a caller that skips ``rest.split_errors``
+    still routes transport-failed rows to the error channel instead of
+    passing them downstream as all-NULL "good" observations (round-12
+    review); ``api_error`` marks well-formed error envelopes
+    (dag :75-77)."""
     parsed = F.from_json(F.col("raw_json"), WEATHERSTACK_RESPONSE)
     return fetched.withColumn("payload", parsed).withColumn(
-        "parse_error", F.col("payload").isNull() & F.col("raw_json").isNotNull()
+        "parse_error", F.col("payload").isNull()
     ).withColumn("api_error", F.col("payload.error").isNotNull())
 
 
