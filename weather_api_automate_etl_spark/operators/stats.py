@@ -1074,7 +1074,10 @@ def calibration_bins(
       ``percentile_approx`` aggregate (n_bins−1 values), broadcast back
       as a 1-row relation, bucket assigned by a map-side array scan —
       no global sort anywhere, same shape as quantile_normalize_binned.
-      Bins are equal-count up to sketch error and boundary ties.
+      Bins are equal-count up to sketch error and boundary ties. NB: a
+      heavily-tied score distribution can yield DUPLICATE edges, leaving
+      some bin numbers empty — approx mode may return FEWER than n_bins
+      rows with gaps in ``bin``; don't assume a dense 1..n_bins census.
 
     Returns (bin, n, conf, acc, gap, ece), rounded to 6."""
     if n_bins < 2:
@@ -1853,6 +1856,10 @@ def anova_oneway(
     a single k-row collect into one driver-free row — state is O(k),
     the number of GROUPS, never rows. Groups with n_j = 0 cannot occur;
     k < 2 or SSW = 0 yields a NULL F with the sums still reported.
+    Overflow contract (all decimal(38,0) moment accumulators in this
+    module): a Σ that exceeds 38 digits returns NULL under non-ANSI
+    Spark, propagating a NULL statistic — the INTENDED fail mode (a
+    visibly-absent result) vs the silent int64 wrap it replaced.
 
     Returns one row ``(k, n, ssb, ssw, f_stat)`` rounded to 6 places.
     """
@@ -3289,7 +3296,10 @@ def gains_table(
     a bucket-keyed aggregate plus window sums over the n_buckets-row
     result. Counts exact; rates/lift/gain rounded to 6 (NULL lift when
     no responders at all). Returns one row per bucket ``(bucket, n,
-    responders, response_rate, lift, cum_gain)``.
+    responders, response_rate, lift, cum_gain)``. NB: in approx mode a
+    heavily-tied score distribution can yield duplicate edges and thus
+    FEWER than n_buckets rows with skipped bucket numbers (cum_gain
+    still correct per emitted row) — don't assume a dense census.
     """
     if n_buckets < 2:
         raise ValueError(f"gains_table needs n_buckets >= 2, got {n_buckets}")
