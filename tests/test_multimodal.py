@@ -1084,3 +1084,34 @@ def test_jpeg_missing_eoi_and_bad_band_bounds():
         i += 1
     with _pytest.raises(ValueError, match="spectral band"):
         codecs.decode_jpeg(bytes(broken))
+
+
+def test_jpeg_short_segments_raise_value_error():
+    """round-12 mutation fuzz: a corrupted seg_len passes the outer
+    truncation check with a too-short segment, so the SOF/SOS/DRI
+    fixed-layout reads must raise the contract ValueError, never
+    struct.error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from weather_api_automate_etl_spark.sources import codecs
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    base = bytearray(codecs.encode_jpeg(px, quality=75))
+
+    def shrink(marker: int, new_len: int) -> bytes:
+        b = bytearray(base)
+        i = 2
+        while not (b[i] == 0xFF and b[i + 1] == marker):
+            i += 1
+        old = (b[i + 2] << 8) | b[i + 3]
+        b[i + 2 : i + 4] = new_len.to_bytes(2, "big")
+        del b[i + 2 + new_len : i + 2 + old]  # keep the stream aligned
+        return bytes(b)
+
+    with _pytest.raises(ValueError, match="truncated JPEG SOF"):
+        codecs.decode_jpeg(shrink(0xC0, 5))
+    with _pytest.raises(ValueError, match="truncated JPEG SOF components"):
+        codecs.decode_jpeg(shrink(0xC0, 9))
+    with _pytest.raises(ValueError, match="truncated JPEG SOS"):
+        codecs.decode_jpeg(shrink(0xDA, 3))

@@ -1272,6 +1272,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if len(seg) != seg_len - 2:
             raise ValueError("truncated JPEG segment")
+        def _need(n: int, what: str) -> None:
+            # a corrupt seg_len passes the outer check with a too-short
+            # segment: fixed-layout reads must ValueError, not struct.error
+            if len(seg) < n:
+                raise ValueError(f"truncated JPEG {what}")
+
         if marker == 0xDB:  # DQT
             sp = 0
             while sp < len(seg):
@@ -1296,7 +1302,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sp += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
+            _need(6, "SOF header")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            _need(6 + 3 * nc, "SOF components")
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
             if nc != 3:
@@ -1316,11 +1324,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only SOF0/SOF2 JPEG supported")
         elif marker == 0xDD:  # DRI
+            _need(2, "DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            _need(1, "SOS header")
             ns = seg[0]
+            _need(4 + 2 * ns, "SOS header")
             cid_index = {cid: i for i, (cid, _) in enumerate(frame[2])}
             comp_idx, tdtas = [], []
             for c in range(ns):

@@ -851,12 +851,10 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                 gray = arr.astype(np.float64).mean(axis=2)
                 h, w = gray.shape
                 if (h, w) != (DHASH_H, DHASH_W):
-                    # box-reduce to the grid: mean over equal cell spans.
-                    # Inputs SMALLER than the grid yield zero-width cells,
-                    # whose empty mean() is NaN and every gradient bit
-                    # silently compares False (round-12 review) — clamp
-                    # each span to >= 1 pixel (nearest-sample upscaling;
-                    # identity at grid size, unchanged when larger)
+                    # box-reduce to the grid: mean over equal cell spans,
+                    # clamped to >= 1 pixel — sub-grid inputs would yield
+                    # zero-width cells whose NaN mean silently zeroes every
+                    # bit (nearest-sample upscale; identity at grid size)
                     ys = (np.arange(DHASH_H + 1) * h) // DHASH_H
                     xs = (np.arange(DHASH_W + 1) * w) // DHASH_W
                     gray = np.array(
