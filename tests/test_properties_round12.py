@@ -288,3 +288,97 @@ def test_ledger_time_travel_matches_dict_of_versions(spark, initial, ops, dv):
             for r in ledger.ledger_read(spark, path, version=ver).collect()
         }
         assert got == {k: (v_, k % 2) for k, v_ in state.items()}, f"v{ver}"
+    # ...and the change feed between ANY two versions must equal the
+    # python set/value diff of the modeled states (ledger CDF)
+    vs = sorted(versions)
+    pairs = [(vs[0], vs[-1])] + ([(vs[1], vs[-1])] if len(vs) > 2 else [])
+    for vf, vt in pairs:
+        sf_, st_ = versions[vf], versions[vt]
+        got_c = {
+            r.k: (r.change_type, r.v)
+            for r in ledger.ledger_changes(
+                spark, path, "k", ["v"], v_from=vf, v_to=vt
+            ).collect()
+        }
+        want_c = {}
+        for k in set(sf_) | set(st_):
+            if k not in sf_:
+                want_c[k] = ("added", st_[k])
+            elif k not in st_:
+                want_c[k] = ("removed", None)
+            elif sf_[k] != st_[k]:
+                want_c[k] = ("changed", st_[k])
+        assert got_c == want_c, f"changes v{vf}->v{vt}"
+
+
+# ---------------------------------------------------------------------------
+# mv_refresh after each base mutation ≡ python groupby of the modeled state
+# ---------------------------------------------------------------------------
+
+
+@given(
+    initial=st.dictionaries(
+        st.integers(0, 5), st.integers(0, 9), min_size=2, max_size=6
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.dictionaries(
+                    st.integers(0, 7), st.integers(0, 9), min_size=1, max_size=4
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.sets(st.integers(0, 7), min_size=1, max_size=3),
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@SETTINGS
+def test_mv_refresh_matches_python_groupby(spark, initial, ops):
+    from weather_api_automate_etl_spark.operators import matview
+
+    base = tempfile.mkdtemp(prefix="r12mvbase_")
+    mv = tempfile.mkdtemp(prefix="r12mv_")
+
+    def _df(state: dict[int, int]):
+        return spark.createDataFrame(
+            [(k, v, k % 2) for k, v in state.items()], "k int, v int, p int"
+        )
+
+    def aggs():
+        return [
+            F.sum("v").cast("long").alias("sum_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ]
+
+    def check(state: dict[int, int]) -> None:
+        got = {
+            r.p: (r.sum_v, r.n)
+            for r in ledger.ledger_read(spark, mv).collect()
+        }
+        want: dict[int, list[int]] = {}
+        for k, v in state.items():
+            acc = want.setdefault(k % 2, [0, 0])
+            acc[0] += v
+            acc[1] += 1
+        assert got == {p: (s, n) for p, (s, n) in want.items()}
+
+    model = dict(initial)
+    ledger.ledger_write(spark, _df(model), base, "p")
+    matview.mv_build(spark, base, mv, ["p"], aggs())
+    check(model)
+    for kind, arg in ops:
+        if kind == "merge":
+            ledger.ledger_merge(spark, base, _df(dict(arg)), "k")
+            model.update(arg)
+        else:
+            keys = spark.createDataFrame([(k,) for k in arg], "k int")
+            ledger.ledger_delete(spark, base, keys, "k")
+            for k in arg:
+                model.pop(k, None)
+        matview.mv_refresh(spark, base, mv, ["p"], aggs())
+        check(model)
