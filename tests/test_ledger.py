@@ -1313,3 +1313,39 @@ def test_delete_killed_between_tombstone_and_manifest_commit(
     assert _snapshot(spark, path) == [
         r for r in before if r[0] not in (3, 4)
     ]
+
+
+def test_write_metadata_passes_do_not_reexecute_input(spark, tmp_path):
+    """Round-12 optimization contract: ledger_write executes the input
+    DAG exactly ONCE (the data write). Partition stats, the bloom key
+    index, and per-file stats must come from a readback of the written
+    files — re-running the input (often a full merge join upstream) once
+    per metadata pass tripled the write cost. Pinned with an accumulator
+    inside the input DAG: after a stats+bloom write it must equal the
+    input row count exactly."""
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for batch in it:
+            calls.add(batch.num_rows)
+            yield batch
+
+    base = spark.createDataFrame(
+        [(k, float(k * 10), str(2000 + k % 3)) for k in range(30)],
+        "k long, price double, year string",
+    ).mapInArrow(counting, "k long, price double, year string")
+    path = str(tmp_path / "mart_once")
+    v = ledger.ledger_write(
+        spark, base, path, "year",
+        stats_cols=["k", "price"], key_index_col="k",
+    )
+    assert v == 1
+    assert calls.value == 30
+    # and the readback-derived metadata is still the real table metadata
+    m = ledger._read_manifest(path, 1)
+    assert sorted(m["partitions"]) == ["2000", "2001", "2002"]
+    assert sum(e["rows"] for e in m["partitions"].values()) == 30
+    assert all("key_bloom" in e for e in m["partitions"].values())
+    ks = [e["stats"]["k"] for e in m["partitions"].values()]
+    assert min(s["min"] for s in ks) == 0.0
+    assert max(s["max"] for s in ks) == 29.0

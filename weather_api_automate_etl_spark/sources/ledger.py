@@ -460,7 +460,23 @@ def _write_data_dir(
     batch = f"data-{uuid.uuid4().hex[:12]}"
     base = os.path.join(path, batch)
     df.write.partitionBy(partition_col).parquet(base)
-    stats = _partition_stats(df, partition_col, stats_cols)
+    # Every metadata pass below reads BACK the just-written directory
+    # (schema pinned to the writer's) instead of re-executing the input
+    # DAG: the input is often a full merge/anti-join pipeline, and
+    # recomputing it once for stats and again for the bloom index tripled
+    # the write cost (and at 100 TB would triple the scan). The readback
+    # scans are column-pruned parquet reads of the freshly written files;
+    # the partition column comes off the directory names cast through the
+    # declared dtype, which is the same raw-string key form the input-DAG
+    # aggregate produced (the _per_file_stats parity argument). A NULL
+    # partition value lands in __HIVE_DEFAULT_PARTITION__ and reads back
+    # as NULL, so the non-null guard still fires.
+    back = (
+        df.sparkSession.read.schema(df.schema)
+        .option("basePath", base)
+        .parquet(base)
+    )
+    stats = _partition_stats(back, partition_col, stats_cols)
     if None in stats:
         raise ValueError(
             "ledger partition values must be non-null "
@@ -468,7 +484,7 @@ def _write_data_dir(
         )
     blooms = (
         _partition_blooms(
-            df, partition_col, key_index["col"],
+            back, partition_col, key_index["col"],
             key_index["bits"], key_index["hashes"], key_index.get("dtype"),
         )
         if key_index
