@@ -265,3 +265,65 @@ def test_round10_graph_embeddings_review_fixes(spark):
     )
     with _pytest.raises(ValueError, match="non-numeric"):
         embeddings.als_factorize_k2(ratings, "u", "i", "r")
+
+
+def test_pq_sql_text_builders_match_column_composition(spark):
+    """Round-12 optimization pin: pq_encode / pq_adc_expr render their
+    expression trees as SQL text (one parse) instead of per-node py4j
+    Column composition (~2.3 s of driver time per call on the 4x8
+    codebook). The rendered tree must be SEMANTICALLY IDENTICAL to the
+    old composition — replicated here as the reference — on awkward
+    doubles (negative, tiny-exponent, half-boundary)."""
+    from weather_api_automate_etl_spark.operators import embeddings
+
+    cbs = [
+        [[0.1, -3.25], [1e-07, 2.0], [-0.5, 0.30000000000000004]],
+        [[7.25, -1e-12], [0.0, 4.5], [2.5, 2.5]],
+    ]
+    qvec = [0.1, 2.0, -1.5, 2.5]
+    df = spark.createDataFrame(
+        [(1, [0.1, -3.25, 7.25, -1e-12]),
+         (2, [1e-07, 2.0, 0.0, 4.5]),
+         (3, [-0.5, 0.3, 2.5, 2.5]),
+         (4, [0.05, -1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    # reference: the pre-round-12 Column-composed encode
+    sub, scale = 2, float(10 ** 9)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ref_codes = []
+    for m in range(2):
+        s = F.slice(e, m * sub + 1, sub)
+        cand = [
+            F.floor(sq(s, F.array(*[F.lit(float(x)) for x in c]))
+                    * F.lit(scale) + F.lit(0.5)).cast("long")
+            for c in cbs[m]
+        ]
+        dists = F.array(*cand)
+        ref_codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    ref = df.select("vec_id", F.array(*ref_codes).alias("pq_codes"))
+    got = embeddings.pq_encode(df, "vec_id", "embedding", cbs, clamp_digits=9)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    # reference: the pre-round-12 Column-composed ADC distance
+    adc_ref = F.lit(0.0)
+    for m in range(2):
+        q_m = F.array(*[F.lit(float(x)) for x in qvec[m * sub:(m + 1) * sub]])
+        table_m = F.array(
+            *[sq(q_m, F.array(*[F.lit(float(x)) for x in c])) for c in cbs[m]]
+        )
+        adc_ref = adc_ref + F.element_at(table_m, F.element_at("pq_codes", m + 1))
+    adc_ref = F.floor(adc_ref * F.lit(scale) + F.lit(0.5)).cast("long") / F.lit(scale)
+    ref_d = ref.select("vec_id", adc_ref.alias("adc_dist"))
+    got_d = got.select(
+        "vec_id",
+        embeddings.pq_adc_expr(qvec, cbs, clamp_digits=9).alias("adc_dist"),
+    )
+    assert sorted(map(tuple, got_d.collect())) == sorted(map(tuple, ref_d.collect()))

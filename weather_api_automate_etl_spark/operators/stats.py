@@ -891,8 +891,22 @@ def poisson_bootstrap_ci(
     w = F.lit(6)
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    # The replicate fan-out below evaluates B md5+inverse-CDF expressions
+    # PER ROW before any exchange, so its cost lives in the SCAN stage. A
+    # single-file (one-row-group) input executes that stage on ONE core no
+    # matter the cluster (guide §2.5, unsplittable input) — redistribute by
+    # the resampling key first when the scan is under-partitioned. Hash
+    # partitioning on the key is deterministic under task retry (no
+    # round-robin/rand hazard) and a no-op shuffle-wise at 100 TB, where
+    # the scan already arrives with >= cores partitions and the guard
+    # skips it.
+    src = df.select(group_col, value_col, key_col)
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, F.col(key_col))
     rep = (
-        df.select(group_col, value_col, key_col)
+        src
         .select(group_col, value_col, key_col, b)
         .withColumn("_w", w.cast("double"))
         .groupBy(group_col, "_b")
