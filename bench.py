@@ -88,13 +88,16 @@ BENCH_QUERIES = [
 
 
 def _isolate(names: list[str], sf_dir: str) -> None:
-    """Subprocess entry (``--isolate q_a,q_b``): time ONLY the named
+    """Subprocess entry (``--isolate q_a``): time ONLY the named
     queries, best-of-3 warm, in a FRESH JVM, and print one JSON line.
     This is what 'isolated' must mean — re-running inside the sweep's
     own session measures a JVM carrying 500+ executed plans' worth of
     GC/codegen state and reads 2-3x slower than reality (observed on
     q_pagerank: 2.2 s in-sweep, 6.0 s same-JVM 'isolated', 3.4 s fresh
-    JVM ≈ the committed baseline)."""
+    JVM ≈ the committed baseline). main() passes ONE query per
+    invocation since round 13: sharing the isolate JVM across flagged
+    queries let q_streaming_left_join's state-store lifecycle inflate
+    every later measurement 5-18x in the r12 driver sweep."""
     _load_extensions()
     spark = get_spark("bench-isolate")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +105,13 @@ def _isolate(names: list[str], sf_dir: str) -> None:
     out: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
+        # One UNTIMED warm run first (round 13): the isolated value
+        # replaces a warm in-sweep value measured in a long-lived JVM,
+        # but a fresh JVM's first runs still pay C2 JIT on the scheduler
+        # /shuffle paths — measured on q_als_factors: 10.2, 4.7, 4.3,
+        # 4.3, 3.6, 3.6 s over six fresh-JVM runs, so best-of-3-with-
+        # cold reads ~1.3x the steady state the sweep value represents.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
             start = time.monotonic()
@@ -166,10 +176,12 @@ def main() -> None:
             prev = json.load(f).get("queries", {})
     except (OSError, ValueError):
         pass
-    # One-time watch list (round-11 verdict item 3): the round-10 watch
-    # cleared; this round re-measures only the single confirmed mover so
-    # its fresh-JVM number lands against the re-based r11 baseline.
-    force = {"q_test_functional_dep"}
+    # One-time watch list (round-12 verdict item 1): the three queries
+    # whose r12 isolated remeasures read 5-18x their in-sweep times are
+    # force-remeasured once so BENCH_r13 carries isolated rows proving
+    # the fixed isolation path (parent stopped, one JVM per query) now
+    # agrees with the sweep.
+    force = {"q_als_factors", "q_kaplan_meier", "q_test_functional_dep"}
     flagged = [
         name
         for name, secs in timings.items()
@@ -177,30 +189,42 @@ def main() -> None:
     ]
     remeasures: dict[str, dict[str, float | bool | None]] = {}
     if flagged:
-        # true isolation = a FRESH JVM (see _isolate): one subprocess
-        # for the whole flagged batch, best-of-3 per query
+        # true isolation = a FRESH JVM (see _isolate). Round-13 measurement
+        # fixes (guide §1; root-caused from BENCH_r12's 5-18x inflated
+        # isolated rows): (a) STOP the sweep session first — two resident
+        # local[N] JVMs on one host oversubscribe cores/memory and the
+        # remeasure reads contention, not the query; (b) one subprocess
+        # PER flagged query — a shared isolate JVM lets an earlier flagged
+        # query (q_streaming_left_join's state-store lifecycle in r12)
+        # degrade every later measurement in the batch.
         import subprocess
 
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--isolate", ",".join(flagged)],
-            capture_output=True, text=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-        )
+        spark.stop()
         iso_map: dict[str, float] = {}
-        for line in reversed(r.stdout.strip().splitlines()):
-            try:
-                iso_map = json.loads(line)
-                break
-            except ValueError:
-                continue
-        if r.returncode != 0 or not iso_map:
+        stderr_tails: list[str] = []
+        for name in flagged:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--isolate", name],
+                capture_output=True, text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    iso_map.update(json.loads(line))
+                    break
+                except ValueError:
+                    continue
+            if r.returncode != 0:
+                stderr_tails.append(
+                    f"{name}: rc={r.returncode} {r.stderr.strip()[-200:]}"
+                )
+        if stderr_tails or len(iso_map) < len(flagged):
             # a broken isolation path must not read as "no regressions"
             # (round-11 advice): surface it and record null rows below
             print(
-                f"bench: --isolate subprocess rc={r.returncode}, "
-                f"{len(iso_map)} results for {len(flagged)} flagged; "
-                f"stderr tail: {r.stderr.strip()[-400:]}",
+                f"bench: --isolate got {len(iso_map)} results for "
+                f"{len(flagged)} flagged; " + "; ".join(stderr_tails),
                 file=sys.stderr,
             )
         for name in flagged:
@@ -242,25 +266,33 @@ def main() -> None:
     # stdout with a truncated tail once the set grows past ~50 queries
     # (BENCH_r06/r07/r08 "parsed": null), so round-over-round comparisons
     # had to be reconstructed by hand. The sidecar is committed each round
-    # as the authoritative record.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as f:
-        json.dump(payload, f, indent=1)
-        f.write("\n")
+    # as the authoritative record. A cpus-stamped copy is written too
+    # (r12 verdict item 5): every bench run overwrites BENCH_FULL.json,
+    # so the driver's own 8-core scaling sweep used to clobber the
+    # committed 32-core record and confuse audits.
+    here = os.path.dirname(os.path.abspath(__file__))
+    payload["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for sidecar in ("BENCH_FULL.json", f"BENCH_FULL_{payload['cpus']}c.json"):
+        with open(os.path.join(here, sidecar), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
     # Full payload first for the human log, then a COMPACT summary as the
-    # LAST stdout line: the driver captures only a bounded stdout tail and
-    # json-parses the final line, so it must fit (r08 verdict item 5). The
-    # compact line keeps the driver's expected keys and carries the 25
-    # slowest warm queries — the ones a regression gate would read —
-    # bounded to ~1.2 KB regardless of suite growth.
+    # LAST stdout line: the driver captures only a 2000-char stdout tail
+    # and json-parses the final line, so it must fit (r08 verdict item 5;
+    # r05-r08 overflowed and parsed as null). Round-13 widens the window
+    # 25 -> 50 (r12 verdict item 3: the 25-query window hid that round's
+    # biggest wins as "dropped_from_bench") at 2-decimal precision:
+    # measured 1474 bytes on the r12 map, ~500 bytes of headroom. The
+    # full-precision map stays in BENCH_FULL.json (also printed above).
     print(json.dumps(payload))
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:25]
-    )
+    slowest = {
+        k: round(v, 2)
+        for k, v in sorted(
+            timings.items(), key=lambda kv: kv[1], reverse=True
+        )[:50]
+    }
     compact = {
-        "metric": "headline query wall time, noop-materialized (25 slowest shown; full map in BENCH_FULL.json)",
+        "metric": "headline query wall time, noop-materialized (50 slowest shown; full map in BENCH_FULL.json)",
         "value": payload["value"],
         "unit": "sec",
         "queries": slowest,
