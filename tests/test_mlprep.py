@@ -151,6 +151,48 @@ def test_remove_duplicated_spans_overlapping_covers_union(spark):
     assert out[2].clean_text == "" and out[2].n_removed == 6
 
 
+def test_span_inventory_wide_input_tokenizes_once(spark):
+    """Round-13 size guard (guide §2.4): _span_inventory's base feeds
+    3-4 plan branches, so on a WIDE input (partitions ≥ 2x session
+    parallelism) it is lazily localCheckpointed and the tokenize +
+    upstream chain executes exactly ONCE; a narrow input keeps the
+    recompute form (measured faster at fixture scale). Pinned with an
+    accumulator inside the input DAG, plus result equality both ways."""
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for batch in it:
+            calls.add(batch.num_rows)
+            yield batch
+
+    rows = [
+        (1, "one two alpha beta gamma delta epsilon three"),
+        (2, "alpha beta gamma delta epsilon four five six"),
+        (3, "totally unique words nothing shared here at all"),
+    ] * 4
+    par = spark.sparkContext.defaultParallelism
+    base = spark.createDataFrame(
+        [(i * 10 + d, t) for i, (d, t) in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    wide = base.repartition(2 * par).mapInArrow(
+        counting, "doc_id long, text string"
+    )
+    got_wide = sorted(
+        (r.doc_id, r.clean_text, r.n_removed)
+        for r in dedup.remove_duplicated_spans(wide, k=5, min_docs=2).collect()
+    )
+    assert calls.value == len(rows), "guarded branch must execute base once"
+    calls.value = 0
+    narrow = base.coalesce(1).mapInArrow(counting, "doc_id long, text string")
+    got_narrow = sorted(
+        (r.doc_id, r.clean_text, r.n_removed)
+        for r in dedup.remove_duplicated_spans(narrow, k=5, min_docs=2).collect()
+    )
+    assert calls.value > len(rows), "narrow input keeps the recompute form"
+    assert got_wide == got_narrow
+
+
 # ---------------------------------------------------------------------------
 # semantic-dedup survivors
 # ---------------------------------------------------------------------------
@@ -469,6 +511,7 @@ def _model_dup_spans(texts: dict[int, str], k: int, min_docs: int):
 
 @given(texts=st.lists(_doc_st, min_size=2, max_size=5), k=st.integers(2, 3))
 @_HSETTINGS
+@pytest.mark.slow
 def test_remove_duplicated_spans_matches_model(spark, texts, k):
     rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -496,6 +539,7 @@ def _model_intradoc(text: str, k: int):
 
 @given(texts=st.lists(_doc_st, min_size=1, max_size=4), k=st.integers(2, 3))
 @_HSETTINGS
+@pytest.mark.slow
 def test_intradoc_repeats_matches_model(spark, texts, k):
     rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

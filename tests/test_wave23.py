@@ -19,6 +19,7 @@ def _edges(spark, pairs):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_link_prediction_square_diagonals(spark):
     """Cycle 1-2-3-4-1: the only >=2-common-neighbor absent edges are
     the diagonals, with Jaccard 1 and AA = 2/ln 2."""
@@ -31,6 +32,7 @@ def test_link_prediction_square_diagonals(spark):
     assert r["adamic_adar"] == pytest.approx(2 / math.log(2), abs=1e-5)
 
 
+@pytest.mark.slow
 def test_link_prediction_excludes_existing_edges(spark):
     """A triangle's nodes all share neighbors, but every pair is already
     connected — nothing to predict."""
@@ -96,3 +98,47 @@ def test_hits_converges_toward_principal_direction(spark):
         return H[10] - H[11]
 
     assert gap(3) >= gap(1) - 1e-9
+
+
+def test_hits_wide_input_checkpoints_raw_aggregate(spark):
+    """Round-13 size guard: on a WIDE edge set (partitions ≥ 2x session
+    parallelism) each half-step's raw join+aggregate is materialized
+    once instead of executing twice under _l2_normalized's two
+    consumers — and the scores are identical either way."""
+    pairs = [(u, v) for u in range(8) for v in range(100, 104)]
+    narrow = _edges(spark, pairs)
+    par = spark.sparkContext.defaultParallelism
+    wide = narrow.repartition(2 * par)
+    h_n, a_n = (
+        {r["node"]: r[c] for r in df.collect()}
+        for df, c in zip(graph.hits_bipartite(narrow, iterations=2), ("hub", "authority"))
+    )
+    h_w, a_w = (
+        {r["node"]: r[c] for r in df.collect()}
+        for df, c in zip(graph.hits_bipartite(wide, iterations=2), ("hub", "authority"))
+    )
+    assert h_w == h_n and a_w == a_n
+
+
+def test_l2_normalized_materialize_executes_input_once(spark):
+    """The guarded branch's contract (guide §2.4): with materialize=True
+    the raw frame's plan runs exactly ONCE (both the norm aggregate and
+    the body read the checkpoint); the recompute form runs it twice.
+    Pinned with an accumulator inside the input DAG."""
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for batch in it:
+            calls.add(batch.num_rows)
+            yield batch
+
+    def raw():
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "node long, a double"
+        ).mapInArrow(counting, "node long, a double")
+
+    graph._l2_normalized(raw(), "a", materialize=True).collect()
+    assert calls.value == 10
+    calls.value = 0
+    graph._l2_normalized(raw(), "a", materialize=False).collect()
+    assert calls.value == 20

@@ -529,7 +529,18 @@ def _span_inventory(df, id_col: str, text_col: str, k: int):
     """Shared span-removal front end: (base, spans) where ``base`` is the
     tokenized frame (id, __toks, __n) and ``spans`` the map-only k-token
     span inventory (id, st, sh) — md5 of each of the n−k+1 windows; the
-    HASH, never the span text, is what shuffles downstream."""
+    HASH, never the span text, is what shuffles downstream.
+
+    ``base`` feeds 3-4 plan branches in both consumers (spans twice, the
+    rebuild twice), so the regex tokenize + upstream chain re-executes
+    per branch. On a WIDE input (scan partitions ≥ 2x the session
+    parallelism — a real multi-file corpus, never the single-file
+    fixtures) ``base`` is lazily localCheckpointed so the chain runs
+    once and every branch reads the materialization (guide §2.4:
+    eliminate recomputation; §5: localCheckpoint as the cheap lineage
+    cut). Below the threshold the checkpoint is skipped — measured at
+    sf0.1 the token-array materialization costs what the re-execution
+    saves (round-12 A/B), so small inputs keep the recompute form."""
     base = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
     ).withColumn(
@@ -537,6 +548,9 @@ def _span_inventory(df, id_col: str, text_col: str, k: int):
         # (ANSI), either of which corrupts n_removed (round-10 review)
         "__n", F.greatest(F.coalesce(F.size("__toks"), F.lit(0)), F.lit(0))
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= 2 * par:
+        base = base.localCheckpoint(eager=False)
     spans = base.filter(F.col("__n") >= k).select(
         id_col,
         F.posexplode(

@@ -724,9 +724,18 @@ def als_factorize_k2(
         )
 
     users = None
-    for _ in range(rounds):
+    for rnd in range(rounds):
         users = solve("u", items, "i").localCheckpoint(eager=True)
-        items = solve("i", users, "u").localCheckpoint(eager=True)
+        # Loop-carried state stays EAGER (shallow DAG per half-round);
+        # the LAST item half-round checkpoints lazily — it is never
+        # consumed inside the loop, so a caller that only reads the
+        # user side (q_als_factors) never executes its join+aggregate
+        # at all (guide §1.2: don't compute what you throw away). A
+        # caller that does read items materializes it on first use
+        # with the identical plan.
+        items = solve("i", users, "u").localCheckpoint(
+            eager=rnd < rounds - 1
+        )
     return (
         users.select(F.col("u").alias(user_col), "f1", "f2"),
         items.select(F.col("i").alias(item_col), "f1", "f2"),

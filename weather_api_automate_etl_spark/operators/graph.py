@@ -600,6 +600,23 @@ def common_neighbor_scores(
     )
 
 
+def _l2_normalized(
+    df: DataFrame, col: str, materialize: bool = False
+) -> DataFrame:
+    """Scale ``df[col]`` by the frame's L2 norm (the norm rides a 1-row
+    broadcast). The plan consumes ``df`` twice — once under the norm
+    aggregate, once in the body — so with ``materialize=True`` the raw
+    frame is eagerly localCheckpointed first and both consumers read the
+    materialization instead of re-executing the upstream plan (guide
+    §2.4); hits_bipartite turns that on when the edge set is wide."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    n = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+    return df.crossJoin(F.broadcast(n)).select(
+        df.columns[0], (F.col(col) / F.col("_n")).alias(col)
+    )
+
+
 def hits_bipartite(
     edges: DataFrame,
     src: str = "src",
@@ -627,19 +644,31 @@ def hits_bipartite(
     ).localCheckpoint(eager=True)
     hubs = e.select("u").distinct().withColumn("h", F.lit(1.0))
 
-    def normalize(df: DataFrame, col: str) -> DataFrame:
-        n = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
-        return df.crossJoin(F.broadcast(n)).select(
-            df.columns[0], (F.col(col) / F.col("_n")).alias(col)
-        )
+    # _l2_normalized consumes its input twice (the 1-row L2 aggregate
+    # under the broadcast + the main body), so the edge join+aggregate
+    # would execute twice per half-step. On a WIDE edge set (checkpointed
+    # scan partitions ≥ 2x the session parallelism — a real graph, never
+    # the single-file fixtures) the RAW aggregate is checkpointed first so
+    # the join runs once per half-step (guide §2.4). Below the threshold
+    # the extra materialization's job overhead exceeds the avoided
+    # recompute (round-12 A/B: 3.7 s recompute vs 4.2 s checkpointed at
+    # sf0.1), so small graphs keep the recompute form.
+    wide = (
+        e.rdd.getNumPartitions()
+        >= 2 * e.sparkSession.sparkContext.defaultParallelism
+    )
 
     auths = None
     for _ in range(iterations):
-        auths = normalize(
-            e.join(hubs, "u").groupBy("v").agg(F.sum("h").alias("a")), "a"
+        auths = _l2_normalized(
+            e.join(hubs, "u").groupBy("v").agg(F.sum("h").alias("a")),
+            "a",
+            materialize=wide,
         ).localCheckpoint(eager=True)
-        hubs = normalize(
-            e.join(auths, "v").groupBy("u").agg(F.sum("a").alias("h")), "h"
+        hubs = _l2_normalized(
+            e.join(auths, "v").groupBy("u").agg(F.sum("a").alias("h")),
+            "h",
+            materialize=wide,
         ).localCheckpoint(eager=True)
     return (
         hubs.select(F.col("u").alias("node"), F.round("h", 6).alias("hub")),
