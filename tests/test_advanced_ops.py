@@ -4,11 +4,14 @@ moment-sum regression formulas."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_triangle_counts_hand_case(spark):
     # K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant edge 4-5 (in no
     # triangle) + isolated pair 6-7
@@ -180,6 +183,7 @@ def test_k_core_empty_graph(spark):
     assert graph.k_core(edges, k=2).count() == 0
 
 
+@pytest.mark.slow
 def test_k_core_long_chain_converges(spark):
     """Round-6 advice regression: a 120-node path is the adversarial shape
     for synchronous peeling (only the two endpoints strip per round, so
@@ -198,6 +202,7 @@ def test_k_core_long_chain_converges(spark):
         graph.k_core(edges, k=2, max_rounds=5)
 
 
+@pytest.mark.slow
 def test_round10_graph_embeddings_review_fixes(spark):
     """Regression pins for the round-10 graph/embeddings review findings."""
     import pytest as _pytest

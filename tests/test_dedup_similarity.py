@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from weather_api_automate_etl_spark.operators import dedup, similarity
@@ -204,6 +206,7 @@ def test_pagerank_hand_case(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_pagerank_convergence_mode(spark):
     from weather_api_automate_etl_spark.operators import graph
 
@@ -310,6 +313,7 @@ def test_cluster_survivors_keep_longest(spark):
     assert got == {(1, 2, 3), (4, 4, 1), (5, 5, 1)}
 
 
+@pytest.mark.slow
 def test_kmeans_fit_clamped_is_partition_invariant(spark):
     """clamp_digits pins the whole convergence loop to round-6 centroid
     representatives, so the fit — codebook, round count, stop flag — must
@@ -343,6 +347,7 @@ def test_kmeans_fit_clamped_is_partition_invariant(spark):
             assert x == round(x, 6)
 
 
+@pytest.mark.slow
 def test_round10_dedup_review_fixes(spark):
     """Regression pins for the round-10 dedup review findings."""
     from pyspark.sql import functions as F
@@ -416,6 +421,7 @@ def test_round10_dedup_review_fixes(spark):
         dedup.fellegi_sunter_link(a, b, "ka", "ka", ["blk"], [("f", 3.0, -1.0)])
 
 
+@pytest.mark.slow
 def test_round10_similarity_review_fixes(spark):
     """Regression pins for the round-10 similarity review findings."""
     import pytest as _pytest

@@ -64,6 +64,7 @@ def _composed_stages(spark, tmp_path, fail_staging_gate: bool = False):
     ]
 
 
+@pytest.mark.slow
 def test_pipeline_of_pipelines_order_and_walltime(spark, tmp_path):
     state, stages = _composed_stages(spark, tmp_path)
     t0 = time.monotonic()

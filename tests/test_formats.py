@@ -1,6 +1,9 @@
 """CSV/JSONL bad-record routing + small-file compaction."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from pathlib import Path
 
@@ -74,6 +77,7 @@ def test_compact_small_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10_000
 
 
+@pytest.mark.slow
 def test_cli_pipeline_and_incremental(spark, tmp_path):
     # drive the __main__ entry points in-process (same session via getOrCreate)
     from weather_api_automate_etl_spark.__main__ import main

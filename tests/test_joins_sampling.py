@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -249,6 +251,7 @@ def test_snapshot_diff_hash_is_boundary_and_null_safe(spark):
     assert got == {1: "changed", 2: "changed", 3: "changed", 4: "unchanged"}
 
 
+@pytest.mark.slow
 def test_scd2_apply_two_batches(spark):
     import datetime as dt
 

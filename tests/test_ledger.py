@@ -105,6 +105,7 @@ def test_commit_conflict_raises_instead_of_clobbering(spark, mart):
         ledger._commit(path, m, 1)
 
 
+@pytest.mark.slow
 def test_vacuum_retention_drops_old_versions_and_unreferenced_dirs(
     spark, mart
 ):
@@ -196,6 +197,7 @@ def test_ledger_merge_refreshes_stats(tmp_path, spark):
     assert ledger._read_manifest(path, 2)["partitions"]["2000"]["rows"] == 10
 
 
+@pytest.mark.slow
 def test_ledger_compact_one_file_per_partition_same_state(tmp_path, spark):
     """OPTIMIZE: after several merges a partition accumulates files;
     compaction rewrites it to exactly one file, the snapshot is
@@ -227,6 +229,7 @@ def test_ledger_compact_one_file_per_partition_same_state(tmp_path, spark):
     assert ledger.ledger_compact(spark, path) == 2
 
 
+@pytest.mark.slow
 def test_txn_watermark_makes_replay_a_pure_noop(spark, mart):
     """The exactly-once handle: a merge carrying an already-applied
     (app, txn_id) returns the current version without committing anything
@@ -261,6 +264,7 @@ def test_txn_watermark_makes_replay_a_pure_noop(spark, mart):
     assert ledger._read_manifest(path, 4)["txn"] == {"sinkA": 6, "sinkB": 0}
 
 
+@pytest.mark.slow
 def test_ledger_delete_scan_path_and_full_partition_removal(spark, mart):
     """DELETE by bare key set (no partition hint → locate by one semi-join
     scan): matching rows vanish, partitions without matches keep their
@@ -304,6 +308,7 @@ def test_ledger_delete_partition_hint_and_txn(spark, mart):
     assert ledger._read_manifest(path, 2)["txn"] == {"gdpr": 1}
 
 
+@pytest.mark.slow
 def test_key_index_blooms_prune_delete_candidates(tmp_path, spark):
     """The manifest membership index: per-partition Bloom bitmaps over the
     key column let the delete locate phase prune candidates driver-side.
@@ -366,6 +371,7 @@ def test_key_index_blooms_prune_delete_candidates(tmp_path, spark):
     assert ledger.ledger_delete(spark, path, ghost, "k") == 2
 
 
+@pytest.mark.slow
 def test_ledger_changes_is_the_net_row_delta(spark, mart):
     """CDF: after a merge that repriced two 2001 keys and inserted a 2999
     key, changes(v1→v2) must be exactly those three rows with the right
@@ -444,6 +450,7 @@ def test_commit_is_put_if_absent_under_a_simulated_race(spark, mart, monkeypatch
     assert not [n for n in os.listdir(d) if n.endswith(".tmp")]
 
 
+@pytest.mark.slow
 def test_escaped_partition_values_survive_merge_and_delete(tmp_path, spark):
     """Partition values needing Hive %XX escaping (space + colon here, the
     timestamp-string shape): the round-7 manifest keyed entries by the
@@ -1006,6 +1013,7 @@ def test_clone_pins_a_version_and_rejects_existing_destination(
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_checks_gate_every_write_path_and_ride_the_manifest(
     spark, tmp_path
 ):
@@ -1150,6 +1158,7 @@ def test_clone_carries_checks_and_concurrent_check_change_conflicts(
         ledger.ledger_merge(spark, path, upd, "k")
 
 
+@pytest.mark.slow
 def test_round10_review_fixes(spark, tmp_path):
     """Regression pins for the round-10 ledger review findings."""
     # table with tracked stats (the per-FILE skip grain)

@@ -1,7 +1,10 @@
 """Property-based tests (hypothesis): the Spark expressions agree with
 plain-Python reference implementations on arbitrary inputs."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import hashlib
 
@@ -351,6 +354,7 @@ def test_apply_cdc_matches_python_replay(spark, log):
     thresh=st.floats(10, 90, allow_nan=False),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_merge_when_matches_python_reference(spark, mart, src, thresh):
     from weather_api_automate_etl_spark.operators.cdc import merge_when
 

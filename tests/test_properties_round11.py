@@ -3,7 +3,10 @@ with INDEPENDENT plain-Python references on arbitrary inputs — the class
 of check the DuckDB oracle cannot provide (its SQL was written with the
 same semantics, so a shared-semantics bug passes both twins)."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from collections import Counter
 
@@ -137,6 +140,7 @@ def test_caliper_match_matches_brute_force(spark, units, caliper):
 
 @given(edges=_edges_st)
 @SETTINGS
+@pytest.mark.slow
 def test_triangle_counts_matches_brute_force(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
@@ -163,6 +167,7 @@ def test_triangle_counts_matches_brute_force(spark, edges):
 
 @given(edges=_edges_st, rounds=st.integers(1, 3))
 @SETTINGS
+@pytest.mark.slow
 def test_label_propagation_matches_python_sync(spark, edges, rounds):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
@@ -191,6 +196,7 @@ def test_label_propagation_matches_python_sync(spark, edges, rounds):
 
 @given(edges=_edges_st, k=st.integers(2, 4))
 @SETTINGS
+@pytest.mark.slow
 def test_k_core_matches_python_peeling(spark, edges, k):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {

@@ -2,7 +2,10 @@
 engagement windows, and the robust-trend pair vs independent Python
 references on arbitrary inputs."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import datetime as dt
 import math
@@ -37,6 +40,7 @@ _BASE = dt.date(2024, 1, 1)
     batch=st.dictionaries(st.integers(0, 5), st.integers(0, 3), max_size=5),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_scd2_apply_matches_python_fold(spark, dim0, batch):
     t0 = dt.datetime(2024, 1, 1)
     t1 = dt.datetime(2024, 2, 1)
@@ -81,6 +85,7 @@ def test_scd2_apply_matches_python_fold(spark, dim0, batch):
     bin_s=st.sampled_from([60, 600, 3600]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_interval_join_binned_matches_brute_force(spark, pts, ivs, bin_s):
     ivs = [(min(a, b), max(a, b)) for a, b in ivs]
     t0 = dt.datetime(2024, 1, 1)
@@ -129,6 +134,7 @@ def test_interval_join_binned_matches_brute_force(spark, pts, ivs, bin_s):
     w=st.integers(1, 5),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_rolling_actives_matches_python_sliding_distinct(spark, events, w):
     df = spark.createDataFrame(
         [
@@ -214,6 +220,7 @@ def test_trimmed_mean_matches_python(spark, vals, frac):
     counts=st.lists(st.integers(1, 5), min_size=3, max_size=10),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_mann_kendall_matches_brute_force(spark, counts):
     rows = [
         ("g", p) for p, c in enumerate(counts) for _ in range(c)
@@ -252,6 +259,7 @@ def _median(xs):
     counts=st.lists(st.integers(1, 6), min_size=2, max_size=9),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_theil_sen_matches_brute_force(spark, counts):
     rows = [
         ("g", p) for p, c in enumerate(counts) for _ in range(c)

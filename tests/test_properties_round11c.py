@@ -1,7 +1,10 @@
 """Round-11 property differentials, third batch: the nonparametric-test
 and information-theory family vs independent Python references."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import math
 from collections import Counter
@@ -115,6 +118,7 @@ def test_anova_matches_python(spark, groups):
     b=st.lists(st.integers(0, 15), min_size=1, max_size=25),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_ks_two_sample_matches_python(spark, a, b):
     da = spark.createDataFrame([(v,) for v in a], "v long")
     db = spark.createDataFrame([(v,) for v in b], "v long")
@@ -199,6 +203,7 @@ def test_gini_matches_python(spark, vals):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_mutual_information_matches_python(spark, rows):
     df = spark.createDataFrame(
         [(f"x{a}", f"y{b}") for a, b in rows], "x string, y string"

@@ -2,7 +2,10 @@
 frequency re-estimation, weighted quantiles, and best-split search vs
 independent Python references."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from collections import Counter
 
@@ -175,6 +178,7 @@ def test_decision_stump_matches_brute_force(spark, rows):
     new=st.lists(st.integers(0, 100), min_size=1, max_size=30),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_psi_and_js_match_python(spark, old, new):
     import math
 

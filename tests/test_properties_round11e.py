@@ -2,7 +2,10 @@
 control, leakage-safe encoding, k-sample ranks, and feature prep vs
 independent Python references."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from collections import Counter
 
@@ -64,6 +67,7 @@ def test_bh_fdr_matches_python_stepup(spark, ps, q):
     k=st.sampled_from([2, 3, 5]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_target_encode_oof_matches_python(spark, rows, k):
     data = [(i, f"c{c}", y) for i, (c, y) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, cat string, y long")
@@ -111,6 +115,7 @@ def test_target_encode_oof_matches_python(spark, rows, k):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_kruskal_wallis_matches_python(spark, groups):
     rows = [(f"g{i}", float(v)) for i, g in enumerate(groups) for v in g]
     df = spark.createDataFrame(rows, "g string, v double")
@@ -166,6 +171,7 @@ def test_kruskal_wallis_matches_python(spark, groups):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_minmax_scale_matches_python(spark, rows):
     df = spark.createDataFrame(
         [(i, f"g{g}", float(v)) for i, (g, v) in enumerate(rows)],
@@ -197,6 +203,7 @@ def test_minmax_scale_matches_python(spark, rows):
     frac=st.sampled_from([0.05, 0.1, 0.3]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_rare_collapse_matches_python(spark, cats, frac):
     df = spark.createDataFrame(
         [(i, f"c{c}") for i, c in enumerate(cats)], "id long, cat string"

@@ -4,7 +4,10 @@ Python references on arbitrary inputs. CC had a real latent convergence
 defect in round 10 — a randomized union-find differential is the guard
 that class of bug deserves."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -30,6 +33,7 @@ SETTINGS = settings(
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
@@ -71,6 +75,7 @@ _doc_st = st.lists(
     threshold=st.sampled_from([0.2, 0.5, 0.8]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_ngram_jaccard_matches_brute_force(spark, docs, threshold):
     df = spark.createDataFrame(
         [(i, t, "blk") for i, t in enumerate(docs)],
@@ -100,6 +105,7 @@ def test_ngram_jaccard_matches_brute_force(spark, docs, threshold):
     threshold=st.sampled_from([0.3, 0.6, 1.0]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_containment_matches_brute_force(spark, docs, threshold):
     df = spark.createDataFrame(
         [(i, t, "blk") for i, t in enumerate(docs)],

@@ -2,7 +2,10 @@
 sweep-line concurrency, clustering coefficient, and link prediction vs
 brute-force Python references."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import datetime as dt
 import math
@@ -66,6 +69,7 @@ def test_skyline_matches_brute_force(spark, pts):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_concurrency_peak_matches_python_sweep(spark, ivs):
     t0 = dt.datetime(2024, 1, 1)
     df = spark.createDataFrame(
@@ -107,6 +111,7 @@ _edges_st = st.lists(
 
 @given(edges=_edges_st)
 @SETTINGS
+@pytest.mark.slow
 def test_local_clustering_matches_brute_force(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
@@ -140,6 +145,7 @@ def test_local_clustering_matches_brute_force(spark, edges):
 
 @given(edges=_edges_st, min_common=st.sampled_from([1, 2]))
 @SETTINGS
+@pytest.mark.slow
 def test_link_prediction_matches_brute_force(spark, edges, min_common):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {

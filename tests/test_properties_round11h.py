@@ -2,7 +2,10 @@
 change-point localization, burstiness, funnel timing, and first-touch
 attribution vs independent Python references."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import datetime as dt
 import math
@@ -30,6 +33,7 @@ SETTINGS = settings(
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_pointer_doubling_matches_python_walk(spark, parent_of):
     # break cycles deterministically: a parent pointer may only point to
     # a STRICTLY SMALLER node id (so the graph is a forest by construction)
@@ -64,6 +68,7 @@ def test_pointer_doubling_matches_python_walk(spark, parent_of):
     vals=st.lists(st.integers(-20, 20), min_size=2, max_size=25),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_cusum_matches_python(spark, vals):
     rows = [("g", i, float(v)) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "g string, i long, v double")
@@ -135,6 +140,7 @@ def test_burstiness_matches_python(spark, offsets):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_time_to_convert_matches_python(spark, users):
     t0 = dt.datetime(2024, 1, 1)
     rows = []

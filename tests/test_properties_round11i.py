@@ -2,7 +2,10 @@
 scoring, readability, and seasonal baselines vs independent Python
 references."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import math
 import re
@@ -35,6 +38,7 @@ _doc_st = st.lists(
     k=st.sampled_from([2, 3]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_span_removal_matches_python_cover(spark, docs, k):
     df = spark.createDataFrame(
         list(enumerate(docs)), "doc_id long, text string"
@@ -67,6 +71,7 @@ def test_span_removal_matches_python_cover(spark, docs, k):
 
 @given(docs=st.lists(_doc_st, min_size=1, max_size=6))
 @SETTINGS
+@pytest.mark.slow
 def test_bigram_logprob_matches_python(spark, docs):
     df = spark.createDataFrame(
         list(enumerate(docs)), "doc_id long, text string"
@@ -111,6 +116,7 @@ def test_bigram_logprob_matches_python(spark, docs):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_readability_matches_python_flesch(spark, sents):
     text = ". ".join(sents) + "."
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
@@ -144,6 +150,7 @@ def test_readability_matches_python_flesch(spark, sents):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_seasonal_baseline_matches_python(spark, events):
     import datetime as dt
 

@@ -1,7 +1,10 @@
 """Round-11 property differentials, tenth batch: entity resolution and
 intra-document repetition vs independent Python references."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
@@ -43,6 +46,7 @@ def _lev(a: str, b: str) -> int:
     max_dist=st.sampled_from([1, 2, 3]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_fuzzy_match_matches_brute_force(spark, rows, max_dist):
     data = [(i, f"b{blk}", name) for i, (blk, name) in enumerate(rows)]
     df = spark.createDataFrame(data, "k long, blk string, name string")
@@ -89,6 +93,7 @@ def test_fuzzy_match_matches_brute_force(spark, rows, max_dist):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_fellegi_sunter_matches_python(spark, left, right):
     schema_a = "ka long, blk int, f1 int, f2 int"
     schema_b = "kb long, blk int, f1 int, f2 int"
@@ -131,6 +136,7 @@ def test_fellegi_sunter_matches_python(spark, left, right):
     k=st.sampled_from([2, 3]),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_intradoc_repeats_matches_python(spark, words, k):
     text = " ".join(words)
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")

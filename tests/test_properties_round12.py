@@ -5,7 +5,10 @@ left to oracle + example tests alone (round-11 verdict item 5). Each
 reference below is a from-scratch model (dict replay, sweep-line merge,
 dict-of-versions), never a call into the code under test."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import datetime as dt
 import itertools
@@ -59,6 +62,7 @@ def _utc(sec: int) -> dt.datetime:
     ),
 )
 @STREAM_SETTINGS
+@pytest.mark.slow
 def test_streaming_windowed_counts_matches_python(spark, evs):
     src = tempfile.mkdtemp(prefix="r12stream_")
     rows = [
@@ -159,6 +163,7 @@ def test_session_counts_matches_python_sweep_line(spark, evs, gap_s):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_scd2_apply_matches_python_replay(spark, batches):
     dim = spark.createDataFrame(
         [], "k int, v int, valid_from timestamp_ntz, valid_to timestamp_ntz"
@@ -256,6 +261,7 @@ def test_apply_cdc_matches_python_replay(spark, log):
     dv=st.booleans(),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_ledger_time_travel_matches_dict_of_versions(spark, initial, ops, dv):
     path = tempfile.mkdtemp(prefix="r12ledger_")
 
@@ -338,6 +344,7 @@ def test_ledger_time_travel_matches_dict_of_versions(spark, initial, ops, dv):
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_mv_refresh_matches_python_groupby(spark, initial, ops):
     from weather_api_automate_etl_spark.operators import matview
 

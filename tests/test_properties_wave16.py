@@ -3,7 +3,10 @@ implementations agree with plain-Python references on arbitrary inputs,
 and the structural invariants (bounds, monotonicity, scale invariance)
 hold on anything hypothesis throws at them."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import math
 
@@ -188,6 +191,7 @@ def test_dhash_reference_and_scale_invariance(spark, seed, scale):
     src=st.integers(min_value=0, max_value=12),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_bfs_equals_unit_sssp_and_python_bfs(spark, edges, src):
     e = spark.createDataFrame(
         [(a, b, 1) for a, b in edges], "src long, dst long, w long"

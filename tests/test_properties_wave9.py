@@ -2,7 +2,10 @@
 Spark plans agree with brute-force plain-Python references on arbitrary
 inputs."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -82,6 +85,7 @@ kw_st = st.lists(
 
 @given(rows=kw_st)
 @SETTINGS
+@pytest.mark.slow
 def test_kruskal_rank_sums_partition_total(spark, rows):
     """Σ_g R_g == N(N+1)/2 — the rank-sum conservation identity — and
     group sizes partition N, whatever the tie structure."""

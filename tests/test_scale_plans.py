@@ -53,6 +53,7 @@ def test_partition_pruning_on_mart(spark, tmp_path):
     assert pruned.count() == 1
 
 
+@pytest.mark.slow
 def test_no_registry_query_regresses_to_slow_paths(spark):
     """Every registry query stays off the two scale killers: cartesian
     products and row-at-a-time Python UDFs (Arrow paths are fine)."""
@@ -142,6 +143,7 @@ def test_global_rank_scale_twins(spark):
         stats.calibration_bins(df, "s", F.col("y") == 1, boundaries="bogus")
 
 
+@pytest.mark.slow
 def test_no_unpartitioned_window_over_row_scale(spark):
     """Round-9 verdict item 2: no registry query may plan an
     unpartitioned Window/WindowGroupLimit over non-aggregated,

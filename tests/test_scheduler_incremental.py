@@ -1,6 +1,9 @@
 """Scheduler (catchup=False parity) + incremental mart refresh."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import datetime as dt
 
@@ -38,6 +41,7 @@ def test_no_catchup_after_downtime(tmp_path):
     assert filled == [dt.datetime(2026, 8, d) for d in range(1, 7)]
 
 
+@pytest.mark.slow
 def test_incremental_refresh_touches_only_recent_partitions(spark, tmp_path):
     raw, mart = str(tmp_path / "raw"), str(tmp_path / "marts")
     p = pipeline.WeatherPipeline(

@@ -42,6 +42,7 @@ def test_windowed_counts_match_batch(spark, event_dir):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_running_user_totals_stateful(spark, event_dir):
     stream = stream_events.read_event_stream(spark, event_dir)
     q = (
@@ -89,6 +90,7 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_unique
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, event_dir):
     # big watermark: the 3 unordered micro-batches must not evict state
     # mid-run, or stream != batch on this bounded input
@@ -160,6 +162,7 @@ def test_session_counts_multibatch_matches_batch(spark, event_dir):
     assert got == batch and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_to_table_idempotent_append(spark, event_dir, tmp_path):
     # dedup'd event stream -> per-batch-partition parquet; draining the SAME
     # checkpoint twice must not duplicate anything (batch replay overwrites)
@@ -200,6 +203,7 @@ def test_stream_to_table_idempotent_append(spark, event_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_events
 
 
+@pytest.mark.slow
 def test_stream_to_table_complete_overwrites(spark, event_dir, tmp_path):
     from weather_api_automate_etl_spark.streaming import sinks
 
@@ -220,6 +224,7 @@ def test_stream_to_table_complete_overwrites(spark, event_dir, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_to_table_complete_replay_is_identical(spark, event_dir, tmp_path):
     # complete-mode replay contract (mirror of the append-mode test): each
     # batch holds the FULL aggregate, so re-writing any batch must leave
@@ -290,6 +295,7 @@ def test_file_sink_restart_is_exactly_once(spark, event_dir, tmp_path):
     assert n2 == n1
 
 
+@pytest.mark.slow
 def test_stream_merge_with_mv_syncs_and_replays_as_noop(spark, event_dir, tmp_path):
     """The combined base-upsert + MV-refresh sink (sinks.py::
     stream_merge_with_mv): after the drain, the MV equals the

@@ -412,6 +412,7 @@ def test_dhash_smaller_than_grid_input_is_finite(spark):
     assert got[1] != "0000000000000000"
 
 
+@pytest.mark.slow
 def test_gradient_assets_duplicate_classes(spark):
     """doc_ids congruent mod 240 share (a, b, s) -> byte-identical
     payloads and equal hashes."""

@@ -28,6 +28,7 @@ def _rank2_ratings(spark, n_users=30, n_items=40, drop_mod=3):
     return rat, spark.createDataFrame(rat, "u long, i long, r double")
 
 
+@pytest.mark.slow
 def test_als_recovers_rank2_structure(spark):
     rat, df = _rank2_ratings(spark)
     uf, itf = embeddings.als_factorize_k2(df, "u", "i", "r", rounds=3)
@@ -42,6 +43,7 @@ def test_als_recovers_rank2_structure(spark):
     assert rmse < 0.1 * mean  # explains >90% of the scale
 
 
+@pytest.mark.slow
 def test_als_more_rounds_do_not_diverge(spark):
     rat, df = _rank2_ratings(spark)
 

@@ -47,6 +47,7 @@ def test_pointer_doubling_null_parent_is_root(spark):
     assert out == {5: (5, 0), 6: (5, 1)}
 
 
+@pytest.mark.slow
 def test_pointer_doubling_rejects_dangling_and_cycles(spark):
     with pytest.raises(ValueError, match="not closed"):
         graph.pointer_doubling_roots(_forest(spark, [(1, 99)]))

@@ -80,6 +80,7 @@ def test_kneser_ney_continuation_beats_frequency(spark):
     assert p_day == pytest.approx(0.25 + 0.75 * 6 / 7, 1e-4)
 
 
+@pytest.mark.slow
 def test_kneser_ney_mass_conservation_property(spark):
     """The docstring's normalization contract, on random corpora: for
     every history ``a``, the OBSERVED rows sum to
