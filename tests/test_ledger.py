@@ -1358,3 +1358,94 @@ def test_write_metadata_passes_do_not_reexecute_input(spark, tmp_path):
     ks = [e["stats"]["k"] for e in m["partitions"].values()]
     assert min(s["min"] for s in ks) == 0.0
     assert max(s["max"] for s in ks) == 29.0
+
+
+@pytest.mark.slow
+def test_readback_stats_match_input_dag_stats_on_hostile_partitions():
+    """Round-13 differential (r12 verdict item 8): the write path derives
+    partition AND per-file stats from a READBACK of the written files
+    (partition values re-cast off the Hive directory names), so hostile
+    partition values — %XX-escaped characters, unicode, leading/trailing
+    spaces, numeric casts through directory names — must round-trip to
+    EXACTLY the stats the old in-DAG aggregate produced. Hypothesis
+    drives the partition-value alphabet; the differential compares the
+    committed manifest against a direct groupBy of the input frame."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from weather_api_automate_etl_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+
+    hostile_chars = st.sampled_from(
+        list("abz019 :%=/\\#'\"[]{}+,.-_é中")
+    )
+    pv_strategy = st.text(hostile_chars, min_size=1, max_size=12).filter(
+        # Hive writes a trailing-space or trailing-dot dirname on some
+        # filesystems ambiguously; values must also not be ALL spaces
+        lambda s: s.strip() == s and s not in {"__HIVE_DEFAULT_PARTITION__"}
+    )
+
+    @given(
+        pvs=st.lists(pv_strategy, min_size=1, max_size=4, unique=True),
+        rows=st.lists(
+            st.tuples(st.integers(0, 99), st.floats(-1e6, 1e6)),
+            min_size=1,
+            max_size=24,
+        ),
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(pvs, rows):
+        data = [
+            (int(k), float(v), pvs[i % len(pvs)])
+            for i, (k, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, "k long, price double, pt string")
+        path = tempfile.mkdtemp(prefix="hostile_stats_")
+        shutil.rmtree(path)
+        try:
+            ledger.ledger_write(
+                spark, df, path, "pt", stats_cols=["k", "price"]
+            )
+            m = ledger._read_manifest(path, 1)
+            # the old in-DAG form: aggregate the INPUT frame directly
+            want = {
+                r["pt"]: r
+                for r in df.groupBy("pt")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.min("k").cast("double").alias("kmin"),
+                    F.max("k").cast("double").alias("kmax"),
+                    F.min("price").cast("double").alias("pmin"),
+                    F.max("price").cast("double").alias("pmax"),
+                )
+                .collect()
+            }
+            assert set(m["partitions"]) == set(want)
+            for pv, e in m["partitions"].items():
+                w = want[pv]
+                assert e["rows"] == w["rows"]
+                assert math.isclose(e["stats"]["k"]["min"], w["kmin"])
+                assert math.isclose(e["stats"]["k"]["max"], w["kmax"])
+                assert math.isclose(e["stats"]["price"]["min"], w["pmin"])
+                assert math.isclose(e["stats"]["price"]["max"], w["pmax"])
+                # per-file stats fold back to the partition stats
+                fs = e.get("files", {})
+                assert sum(f["rows"] for f in fs.values()) == e["rows"]
+                assert math.isclose(
+                    min(f["stats"]["k"]["min"] for f in fs.values()),
+                    e["stats"]["k"]["min"],
+                )
+                assert math.isclose(
+                    max(f["stats"]["price"]["max"] for f in fs.values()),
+                    e["stats"]["price"]["max"],
+                )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    run()

@@ -26,7 +26,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("capture-plan")
     spark.sparkContext.setLogLevel("ERROR")

@@ -609,18 +609,18 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join run for real
     (streaming/events.py::clicks_with_optional_purchase): the first 14
     days of events drain as batch 1 (matches emit immediately;
-    unmatched clicks park in state), then two sentinel-only shipments
-    at +30 and +60 days drain as later batches whose only job is to
-    ADVANCE THE WATERMARK — the sentinels match neither side, exactly
-    like unrelated topic traffic, and each successive batch applies the
-    previous batch's watermark, flushing the parked clicks null-padded.
-    The file sink + shared checkpoint across the three drains gives
-    exactly-once appends, so the final landing zone must hash as the
-    batch LEFT JOIN twin: every click exactly once, matched or
-    null-padded, none dropped, none doubled. This is the operator whose
-    correctness people distrust in Structured Streaming — emission
-    latency gated on watermark proof — demonstrated equal to its batch
-    semantics on bounded input."""
+    unmatched clicks park in state), then sentinel-only shipments at
+    +30 and +60 days drain as a RESTARTED second batch whose only job
+    is to ADVANCE THE WATERMARK — the sentinels match neither side,
+    exactly like unrelated topic traffic; the restart applies batch 1's
+    committed watermark and its own no-data batch applies the advanced
+    one, flushing the parked clicks null-padded. The file sink + shared
+    checkpoint across the two drains gives exactly-once appends, so the
+    final landing zone must hash as the batch LEFT JOIN twin: every
+    click exactly once, matched or null-padded, none dropped, none
+    doubled. This is the operator whose correctness people distrust in
+    Structured Streaming — emission latency gated on watermark proof —
+    demonstrated equal to its batch semantics on bounded input."""
     import datetime as dt
     import os
     import shutil
@@ -664,22 +664,24 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, lookback_hours=1, watermark="1 hour"
         )
         ship(0, ev.filter(F.col("ts") <= F.lit(cutoff)))
-        for i, days in enumerate((30, 60), start=1):
-            # drain what is staged so far, THEN ship the next sentinels:
-            # each drain applies the watermark the previous batch set
-            stream_events.run_to_file_sink(
-                joined, f"{sink}/data", f"{sink}/ckpt"
-            )
-            # late traffic on BOTH sides: each side's watermark advances
-            # only with its own rows (the per-side filters push below the
-            # watermark node — see the operator docstring), so the window
-            # close needs a late click AND a late purchase. Negative ids
-            # mark them synthetic; the readback filters them out. Written
-            # with pyarrow directly — a 2-row sentinel does not need a
-            # Spark write job.
-            import pyarrow as pa
-            import pyarrow.parquet as pq
+        # drain 1: matches emit immediately; unmatched clicks park in
+        # state under the watermark this batch sets
+        stream_events.run_to_file_sink(joined, f"{sink}/data", f"{sink}/ckpt")
+        # late traffic on BOTH sides: each side's watermark advances
+        # only with its own rows (the per-side filters push below the
+        # watermark node — see the operator docstring), so the window
+        # close needs a late click AND a late purchase. Negative ids
+        # mark them synthetic; the readback filters them out. Written
+        # with pyarrow directly — a 2-row sentinel does not need a
+        # Spark write job. Both sentinel shipments land BEFORE the one
+        # restarted drain (round-13: the former per-shipment drain added
+        # a full micro-batch lifecycle whose only output was the +30
+        # sentinel click, which the readback filters; collapsing it is
+        # result-identical, oracle-verified at 3 SFs).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
+        for i, days in enumerate((30, 60), start=1):
             late_ts = mn + dt.timedelta(days=days)
             pq.write_table(
                 pa.table(
@@ -694,6 +696,12 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 os.path.join(stage, f"ship_{i}.parquet"),
             )
+        # drain 2 (a RESTART against the shared checkpoint): opens by
+        # applying drain 1's committed watermark, processes the late
+        # sentinels, and its no-data batch applies the advanced
+        # watermark, flushing every parked click null-padded —
+        # exactly-once across the restart is what the shared
+        # checkpoint + file-sink log demonstrate.
         stream_events.run_to_file_sink(joined, f"{sink}/data", f"{sink}/ckpt")
         out = spark.read.parquet(f"{sink}/data").filter(
             F.col("click_id") >= 0

@@ -329,46 +329,6 @@ def _partition_stats(
     return {r["__pv"]: _rows_to_stats(r, stats_cols, kinds) for r in rows}
 
 
-def _per_file_stats(
-    df: DataFrame,
-    base: str,
-    partition_col: str,
-    partition_dtype: str,
-    stats_cols: Sequence[str],
-) -> dict[str, dict[str, dict]]:
-    """Per-FILE (rows, min/max per stats col) for a just-written data dir
-    — the Delta/Iceberg skip grain. One distributed readback aggregate
-    grouped by ``_metadata.file_path``; the driver receives O(files)
-    metadata rows (exactly the add-action payload a Delta commit carries).
-    The partition value is re-cast through the table dtype so the keys
-    match ``_partition_stats``'s raw string form regardless of what type
-    the readback's partition inference picked."""
-    # explicit schema: a rewrite that kept ZERO rows wrote only _SUCCESS,
-    # and schema inference on a file-less directory raises — with the
-    # writer's schema supplied the readback is just an empty frame
-    back = (
-        df.sparkSession.read.schema(df.schema)
-        .option("basePath", base)
-        .parquet(base)
-    )
-    aggs, kinds = _stats_aggs(back, stats_cols)
-    rows = (
-        back.groupBy(
-            F.col(partition_col).cast(partition_dtype).cast("string").alias("__pv"),
-            F.col("_metadata.file_path").alias("__fp"),
-        )
-        .agg(*aggs)
-        .collect()
-    )
-    out: dict[str, dict[str, dict]] = {}
-    for r in rows:
-        fname = r["__fp"].rsplit("/", 1)[-1]
-        out.setdefault(r["__pv"], {})[fname] = _rows_to_stats(
-            r, stats_cols, kinds
-        )
-    return out
-
-
 def _bloom_positions(col: F.Column, num_bits: int, num_hashes: int) -> F.Column:
     """The k probe-bit positions of a key — xxhash64 with k seeds, the
     same family operators/joins.py::bloom_filter_build uses. Build and
@@ -451,10 +411,11 @@ def _write_data_dir(
     rejected up front (``__HIVE_DEFAULT_PARTITION__`` has no raw-value
     key to own).
 
-    When ``stats_cols`` are tracked, a second metadata-scale readback
-    aggregate records per-FILE min/max under ``files`` — the
-    Delta/Iceberg skip grain that lets ``ledger_scan`` touch 1 file
-    instead of 200 inside a kept partition (see ledger_plan_files)."""
+    When ``stats_cols`` are tracked, the ONE readback aggregate runs at
+    the (partition, file) grain: per-FILE min/max land under ``files``
+    — the Delta/Iceberg skip grain that lets ``ledger_scan`` touch 1
+    file instead of 200 inside a kept partition (see ledger_plan_files)
+    — and the partition-grain stats are its exact driver-side fold."""
     from urllib.parse import unquote
 
     batch = f"data-{uuid.uuid4().hex[:12]}"
@@ -468,7 +429,7 @@ def _write_data_dir(
     # scans are column-pruned parquet reads of the freshly written files;
     # the partition column comes off the directory names cast through the
     # declared dtype, which is the same raw-string key form the input-DAG
-    # aggregate produced (the _per_file_stats parity argument). A NULL
+    # aggregate produced (the per-file-stats parity argument). A NULL
     # partition value lands in __HIVE_DEFAULT_PARTITION__ and reads back
     # as NULL, so the non-null guard still fires.
     back = (
@@ -476,7 +437,57 @@ def _write_data_dir(
         .option("basePath", base)
         .parquet(base)
     )
-    stats = _partition_stats(back, partition_col, stats_cols)
+    pdtype = partition_dtype or df.schema[partition_col].dataType.simpleString()
+    files: dict[str, dict[str, dict]] = {}
+    if stats_cols:
+        # ONE readback aggregate at the (partition, file) grain serves
+        # BOTH metadata grains (round 13, guide §1.2/§6): the per-file
+        # rows are the Delta/Iceberg skip payload, and the partition
+        # stats are their exact driver-side fold — sum of per-file row
+        # counts, min of per-file mins, max of per-file maxs (the
+        # min/max casts in _stats_aggs are monotonic, and the fold
+        # ignores all-NULL files exactly like a direct aggregate). The
+        # separate partition-grain readback scan the old code paid per
+        # write is gone.
+        aggs, kinds = _stats_aggs(back, stats_cols)
+        rows = (
+            back.groupBy(
+                F.col(partition_col)
+                .cast(pdtype)
+                .cast("string")
+                .alias("__pv"),
+                F.col("_metadata.file_path").alias("__fp"),
+            )
+            .agg(*aggs)
+            .collect()
+        )
+        stats: dict[str, dict] = {}
+        for r in rows:
+            fname = r["__fp"].rsplit("/", 1)[-1]
+            fs = _rows_to_stats(r, stats_cols, kinds)
+            files.setdefault(r["__pv"], {})[fname] = fs
+            agg = stats.get(r["__pv"])
+            if agg is None:
+                stats[r["__pv"]] = {
+                    "rows": fs["rows"],
+                    "stats": {
+                        c: dict(fs["stats"][c]) for c in stats_cols
+                    },
+                }
+                continue
+            agg["rows"] += fs["rows"]
+            for c in stats_cols:
+                s, t = agg["stats"][c], fs["stats"][c]
+                if t["min"] is not None and (
+                    s["min"] is None or t["min"] < s["min"]
+                ):
+                    s["min"] = t["min"]
+                if t["max"] is not None and (
+                    s["max"] is None or t["max"] > s["max"]
+                ):
+                    s["max"] = t["max"]
+    else:
+        stats = _partition_stats(back, partition_col, stats_cols)
     if None in stats:
         raise ValueError(
             "ledger partition values must be non-null "
@@ -488,12 +499,6 @@ def _write_data_dir(
             key_index["bits"], key_index["hashes"], key_index.get("dtype"),
         )
         if key_index
-        else {}
-    )
-    pdtype = partition_dtype or df.schema[partition_col].dataType.simpleString()
-    files = (
-        _per_file_stats(df, base, partition_col, pdtype, stats_cols)
-        if stats_cols
         else {}
     )
     prefix = f"{partition_col}="
