@@ -118,6 +118,11 @@ def _isolate(names: list[str], sf_dir: str) -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - start)
         out[name] = round(best, 3)
+    # Stop the session explicitly: without this the JVM can outlive the
+    # python process by seconds, and a CHAIN of per-query isolates (one
+    # subprocess each) then overlaps JVMs — measured 2-5x inflation on
+    # the later isolates of a 35-query chain (round 13).
+    spark.stop()
     sys.stdout.flush()
     print(json.dumps(out))
 
@@ -182,11 +187,29 @@ def main() -> None:
     # the fixed isolation path (parent stopped, one JVM per query) now
     # agrees with the sweep.
     force = {"q_als_factors", "q_kaplan_meier", "q_test_functional_dep"}
+    # Flag on the SAME criterion that can ever mark a row regressed
+    # (>1.5x AND >=0.75 s absolute — round 13): a sub-second query whose
+    # delta can never clear the materiality bound cannot produce a
+    # regressed=true row, so isolating it only burns fresh-JVM minutes
+    # (a 35-query isolate chain in a cross-host-baseline sweep measured
+    # ~18 min and self-contended).
     flagged = [
         name
         for name, secs in timings.items()
-        if prev.get(name) and (secs > 1.5 * prev[name] or name in force)
+        if prev.get(name)
+        and (
+            (secs > 1.5 * prev[name] and secs - prev[name] >= 0.75)
+            or name in force
+        )
     ]
+    # Hard cap as a runaway bound: keep the most material flags (by
+    # absolute delta); anything past the cap keeps its sweep value and
+    # records an explicit skipped row — never silently dropped.
+    flagged.sort(
+        key=lambda n: timings[n] - prev.get(n, 0.0), reverse=True
+    )
+    capped = flagged[16:]
+    flagged = flagged[:16]
     remeasures: dict[str, dict[str, float | bool | None]] = {}
     if flagged:
         # true isolation = a FRESH JVM (see _isolate). Round-13 measurement
@@ -239,18 +262,33 @@ def main() -> None:
                     "regressed": None,
                 }
                 continue
+            # Record min(sweep, isolated) and judge regression on it
+            # (round 13): both are best-of-3 measurements of the SAME
+            # tree under the same protocol, so the smaller one is the
+            # cleaner reading — the isolate removes sweep contention,
+            # but a fresh JVM adds its own bias (C2 warm-up), and
+            # replacing a warm in-sweep value with a HIGHER cold-biased
+            # one is what turned 0.8 s queries into 5-16 s rows in
+            # BENCH_r12. A real code regression shows in both numbers,
+            # so min() cannot mask it; the materiality bound (>=0.75 s)
+            # keeps sub-second host swings from crying wolf.
+            m = min(iso, timings[name])
             remeasures[name] = {
                 "baseline": prev[name],
                 "flagged": timings[name],
                 "isolated": iso,
-                # a regression must reproduce in the fresh JVM AND be
-                # material in absolute terms: sub-second queries swing
-                # 2-3x between invocations (host variance), so a pure
-                # ratio against a lucky baseline cries wolf
-                "regressed": iso > 1.5 * prev[name]
-                and iso - prev[name] >= 0.75,
+                "regressed": m > 1.5 * prev[name]
+                and m - prev[name] >= 0.75,
             }
-            timings[name] = iso
+            timings[name] = m
+        for name in capped:
+            remeasures[name] = {
+                "baseline": prev[name],
+                "flagged": timings[name],
+                "isolated": None,
+                "regressed": None,
+                "skipped": "isolation capped at 16 (kept sweep value)",
+            }
 
     payload = {
         "metric": "headline query wall time, noop-materialized",

@@ -151,13 +151,18 @@ def test_remove_duplicated_spans_overlapping_covers_union(spark):
     assert out[2].clean_text == "" and out[2].n_removed == 6
 
 
-def test_span_inventory_wide_input_tokenizes_once(spark):
+def test_span_inventory_wide_input_tokenizes_once(spark, monkeypatch):
     """Round-13 size guard (guide §2.4): _span_inventory's base feeds
-    3-4 plan branches, so on a WIDE input (partitions ≥ 2x session
-    parallelism) it is lazily localCheckpointed and the tokenize +
-    upstream chain executes exactly ONCE; a narrow input keeps the
-    recompute form (measured faster at fixture scale). Pinned with an
-    accumulator inside the input DAG, plus result equality both ways."""
+    3-4 plan branches, so on a WIDE input (Catalyst size estimate ≥
+    dedup._WIDE_BYTES_PER_CORE per core) it is lazily localCheckpointed
+    and the tokenize + upstream chain executes exactly ONCE; below the
+    threshold it keeps the recompute form (measured faster at fixture
+    scale). The threshold is lowered to 1 byte/core to drive the
+    guarded branch on fixture-sized data; execution count pinned with
+    an accumulator inside the input DAG, plus result equality both
+    ways. The guard must also be CHEAP: it reads the optimized-plan
+    size estimate, never df.rdd (which compiles the full physical plan
+    — a measured 1.7-7 s driver stall on q_corpus_pipeline's chain)."""
     calls = spark.sparkContext.accumulator(0)
 
     def counting(it):
@@ -170,27 +175,57 @@ def test_span_inventory_wide_input_tokenizes_once(spark):
         (2, "alpha beta gamma delta epsilon four five six"),
         (3, "totally unique words nothing shared here at all"),
     ] * 4
-    par = spark.sparkContext.defaultParallelism
     base = spark.createDataFrame(
         [(i * 10 + d, t) for i, (d, t) in enumerate(rows)],
         "doc_id long, text string",
-    )
-    wide = base.repartition(2 * par).mapInArrow(
-        counting, "doc_id long, text string"
-    )
+    ).mapInArrow(counting, "doc_id long, text string")
+
+    monkeypatch.setattr(dedup, "_wide_input", lambda df: True)
     got_wide = sorted(
         (r.doc_id, r.clean_text, r.n_removed)
-        for r in dedup.remove_duplicated_spans(wide, k=5, min_docs=2).collect()
+        for r in dedup.remove_duplicated_spans(base, k=5, min_docs=2).collect()
     )
     assert calls.value == len(rows), "guarded branch must execute base once"
+
     calls.value = 0
-    narrow = base.coalesce(1).mapInArrow(counting, "doc_id long, text string")
+    monkeypatch.setattr(dedup, "_wide_input", lambda df: False)
     got_narrow = sorted(
         (r.doc_id, r.clean_text, r.n_removed)
-        for r in dedup.remove_duplicated_spans(narrow, k=5, min_docs=2).collect()
+        for r in dedup.remove_duplicated_spans(base, k=5, min_docs=2).collect()
     )
     assert calls.value > len(rows), "narrow input keeps the recompute form"
     assert got_wide == got_narrow
+
+
+def test_wide_input_guard_reads_catalyst_estimate(spark, tmp_path, monkeypatch):
+    """The width guard itself: parquet-rooted plans (even under
+    filters/projections) get a REAL Catalyst size estimate — tiny file
+    → not wide; threshold lowered → wide — while RDD/Python-backed
+    sources report the defaultSizeInBytes sentinel and must stay NOT
+    wide (conservative), never 'wide because unknown'."""
+    p = str(tmp_path / "tiny.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    scan = spark.read.parquet(p).filter("doc_id >= 0")
+    assert not dedup._wide_input(scan)
+    monkeypatch.setattr(dedup, "_WIDE_BYTES_PER_CORE", 1)
+    assert dedup._wide_input(scan)
+    # a mapInArrow OVER the scan still propagates the child's estimate
+    assert dedup._wide_input(
+        scan.mapInArrow(lambda it: it, "doc_id long, text string")
+    )
+    # an RDD-rooted source (Arrow createDataFrame) has no estimate —
+    # Catalyst reports the defaultSizeInBytes sentinel, which must read
+    # NOT wide even with the threshold floored, never 'wide because
+    # unknown'
+    rdd_rooted = spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    )
+    assert not dedup._wide_input(rdd_rooted), (
+        "unknown-size sources must not read as wide"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -525,6 +525,34 @@ def simhash_pairs(
     )
 
 
+# ~2 scan splits (at the 128 MB default) per core: the width at which a
+# re-executed upstream clearly dominates one materialization. Module
+# constant so tests can pin the guarded branch's behavior directly.
+_WIDE_BYTES_PER_CORE = 256 * 1024 * 1024
+
+
+def _wide_input(df) -> bool:
+    """True when Catalyst's optimized-plan size estimate says ``df``'s
+    scan would arrive with roughly ≥ 2x the session parallelism in
+    splits. Uses ``optimizedPlan().stats().sizeInBytes`` (~15 ms even on
+    a deep regex upstream) and NOT ``df.rdd.getNumPartitions()``, which
+    compiles the full physical plan — measured 1.7-7 s per call on
+    q_corpus_pipeline's PII chain (round-13 A/B; the round-12 advice
+    caveat made real). The estimate propagates from parquet leaf sizes,
+    so single-file fixtures and the sf bench layouts stay far below the
+    threshold while a 100 TB corpus is orders of magnitude above it."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= 1 << 60:
+        # the defaultSizeInBytes sentinel: an RDD/Python-backed source
+        # Catalyst cannot size. Conservative = not wide (keep the
+        # recompute form rather than checkpoint an unknown, possibly
+        # tiny frame); every registry consumer is parquet-rooted and
+        # gets a real estimate.
+        return False
+    return est >= par * _WIDE_BYTES_PER_CORE
+
+
 def _span_inventory(df, id_col: str, text_col: str, k: int):
     """Shared span-removal front end: (base, spans) where ``base`` is the
     tokenized frame (id, __toks, __n) and ``spans`` the map-only k-token
@@ -533,14 +561,15 @@ def _span_inventory(df, id_col: str, text_col: str, k: int):
 
     ``base`` feeds 3-4 plan branches in both consumers (spans twice, the
     rebuild twice), so the regex tokenize + upstream chain re-executes
-    per branch. On a WIDE input (scan partitions ≥ 2x the session
-    parallelism — a real multi-file corpus, never the single-file
-    fixtures) ``base`` is lazily localCheckpointed so the chain runs
-    once and every branch reads the materialization (guide §2.4:
-    eliminate recomputation; §5: localCheckpoint as the cheap lineage
-    cut). Below the threshold the checkpoint is skipped — measured at
-    sf0.1 the token-array materialization costs what the re-execution
-    saves (round-12 A/B), so small inputs keep the recompute form."""
+    per branch. On a WIDE input (``_wide_input``: Catalyst-estimated
+    bytes ≥ ~2 scan splits per core — a real multi-file corpus, never
+    the single-file fixtures) ``base`` is lazily localCheckpointed so
+    the chain runs once and every branch reads the materialization
+    (guide §2.4: eliminate recomputation; §5: localCheckpoint as the
+    cheap lineage cut). Below the threshold the checkpoint is skipped —
+    measured at sf0.1 the token-array materialization costs what the
+    re-execution saves (round-12 A/B), so small inputs keep the
+    recompute form."""
     base = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
     ).withColumn(
@@ -548,8 +577,7 @@ def _span_inventory(df, id_col: str, text_col: str, k: int):
         # (ANSI), either of which corrupts n_removed (round-10 review)
         "__n", F.greatest(F.coalesce(F.size("__toks"), F.lit(0)), F.lit(0))
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= 2 * par:
+    if _wide_input(df):
         base = base.localCheckpoint(eager=False)
     spans = base.filter(F.col("__n") >= k).select(
         id_col,

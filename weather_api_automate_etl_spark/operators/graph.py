@@ -653,6 +653,11 @@ def hits_bipartite(
     # the extra materialization's job overhead exceeds the avoided
     # recompute (round-12 A/B: 3.7 s recompute vs 4.2 s checkpointed at
     # sf0.1), so small graphs keep the recompute form.
+    # (.rdd is safe here, unlike dedup._wide_input's caller: ``e`` is an
+    # eagerly checkpointed frame, so this compiles a one-node LogicalRDD
+    # plan and reads the EXACT materialized partition count — no deep
+    # physical planning, and a checkpoint scan has no Catalyst size
+    # estimate to use instead.)
     wide = (
         e.rdd.getNumPartitions()
         >= 2 * e.sparkSession.sparkContext.defaultParallelism
