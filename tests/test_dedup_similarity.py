@@ -461,3 +461,70 @@ def test_round10_similarity_review_fixes(spark):
             spark.createDataFrame([], "vec_id long, embedding array<double>"),
             k=2,
         )
+
+
+def test_lsh_bucket_and_cosine_sql_match_column_composition(spark):
+    """Round-13 pin (the round-12 PQ discipline): lsh_bucket_expr and the
+    SQL-text cosine render their trees as one SQL string instead of
+    per-node py4j Column composition (~0.4 s per 6x64 bucket build). The
+    rendered tree must be SEMANTICALLY IDENTICAL to the old composition —
+    replicated here as the reference — on awkward doubles (negative,
+    tiny-exponent, half-boundary, zero-norm → NULL cosine)."""
+    from pyspark.sql import functions as F
+
+    from weather_api_automate_etl_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_sql,
+        dot_product,
+        sql_ident,
+        sql_vec_lit,
+    )
+    from weather_api_automate_etl_spark.operators import similarity
+
+    dim, n_planes = 4, 5
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, -3.25, 7.25, -1e-12]),
+            (2, [1e-07, 2.0, 0.0, 4.5]),
+            (3, [-0.5, 0.30000000000000004, 2.5, 2.5]),
+            (4, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> NULL cosine
+            (5, [0.05, -1.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    # reference: the pre-round-13 Column-composed bucket
+    bucket_ref = None
+    for p in range(n_planes):
+        proj = dot_product(
+            F.col("embedding"),
+            F.array(
+                *[F.lit(float(x)) for x in similarity._hyperplane(p, dim)]
+            ),
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket_ref = bit if bucket_ref is None else bucket_ref + bit
+    ref = df.select(
+        "vec_id", bucket_ref.cast("int").alias("bucket")
+    ).collect()
+    got = df.select(
+        "vec_id",
+        similarity.lsh_bucket_expr("embedding", dim, n_planes).alias(
+            "bucket"
+        ),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+    # reference: Column-composed cosine against a literal vector
+    qvec = [0.1, 2.0, -1.5, 2.5]
+    cos_ref = cosine_similarity(
+        F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec])
+    )
+    ref_c = df.select("vec_id", cos_ref.alias("c")).collect()
+    got_c = df.select(
+        "vec_id",
+        F.expr(
+            cosine_similarity_sql(sql_ident("embedding"), sql_vec_lit(qvec))
+        ).alias("c"),
+    ).collect()
+    assert sorted(map(tuple, got_c)) == sorted(map(tuple, ref_c))

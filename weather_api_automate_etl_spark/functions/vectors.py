@@ -51,3 +51,56 @@ def cosine_from_norms(dot: Column, norm_a: Column, norm_b: Column) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (‖a‖·‖b‖), null on zero-norm inputs."""
     return cosine_from_norms(dot_product(a, b), l2_norm(a), l2_norm(b))
+
+
+# --- SQL-text twins --------------------------------------------------------
+# Column-by-Column composition costs one py4j round trip per expression
+# node; builders that instantiate many literal vectors (LSH planes, MMR's
+# per-pick cosines) measured 0.7-2 s of pure driver time per query build.
+# These render the SAME trees as the Column forms above as one SQL string
+# for a single F.expr parse — the round-12 PQ discipline (repr() double
+# literals round-trip IEEE-exactly; tests pin result equality against the
+# Column composition). Operand strings must be SQL expressions; quote
+# plain column names with sql_ident first.
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quoted identifier, embedded backticks doubled. NOTE this
+    binds a literal TOP-LEVEL column (not a struct path) — callers pass
+    simple names."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_dlit(x: float) -> str:
+    """Exact SQL double literal (repr round-trips IEEE doubles)."""
+    r = repr(float(x))
+    if "inf" in r or "nan" in r:
+        raise ValueError(f"non-finite vector component: {x!r}")
+    return f"{r}D"
+
+
+def sql_vec_lit(xs) -> str:
+    return "array(" + ", ".join(sql_dlit(x) for x in xs) + ")"
+
+
+def dot_product_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot_product` — same zip_with/aggregate fold."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    return f"SQRT({dot_product_sql(a, a)})"
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """SQL text of :func:`cosine_similarity` — the same duplicated-denom
+    CASE the Column form builds (a Column object reused twice is the
+    same subtree twice), null on zero-norm inputs."""
+    denom = f"({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+    return (
+        f"CASE WHEN {denom} > 0 THEN {dot_product_sql(a, b)} / {denom} END"
+    )

@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from weather_api_automate_etl_spark.functions.vectors import (
     cosine_similarity,
+    cosine_similarity_sql,
     dot_product,
+    dot_product_sql,
+    sql_ident,
+    sql_vec_lit,
 )
 
 
@@ -638,15 +642,22 @@ def ann_recall(
 def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8):
     """The hyperplane-LSH bucket as a plain Column expression (sign bits of
     ``n_planes`` deterministic projections, packed into an int) — composable
-    into any projection without a join."""
+    into any projection without a join.
+
+    Built as ONE SQL string (n_planes × dim double literals; the Column
+    composition measured ~0.4 s of py4j round trips per call at 6×64 —
+    q_hard_negatives builds it twice, knn_join once per side). Identical
+    tree: same zip_with/aggregate fold, same CASE/sum/int-cast; pinned by
+    test_lsh_bucket_sql_matches_column_composition."""
     if n_planes < 1:
         raise ValueError(f"lsh needs n_planes >= 1, got {n_planes}")
-    bucket = None
+    bits = []
     for p in range(n_planes):
-        proj = dot_product(F.col(vec_col), _query_vec_lit(_hyperplane(p, dim)))
-        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
+        proj = dot_product_sql(
+            sql_ident(vec_col), sql_vec_lit(_hyperplane(p, dim))
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
+    return F.expr(f"CAST(({' + '.join(bits)}) AS INT)")
 
 
 def hyperplane_lsh_buckets(
@@ -771,15 +782,19 @@ def mmr_rerank(
     picked: list = []  # (id, rel, mmr, vec) — k rows of driver state
     for _ in range(k):
         if picked:
-            msim = F.greatest(
-                *[
-                    cosine_similarity(
-                        F.col("v"), _query_vec_lit(p[3])
-                    )
-                    for p in picked
-                ]
-            ) if len(picked) > 1 else cosine_similarity(
-                F.col("v"), _query_vec_lit(picked[0][3])
+            # per-pick cosines against literal vectors, rendered as ONE
+            # SQL string: the Column composition built k·d literal nodes
+            # per round over py4j (~0.7 s of the query's 2 s driver time
+            # at k=5, d=64 — round 13, the family-C discipline). Same
+            # tree: GREATEST of the same cosine folds.
+            cos_sqls = [
+                cosine_similarity_sql(sql_ident("v"), sql_vec_lit(p[3]))
+                for p in picked
+            ]
+            msim = F.expr(
+                cos_sqls[0]
+                if len(cos_sqls) == 1
+                else f"GREATEST({', '.join(cos_sqls)})"
             )
             score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * msim
             cand = sl.filter(~F.col("id").isin([p[0] for p in picked]))
