@@ -505,9 +505,21 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
 # one py4j round trip per node — measured 2.3 s of pure driver-side
 # construction PER CALL on the 4x8 codebook (guide §7.3: plan
 # construction is driver work). Rendering the SAME tree as one SQL string
-# and parsing it in a single F.expr call produces an identical analyzed
+# and parsing it in a single F.expr call produces an equivalent analyzed
 # plan for ~30 ms. The builders below mirror _sq_dist/pq_encode/
-# pq_adc_expr node for node; tests pin analyzed-plan equality.
+# pq_adc_expr node for node; tests pin RESULT equality against the old
+# Column composition on awkward doubles (analyzed-plan strings differ
+# in lambda-variable/expr-id naming, so byte equality is not the pin).
+
+
+def _qid(name: str) -> str:
+    """Backtick-quoted SQL identifier, embedded backticks doubled.
+    NOTE backtick quoting binds a literal TOP-LEVEL column: a dotted
+    name like 'a.b' means a column named "a.b", not field b of struct a
+    (which the old F.col composition would have resolved). The PQ
+    callers pass simple top-level names; the escaping just keeps a
+    hostile name from injecting SQL text (round-12 advice)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _dlit(x: float) -> str:
@@ -555,7 +567,7 @@ def pq_encode(
     sub = len(codebooks[0][0])
     # one SQL string instead of per-node py4j Column composition — same
     # expression tree, ~100x cheaper to build (see _dlit block above)
-    e = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    e = f"transform({_qid(vec_col)}, x -> CAST(x AS DOUBLE))"
     code_cols = []
     for m in range(m_sub):
         s = f"slice({e}, {m * sub + 1}, {sub})"
@@ -630,7 +642,7 @@ def pq_adc_expr(
         )
         adc = (
             f"({adc} + element_at({table_m}, "
-            f"element_at(`{codes_col}`, {m + 1})))"
+            f"element_at({_qid(codes_col)}, {m + 1})))"
         )
     if clamp_digits is not None:
         # integer nanos: the ranking key carries no double-compare ulp

@@ -899,7 +899,11 @@ def poisson_bootstrap_ci(
     # partitioning on the key is deterministic under task retry (no
     # round-robin/rand hazard) and a no-op shuffle-wise at 100 TB, where
     # the scan already arrives with >= cores partitions and the guard
-    # skips it.
+    # skips it. (Heuristic caveat, round-12 advice: getNumPartitions
+    # compiles the physical plan, and for a shuffled upstream it reports
+    # the FINAL stage, not the scan — fine here because the projected
+    # src is scan-rooted in every caller, but a shuffled input could
+    # misjudge and pay one extra no-op exchange, never a wrong result.)
     src = df.select(group_col, value_col, key_col)
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
