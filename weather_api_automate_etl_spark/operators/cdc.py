@@ -87,12 +87,20 @@ def merge_into(
     ('updated' / 'inserted' / 'carried'): updates are classified by one
     broadcast-able semi/anti pass over the mart's key column. Column sets
     of both inputs must match (enforced by unionByName).
+
+    The key frames feed ONLY semi/anti joins, whose results are
+    insensitive to duplicate build-side rows (the hash relation dedupes
+    keys by construction) — so neither side pays a pre-join
+    ``distinct()``: that extra exchange+aggregate per merge bought
+    nothing (round 13, guide §2.4), and on the provenance path it was
+    MART-scale. Result rows for duplicate-keyed updates are identical
+    either way: every duplicate still lands via the union arm.
     """
-    upd_keys = updates.select(F.col(key)).distinct()
+    upd_keys = updates.select(F.col(key))
     carried = mart.join(upd_keys, key, "left_anti")
     if not with_provenance:
         return carried.unionByName(updates)
-    mart_keys = mart.select(F.col(key)).distinct()
+    mart_keys = mart.select(F.col(key))
     updated = updates.join(mart_keys, key, "left_semi").withColumn(
         "merge_action", F.lit("updated")
     )

@@ -212,6 +212,22 @@ def profile_table(
             return F.round(F.col(c) * 1_000_000, 0).cast("long").cast("string")
         return F.col(c).cast("string")
 
+    # Parallelism guard (the poisson_bootstrap_ci idiom, guide §2): the
+    # profile's distinct rewrite Expands every row N_cols+1 ways and —
+    # because string min/max buffers bar hash aggregation — SORT-aggregates
+    # the expanded rows inside the scan stage. On a single-row-group file
+    # (the fixture layout) that whole pipeline runs in ONE task; measured
+    # at sf0.1: 3.7 s serial vs 1.2-1.5 s redistributed (32 cores). Half
+    # the cores keeps post-repartition sorts above ~50k rows so per-task
+    # scheduling doesn't dominate; on any real multi-file layout the scan
+    # already arrives wider and this is a no-op. Round-robin is safe under
+    # retry (sortBeforeRepartition) and every profile statistic —
+    # count / min / max / exact or sketched distinct — is
+    # partitioning-insensitive, so results are bit-identical.
+    par = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
     M = 64  # registers; bucket = low 6 hash bits, rho over the high 26
     aggs = []
     for c in columns:

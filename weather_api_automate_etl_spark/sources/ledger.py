@@ -347,8 +347,13 @@ def _partition_blooms(
 ) -> dict[str, str]:
     """Per-partition Bloom bitmap over ``key_col`` as hex strings — the
     membership index ledger_delete's locate phase prunes with. One
-    distributed pass (explode k positions → distinct → per-(partition,
-    word) OR); the driver receives ≤ partitions·bits/64 word rows.
+    distributed pass (explode k positions → per-(partition, word) OR);
+    the driver receives ≤ partitions·bits/64 word rows. No distinct
+    before the aggregate: bit OR is idempotent, so duplicate (pv, bit)
+    rows cannot change a single bit, and the partial (map-side) OR
+    already collapses each task's output to ≤ partitions·bits/64 rows —
+    a pre-dedup pass would add a full-width exchange of the exploded
+    rows for nothing (round 13, guide §2.4).
 
     The key is cast to the INDEX's recorded dtype before hashing:
     xxhash64 hashes int/long/string representations of the same value
@@ -364,7 +369,6 @@ def _partition_blooms(
                 _bloom_positions(kc, num_bits, num_hashes)
             ).alias("__bit"),
         )
-        .distinct()
         .groupBy("__pv", (F.col("__bit") / 64).cast("long").alias("__word"))
         .agg(
             F.bit_or(
