@@ -393,6 +393,30 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return [c / norm for c in comps]
 
 
+def _spread_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a frame whose Catalyst size estimate says it
+    arrives in fewer scan splits than the session has cores (est <
+    parallelism × 128 MB default split) — the LSH joins below carry the
+    per-candidate cosine arithmetic in the STREAM side's scan stage
+    (broadcast join, no exchange of the corpus), so on a single-row-group
+    file the whole verify pass runs in one task (measured at sf0.1:
+    q_hard_negatives 2.37 s serial vs 0.80 s spread, 32 cores). Uses the
+    ~15 ms ``optimizedPlan().stats()`` estimate, never
+    ``rdd.getNumPartitions()`` (compiles the physical plan — the
+    round-13 corpus-pipeline regression); the ≥2^60 sentinel of
+    un-sizable sources reads as wide (leave alone). On a real multi-file
+    layout the scan already arrives with ≥ cores splits and this is a
+    no-op. Round-robin is retry-safe (sortBeforeRepartition) and every
+    consumer statistic — cosine per row, row_number with a full
+    (score, id) tie-break — is partitioning-insensitive."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est >= (1 << 60) or est >= par * (128 << 20):
+        return df
+    return df.repartition(par)
+
+
 def knn_join(
     corpus: DataFrame,
     probes: DataFrame,
@@ -426,8 +450,10 @@ def knn_join(
     # (id, bucket) projection would be a corpus-wide self-join on the id,
     # which stops being broadcastable the moment the corpus is big
     bucket = lsh_bucket_expr(vec_col, dim, n_planes)
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cvec"), bucket.alias("bucket")
+    c = _spread_narrow(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("_cvec"), bucket.alias("bucket")
+        )
     )
     p = probes.select(
         F.col(probe_id_col), F.col(vec_col).alias("_pvec"), bucket.alias("bucket")
@@ -472,11 +498,13 @@ def hard_negative_pairs(
     from pyspark.sql.window import Window
 
     bucket = lsh_bucket_expr(vec_col, dim, n_planes)
-    a = df.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("_albl"),
-        F.col(vec_col).alias("_avec"),
-        bucket.alias("bucket"),
+    a = _spread_narrow(
+        df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("_albl"),
+            F.col(vec_col).alias("_avec"),
+            bucket.alias("bucket"),
+        )
     )
     b = df.select(
         F.col(id_col),
