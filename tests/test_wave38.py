@@ -92,6 +92,23 @@ def test_trimmed_mean_boundary_ties_are_stable(spark):
     assert r["mean_trimmed"] == pytest.approx((5 + 5 + 6 + 7 + 8 + 8) / 6)
 
 
+def test_trimmed_mean_null_values_shift_band_not_mass(spark):
+    """NULL values occupy rank positions (NULLS FIRST, matching the old
+    row-grain window) and count toward n, but never contribute to the
+    kept sum or the kept count — pins the value-grain rewrite's NULL
+    group against the per-row semantics it replaced."""
+    rows = [("g", None), ("g", None), ("g", 10), ("g", 20), ("g", 30),
+            ("g", 40), ("g", 50), ("g", 60), ("g", 70), ("g", 1000)]
+    df = spark.createDataFrame(rows, "g string, y int")
+    (r,) = stats.trimmed_mean(df, "g", "y", trim_frac=0.2).collect()
+    # n=10, k=2: the two NULLs occupy positions 1-2 (dropped band);
+    # kept band = positions 3..8 = values 10..60
+    assert r["n"] == 10 and r["n_trimmed_each_side"] == 2
+    assert r["mean_trimmed"] == pytest.approx((10 + 20 + 30 + 40 + 50 + 60) / 6)
+    # mean_raw divides the non-null sum by ALL n rows (old behavior)
+    assert r["mean_raw"] == pytest.approx(round(1280 / 10, 6))
+
+
 def test_trimmed_mean_rejects_bad_frac(spark):
     df = spark.createDataFrame([("g", 1)], "g string, y int")
     with pytest.raises(ValueError, match="trim_frac"):

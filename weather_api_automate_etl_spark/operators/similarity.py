@@ -549,7 +549,9 @@ def nearest_centroid(
     centroid id. Returns (id, list_id, score)."""
     from pyspark.sql.window import Window
 
-    scored = df.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
+    scored = _spread_narrow(
+        df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    ).crossJoin(
         F.broadcast(centroids.select("list_id", "centroid"))
     ).select(
         F.col(id_col),
@@ -612,8 +614,13 @@ def ann_recall(
             .select("__qid", id_col)
         )
 
+    # spread ONLY the exact side: it scores every corpus row against
+    # every query, so on a narrow scan that stage is serial; the IVF
+    # side filters to the probed lists first and spreading its input
+    # would shuffle the whole corpus for a pruned read (A/B'd: spreading
+    # both sides read 1.58 -> 1.91 s on q_ann_recall; exact-only wins)
     exact = _topk(
-        corp.crossJoin(F.broadcast(q)).select(
+        _spread_narrow(corp).crossJoin(F.broadcast(q)).select(
             "__qid",
             id_col,
             F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6).alias(
@@ -1024,10 +1031,12 @@ def mrr_at_k(
         F.col(vec_col).alias("__qe"),
         F.col(label_col).alias("__qlabel"),
     )
-    c = df.filter(~F.col(id_col).isin(ids)).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).alias("__ce"),
-        F.col(label_col).alias("__clabel"),
+    c = _spread_narrow(
+        df.filter(~F.col(id_col).isin(ids)).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__ce"),
+            F.col(label_col).alias("__clabel"),
+        )
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "__qid",

@@ -2428,37 +2428,68 @@ def trimmed_mean(
     The value is cast to BIGINT, so the kept-mass sum is exact whatever
     order it accumulates in, and ties at the trim boundary are
     harmless by construction: dropping ANY ⌊n·frac⌋ smallest rows
-    leaves the same kept multiset when boundary values tie. One
-    rank window per group plus one aggregate — scan-rate.
+    leaves the same kept multiset when boundary values tie.
 
-    Returns ``(group, n, n_trimmed_each_side, mean_raw, mean_trimmed)``
+    Computed at the VALUE grain (round 13, guide §8: decide with small
+    rows): one distributed count per (group, value), then the rank
+    arithmetic runs on the tiny distinct-value frame — each value row
+    owns rank positions [cum−c+1, cum], and its kept multiplicity is
+    the overlap of that interval with the kept band [k+1, n−k]. The
+    row-grain form ran a row_number window over every row in as few
+    tasks as there are groups (measured 1.3 s at sf0.1 on 3 groups);
+    the value-grain window touches one row per distinct value. Sums
+    stay exact: value·multiplicity in BIGINT is the same integer the
+    per-row sum accumulates (NULL values ride a NULL value-group that
+    contributes to n but never to the kept mass or its count, exactly
+    like the old per-row NULL handling). Returns
+    ``(group, n, n_trimmed_each_side, mean_raw, mean_trimmed)``
     with means rounded to 6.
     """
     if not (0.0 <= trim_frac < 0.5):
         raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
     y = as_col(value_col).cast("long")
-    base = df.select(F.col(group_col).alias("__g"), y.alias("__y"))
-    w = Window.partitionBy("__g").orderBy("__y")
-    n = Window.partitionBy("__g")
-    ranked = base.select(
+    byval = (
+        df.select(F.col(group_col).alias("__g"), y.alias("__y"))
+        .groupBy("__g", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # NULLS FIRST matches the row-grain window's default orderBy, so the
+    # rank interval each value owns is identical to the positions its
+    # rows occupied under row_number()
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__y").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("__g")
+    cum = byval.select(
         "__g",
         "__y",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(n).alias("__n"),
+        "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wg).alias("__n"),
     ).withColumn(
         "__k", F.floor(F.col("__n") * F.lit(float(trim_frac))).cast("long")
     )
-    kept = F.when(
-        (F.col("__rn") > F.col("__k"))
-        & (F.col("__rn") <= F.col("__n") - F.col("__k")),
-        F.col("__y"),
+    kept_cnt = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__n") - F.col("__k"))
+        - F.greatest(F.col("__cum") - F.col("__c") + 1, F.col("__k") + 1)
+        + 1,
     )
-    agg = ranked.groupBy("__g").agg(
+    # NULL value rows count toward n (they occupy rank positions) but,
+    # exactly like the old per-row form, never toward the kept sum or
+    # the kept count (sum(NULL·kept)=NULL-skipped, count(when(...,NULL
+    # y))=0)
+    kept_nn = F.when(F.col("__y").isNotNull(), kept_cnt).otherwise(
+        F.lit(0).cast("long")
+    )
+    agg = cum.groupBy("__g").agg(
         F.max("__n").alias("n"),
         F.max("__k").alias("k"),
-        F.sum("__y").alias("s_all"),
-        F.sum(kept).alias("s_kept"),
-        F.count(kept).alias("n_kept"),
+        F.sum(F.col("__y") * F.col("__c")).alias("s_all"),
+        F.sum(F.col("__y") * kept_nn).alias("s_kept"),
+        F.sum(kept_nn).alias("n_kept"),
     )
     return agg.select(
         F.col("__g").alias(group_col),
