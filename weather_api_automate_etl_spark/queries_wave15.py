@@ -83,17 +83,38 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = tempfile.mkdtemp(prefix=f"{name}_table_")
     shutil.rmtree(table)  # the sink bootstraps a missing table
     ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    ships = tempfile.mkdtemp(prefix=f"{name}_ships_")
     try:
         stream = spark.readStream.schema(
             "cust_id long, seq long, price double, op string, pt string"
         ).parquet(stage)
-        for i, (lo, hi) in enumerate(ranges):
-            # stage the shipment as ONE file at the stream root (file
-            # sources list the top level, not write-job subdirectories)
-            shipdir = os.path.join(stage, f"_ship_{i}")
-            log.filter((F.col("seq") > lo) & (F.col("seq") <= hi)).coalesce(
-                1
-            ).write.parquet(shipdir)
+        # Stage ALL THREE shipments in one scan + one partitioned write
+        # (round 13, guide §1.2): a row lands in every range that covers
+        # it (the overlap IS the re-delivery), one file per shipment dir
+        # (coalesce(1) upstream of partitionBy). The old flow re-ran the
+        # orders scan + projection once per shipment. File contents are
+        # identical — the __ship column is directory-encoded, never
+        # written into the data file.
+        membership = F.filter(
+            F.array(*[
+                F.when(
+                    (F.col("seq") > lo) & (F.col("seq") <= hi), F.lit(i)
+                )
+                for i, (lo, hi) in enumerate(ranges)
+            ]),
+            lambda x: x.isNotNull(),
+        )
+        (
+            log.withColumn("__ship", F.explode(membership))
+            .coalesce(1)
+            .write.partitionBy("__ship")
+            .parquet(os.path.join(ships, "data"))
+        )
+        for i in range(len(ranges)):
+            # move the shipment to the stream root (file sources list the
+            # top level, not write-job subdirectories) — one file appears
+            # per drain, exactly as the per-shipment writes staged it
+            shipdir = os.path.join(ships, "data", f"__ship={i}")
             part = next(
                 n for n in os.listdir(shipdir) if n.endswith(".parquet")
             )
@@ -101,7 +122,6 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(shipdir, part),
                 os.path.join(stage, f"ship_{i}.parquet"),
             )
-            shutil.rmtree(shipdir, ignore_errors=True)
             sinks.stream_apply_cdc_into_ledger(
                 stream, table, ckpt, name,
                 key="cust_id", seq_col="seq", partition_col="pt",
@@ -112,6 +132,7 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ships, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(table, ignore_errors=True)
 
